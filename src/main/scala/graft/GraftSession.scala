@@ -27,6 +27,9 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // testdata events.ts is INT64 TIMESTAMP(NANOS) which the vectorized
+      // reader rejects; read as long and convert in Tables.events.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   def local(appName: String = "graft"): SparkSession = {

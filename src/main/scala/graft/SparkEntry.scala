@@ -14,15 +14,55 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.q1PricingSummary(Tables(spark, "/root/testdata/sf0.001"))
 
+  private def q(f: Tables => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => f(Tables(s, dir))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_pricing_summary" -> ((s, dir) => Relational.q1PricingSummary(Tables(s, dir)))
+    // §2.6 relational
+    "q1_pricing_summary"   -> q(Relational.q1PricingSummary),
+    "q3_shipping_priority" -> q(Relational.q3ShippingPriority),
+    "q5_region_revenue"    -> q(Relational.q5RegionRevenue),
+    "q_groupby_having"     -> q(Relational.qGroupByHaving),
+    "q_window_rank"        -> q(Relational.qWindowRank),
+    "q_window_running"     -> q(Relational.qWindowRunning),
+    "q_semi_join"          -> q(Relational.qSemiJoin),
+    "q_anti_join"          -> q(Relational.qAntiJoin),
+    "q_topk_per_group"     -> q(Relational.qTopKPerGroup),
+    // §2.6 events
+    "q_events_hourly"      -> q(Events.hourly),
+    "q_events_sessionize"  -> q(Events.sessionize(_)),
+    "q_json_extract"       -> q(Events.jsonExtract),
+    // §2.5 word pipeline
+    "tok_words"            -> q(WordPipeline.tokensOrdered),
+    "words_count"          -> q(WordPipeline.wordsCount),
+    "unique_words"         -> q(WordPipeline.uniqueWords),
+    "word_stats"           -> q(WordPipeline.wordStats),
+    "word_freq_topk"       -> q(WordPipeline.wordFreqTopK(_)),
+    "file_corpus_stats"    -> q(WordPipeline.corpusStats)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
-    "q1_pricing_summary" -> Relational.q1Sql
+    "q1_pricing_summary"   -> Relational.q1Sql,
+    "q3_shipping_priority" -> Relational.q3Sql,
+    "q5_region_revenue"    -> Relational.q5Sql,
+    "q_groupby_having"     -> Relational.qGroupByHavingSql,
+    "q_window_rank"        -> Relational.qWindowRankSql,
+    "q_window_running"     -> Relational.qWindowRunningSql,
+    "q_semi_join"          -> Relational.qSemiJoinSql,
+    "q_anti_join"          -> Relational.qAntiJoinSql,
+    "q_topk_per_group"     -> Relational.qTopKPerGroupSql,
+    "q_events_hourly"      -> Events.hourlySql,
+    "q_events_sessionize"  -> Events.sessionizeSql,
+    "q_json_extract"       -> Events.jsonExtractSql,
+    "tok_words"            -> WordPipeline.tokensSql,
+    "words_count"          -> WordPipeline.wordsCountSql,
+    "unique_words"         -> WordPipeline.uniqueWordsSql,
+    "word_stats"           -> WordPipeline.wordStatsSql,
+    "word_freq_topk"       -> WordPipeline.wordFreqTopKSql,
+    "file_corpus_stats"    -> WordPipeline.corpusStatsSql
   )
 }

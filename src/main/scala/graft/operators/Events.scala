@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Event-stream analytics (batch form; graft.streaming mirrors these
+  * incrementally). Sessionization is the lag+cumsum pattern — one
+  * shuffle on user_id serves both windows and the final aggregation.
+  */
+object Events {
+
+  /** Tumbling hourly aggregation by event type. */
+  def hourly(t: Tables): DataFrame =
+    t.events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  val hourlySql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY date_trunc('hour', ts), event_type
+      |ORDER BY hour, event_type""".stripMargin
+
+  /** Gap-based sessionization (30-min inactivity closes a session):
+    * session start flag via lag, session id via running sum — then one
+    * aggregate per (user, session).
+    */
+  def sessionize(t: Tables, gapMinutes: Int = 30): DataFrame = {
+    val byUser  = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapSecs = gapMinutes * 60L
+    t.events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSecs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val sessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sessions AS (
+      |  SELECT user_id, event_id,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged
+      |)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  min(event_id) AS first_event, max(event_id) AS last_event
+      |FROM sessions
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** JSON property extraction from the props column. */
+  def jsonExtract(t: Tables): DataFrame =
+    t.events
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .filter(col("k").isNotNull)
+      .orderBy(col("event_id"))
+
+  val jsonExtractSql: String =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+      |FROM events
+      |WHERE json_extract_string(props, '$.k') IS NOT NULL
+      |ORDER BY event_id""".stripMargin
+}
