@@ -39,7 +39,24 @@ object SparkEntry {
     "unique_words"         -> q(WordPipeline.uniqueWords),
     "word_stats"           -> q(WordPipeline.wordStats),
     "word_freq_topk"       -> q(WordPipeline.wordFreqTopK(_)),
-    "file_corpus_stats"    -> q(WordPipeline.corpusStats)
+    "file_corpus_stats"    -> q(WordPipeline.corpusStats),
+    // §2.7 text analysis
+    "lang_id"              -> q(TextAnalysis.langId),
+    "quality_score"        -> q(TextAnalysis.qualityScore),
+    "token_count"          -> q(TextAnalysis.tokenCount),
+    "doc_fingerprint"      -> q(TextAnalysis.fingerprint),
+    // §2.7 dedup
+    "dedup_exact"          -> q(Dedup.exact),
+    "dedup_fingerprint"    -> q(Dedup.byFingerprint),
+    "dedup_ngram_jaccard"  -> q(Dedup.ngramJaccardPairs(_)),
+    "dedup_minhash_sig"    -> q(Dedup.minhashOrdered(_)),
+    "dedup_minhash_lsh"    -> q(Dedup.minhashLshPairs(_)),
+    "dedup_simhash"        -> q(Dedup.simhash),
+    // §2.7 similarity
+    "embed_cosine_topk"    -> q(Similarity.cosineTopK(_)),
+    "embed_dup_pairs"      -> q(Similarity.embeddingDupPairs(_)),
+    "embed_ivf_topk"       -> q(Similarity.ivfTopK(_)),
+    "embed_ann_lsh"        -> q(Similarity.annLshTopK(_))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -63,6 +80,21 @@ object SparkEntry {
     "unique_words"         -> WordPipeline.uniqueWordsSql,
     "word_stats"           -> WordPipeline.wordStatsSql,
     "word_freq_topk"       -> WordPipeline.wordFreqTopKSql,
-    "file_corpus_stats"    -> WordPipeline.corpusStatsSql
+    "file_corpus_stats"    -> WordPipeline.corpusStatsSql,
+    "lang_id"              -> TextAnalysis.langIdSql,
+    "quality_score"        -> TextAnalysis.qualityScoreSql,
+    "token_count"          -> TextAnalysis.tokenCountSql,
+    "doc_fingerprint"      -> TextAnalysis.fingerprintSql,
+    "dedup_exact"          -> Dedup.exactSql,
+    "dedup_fingerprint"    -> Dedup.byFingerprintSql,
+    "dedup_ngram_jaccard"  -> Dedup.ngramJaccardPairsSql(),
+    "dedup_minhash_sig"    -> Dedup.minhashSql(),
+    "dedup_minhash_lsh"    -> Dedup.minhashLshPairsSql(),
+    "dedup_simhash"        -> Dedup.simhashSql,
+    "embed_cosine_topk"    -> Similarity.cosineTopKSql(),
+    "embed_dup_pairs"      -> Similarity.embeddingDupPairsSql(),
+    "embed_ivf_topk"       -> Similarity.ivfTopKSql()
+    // embed_ann_lsh: approximate by construction — rows-only check;
+    // recall vs exact top-k is spec-tested in SimilaritySpec.
   )
 }

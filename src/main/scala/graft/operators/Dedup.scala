@@ -1,0 +1,265 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Deduplication for large-scale corpora.
+  *
+  * Exact dedup groups on a content hash, never the raw text: at 100 TB
+  * the shuffle moves 32-char digests, not documents. Near-dup (MinHash/
+  * SimHash/Jaccard) works on exploded shingles and self-joins on
+  * bucket keys so candidate generation is linear-ish, not O(n²).
+  * All hashing is md5-derived → bit-identical in the DuckDB oracle.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash; keeps the smallest doc_id
+    * as the canonical representative.
+    */
+  def exact(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), md5(col("text")).as("text_hash"))
+      .groupBy("text_hash")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
+  val exactSql: String =
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
+  /** Normalized-fingerprint dedup (case/whitespace-insensitive). */
+  def byFingerprint(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), md5(TextAnalysis.normalizedText(col("text"))).as("fp"))
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
+  val byFingerprintSql: String =
+    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |       min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents
+      |GROUP BY 1 ORDER BY keep_id""".stripMargin
+
+  /** doc_id × distinct word-`n`-gram shingle (the unit for MinHash and
+    * Jaccard). Shingles are md5-hashed so downstream shuffles carry
+    * fixed-width digests.
+    */
+  def shingles(t: Tables, n: Int = 3): DataFrame = {
+    val toks = split(TextAnalysis.normalizedText(col("text")), " ")
+    // sequence(0, k) counts down when k<0 — guard short docs explicitly.
+    val starts = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
+      .otherwise(array().cast("array<int>"))
+    t.documents
+      .select(col("doc_id"),
+        explode(filter(
+          transform(starts, i => array_join(slice(toks, i + 1, lit(n)), " ")),
+          s => s =!= "")).as("shingle"))
+      .distinct()
+      .select(col("doc_id"), md5(col("shingle")).as("shingle_hash"))
+  }
+
+  /** Word-shingle Jaccard near-duplicate pairs: explode distinct
+    * shingles → self-join on shingle hash → |A∩B| per pair → Jaccard
+    * with per-doc totals. Pairs emitted once (a < b). The shared-
+    * shingle join is the skew point at scale — AQE skew-join splits
+    * hot shingles, and stop-shingle filtering (df cap) is the lever.
+    */
+  def ngramJaccardPairs(t: Tables, n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    val sh     = shingles(t, n).cache()
+    val sizes  = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val inter  = sh.as("a")
+      .join(sh.as("b"), col("a.shingle_hash") === col("b.shingle_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "size_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "size_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+          (col("size_a") + col("size_b") - col("n_common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def ngramJaccardPairsSql(n: Int = 3, threshold: Double = 0.6): String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, md5(shingle) AS shingle_hash
+       |  FROM (
+       |    SELECT doc_id,
+       |      array_to_string(toks[i + 1 : i + $n], ' ') AS shingle
+       |    FROM (
+       |      SELECT doc_id,
+       |        regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |      FROM documents),
+       |      unnest(range(0, len(toks) - $n + 1)) AS r(i)
+       |  ) WHERE shingle <> ''
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |)
+       |SELECT doc_a, doc_b, n_common,
+       |  round(CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common), 6) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- MinHash + LSH ----
+
+  /** Portable 32-bit hash: first 8 hex chars of md5 → long. Identical
+    * in DuckDB (`('0x' || substr(md5(x),1,8))::BIGINT`), which is what
+    * makes the whole MinHash pipeline oracle-checkable.
+    */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** MinHash signatures in long form: (doc_id, seed, minhash) with
+    * k seed-parameterized hash functions h_i(s) = h32(s ":" i).
+    * One shuffle (groupBy doc×seed with map-side partial min).
+    */
+  def minhash(t: Tables, k: Int = 16, n: Int = 3): DataFrame =
+    shingles(t, n)
+      .withColumn("seed", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("h", h32(concat(col("shingle_hash"), lit(":"), col("seed").cast("string"))))
+      .groupBy("doc_id", "seed")
+      .agg(min(col("h")).as("minhash"))
+
+  def minhashOrdered(t: Tables, k: Int = 16, n: Int = 3): DataFrame =
+    minhash(t, k, n).orderBy("doc_id", "seed")
+
+  def minhashSql(k: Int = 16, n: Int = 3): String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, md5(shingle) AS shingle_hash
+       |  FROM (
+       |    SELECT doc_id, array_to_string(toks[i + 1 : i + $n], ' ') AS shingle
+       |    FROM (
+       |      SELECT doc_id,
+       |        regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |      FROM documents),
+       |      unnest(range(0, len(toks) - $n + 1)) AS r(i)
+       |  ) WHERE shingle <> ''
+       |)
+       |SELECT doc_id, i AS seed,
+       |  min(('0x' || substr(md5(shingle_hash || ':' || i), 1, 8))::BIGINT) AS minhash
+       |FROM sh, unnest(range(0, $k)) AS r(i)
+       |GROUP BY doc_id, i
+       |ORDER BY doc_id, seed""".stripMargin
+
+  /** MinHash-LSH near-dup pairs: band the k-wide signature into
+    * `bands` buckets of `rowsPerBand`, bucket-join to get candidates,
+    * then estimate Jaccard as the fraction of agreeing signature
+    * positions. Candidate generation never compares all n² pairs —
+    * only docs sharing a band bucket meet, and the band id inside the
+    * join key spreads bucket skew across the shuffle.
+    */
+  def minhashLshPairs(t: Tables, k: Int = 16, n: Int = 3,
+      rowsPerBand: Int = 2, estThreshold: Double = 0.5): DataFrame = {
+    val sig = minhash(t, k, n).cache()
+    val bandKeys = sig
+      .withColumn("band", floor(col("seed") / rowsPerBand))
+      .groupBy("doc_id", "band")
+      .agg(md5(array_join(
+        transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
+          x => x.getField("minhash").cast("string")), ",")).as("band_key"))
+    val cands = bandKeys.as("a")
+      .join(bandKeys.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.seed") === col("sb.seed"))
+      .groupBy("doc_a", "doc_b")
+      .agg(round(sum(when(col("sa.minhash") === col("sb.minhash"), 1).otherwise(0))
+        .cast("double") / k, 6).as("est_jaccard"))
+      .filter(col("est_jaccard") >= estThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def minhashLshPairsSql(k: Int = 16, n: Int = 3,
+      rowsPerBand: Int = 2, estThreshold: Double = 0.5): String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, md5(shingle) AS shingle_hash
+       |  FROM (
+       |    SELECT doc_id, array_to_string(toks[i + 1 : i + $n], ' ') AS shingle
+       |    FROM (
+       |      SELECT doc_id,
+       |        regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |      FROM documents),
+       |      unnest(range(0, len(toks) - $n + 1)) AS r(i)
+       |  ) WHERE shingle <> ''
+       |), sig AS (
+       |  SELECT doc_id, i AS seed,
+       |    min(('0x' || substr(md5(shingle_hash || ':' || i), 1, 8))::BIGINT) AS minhash
+       |  FROM sh, unnest(range(0, $k)) AS r(i)
+       |  GROUP BY doc_id, i
+       |), bands AS (
+       |  SELECT doc_id, seed // $rowsPerBand AS band,
+       |    md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_key
+       |  FROM sig GROUP BY doc_id, seed // $rowsPerBand
+       |), cands AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / $k, 6) AS est_jaccard
+       |FROM cands
+       |JOIN sig sa ON sa.doc_id = doc_a
+       |JOIN sig sb ON sb.doc_id = doc_b AND sb.seed = sa.seed
+       |GROUP BY doc_a, doc_b
+       |HAVING CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / $k >= $estThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- SimHash ----
+
+  /** 32-bit SimHash over token counts: bit j of the fingerprint is the
+    * sign of Σ_tokens count × (±1 by bit j of h32(token)). Pure
+    * expression pipeline: tokenize → count → 32-way bit vote (one
+    * groupBy doc). Near-dup = small hamming distance (spec-tested;
+    * `bit_count(xor)` gives the distance).
+    */
+  def simhash(t: Tables): DataFrame = {
+    val votes = WordPipeline.tokens(t)
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("h", h32(col("word")))
+      .withColumn("bit", explode(sequence(lit(0), lit(31))))
+      .groupBy("doc_id", "bit")
+      .agg(sum(when(expr("shiftright(h, bit) & 1") === 1,
+        col("cnt")).otherwise(-col("cnt"))).as("vote"))
+    votes
+      .groupBy("doc_id")
+      .agg(sum(when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(lit(0L)))
+        .as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val simhashSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lower(trim(w)) AS word
+      |  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents)
+      |  WHERE lower(trim(w)) <> ''
+      |), counted AS (
+      |  SELECT doc_id, word, count(*) AS cnt,
+      |    ('0x' || substr(md5(word), 1, 8))::BIGINT AS h
+      |  FROM toks GROUP BY doc_id, word
+      |), votes AS (
+      |  SELECT doc_id, bit,
+      |    sum(CASE WHEN (h >> bit) & 1 = 1 THEN cnt ELSE -cnt END) AS vote
+      |  FROM counted, unnest(range(0, 32)) AS r(bit)
+      |  GROUP BY doc_id, bit
+      |)
+      |SELECT doc_id,
+      |  CAST(sum(CASE WHEN vote > 0 THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT) AS simhash
+      |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Brute-force cosine is the exact baseline: the query side is tiny and
+  * broadcast, so the big side streams once with no shuffle — O(n·q)
+  * flops but O(n) I/O. The scale path is LSH bucketing (random
+  * hyperplane signs): candidates shrink ~2^bits-fold before the exact
+  * re-rank, turning all-pairs search into a bucket-local join.
+  * All arithmetic is double-precision sequential folds so results are
+  * reproducible and oracle-comparable at 6 decimals.
+  */
+object Similarity {
+
+  /** Double-precision cosine similarity between two array columns via
+    * codegen'd higher-order functions (no UDF).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    def norm(x: Column): Column = sqrt(dot(x, x))
+    dot(a, b) / (norm(a) * norm(b))
+  }
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k cosine neighbors for a small query set (vec_id <
+    * nQueries), excluding self. The query side is broadcast; ranking
+    * is a per-query window on the rounded score with vec_id tie-break
+    * (deterministic across engines).
+    */
+  def cosineTopK(t: Tables, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val emb     = t.embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  def cosineTopKSql(nQueries: Int = 10, k: Int = 5): String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < $nQueries
+       |), scored AS (
+       |  SELECT q.query_id, e.vec_id,
+       |    round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS cos_sim
+       |  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+       |)
+       |SELECT query_id, vec_id, cos_sim, rank FROM (
+       |  SELECT query_id, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Embedding-cosine near-duplicate pairs (cos ≥ threshold, a<b).
+    * Exact all-pairs form for the oracle; at scale the LSH variant
+    * below generates the candidate pairs instead.
+    */
+  def embeddingDupPairs(t: Tables, threshold: Double = 0.4): DataFrame = {
+    val emb = t.embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  def embeddingDupPairsSql(threshold: Double = 0.4): String =
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= $threshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Sign-LSH bucket key: `bits` random-hyperplane signs, hyperplane
+    * j's i-th component = ±1 from bit (i mod 32) of h32(j":"i/32-ish
+    * block). Deterministic, data-independent, and cheap: the
+    * hyperplanes are generated as literal arrays at plan time.
+    */
+  private def hyperplane(j: Int, dim: Int): Array[Double] = {
+    // Deterministic pseudo-random ±1 components from md5 bits (public
+    // trick: digest-seeded hyperplanes; no RNG state needed on executors).
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { i =>
+      val d = md.digest(s"$j:${i / 128}".getBytes("UTF-8"))
+      val bit = (d((i % 128) / 8) >> (i % 8)) & 1
+      if (bit == 1) 1.0 else -1.0
+    }
+  }
+
+  /** ANN via sign-LSH: bucket = concatenated hyperplane signs; exact
+    * cosine re-rank only inside the query's bucket. Recall is
+    * spec-tested against [[cosineTopK]]; bits trades recall vs
+    * candidate-set size (each bit halves the bucket).
+    */
+  def annLshTopK(t: Tables, nQueries: Int = 10, k: Int = 5, bits: Int = 8): DataFrame = {
+    val emb = t.embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val dim = 64
+    val sig = (0 until bits).map { j =>
+      val hp = array(hyperplane(j, dim).map(lit): _*)
+      when(aggregate(zip_with(col("v"), hp, (x, h) => x * h), lit(0.0), (a, x) => a + x) >= 0, "1")
+        .otherwise("0")
+    }.reduce(concat(_, _))
+    val bucketed = emb.withColumn("bucket", sig)
+    val queries = bucketed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    bucketed.join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-style search using the label column as the coarse quantizer:
+    * rank centroids per query, probe the top cluster only.
+    * Demonstrates the partition-pruned search pattern (bucket column =
+    * parquet partition key at scale → scans touch one cluster).
+    */
+  def ivfTopK(t: Tables, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val emb = t.embeddings.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"), col("v").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    emb.join(broadcast(queries), col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  def ivfTopKSql(nQueries: Int = 10, k: Int = 5): String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, label AS qlabel, embedding::DOUBLE[] AS qv
+       |  FROM embeddings WHERE vec_id < $nQueries
+       |), scored AS (
+       |  SELECT q.query_id, e.vec_id,
+       |    round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS cos_sim
+       |  FROM embeddings e JOIN q ON e.label = q.qlabel AND e.vec_id <> q.query_id
+       |)
+       |SELECT query_id, vec_id, cos_sim, rank FROM (
+       |  SELECT query_id, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+}

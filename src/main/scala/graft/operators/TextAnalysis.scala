@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, fingerprinting.
+  * All are pure column expressions (whole-stage codegen; no UDFs),
+  * so they scan-prune and pipeline with any other operator.
+  */
+object TextAnalysis {
+
+  private val stop = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"),
+    "es" -> Seq("el", "los", "y", "en", "una", "que", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "zu", "ist"))
+
+  private def toks(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  private def stopHits(c: Column, lang: String): Column =
+    size(filter(toks(c), w => array_contains(array(stop(lang).map(lit): _*), w)))
+
+  /** Charset + stopword-vote language ID with a deterministic
+    * tie-break order (zh/ar charsets first, then en>fr>es>de).
+    */
+  def langIdCol(text: Column): Column = {
+    val en = stopHits(text, "en"); val fr = stopHits(text, "fr")
+    val es = stopHits(text, "es"); val de = stopHits(text, "de")
+    when(text.rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+      .when(text.rlike("[\\x{0600}-\\x{06ff}]"), "ar")
+      .when(en >= fr && en >= es && en >= de, "en")
+      .when(fr >= es && fr >= de, "fr")
+      .when(es >= de, "es")
+      .otherwise("de")
+  }
+
+  def langId(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), langIdCol(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  val langIdSql: String = {
+    def hits(l: String) =
+      s"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), w -> list_contains([${stop(l).map("'" + _ + "'").mkString(",")}], w)))"
+    s"""WITH scored AS (
+       |  SELECT doc_id, text, ${hits("en")} AS en, ${hits("fr")} AS fr, ${hits("es")} AS es, ${hits("de")} AS de
+       |  FROM documents
+       |)
+       |SELECT doc_id, CASE
+       |  WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |  WHEN regexp_matches(text, '[\\x{0600}-\\x{06ff}]') THEN 'ar'
+       |  WHEN en >= fr AND en >= es AND en >= de THEN 'en'
+       |  WHEN fr >= es AND fr >= de THEN 'fr'
+       |  WHEN es >= de THEN 'es'
+       |  ELSE 'de' END AS lang_pred
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  /** Quality features + a single blended score (ratios rounded to 6dp
+    * for cross-engine float stability).
+    */
+  def qualityScore(t: Tables): DataFrame = {
+    val text    = col("text")
+    val nChars  = length(text)
+    val nToks   = size(split(trim(text), "\\s+"))
+    val punct   = length(regexp_replace(text, "[^.,;:!?]", ""))
+    val stops   = stopHits(text, "en")
+    t.documents.select(
+      col("doc_id"),
+      nChars.as("n_chars_text"),
+      nToks.as("n_tokens"),
+      round(nChars.cast("double") / nToks, 6).as("mean_tok_len"),
+      round(punct.cast("double") / nChars, 6).as("punct_ratio"),
+      round(stops.cast("double") / nToks, 6).as("stopword_ratio"),
+      round(
+        least(nToks.cast("double") / 100, lit(1.0)) * 0.5 +
+          (lit(1.0) - punct.cast("double") / nChars) * 0.25 +
+          least(stops.cast("double") / nToks * 5, lit(1.0)) * 0.25, 6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val qualityScoreSql: String = {
+    val hits =
+      s"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), w -> list_contains([${stop("en").map("'" + _ + "'").mkString(",")}], w)))"
+    s"""WITH f AS (
+       |  SELECT doc_id, length(text) AS n_chars_text,
+       |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       |    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+       |    $hits AS stops
+       |  FROM documents
+       |)
+       |SELECT doc_id, n_chars_text, n_tokens,
+       |  round(CAST(n_chars_text AS DOUBLE) / n_tokens, 6) AS mean_tok_len,
+       |  round(CAST(punct AS DOUBLE) / n_chars_text, 6) AS punct_ratio,
+       |  round(CAST(stops AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+       |  round(least(CAST(n_tokens AS DOUBLE) / 100, 1.0) * 0.5 +
+       |        (1.0 - CAST(punct AS DOUBLE) / n_chars_text) * 0.25 +
+       |        least(CAST(stops AS DOUBLE) / n_tokens * 5, 1.0) * 0.25, 6) AS quality
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  /** Whitespace and BPE-ish token counts (letter runs / digits /
+    * single non-alnum symbols — the GPT-2 pre-tokenizer shape).
+    */
+  def tokenCount(t: Tables): DataFrame = {
+    val text = col("text")
+    t.documents.select(
+      col("doc_id"),
+      size(split(trim(text), "\\s+")).as("ws_tokens"),
+      size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).as("bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |  len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Whitespace-collapsed lowercase text → md5 fingerprint (md5 is
+    * bit-identical across engines, so this is the portable content
+    * address used by the dedup operators too).
+    */
+  def normalizedText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  def fingerprint(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), md5(normalizedText(col("text"))).as("fp"))
+      .orderBy("doc_id")
+
+  val fingerprintSql: String =
+    """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+}
