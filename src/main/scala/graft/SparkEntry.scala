@@ -56,7 +56,10 @@ object SparkEntry {
     "embed_cosine_topk"    -> q(Similarity.cosineTopK(_)),
     "embed_dup_pairs"      -> q(Similarity.embeddingDupPairs(_)),
     "embed_ivf_topk"       -> q(Similarity.ivfTopK(_)),
-    "embed_ann_lsh"        -> q(Similarity.annLshTopK(_))
+    "embed_ann_lsh"        -> q(Similarity.annLshTopK(_)),
+    // §2.2 Arabic pipeline over the reference's own sample corpus
+    // (input dir is fixed — rows-only check; no parquet oracle exists).
+    "tok_arabic_count"     -> ((s, _) => ArabicCorpus.tokenCounts(s))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

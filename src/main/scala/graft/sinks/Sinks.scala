@@ -1,0 +1,74 @@
+package graft.sinks
+
+import java.sql.{Connection, DriverManager}
+import org.apache.spark.sql.DataFrame
+
+/** Loader surface — the reference's single-process buffered writers
+  * re-expressed as partition-parallel Spark writes.
+  *
+  * The reference guards each loader against concurrent callers
+  * (CSV_FileLoader, /root/reference v2/core/loaders/files.py:44) and
+  * fans out through a hand-built LoadBalanceLoader (loadbalancer.py).
+  * In Spark every partition writes in parallel by construction, and
+  * `repartition(n)` IS the load balancer.
+  */
+object Sinks {
+
+  /** CSV_FileLoader analog (v2/core/loaders/files.py:11): partitioned
+    * CSV write — n files, not one buffered handle.
+    */
+  def csv(df: DataFrame, path: String, sep: String = ";", header: Boolean = true): Unit =
+    df.write.mode("overwrite").option("sep", sep).option("header", header.toString).csv(path)
+
+  /** MySQL_DBLoader analog (v2/core/loaders/mysql.py:10): Spark's JDBC
+    * writer already does batched inserts (`batchsize`) with one
+    * connection per partition — the buffer/reconnect machinery of the
+    * reference is the driver's job here.
+    */
+  def jdbc(df: DataFrame, url: String, table: String,
+      properties: java.util.Properties = new java.util.Properties(),
+      batchSize: Int = 1000, numPartitions: Option[Int] = None): Unit = {
+    val base = numPartitions.map(df.repartition(_)).getOrElse(df)
+    base.write.mode("append")
+      .option("batchsize", batchSize.toString)
+      .jdbc(url, table, properties)
+  }
+
+  /** ConditionalLoader analog (v2/core/loaders/commons.py:67). */
+  def conditional(condition: => Boolean)(df: DataFrame)(sink: DataFrame => Unit): Unit =
+    if (condition) sink(df)
+
+  /** LoadBalanceLoader analog (v2/core/loaders/loadbalancer.py): level
+    * the write parallelism, then any sink runs n-wide.
+    */
+  def loadBalanced(df: DataFrame, n: Int)(sink: DataFrame => Unit): Unit =
+    sink(df.repartition(n))
+
+  /** NoopLoader analog (v2/core/loaders/commons.py:40): materialize and
+    * drop — used to force a plan for its side effects/metrics.
+    */
+  def noop(df: DataFrame): Long = df.count()
+
+  /** Generic per-partition writer with the reference loader lifecycle
+    * (connect → buffered load → flush/close; v2/core/loaders/commons.py:10).
+    * This is the Cassandra_DBLoader-shaped extension point: any store
+    * with a java.sql driver — or, adapted, any session-per-partition
+    * client — plugs in here without touching the plan.
+    */
+  def foreachPartitionJdbc(df: DataFrame, url: String, insertSql: String, batchSize: Int = 1000): Unit =
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      val conn: Connection = DriverManager.getConnection(url)
+      try {
+        conn.setAutoCommit(false)
+        val stmt = conn.prepareStatement(insertSql)
+        var n = 0
+        rows.foreach { r =>
+          (0 until r.length).foreach(i => stmt.setObject(i + 1, r.get(i)))
+          stmt.addBatch()
+          n += 1
+          if (n % batchSize == 0) { stmt.executeBatch(); conn.commit() }
+        }
+        stmt.executeBatch(); conn.commit(); stmt.close()
+      } finally conn.close()
+    }
+}

@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+import graft.sources.{Tables, TextFiles}
+
+class ArabicSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("arabic tokenizer extracts only arabic letter runs") {
+    val df = Seq("النَّصُّ العربي جميل 123 hello world").toDF("content")
+    val toks = df.select(explode(TextFunctions.arabicTokens(col("content"))).as("w"))
+      .as[String].collect().toSeq
+    assert(toks == Seq("النَّصُّ", "العربي", "جميل"))
+  }
+
+  test("removeDiacritics strips the eight tashkeel marks") {
+    val df  = Seq("السَّلامُ عَلَيْكُمْ").toDF("t")
+    val out = df.select(TextFunctions.removeDiacritics(col("t"))).as[String].head()
+    assert(out == "السلام عليكم")
+  }
+
+  test("corpus token counts are non-empty and diacritic-free") {
+    val rows = ArabicCorpus.tokenCounts(spark, ArabicCorpus.SampleDir, 20).collect()
+    assert(rows.length == 20)
+    val words = rows.map(_.getString(0))
+    assert(words.forall(w => !TextFunctions.ArabicDiacritics.exists(w.contains(_))))
+    assert(rows.map(_.getLong(1)).toSeq == rows.map(_.getLong(1)).sortBy(-_).toSeq)
+  }
+
+  test("flagship word stats over file corpus has reference row shape") {
+    val df = ArabicCorpus.wordStats(spark)
+    assert(df.columns.toSeq ==
+      Seq("word", "word_len", "word_truncated", "file_path", "words_count"))
+    assert(df.count() > 0)
+  }
+}
+
+class TextFilesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/reference/sample_data"
+
+  test("listFiles finds txt files without reading bodies") {
+    val files = TextFiles.listFiles(spark, "*.txt", dir)
+    assert(files.count() >= 29) // arabic.txt + books/ + one_book/
+    assert(files.columns.toSeq == Seq("path", "length", "modification_time"))
+  }
+
+  test("lines yields non-blank trimmed lines with provenance") {
+    val df = TextFiles.lines(spark, "*.txt", s"$dir/one_book")
+    assert(df.filter(col("line") === "").count() == 0)
+    assert(df.count() > 100)
+  }
+
+  test("wholeText yields one row per file") {
+    val n = TextFiles.listFiles(spark, "*.txt", dir).count()
+    assert(TextFiles.wholeText(spark, "*.txt", dir).count() == n)
+  }
+
+  test("path provenance splits directory levels into columns") {
+    val df = TextFiles.withPathProvenance(TextFiles.wholeText(spark, "*.txt", s"$dir/books"))
+    val r  = df.select("file_name", "dir1").head()
+    assert(r.getString(0).endsWith(".txt"))
+    assert(r.getString(1) == "books")
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val t = Tables(TestSpark.spark, TestSpark.sf)
+
+  test("exact dedup preserves row count when no duplicates") {
+    val d = Dedup.exact(t)
+    assert(d.count() == t.documents.count())
+    assert(d.agg(sum("n_copies")).head().getLong(0) == t.documents.count())
+  }
+
+  test("minhash est_jaccard approximates true jaccard on lsh pairs") {
+    val lsh  = Dedup.minhashLshPairs(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val real = Dedup.ngramJaccardPairs(t, 3, 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(lsh.nonEmpty)
+    val errs = lsh.collect { case (k, est) if real.contains(k) => math.abs(est - real(k)) }
+    assert(errs.nonEmpty && errs.sum / errs.size < 0.3, s"mean |est-true| too high")
+  }
+
+  test("simhash is stable and near-dups have small hamming distance") {
+    val sims = Dedup.simhash(t).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // near-dup pairs by jaccard should be close in simhash space
+    val near = Dedup.ngramJaccardPairs(t, 3, 0.6).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(near.nonEmpty)
+    val dists = near.map { case (a, b) => java.lang.Long.bitCount(sims(a) ^ sims(b)) }
+    assert(dists.sum.toDouble / dists.size < 8.0, s"mean hamming ${dists.sum.toDouble / dists.size}")
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val t = Tables(TestSpark.spark, TestSpark.sf)
+
+  test("cosine of identical vectors is 1") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val c = df.select(Similarity.cosine(col("a").cast("array<double>"),
+      col("b").cast("array<double>"))).head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("ann-lsh neighbors carry exact scores and reasonable recall") {
+    val exact = Similarity.cosineTopK(t, 10, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ann = Similarity.annLshTopK(t, 10, 5, bits = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ann.nonEmpty)
+    // scores for overlapping pairs must agree exactly (same cosine impl)
+    ann.foreach { case (k, s) => exact.get(k).foreach(e => assert(math.abs(e - s) < 1e-9)) }
+    val recall = ann.keySet.intersect(exact.keySet).size.toDouble / exact.size
+    assert(recall >= 0.1, s"recall $recall")
+  }
+
+  test("ivf probes only the query's cluster") {
+    val labels = t.embeddings.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    Similarity.ivfTopK(t, 10, 5).collect().foreach { r =>
+      assert(labels(r.getLong(0)) == labels(r.getLong(1)))
+    }
+  }
+}
+
+class SinksSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val t   = Tables(TestSpark.spark, TestSpark.sf)
+  val tmp = "target/test-sinks"
+
+  test("csv sink round-trips") {
+    val df = t.nation
+    graft.sinks.Sinks.csv(df, s"$tmp/nation_csv")
+    val back = spark.read.option("sep", ";").option("header", "true").csv(s"$tmp/nation_csv")
+    assert(back.count() == df.count())
+  }
+
+  test("jdbc sink writes batched rows to embedded derby and reads back") {
+    val url = s"jdbc:derby:target/derby-test;create=true"
+    val df  = t.region.select(col("r_regionkey").cast("int"), col("r_name"))
+    import java.sql.DriverManager
+    val conn = DriverManager.getConnection(url)
+    try { conn.createStatement().execute("DROP TABLE region_out") } catch { case _: Exception => () }
+    conn.createStatement().execute("CREATE TABLE region_out (r_regionkey INT, r_name VARCHAR(64))")
+    conn.close()
+    graft.sinks.Sinks.foreachPartitionJdbc(df, url,
+      "INSERT INTO region_out (r_regionkey, r_name) VALUES (?, ?)")
+    val back = spark.read.jdbc(url, "region_out", new java.util.Properties())
+    assert(back.count() == df.count())
+  }
+
+  test("conditional + loadBalanced compose") {
+    var ran = false
+    graft.sinks.Sinks.conditional(condition = false)(t.nation)(_ => ran = true)
+    assert(!ran)
+    graft.sinks.Sinks.loadBalanced(t.nation, 3) { d =>
+      assert(d.rdd.getNumPartitions == 3); ran = true
+    }
+    assert(ran)
+  }
+
+  test("pipeline composes stages as one plan") {
+    val pipe = Pipeline(
+      _.filter(col("n_regionkey") === 0),
+      _.select("n_name"),
+      Pipeline.when(cond = true)(_.limit(3)))
+    assert(pipe(t.nation).count() <= 3)
+  }
+}
