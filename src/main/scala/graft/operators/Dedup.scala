@@ -121,21 +121,60 @@ object Dedup {
   private def h32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  /** MinHash signatures in long form: (doc_id, seed, minhash) with
-    * k seed-parameterized hash functions h_i(s) = h32(s ":" i).
-    * One shuffle (groupBy doc×seed with map-side partial min).
+  /** MinHash hash family: ONE md5 per shingle yields a 32-bit base;
+    * the k per-seed hashes are the universal family
+    * h_i = (a_i·base + b_i) mod p with p = 4294967311 (prime > 2^32).
+    * a_i < 2^31 keeps a_i·base < 2^63 — exact int64 arithmetic on any
+    * engine, md5 cost paid once instead of k×. The per-seed constants
+    * are md5-derived at plan-build time and inlined as literals in
+    * both the Spark plan and the DuckDB oracle.
+    */
+  private val MinhashP = 4294967311L
+
+  private def coef(tag: String, i: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$tag:$i".getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+  private def aCoef(i: Int): Long = (coef("a", i) % (1L << 31)) | 1L
+  private def bCoef(i: Int): Long = coef("b", i)
+
+  private def seedHash(base: Column, i: Int): Column =
+    (base * aCoef(i) + bCoef(i)) % MinhashP
+
+  private def seedHashSql(base: String, i: Int): String =
+    s"($base * ${aCoef(i)} + ${bCoef(i)}) % $MinhashP"
+
+  /** Shingles with their 32-bit base hash (first 8 hex chars of the
+    * already-computed shingle md5 — no second digest).
+    */
+  private def shingleBases(t: Tables, n: Int): DataFrame =
+    shingles(t, n).withColumn("base",
+      conv(substring(col("shingle_hash"), 1, 8), 16, 10).cast("long"))
+
+  /** Wide MinHash signature: one row per doc, k minhash columns m0..mk-1.
+    * A single groupBy(doc) shuffle with map-side partial mins — the
+    * k-fold work happens column-wise, never as extra rows.
+    */
+  def minhashWide(t: Tables, k: Int = 16, n: Int = 3): DataFrame =
+    shingleBases(t, n)
+      .groupBy("doc_id")
+      .agg(min(seedHash(col("base"), 0)).as("m0"),
+        (1 until k).map(i => min(seedHash(col("base"), i)).as(s"m$i")): _*)
+
+  /** MinHash signatures in long form: (doc_id, seed, minhash) —
+    * unpivoted from the wide aggregate (k rows per doc AFTER the
+    * shuffle, not before).
     */
   def minhash(t: Tables, k: Int = 16, n: Int = 3): DataFrame =
-    shingles(t, n)
-      .withColumn("seed", explode(sequence(lit(0), lit(k - 1))))
-      .withColumn("h", h32(concat(col("shingle_hash"), lit(":"), col("seed").cast("string"))))
-      .groupBy("doc_id", "seed")
-      .agg(min(col("h")).as("minhash"))
+    minhashWide(t, k, n)
+      .select(col("doc_id"), posexplode(
+        array((0 until k).map(i => col(s"m$i")): _*)).as(Seq("seed", "minhash")))
 
   def minhashOrdered(t: Tables, k: Int = 16, n: Int = 3): DataFrame =
     minhash(t, k, n).orderBy("doc_id", "seed")
 
-  def minhashSql(k: Int = 16, n: Int = 3): String =
+  private def shinglesCteSql(n: Int): String =
     s"""WITH sh AS (
        |  SELECT DISTINCT doc_id, md5(shingle) AS shingle_hash
        |  FROM (
@@ -146,12 +185,18 @@ object Dedup {
        |      FROM documents),
        |      unnest(range(0, len(toks) - $n + 1)) AS r(i)
        |  ) WHERE shingle <> ''
-       |)
-       |SELECT doc_id, i AS seed,
-       |  min(('0x' || substr(md5(shingle_hash || ':' || i), 1, 8))::BIGINT) AS minhash
-       |FROM sh, unnest(range(0, $k)) AS r(i)
+       |), based AS (
+       |  SELECT doc_id, ('0x' || substr(shingle_hash, 1, 8))::BIGINT AS base FROM sh
+       |)""".stripMargin
+
+  def minhashSql(k: Int = 16, n: Int = 3): String = {
+    val seeds = (0 until k).map(i => s"($i, ${aCoef(i)}, ${bCoef(i)})").mkString(", ")
+    s"""${shinglesCteSql(n)}
+       |SELECT doc_id, i AS seed, min((base * a + b) % $MinhashP) AS minhash
+       |FROM based, (VALUES $seeds) AS s(i, a, b)
        |GROUP BY doc_id, i
        |ORDER BY doc_id, seed""".stripMargin
+  }
 
   /** MinHash-LSH near-dup pairs: band the k-wide signature into
     * `bands` buckets of `rowsPerBand`, bucket-join to get candidates,
@@ -162,63 +207,62 @@ object Dedup {
     */
   def minhashLshPairs(t: Tables, k: Int = 16, n: Int = 3,
       rowsPerBand: Int = 2, estThreshold: Double = 0.5): DataFrame = {
-    val sig = minhash(t, k, n).cache()
-    val bandKeys = sig
-      .withColumn("band", floor(col("seed") / rowsPerBand))
-      .groupBy("doc_id", "band")
-      .agg(md5(array_join(
-        transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
-          x => x.getField("minhash").cast("string")), ",")).as("band_key"))
+    val bands = k / rowsPerBand
+    val sig   = minhashWide(t, k, n).cache()
+    // One band key per (doc, band): md5 over that band's minhash slice.
+    val bandKeys = sig.select(col("doc_id"), posexplode(array(
+      (0 until bands).map { b =>
+        md5(concat_ws(",",
+          (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i").cast("string")): _*))
+      }: _*)).as(Seq("band", "band_key")))
     val cands = bandKeys.as("a")
       .join(bandKeys.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // Estimated Jaccard = fraction of agreeing positions, computed
+    // column-wise on the wide signatures (two hash joins, no re-agg).
+    val matches = (0 until k)
+      .map(i => when(col(s"sa.m$i") === col(s"sb.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
     cands
       .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.seed") === col("sb.seed"))
-      .groupBy("doc_a", "doc_b")
-      .agg(round(sum(when(col("sa.minhash") === col("sb.minhash"), 1).otherwise(0))
-        .cast("double") / k, 6).as("est_jaccard"))
+      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(matches.cast("double") / k, 6).as("est_jaccard"))
       .filter(col("est_jaccard") >= estThreshold)
       .orderBy("doc_a", "doc_b")
   }
 
   def minhashLshPairsSql(k: Int = 16, n: Int = 3,
-      rowsPerBand: Int = 2, estThreshold: Double = 0.5): String =
-    s"""WITH sh AS (
-       |  SELECT DISTINCT doc_id, md5(shingle) AS shingle_hash
-       |  FROM (
-       |    SELECT doc_id, array_to_string(toks[i + 1 : i + $n], ' ') AS shingle
-       |    FROM (
-       |      SELECT doc_id,
-       |        regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
-       |      FROM documents),
-       |      unnest(range(0, len(toks) - $n + 1)) AS r(i)
-       |  ) WHERE shingle <> ''
-       |), sig AS (
-       |  SELECT doc_id, i AS seed,
-       |    min(('0x' || substr(md5(shingle_hash || ':' || i), 1, 8))::BIGINT) AS minhash
-       |  FROM sh, unnest(range(0, $k)) AS r(i)
-       |  GROUP BY doc_id, i
+      rowsPerBand: Int = 2, estThreshold: Double = 0.5): String = {
+    val bands    = k / rowsPerBand
+    val sigCols  = (0 until k).map(i => s"min(${seedHashSql("base", i)}) AS m$i").mkString(", ")
+    val bandRows = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($cols) AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val matches = (0 until k)
+      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""${shinglesCteSql(n)}, sig AS (
+       |  SELECT doc_id, $sigCols FROM based GROUP BY doc_id
        |), bands AS (
-       |  SELECT doc_id, seed // $rowsPerBand AS band,
-       |    md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_key
-       |  FROM sig GROUP BY doc_id, seed // $rowsPerBand
+       |  $bandRows
        |), cands AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
        |)
        |SELECT doc_a, doc_b,
-       |  round(CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / $k, 6) AS est_jaccard
+       |  round(CAST($matches AS DOUBLE) / $k, 6) AS est_jaccard
        |FROM cands
        |JOIN sig sa ON sa.doc_id = doc_a
-       |JOIN sig sb ON sb.doc_id = doc_b AND sb.seed = sa.seed
-       |GROUP BY doc_a, doc_b
-       |HAVING CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / $k >= $estThreshold
+       |JOIN sig sb ON sb.doc_id = doc_b
+       |WHERE CAST($matches AS DOUBLE) / $k >= $estThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   // ---- SimHash ----
 
@@ -229,18 +273,20 @@ object Dedup {
     * `bit_count(xor)` gives the distance).
     */
   def simhash(t: Tables): DataFrame = {
-    val votes = WordPipeline.tokens(t)
+    // Wide bit votes: 32 sum columns in ONE groupBy(doc) — no 32×
+    // row explosion; the fingerprint assembles from the vote signs.
+    val counted = WordPipeline.tokens(t)
       .groupBy("doc_id", "word")
       .agg(count(lit(1)).as("cnt"))
       .withColumn("h", h32(col("word")))
-      .withColumn("bit", explode(sequence(lit(0), lit(31))))
-      .groupBy("doc_id", "bit")
-      .agg(sum(when(expr("shiftright(h, bit) & 1") === 1,
-        col("cnt")).otherwise(-col("cnt"))).as("vote"))
+    val votes = counted.groupBy("doc_id").agg(
+      sum(when(expr(s"shiftright(h, 0) & 1") === 1, col("cnt")).otherwise(-col("cnt"))).as("v0"),
+      (1 until 32).map(b =>
+        sum(when(expr(s"shiftright(h, $b) & 1") === 1, col("cnt")).otherwise(-col("cnt"))).as(s"v$b")): _*)
     votes
-      .groupBy("doc_id")
-      .agg(sum(when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(lit(0L)))
-        .as("simhash"))
+      .select(col("doc_id"),
+        (0 until 32).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
       .orderBy("doc_id")
   }
 

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
 import graft.sources.Tables
 
 /** Similarity search over embedding columns (`Array[Float]`).
@@ -35,12 +36,15 @@ object Similarity {
     * (deterministic across engines).
     */
   def cosineTopK(t: Tables, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val emb     = t.embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // Norms are computed once per vector BEFORE the pair join; each of
+    // the n·q pairs then costs one codegen'd dot product + a divide.
+    val emb = t.embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorFunctions.l2norm(col("v")))
     val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+        round(VectorFunctions.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     scored
@@ -70,9 +74,10 @@ object Similarity {
     */
   def embeddingDupPairs(t: Tables, threshold: Double = 0.4): DataFrame = {
     val emb = t.embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorFunctions.l2norm(col("v")))
     emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+        round(VectorFunctions.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .orderBy("vec_a", "vec_b")
   }
@@ -110,18 +115,18 @@ object Similarity {
     val dim = 64
     val sig = (0 until bits).map { j =>
       val hp = array(hyperplane(j, dim).map(lit): _*)
-      when(aggregate(zip_with(col("v"), hp, (x, h) => x * h), lit(0.0), (a, x) => a + x) >= 0, "1")
-        .otherwise("0")
+      when(VectorFunctions.dot(col("v"), hp) >= 0, "1").otherwise("0")
     }.reduce(concat(_, _))
     val bucketed = emb.withColumn("bucket", sig)
+      .withColumn("nrm", VectorFunctions.l2norm(col("v")))
     val queries = bucketed.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"), col("nrm").as("qnrm"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     bucketed.join(broadcast(queries), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+        round(VectorFunctions.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .orderBy("query_id", "rank")
@@ -134,13 +139,14 @@ object Similarity {
     */
   def ivfTopK(t: Tables, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val emb = t.embeddings.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorFunctions.l2norm(col("v")))
     val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("label").as("qlabel"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"), col("v").as("qv"), col("nrm").as("qnrm"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     emb.join(broadcast(queries), col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+        round(VectorFunctions.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .orderBy("query_id", "rank")
