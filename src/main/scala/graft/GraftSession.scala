@@ -26,6 +26,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // dimension/size tables up to 64 MB broadcast instead of SMJ;
+      // genuinely big sides (shingle/fact tables at scale) still exceed
+      // this and fall back to shuffle joins.
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       // testdata events.ts is INT64 TIMESTAMP(NANOS) which the vectorized
       // reader rejects; read as long and convert in Tables.events.

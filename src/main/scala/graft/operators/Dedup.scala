@@ -43,8 +43,9 @@ object Dedup {
       |GROUP BY 1 ORDER BY keep_id""".stripMargin
 
   /** doc_id × distinct word-`n`-gram shingle (the unit for MinHash and
-    * Jaccard). Shingles are md5-hashed so downstream shuffles carry
-    * fixed-width digests.
+    * Jaccard), as a 60-bit md5-derived integer: joins/shuffles carry
+    * 8-byte keys instead of 32-char digests, and the value is portable
+    * (`('0x' || substr(md5(s),1,15))::BIGINT` in DuckDB).
     */
   def shingles(t: Tables, n: Int = 3): DataFrame = {
     val toks = split(TextAnalysis.normalizedText(col("text")), " ")
@@ -57,7 +58,8 @@ object Dedup {
           transform(starts, i => array_join(slice(toks, i + 1, lit(n)), " ")),
           s => s =!= "")).as("shingle"))
       .distinct()
-      .select(col("doc_id"), md5(col("shingle")).as("shingle_hash"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("shingle_hash"))
   }
 
   /** Word-shingle Jaccard near-duplicate pairs: explode distinct
@@ -69,8 +71,11 @@ object Dedup {
   def ngramJaccardPairs(t: Tables, n: Int = 3, threshold: Double = 0.6): DataFrame = {
     val sh     = shingles(t, n).cache()
     val sizes  = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val inter  = sh.as("a")
-      .join(sh.as("b"), col("a.shingle_hash") === col("b.shingle_hash") &&
+    // The self-join side is big by construction — force a shuffle hash
+    // join (hash-partition on shingle_hash; no broadcast, no sort).
+    val inter  = sh.as("a").hint("SHUFFLE_HASH")
+      .join(sh.as("b").hint("SHUFFLE_HASH"),
+        col("a.shingle_hash") === col("b.shingle_hash") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
@@ -87,7 +92,7 @@ object Dedup {
 
   def ngramJaccardPairsSql(n: Int = 3, threshold: Double = 0.6): String =
     s"""WITH sh AS (
-       |  SELECT DISTINCT doc_id, md5(shingle) AS shingle_hash
+       |  SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle_hash
        |  FROM (
        |    SELECT doc_id,
        |      array_to_string(toks[i + 1 : i + $n], ' ') AS shingle
@@ -145,12 +150,11 @@ object Dedup {
   private def seedHashSql(base: String, i: Int): String =
     s"($base * ${aCoef(i)} + ${bCoef(i)}) % $MinhashP"
 
-  /** Shingles with their 32-bit base hash (first 8 hex chars of the
-    * already-computed shingle md5 — no second digest).
+  /** Shingles with their 32-bit base hash (low 32 bits of the 60-bit
+    * shingle hash — no second digest).
     */
   private def shingleBases(t: Tables, n: Int): DataFrame =
-    shingles(t, n).withColumn("base",
-      conv(substring(col("shingle_hash"), 1, 8), 16, 10).cast("long"))
+    shingles(t, n).withColumn("base", col("shingle_hash") % 4294967296L)
 
   /** Wide MinHash signature: one row per doc, k minhash columns m0..mk-1.
     * A single groupBy(doc) shuffle with map-side partial mins — the
@@ -176,7 +180,7 @@ object Dedup {
 
   private def shinglesCteSql(n: Int): String =
     s"""WITH sh AS (
-       |  SELECT DISTINCT doc_id, md5(shingle) AS shingle_hash
+       |  SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle_hash
        |  FROM (
        |    SELECT doc_id, array_to_string(toks[i + 1 : i + $n], ' ') AS shingle
        |    FROM (
@@ -186,7 +190,7 @@ object Dedup {
        |      unnest(range(0, len(toks) - $n + 1)) AS r(i)
        |  ) WHERE shingle <> ''
        |), based AS (
-       |  SELECT doc_id, ('0x' || substr(shingle_hash, 1, 8))::BIGINT AS base FROM sh
+       |  SELECT doc_id, shingle_hash % 4294967296 AS base FROM sh
        |)""".stripMargin
 
   def minhashSql(k: Int = 16, n: Int = 3): String = {
