@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+import graft.sources.Tables
+
+/** Asserts the *shape* of the physical plans — the properties that make
+  * these operators survive a 100 TB scale-up. A regression that turns a
+  * broadcast join into a shuffle, loses a pushed filter, or widens a
+  * scan fails here even though results stay correct.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  def t = Tables(spark, TestSpark.sf)
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter is pushed to the parquet scan") {
+    val p = plan(Relational.q1PricingSummary(t))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+  }
+
+  test("q1: scan is pruned to the 7 needed columns") {
+    val p = plan(Relational.q1PricingSummary(t))
+    assert(!p.contains("l_orderkey"), "scan reads join keys it doesn't need")
+    assert(!p.contains("l_partkey"))
+  }
+
+  test("q1: aggregation is map-side partial") {
+    assert(plan(Relational.q1PricingSummary(t)).contains("partial_sum"))
+  }
+
+  test("q5: every dimension join is broadcast (no dim shuffles)") {
+    val p = plan(Relational.q5RegionRevenue(t))
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(nBroadcast >= 5, s"expected >=5 broadcast joins, got $nBroadcast")
+  }
+
+  test("q5: fact scan reads only join keys + measures") {
+    val p = plan(Relational.q5RegionRevenue(t))
+    assert(p.contains("struct<l_orderkey:bigint,l_suppkey:bigint,l_extendedprice:double,l_discount:double>"))
+  }
+
+  test("semi/anti joins plan as semi/anti (no row multiplication)") {
+    assert(plan(Relational.qSemiJoin(t)).contains("LeftSemi"))
+    assert(plan(Relational.qAntiJoin(t)).contains("LeftAnti"))
+  }
+
+  test("cosine top-k: query side broadcast, native vec_dot in projection") {
+    val p = plan(Similarity.cosineTopK(t))
+    assert(p.contains("BroadcastNestedLoopJoin"), "query side must broadcast")
+    assert(p.contains("vec_dot"), "native DotProduct expression must be used")
+  }
+
+  test("cosine top-k: rank limit pushes below the final shuffle") {
+    assert(plan(Similarity.cosineTopK(t)).contains("WindowGroupLimit"))
+  }
+
+  test("global top-k is TakeOrdered, not a full sort") {
+    assert(plan(Relational.q3ShippingPriority(t)).contains("TakeOrderedAndProject"))
+  }
+
+  test("word pipeline scans only doc_id + text") {
+    val p = plan(WordPipeline.wordStats(t))
+    assert(p.contains("struct<doc_id:bigint,text:string>"))
+    assert(!p.contains("n_chars"))
+  }
+
+  test("minhash-lsh: shingle base hashing happens before the doc aggregate") {
+    val p = plan(Dedup.minhashLshPairs(t))
+    assert(p.contains("partial_min"), "signature mins must be map-side partial")
+  }
+
+  test("resize plan never reads the binary payload column") {
+    val m = graft.multimodal.Multimodal.mediaFromDocuments(spark, TestSpark.sf).toDF()
+    val p = plan(graft.multimodal.Multimodal.resizePlan(m, 64))
+    assert(!p.contains("payload"))
+  }
+}
