@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Multiply, Sqrt}
+import graft.functions.DotProduct
+
+/** Session extension registering graft's native expressions as SQL
+  * functions, so `spark.sql("SELECT vec_dot(a, b) ...")` plans the
+  * codegen'd kernel directly. Install with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` —
+  * GraftSession does this by default — or via
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_cosine"),
+      (exprs: Seq[Expression]) =>
+        Divide(DotProduct(exprs(0), exprs(1)),
+          Multiply(Sqrt(DotProduct(exprs(0), exprs(0))),
+            Sqrt(DotProduct(exprs(1), exprs(1)))))))
+  }
+}

@@ -59,7 +59,17 @@ object SparkEntry {
     "embed_ann_lsh"        -> q(Similarity.annLshTopK(_)),
     // §2.2 Arabic pipeline over the reference's own sample corpus
     // (input dir is fixed — rows-only check; no parquet oracle exists).
-    "tok_arabic_count"     -> ((s, _) => ArabicCorpus.tokenCounts(s))
+    "tok_arabic_count"     -> ((s, _) => ArabicCorpus.tokenCounts(s)),
+    // §2.6 extended relational coverage
+    "q_rollup"             -> q(Relational2.qRollup),
+    "q_cube"               -> q(Relational2.qCube),
+    "q_stats"              -> q(Relational2.qStats),
+    "q_set_ops"            -> q(Relational2.qSetOps),
+    "q_case_bands"         -> q(Relational2.qCaseBands),
+    "q_string_funcs"       -> q(Relational2.qStringFuncs),
+    "q_date_funcs"         -> q(Relational2.qDateFuncs),
+    "q_scalar_subquery"    -> q(Relational2.qScalarSubquery),
+    "q_correlated_avg"     -> q(Relational2.qCorrelatedAvg)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -96,8 +106,17 @@ object SparkEntry {
     "dedup_simhash"        -> Dedup.simhashSql,
     "embed_cosine_topk"    -> Similarity.cosineTopKSql(),
     "embed_dup_pairs"      -> Similarity.embeddingDupPairsSql(),
-    "embed_ivf_topk"       -> Similarity.ivfTopKSql()
+    "embed_ivf_topk"       -> Similarity.ivfTopKSql(),
     // embed_ann_lsh: approximate by construction — rows-only check;
     // recall vs exact top-k is spec-tested in SimilaritySpec.
+    "q_rollup"             -> Relational2.qRollupSql,
+    "q_cube"               -> Relational2.qCubeSql,
+    "q_stats"              -> Relational2.qStatsSql,
+    "q_set_ops"            -> Relational2.qSetOpsSql,
+    "q_case_bands"         -> Relational2.qCaseBandsSql,
+    "q_string_funcs"       -> Relational2.qStringFuncsSql,
+    "q_date_funcs"         -> Relational2.qDateFuncsSql,
+    "q_scalar_subquery"    -> Relational2.qScalarSubquerySql,
+    "q_correlated_avg"     -> Relational2.qCorrelatedAvgSql
   )
 }

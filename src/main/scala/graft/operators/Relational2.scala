@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Extended relational coverage: grouping sets, set ops, statistical
+  * aggregates, string/date kernels, scalar/correlated subquery shapes.
+  * Same contract as Relational: totally-ordered, float-rounded,
+  * DuckDB-twinned. Note the NULLS FIRST on rollup/cube sorts — Spark
+  * defaults nulls-first, DuckDB nulls-last, so the oracle says it
+  * explicitly.
+  */
+object Relational2 {
+
+  /** ROLLUP over (returnflag, linestatus): super-aggregate rows carry
+    * NULL keys — ordering pins them explicitly for both engines.
+    */
+  def qRollup(t: Tables): DataFrame =
+    t.lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val qRollupSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** CUBE over (orderstatus, orderpriority). */
+  def qCube(t: Tables): DataFrame =
+    t.orders
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  val qCubeSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** Statistical aggregates per returnflag (sample stddev/variance
+    * rounded to 4dp — both engines use numerically-stable streaming
+    * moments).
+    */
+  def qStats(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("l_extendedprice")), 2).as("min_price"),
+        round(max(col("l_extendedprice")), 2).as("max_price"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"))
+      .orderBy(col("l_returnflag"))
+
+  val qStatsSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  round(min(l_extendedprice), 2) AS min_price,
+      |  round(max(l_extendedprice), 2) AS max_price,
+      |  round(avg(l_extendedprice), 4) AS avg_price,
+      |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+      |  round(var_samp(l_quantity), 4) AS var_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Set semantics: orders that never shipped a line item (EXCEPT). */
+  def qSetOps(t: Tables): DataFrame = {
+    val o = t.orders.select(col("o_orderkey").as("orderkey"))
+    val l = t.lineitem.select(col("l_orderkey").as("orderkey"))
+    o.except(l).orderBy("orderkey")
+  }
+
+  val qSetOpsSql: String =
+    """SELECT o_orderkey AS orderkey FROM orders
+      |EXCEPT
+      |SELECT l_orderkey AS orderkey FROM lineitem
+      |ORDER BY orderkey""".stripMargin
+
+  /** CASE bucketing: order-value bands. */
+  def qCaseBands(t: Tables): DataFrame =
+    t.orders
+      .withColumn("band",
+        when(col("o_totalprice") < 50000, "small")
+          .when(col("o_totalprice") < 200000, "medium")
+          .otherwise("large"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 2).as("avg_price"))
+      .orderBy("band")
+
+  val qCaseBandsSql: String =
+    """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+      |            WHEN o_totalprice < 200000 THEN 'medium'
+      |            ELSE 'large' END AS band,
+      |  count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+      |FROM orders GROUP BY 1 ORDER BY band""".stripMargin
+
+  /** String kernel coverage: upper/substr/length/position/concat/replace. */
+  def qStringFuncs(t: Tables): DataFrame =
+    t.part
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        substring(col("p_name"), 1, 5).as("prefix"),
+        length(col("p_name")).as("name_len"),
+        instr(col("p_type"), "BRASS").cast("bigint").as("brass_pos"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("consonants"))
+      .orderBy("p_partkey")
+
+  val qStringFuncsSql: String =
+    """SELECT p_partkey, upper(p_name) AS uname, substr(p_name, 1, 5) AS prefix,
+      |  length(p_name) AS name_len,
+      |  CAST(strpos(p_type, 'BRASS') AS BIGINT) AS brass_pos,
+      |  p_brand || '-' || p_type AS brand_type,
+      |  regexp_replace(p_name, '[aeiou]', '', 'g') AS consonants
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Date kernel coverage: year/month/quarter extraction + per-year agg. */
+  def qDateFuncs(t: Tables): DataFrame =
+    t.orders
+      .groupBy(
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy("yr", "qtr")
+
+  val qDateFuncsSql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(quarter(o_orderdate) AS INT) AS qtr,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+      |FROM orders GROUP BY 1, 2 ORDER BY yr, qtr""".stripMargin
+
+  /** Scalar-subquery shape: lineitems priced above the global average
+    * (planned as a broadcast of the 1-row aggregate — no correlated
+    * re-execution).
+    */
+  def qScalarSubquery(t: Tables): DataFrame = {
+    val globalAvg = t.lineitem.agg(avg(col("l_extendedprice")).as("gavg"))
+    t.lineitem
+      .crossJoin(broadcast(globalAvg))
+      .filter(col("l_extendedprice") > col("gavg") * 1.9)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 2).as("price"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val qScalarSubquerySql: String =
+    """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+      |FROM lineitem
+      |WHERE l_extendedprice > (SELECT avg(l_extendedprice) FROM lineitem) * 1.9
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Correlated-aggregate shape: orders above their customer's average
+    * (decorrelated to a window — one shuffle, no per-row subquery).
+    */
+  def qCorrelatedAvg(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+    t.orders
+      .withColumn("cust_avg", avg(col("o_totalprice")).over(w))
+      .withColumn("cust_n", count(lit(1)).over(w))
+      // cust_avg itself is NOT in the output: a window-avg's last ulp is
+      // accumulation-order-dependent, so only order-robust comparisons
+      // (the 1.5× threshold) survive a cross-engine hash check.
+      .filter(col("cust_n") >= 2 && col("o_totalprice") > col("cust_avg") * 1.5)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  val qCorrelatedAvgSql: String =
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+      |FROM (
+      |  SELECT o_orderkey, o_custkey, o_totalprice,
+      |    avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg,
+      |    count(*) OVER (PARTITION BY o_custkey) AS cust_n
+      |  FROM orders)
+      |WHERE cust_n >= 2 AND o_totalprice > cust_avg * 1.5
+      |ORDER BY o_orderkey""".stripMargin
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{ReduceAggregator, Skew}
+import graft.sources.Tables
+
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("vec_dot and vec_cosine are SQL-registered via GraftExtensions") {
+    import spark.implicits._
+    Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+      .createOrReplaceTempView("vecs")
+    val r = spark.sql("SELECT vec_dot(a, b) AS d, vec_cosine(a, a) AS c FROM vecs").head()
+    assert(math.abs(r.getDouble(0) - 32.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("vec_dot participates in whole-stage codegen on a real scan") {
+    // parquet-backed input: constant folding can't pre-evaluate, so the
+    // expression must run inside the codegen stage
+    val df = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .select(expr("vec_dot(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>))").as("d"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("vec_dot"))
+    assert(df.head().getDouble(0) > 0.0)
+  }
+}
+
+class SkewSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  def t = Tables(spark, TestSpark.sf)
+
+  test("salted count equals plain count") {
+    val plain = t.lineitem.groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(0 max 1)).toMap
+    val salted = Skew.saltedCount(t.lineitem, "l_returnflag", 8,
+        Seq("l_orderkey", "l_linenumber"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("salted join equals plain join") {
+    val dim   = t.nation.select(col("n_nationkey").as("c_nationkey"), col("n_name"))
+    val plain = t.customer.join(dim, "c_nationkey")
+      .select("c_custkey", "n_name").collect().map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(t.customer, dim, "c_nationkey", 4, Seq("c_custkey"))
+      .select("c_custkey", "n_name").collect().map(_.toSeq).toSet
+    assert(salted == plain && salted.nonEmpty)
+  }
+}
+
+class ReduceAggregatorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("typed reduce mirrors ReduceItemTransformer fold semantics") {
+    import spark.implicits._
+    val ds = spark.range(1, 101).as[Long]
+    val sumSq = ReduceAggregator[Long, Long](0L)((acc, x) => acc + x * x)(_ + _)
+    val got = ds.select(sumSq.toColumn).head()
+    assert(got == (1L to 100L).map(x => x * x).sum)
+  }
+
+  test("count aggregator matches groupBy count per key") {
+    import spark.implicits._
+    val t    = Tables(spark, TestSpark.sf)
+    val toks = graft.operators.WordPipeline.tokens(t).as[(Long, String)]
+    val got = toks.groupByKey(_._1).agg(ReduceAggregator.count[(Long, String)].toColumn)
+      .collect().toMap
+    val want = graft.operators.WordPipeline.wordsCount(t)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+}
+
+class BucketingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("bucketed tables join without a shuffle exchange") {
+    val t = Tables(spark, TestSpark.sf)
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    t.lineitem.select("l_orderkey", "l_quantity")
+      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("li_bucketed")
+    t.orders.select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("o_bucketed")
+    val joined = spark.table("li_bucketed")
+      .join(spark.table("o_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n${p.take(1500)}")
+    assert(joined.count() > 0)
+  }
+}
