@@ -77,10 +77,18 @@ class ReduceAggregatorSpec extends AnyFunSuite {
 class BucketingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  private def rmrf(p: java.io.File): Unit = {
+    if (p.isDirectory) p.listFiles.foreach(rmrf)
+    p.delete(): Unit
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val t = Tables(spark, TestSpark.sf)
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    // a previous JVM's managed-table dirs survive the in-memory catalog
+    Seq("li_bucketed", "o_bucketed")
+      .foreach(n => rmrf(new java.io.File(s"spark-warehouse/$n")))
     t.lineitem.select("l_orderkey", "l_quantity")
       .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable("li_bucketed")
