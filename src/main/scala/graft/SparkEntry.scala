@@ -69,7 +69,12 @@ object SparkEntry {
     "q_string_funcs"       -> q(Relational2.qStringFuncs),
     "q_date_funcs"         -> q(Relational2.qDateFuncs),
     "q_scalar_subquery"    -> q(Relational2.qScalarSubquery),
-    "q_correlated_avg"     -> q(Relational2.qCorrelatedAvg)
+    "q_correlated_avg"     -> q(Relational2.qCorrelatedAvg),
+    "q_percentiles"        -> q(Relational2.qPercentiles),
+    "q_asof_join"          -> q(AsOf.purchaseAsofClick),
+    // §2.1 file-corpus sources over the reference's books sample
+    "file_line_stats"      -> ((s, _) => FileCorpus.fileLineStats(s)),
+    "file_word_counts"     -> ((s, _) => FileCorpus.fileWordCounts(s))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -117,6 +122,10 @@ object SparkEntry {
     "q_string_funcs"       -> Relational2.qStringFuncsSql,
     "q_date_funcs"         -> Relational2.qDateFuncsSql,
     "q_scalar_subquery"    -> Relational2.qScalarSubquerySql,
-    "q_correlated_avg"     -> Relational2.qCorrelatedAvgSql
+    "q_correlated_avg"     -> Relational2.qCorrelatedAvgSql,
+    "q_percentiles"        -> Relational2.qPercentilesSql,
+    "q_asof_join"          -> AsOf.purchaseAsofClickSql,
+    "file_line_stats"      -> FileCorpus.fileLineStatsSql,
+    "file_word_counts"     -> FileCorpus.fileWordCountsSql
   )
 }

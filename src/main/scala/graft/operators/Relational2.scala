@@ -153,6 +153,27 @@ object Relational2 {
       |WHERE l_extendedprice > (SELECT avg(l_extendedprice) FROM lineitem) * 1.9
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** Exact interpolated percentiles per group (both engines implement
+    * the standard rank = p·(n−1) linear interpolation).
+    */
+  def qPercentiles(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_price"))
+      .orderBy("l_returnflag")
+
+  val qPercentilesSql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+      |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+      |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+      |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Correlated-aggregate shape: orders above their customer's average
     * (decorrelated to a window — one shuffle, no per-row subquery).
     */
