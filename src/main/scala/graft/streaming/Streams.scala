@@ -86,6 +86,20 @@ object Streams {
       }
   }
 
+  /** Built-in session-window aggregation (Spark 3.2+): the declarative
+    * twin of [[sessionize]] — works identically on batch and streaming
+    * DataFrames; in streaming, pair with a watermark so closed sessions
+    * evict state.
+    */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("n_events"), col("first_event"), col("last_event"))
+
   /** Drain a streaming query into an in-memory table (test/smoke
     * convenience): processes everything currently available, then stops.
     */

@@ -28,6 +28,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("dedup_out").count() == t.events.count())
   }
 
+  test("session_window agg groups the same sessions as lag+cumsum sessionize") {
+    val got = Streams.sessionWindowAgg(t.events)
+      .select("user_id", "n_events", "first_event", "last_event")
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val want = Events.sessionize(t)
+      .select("user_id", "n_events", "first_event", "last_event")
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(got == want)
+  }
+
   test("stateful sessionize emits batch-identical closed sessions") {
     val stream = Streams.eventsStream(spark, TestSpark.sf)
     Streams.runToMemory(Streams.sessionize(spark, stream).toDF(), "sess_out")
