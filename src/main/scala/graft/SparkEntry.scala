@@ -125,6 +125,7 @@ object SparkEntry {
     "q_correlated_avg"     -> Relational2.qCorrelatedAvgSql,
     "q_percentiles"        -> Relational2.qPercentilesSql,
     "q_asof_join"          -> AsOf.purchaseAsofClickSql,
+    "tok_arabic_count"     -> ArabicCorpus.tokenCountsSql,
     "file_line_stats"      -> FileCorpus.fileLineStatsSql,
     "file_word_counts"     -> FileCorpus.fileWordCountsSql
   )

@@ -26,6 +26,20 @@ object ArabicCorpus {
       .orderBy(col("freq").desc, col("word"))
       .limit(k)
 
+  /** DuckDB twin of [[tokenCounts]] via read_text over the same files.
+    * The letter-run class [0621-063a 0640-0652] equals the reference's
+    * enumerated Arabic class; diacritics U+064B..U+0652 strip as one
+    * contiguous range.
+    */
+  val tokenCountsSql: String =
+    s"""SELECT w AS word, count(*) AS freq FROM (
+       |  SELECT regexp_replace(
+       |    unnest(regexp_extract_all(content, '[\\x{0621}-\\x{063a}\\x{0640}-\\x{0652}]+')),
+       |    '[\\x{064b}-\\x{0652}]', '', 'g') AS w
+       |  FROM read_text('$SampleDir/**/*.txt')) t
+       |WHERE w <> ''
+       |GROUP BY w ORDER BY freq DESC, word LIMIT 100""".stripMargin
+
   /** Full flagship output over the file corpus: per-file word rows
     * (word, word_len, word_truncated, file_path, words_count) — the
     * reference's values_to_load_path row (v2/main.py:290-294).
