@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Tables
+import graft.streaming.Streams
+
+class PartitionedWriteSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  def t = Tables(spark, TestSpark.sf)
+  val out = "target/test-partitioned/events_by_type"
+
+  test("partitionBy write enables partition pruning on read") {
+    t.events.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    val pruned = spark.read.parquet(out).filter(col("event_type") === "purchase")
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"),
+      s"expected partition filter in:\n${p.take(800)}")
+    val want = t.events.filter(col("event_type") === "purchase").count()
+    assert(pruned.count() == want)
+  }
+
+  test("bucketed+sorted write carries sort info into plans") {
+    // written in BucketingSpec-like shape; here verify partition count control
+    graft.sinks.Sinks.loadBalanced(t.events, 5) { d =>
+      d.write.mode("overwrite").parquet("target/test-partitioned/lb")
+    }
+    val files = new java.io.File("target/test-partitioned/lb")
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    assert(files == 5, s"expected 5 parquet files, got $files")
+  }
+}
+
+class StreamingSinkSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("stream → foreachBatch → jdbc loader lands every row") {
+    val url = "jdbc:derby:target/derby-stream;create=true"
+    import java.sql.DriverManager
+    val conn = DriverManager.getConnection(url)
+    try { conn.createStatement().execute("DROP TABLE hourly_out") } catch { case _: Exception => () }
+    conn.createStatement().execute(
+      "CREATE TABLE hourly_out (event_type VARCHAR(32), n_events BIGINT)")
+    conn.close()
+
+    val stream = Streams.eventsStream(spark, TestSpark.sf)
+    val agg = stream.groupBy("event_type").agg(count(lit(1)).as("n_events"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.sinks.Sinks.foreachPartitionJdbc(
+          batch.select(col("event_type"), col("n_events")), url,
+          "INSERT INTO hourly_out (event_type, n_events) VALUES (?, ?)")
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val back = spark.read.jdbc(url, "hourly_out", new java.util.Properties())
+    val total = back.agg(sum(col("n_events"))).head().getLong(0)
+    assert(total == Tables(spark, TestSpark.sf).events.count())
+  }
+}
