@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Word n-gram shingles of a normalized (lower, trim, whitespace-
+  * collapsed) text, in one pass.
+  *
+  * Semantically identical to the composed form
+  * `transform(sequence(...), i => array_join(slice(split(...))))`, but
+  * the composed form walks Catalyst's interpreted higher-order-function
+  * evaluator per window (measured ~6 s for 250k shingles at sf0.1);
+  * this expression does one tokenize + one StringBuilder pass per row.
+  * CodegenFallback is fine here: the expression feeds an explode, which
+  * bounds a codegen stage anyway.
+  */
+case class ShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    // SQL trim semantics: spaces only (NOT String#trim, which also
+    // strips \n\t and would diverge from the oracle's trim())
+    var st = 0; var en = s.length
+    while (st < en && s.charAt(st) == ' ') st += 1
+    while (en > st && s.charAt(en - 1) == ' ') en -= 1
+    // limit -1: Spark's split() keeps trailing empty tokens
+    val toks = s.substring(st, en)
+      .toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+    if (toks.length < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](toks.length - n + 1)
+      val sb  = new java.lang.StringBuilder()
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShinglesExpr {
+  def shingles(c: Column, n: Int): Column =
+    Bridge.column(ShinglesExpr(Bridge.expression(c), n))
+}

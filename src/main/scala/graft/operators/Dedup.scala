@@ -47,20 +47,14 @@ object Dedup {
     * 8-byte keys instead of 32-char digests, and the value is portable
     * (`('0x' || substr(md5(s),1,15))::BIGINT` in DuckDB).
     */
-  def shingles(t: Tables, n: Int = 3): DataFrame = {
-    val toks = split(TextAnalysis.normalizedText(col("text")), " ")
-    // sequence(0, k) counts down when k<0 — guard short docs explicitly.
-    val starts = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
-      .otherwise(array().cast("array<int>"))
+  def shingles(t: Tables, n: Int = 3): DataFrame =
     t.documents
       .select(col("doc_id"),
-        explode(filter(
-          transform(starts, i => array_join(slice(toks, i + 1, lit(n)), " ")),
-          s => s =!= "")).as("shingle"))
+        explode(graft.functions.ShinglesExpr.shingles(col("text"), n)).as("shingle"))
+      .filter(col("shingle") =!= "")
       .distinct()
       .select(col("doc_id"),
         conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("shingle_hash"))
-  }
 
   /** Word-shingle Jaccard near-duplicate pairs: explode distinct
     * shingles → self-join on shingle hash → |A∩B| per pair → Jaccard
