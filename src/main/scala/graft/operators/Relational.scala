@@ -132,7 +132,7 @@ object Relational {
     val w = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("c_acctbal").desc, col("c_custkey"))
     t.customer
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 5)
       .select(col("c_mktsegment"), col("rn"), col("c_custkey"), col("c_name"),
         round(col("c_acctbal"), 2).as("acctbal"))
@@ -203,7 +203,7 @@ object Relational {
     val w = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     t.orders
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
         round(col("o_totalprice"), 2).as("totalprice"))

@@ -105,7 +105,7 @@ object Relational2 {
         col("p_partkey"),
         upper(col("p_name")).as("uname"),
         substring(col("p_name"), 1, 5).as("prefix"),
-        length(col("p_name")).as("name_len"),
+        length(col("p_name")).cast("long").as("name_len"),
         instr(col("p_type"), "BRASS").cast("bigint").as("brass_pos"),
         concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
         regexp_replace(col("p_name"), "[aeiou]", "").as("consonants"))

@@ -48,7 +48,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     scored
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .orderBy("query_id", "rank")
   }
@@ -127,7 +127,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(VectorFunctions.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6).as("cos_sim"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .orderBy("query_id", "rank")
   }
@@ -147,7 +147,7 @@ object Similarity {
     emb.join(broadcast(queries), col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(VectorFunctions.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6).as("cos_sim"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .orderBy("query_id", "rank")
   }

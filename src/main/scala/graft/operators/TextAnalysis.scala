@@ -69,8 +69,8 @@ object TextAnalysis {
     val stops   = stopHits(text, "en")
     t.documents.select(
       col("doc_id"),
-      nChars.as("n_chars_text"),
-      nToks.as("n_tokens"),
+      nChars.cast("long").as("n_chars_text"),
+      nToks.cast("long").as("n_tokens"),
       round(nChars.cast("double") / nToks, 6).as("mean_tok_len"),
       round(punct.cast("double") / nChars, 6).as("punct_ratio"),
       round(stops.cast("double") / nToks, 6).as("stopword_ratio"),
@@ -108,8 +108,8 @@ object TextAnalysis {
     val text = col("text")
     t.documents.select(
       col("doc_id"),
-      size(split(trim(text), "\\s+")).as("ws_tokens"),
-      size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).as("bpe_tokens"))
+      size(split(trim(text), "\\s+")).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).cast("long").as("bpe_tokens"))
       .orderBy("doc_id")
   }
 

@@ -59,7 +59,7 @@ object WordPipeline {
       .select(
         col("doc_id"),
         substring(col("word"), 1, 255).as("word"),
-        length(TextFunctions.removeDiacritics(col("word"))).as("word_len"),
+        length(TextFunctions.removeDiacritics(col("word"))).cast("long").as("word_len"),
         (length(col("word")) > 255).cast("int").as("word_truncated"),
         col("words_count"))
       .orderBy("doc_id", "word")

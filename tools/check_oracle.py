@@ -40,6 +40,10 @@ def main(out_dir, sf_dir):
             status = []
             if list(got.columns) != list(want.columns):
                 status.append(f"cols spark={list(got.columns)} oracle={list(want.columns)}")
+            elif list(map(str, got.dtypes)) != list(map(str, want.dtypes)):
+                diff = [(c, str(a), str(b)) for c, a, b in
+                        zip(got.columns, got.dtypes, want.dtypes) if str(a) != str(b)]
+                status.append(f"dtypes differ: {diff}")
             if len(got) != len(want):
                 status.append(f"rows spark={len(got)} oracle={len(want)}")
             if not status:
