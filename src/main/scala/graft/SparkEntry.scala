@@ -74,7 +74,8 @@ object SparkEntry {
     "q_asof_join"          -> q(AsOf.purchaseAsofClick),
     // §2.1 file-corpus sources over the reference's books sample
     "file_line_stats"      -> ((s, _) => FileCorpus.fileLineStats(s)),
-    "file_word_counts"     -> ((s, _) => FileCorpus.fileWordCounts(s))
+    "file_word_counts"     -> ((s, _) => FileCorpus.fileWordCounts(s)),
+    "bigram_pmi"           -> q(TextAnalysis.bigramPmi(_))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -127,6 +128,7 @@ object SparkEntry {
     "q_asof_join"          -> AsOf.purchaseAsofClickSql,
     "tok_arabic_count"     -> ArabicCorpus.tokenCountsSql,
     "file_line_stats"      -> FileCorpus.fileLineStatsSql,
-    "file_word_counts"     -> FileCorpus.fileWordCountsSql
+    "file_word_counts"     -> FileCorpus.fileWordCountsSql,
+    "bigram_pmi"           -> TextAnalysis.bigramPmiSql()
   )
 }

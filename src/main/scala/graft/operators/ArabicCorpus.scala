@@ -56,7 +56,8 @@ object ArabicCorpus {
         TextFunctions.truncate255(col("word")).as("word"),
         length(TextFunctions.removeDiacritics(col("word"))).as("word_len"),
         (length(col("word")) > 255).cast("int").as("word_truncated"),
-        col("file_path"),
+        // basename_backwards_x4 ∘ truncate_str_270, as v2/main.py:205
+        TextFunctions.basenameBackwards(col("file_path")).as("file_path"),
         col("words_count"))
       .orderBy("file_path", "word")
   }

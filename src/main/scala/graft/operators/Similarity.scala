@@ -132,6 +132,35 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Scale path for near-dup pairs: sign-LSH buckets generate the
+    * candidates (union over `tables` independent hash tables to lift
+    * recall), exact cosine re-ranks only within buckets — O(Σ bucket²)
+    * instead of O(n²). Spec-tested for recall against
+    * [[embeddingDupPairs]]; at 100 TB this is the only viable form.
+    */
+  def embeddingDupPairsLsh(t: Tables, threshold: Double = 0.4,
+      bits: Int = 4, tables: Int = 8): DataFrame = {
+    val emb = t.embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorFunctions.l2norm(col("v")))
+    val dim = 64
+    val bucketed = (0 until tables).map { tbl =>
+      val sig = (0 until bits).map { j =>
+        val hp = array(hyperplane(tbl * 1000 + j, dim).map(lit): _*)
+        when(VectorFunctions.dot(col("v"), hp) >= 0, "1").otherwise("0")
+      }.reduce(concat(_, _))
+      emb.withColumn("bucket", concat(lit(s"$tbl:"), sig))
+    }.reduce(_.unionByName(_))
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(VectorFunctions.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .distinct()
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** IVF-style search using the label column as the coarse quantizer:
     * rank centroids per query, probe the top cluster only.
     * Demonstrates the partition-pruned search pattern (bucket column =

@@ -126,6 +126,71 @@ object TextAnalysis {
   def normalizedText(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
+  /** Bigram collocations by pointwise mutual information:
+    * pmi(w₁w₂) = ln( (c₁₂/M) / ((c₁/N)(c₂/N)) ), bigrams with support
+    * ≥ minCount. Bigram extraction reuses the native ShinglesExpr;
+    * unigram/bigram totals are two broadcast scalars — the whole query
+    * is two scans + one small join.
+    */
+  def bigramPmi(t: Tables, minCount: Int = 20, k: Int = 50): DataFrame = {
+    import graft.functions.ShinglesExpr
+    val uni = t.documents
+      .select(explode(ShinglesExpr.shingles(col("text"), 1)).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val n = uni.agg(sum(col("c1")).as("n"))
+    val bi = t.documents
+      .select(explode(ShinglesExpr.shingles(col("text"), 2)).as("bg"))
+      .filter(col("bg") =!= "")
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val m = t.documents
+      .select(explode(ShinglesExpr.shingles(col("text"), 2)).as("bg"))
+      .filter(col("bg") =!= "")
+      .agg(count(lit(1)).as("m"))
+    bi
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("c1", "cw1")), "w1")
+      .join(broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("c1", "cw2")), "w2")
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(m))
+      .select(col("bg"), col("c12"),
+        round(log((col("c12").cast("double") / col("m")) /
+          ((col("cw1").cast("double") / col("n")) * (col("cw2").cast("double") / col("n")))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("bg"))
+      .limit(k)
+  }
+
+  def bigramPmiSql(minCount: Int = 20, k: Int = 50): String =
+    s"""WITH toks AS (
+       |  SELECT lower(trim(w)) AS w
+       |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents)
+       |  WHERE lower(trim(w)) <> ''
+       |), uni AS (
+       |  SELECT w, count(*) AS c1 FROM toks GROUP BY w
+       |), n AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM uni
+       |), bigrams AS (
+       |  SELECT array_to_string(tk[i + 1 : i + 2], ' ') AS bg
+       |  FROM (
+       |    SELECT regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+       |    FROM documents),
+       |    unnest(range(0, len(tk) - 1)) AS r(i)
+       |  WHERE array_to_string(tk[i + 1 : i + 2], ' ') <> ''
+       |), m AS (SELECT count(*) AS m FROM bigrams
+       |), bi AS (
+       |  SELECT bg, count(*) AS c12 FROM bigrams GROUP BY bg HAVING count(*) >= $minCount
+       |)
+       |SELECT bg, c12,
+       |  round(ln((CAST(c12 AS DOUBLE) / m.m) /
+       |    ((CAST(u1.c1 AS DOUBLE) / n.n) * (CAST(u2.c1 AS DOUBLE) / n.n))), 6) AS pmi
+       |FROM bi
+       |JOIN uni u1 ON u1.w = string_split(bg, ' ')[1]
+       |JOIN uni u2 ON u2.w = string_split(bg, ' ')[2]
+       |CROSS JOIN n CROSS JOIN m
+       |ORDER BY pmi DESC, bg LIMIT $k""".stripMargin
+
   def fingerprint(t: Tables): DataFrame =
     t.documents
       .select(col("doc_id"), md5(normalizedText(col("text"))).as("fp"))

@@ -30,4 +30,15 @@ object TextFunctions {
 
   /** The reference's unique-word normalizer chain lower∘strip (v2/main.py:112). */
   def normalizeWord(c: Column): Column = lower(trim(c))
+
+  /** basename_backwards_xN analog (v2/core/commons.py, used at
+    * v2/main.py:205): keep only the last `n` path segments so loaded
+    * file paths stay bounded; combined with truncation to 270 chars
+    * (truncate_str_270).
+    */
+  def basenameBackwards(c: Column, n: Int = 4): Column = {
+    val parts = split(c, "/")
+    val tail  = when(size(parts) <= n, parts).otherwise(slice(parts, -n, n))
+    substring(array_join(tail, "/"), 1, 270)
+  }
 }

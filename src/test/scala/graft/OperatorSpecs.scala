@@ -121,6 +121,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.1, s"recall $recall")
   }
 
+  test("lsh near-dup pairs are a high-recall subset of exact pairs") {
+    val exact = Similarity.embeddingDupPairs(t, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.embeddingDupPairsLsh(t, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "lsh must never invent pairs")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
   test("ivf probes only the query's cluster") {
     val labels = t.embeddings.select("vec_id", "label").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
