@@ -39,6 +39,7 @@ object SparkEntry {
     "unique_words"         -> q(WordPipeline.uniqueWords),
     "word_stats"           -> q(WordPipeline.wordStats),
     "word_freq_topk"       -> q(WordPipeline.wordFreqTopK(_)),
+    "word_doc_freq"        -> q(WordPipeline.wordDocFreq),
     "file_corpus_stats"    -> q(WordPipeline.corpusStats),
     // §2.7 text analysis
     "lang_id"              -> q(TextAnalysis.langId),
@@ -99,6 +100,7 @@ object SparkEntry {
     "unique_words"         -> WordPipeline.uniqueWordsSql,
     "word_stats"           -> WordPipeline.wordStatsSql,
     "word_freq_topk"       -> WordPipeline.wordFreqTopKSql,
+    "word_doc_freq"        -> WordPipeline.wordDocFreqSql,
     "file_corpus_stats"    -> WordPipeline.corpusStatsSql,
     "lang_id"              -> TextAnalysis.langIdSql,
     "quality_score"        -> TextAnalysis.qualityScoreSql,

@@ -65,6 +65,20 @@ object WordPipeline {
       .orderBy("doc_id", "word")
   }
 
+  /** Per-doc word frequencies — the py-beam variant's exact output
+    * shape ((file, word) → count; /root/reference py-beam/main.py:
+    * PairWithOne → CombinePerKey(sum)).
+    */
+  def wordDocFreq(t: Tables): DataFrame =
+    tokens(t)
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy("doc_id", "word")
+
+  // def, not val: tokensCte is declared further down the object body
+  def wordDocFreqSql: String =
+    s"$tokensCte SELECT doc_id, word, count(*) AS freq FROM toks GROUP BY doc_id, word ORDER BY doc_id, word"
+
   /** Corpus-wide word frequency, deterministic top-k. */
   def wordFreqTopK(t: Tables, k: Int = 100): DataFrame =
     tokens(t)
