@@ -72,6 +72,7 @@ object SparkEntry {
     "q_scalar_subquery"    -> q(Relational2.qScalarSubquery),
     "q_correlated_avg"     -> q(Relational2.qCorrelatedAvg),
     "q_percentiles"        -> q(Relational2.qPercentiles),
+    "q_pivot"              -> q(Relational2.qPivot),
     "q_asof_join"          -> q(AsOf.purchaseAsofClick),
     // §2.1 file-corpus sources over the reference's books sample
     "file_line_stats"      -> ((s, _) => FileCorpus.fileLineStats(s)),
@@ -127,6 +128,7 @@ object SparkEntry {
     "q_scalar_subquery"    -> Relational2.qScalarSubquerySql,
     "q_correlated_avg"     -> Relational2.qCorrelatedAvgSql,
     "q_percentiles"        -> Relational2.qPercentilesSql,
+    "q_pivot"              -> Relational2.qPivotSql,
     "q_asof_join"          -> AsOf.purchaseAsofClickSql,
     "tok_arabic_count"     -> ArabicCorpus.tokenCountsSql,
     "file_line_stats"      -> FileCorpus.fileLineStatsSql,

@@ -153,6 +153,27 @@ object Relational2 {
       |WHERE l_extendedprice > (SELECT avg(l_extendedprice) FROM lineitem) * 1.9
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** Pivot (crosstab): per-user event-type counts as columns. The
+    * value list is explicit so the plan is a single pass (no distinct
+    * pre-scan) — the portable-SQL form is FILTERed aggregates.
+    */
+  def qPivot(t: Tables): DataFrame =
+    t.events
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  val qPivotSql: String =
+    """SELECT user_id,
+      |  count(*) FILTER (event_type = 'click') AS click,
+      |  count(*) FILTER (event_type = 'view') AS view,
+      |  count(*) FILTER (event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (event_type = 'signup') AS signup,
+      |  count(*) FILTER (event_type = 'error') AS error
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Exact interpolated percentiles per group (both engines implement
     * the standard rank = p·(n−1) linear interpolation).
     */
