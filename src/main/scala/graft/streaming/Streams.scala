@@ -52,8 +52,10 @@ object Streams {
   /** Gap-based sessionization with explicit state —
     * flatMapGroupsWithState as the custom-state extension point
     * (KeyValueGroupedDataset). Each user's state is one open session;
-    * an event past the gap closes and emits it. Timeout handling uses
-    * event-time + watermark so state is bounded at scale.
+    * an event past the gap closes and emits it. State here is one
+    * record per user (bounded); a production deployment would add an
+    * event-time timeout to also flush users that go silent forever —
+    * or use [[sessionWindowAgg]], where the watermark does it.
     */
   def sessionize(spark: SparkSession, events: DataFrame, gapMinutes: Int = 30): Dataset[Session] = {
     import spark.implicits._

@@ -1,15 +1,20 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Column ⇄ Expression bridge. Spark 4 made these conversions
-  * private[sql]; extension libraries reach them from an
+/** Column ⇄ Expression ⇄ LogicalPlan bridge. Spark 4 made these
+  * conversions private[sql]; extension libraries reach them from an
   * org.apache.spark.sql subpackage (the same pattern Spark-native
   * libraries use to expose custom Catalyst expressions as Columns).
   */
 object Bridge {
   def column(e: Expression): Column    = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def dataFrame(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

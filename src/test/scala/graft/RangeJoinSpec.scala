@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Events
+import graft.plans.RangeJoin
+import graft.sources.Tables
+
+class RangeJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  def t = Tables(spark, TestSpark.sf)
+
+  // points: all events; intervals: each user's sessions (from the batch
+  // sessionizer) padded to [first,last] event-time
+  private def fixtures = {
+    val ev = t.events.select(col("event_id"), col("user_id").as("key"),
+      unix_micros(col("ts")).as("t"))
+    val sessions = Events.sessionize(t)
+    val bounds = t.events.select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tm"))
+    val iv = sessions
+      .join(bounds.withColumnRenamed("event_id", "first_event")
+        .withColumnRenamed("tm", "lo"), Seq("user_id", "first_event"))
+      .join(bounds.withColumnRenamed("event_id", "last_event")
+        .withColumnRenamed("tm", "hi"), Seq("user_id", "last_event"))
+      .select(col("user_id").as("key_r"), col("session_id"), col("lo"), col("hi"))
+    (ev, iv)
+  }
+
+  test("custom range join matches the nested-loop equivalent") {
+    val (ev, iv) = fixtures
+    val got = RangeJoin.rangeJoin(ev, iv, "key", "t", "lo", "hi")
+      .select(col("event_id"), col("session_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = ev.join(iv, col("key") === col("key_r") &&
+        col("t") >= col("lo") && col("t") <= col("hi"))
+      .select(col("event_id"), col("session_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // every event lands in exactly one session interval
+    assert(got.size == t.events.count())
+  }
+
+  test("range join plans as RangeJoinExec with sorts, not a nested loop") {
+    val (ev, iv) = fixtures
+    val p = RangeJoin.rangeJoin(ev, iv, "key", "t", "lo", "hi")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("RangeJoin "))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("Sort ["), "engine must insert required sorts")
+  }
+}
