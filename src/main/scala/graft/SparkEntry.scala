@@ -77,7 +77,8 @@ object SparkEntry {
     // §2.1 file-corpus sources over the reference's books sample
     "file_line_stats"      -> ((s, _) => FileCorpus.fileLineStats(s)),
     "file_word_counts"     -> ((s, _) => FileCorpus.fileWordCounts(s)),
-    "bigram_pmi"           -> q(TextAnalysis.bigramPmi(_))
+    "bigram_pmi"           -> q(TextAnalysis.bigramPmi(_)),
+    "quality_repetition"   -> q(TextAnalysis.repetitionRatio(_))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -133,6 +134,7 @@ object SparkEntry {
     "tok_arabic_count"     -> ArabicCorpus.tokenCountsSql,
     "file_line_stats"      -> FileCorpus.fileLineStatsSql,
     "file_word_counts"     -> FileCorpus.fileWordCountsSql,
-    "bigram_pmi"           -> TextAnalysis.bigramPmiSql()
+    "bigram_pmi"           -> TextAnalysis.bigramPmiSql(),
+    "quality_repetition"   -> TextAnalysis.repetitionRatioSql()
   )
 }

@@ -126,6 +126,38 @@ object TextAnalysis {
   def normalizedText(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
+  /** Gopher-style repetition signal: fraction of word 3-grams that are
+    * duplicates within the document (1 − distinct/total). High values
+    * flag boilerplate/spam for training-data filtering.
+    */
+  def repetitionRatio(t: Tables, n: Int = 3): DataFrame = {
+    import graft.functions.ShinglesExpr
+    t.documents
+      .select(col("doc_id"), explode(ShinglesExpr.shingles(col("text"), n)).as("g"))
+      .filter(col("g") =!= "")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("total_ngrams"),
+        countDistinct(col("g")).as("distinct_ngrams"))
+      .select(col("doc_id"), col("total_ngrams"), col("distinct_ngrams"),
+        round(lit(1.0) - col("distinct_ngrams").cast("double") / col("total_ngrams"), 6)
+          .as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
+  def repetitionRatioSql(n: Int = 3): String =
+    s"""WITH grams AS (
+       |  SELECT doc_id, array_to_string(tk[i + 1 : i + $n], ' ') AS g
+       |  FROM (
+       |    SELECT doc_id,
+       |      regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+       |    FROM documents),
+       |    unnest(range(0, len(tk) - $n + 1)) AS r(i)
+       |  WHERE array_to_string(tk[i + 1 : i + $n], ' ') <> ''
+       |)
+       |SELECT doc_id, count(*) AS total_ngrams, count(DISTINCT g) AS distinct_ngrams,
+       |  round(1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6) AS rep_ratio
+       |FROM grams GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Bigram collocations by pointwise mutual information:
     * pmi(w₁w₂) = ln( (c₁₂/M) / ((c₁/N)(c₂/N)) ), bigrams with support
     * ≥ minCount. Bigram extraction reuses the native ShinglesExpr;
