@@ -66,6 +66,9 @@ object SparkEntry {
     "q_cube"               -> q(Relational2.qCube),
     "q_stats"              -> q(Relational2.qStats),
     "q_set_ops"            -> q(Relational2.qSetOps),
+    "q_intersect"          -> q(Relational2.qIntersect),
+    "q_window_funcs"       -> q(Relational2.qWindowFuncs),
+    "q_embed_stats"        -> q(Relational2.qEmbedStats),
     "q_case_bands"         -> q(Relational2.qCaseBands),
     "q_string_funcs"       -> q(Relational2.qStringFuncs),
     "q_date_funcs"         -> q(Relational2.qDateFuncs),
@@ -123,6 +126,9 @@ object SparkEntry {
     "q_cube"               -> Relational2.qCubeSql,
     "q_stats"              -> Relational2.qStatsSql,
     "q_set_ops"            -> Relational2.qSetOpsSql,
+    "q_intersect"          -> Relational2.qIntersectSql,
+    "q_window_funcs"       -> Relational2.qWindowFuncsSql,
+    "q_embed_stats"        -> Relational2.qEmbedStatsSql,
     "q_case_bands"         -> Relational2.qCaseBandsSql,
     "q_string_funcs"       -> Relational2.qStringFuncsSql,
     "q_date_funcs"         -> Relational2.qDateFuncsSql,

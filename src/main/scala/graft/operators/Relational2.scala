@@ -80,6 +80,63 @@ object Relational2 {
       |SELECT l_orderkey AS orderkey FROM lineitem
       |ORDER BY orderkey""".stripMargin
 
+  /** INTERSECT set semantics: nations present on both sides. */
+  def qIntersect(t: Tables): DataFrame = {
+    val c = t.customer.select(col("c_nationkey").as("nationkey"))
+    val s = t.supplier.select(col("s_nationkey").as("nationkey"))
+    c.intersect(s).orderBy("nationkey")
+  }
+
+  val qIntersectSql: String =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |INTERSECT
+      |SELECT s_nationkey AS nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin
+
+  /** Window kernel coverage: lag/lead/first_value/ntile in one pass
+    * (a single shuffle on user_id serves all four).
+    */
+  def qWindowFuncs(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t.events
+      .select(col("event_id"), col("user_id"),
+        lag(col("event_id"), 1).over(w).as("prev_id"),
+        lead(col("event_id"), 1).over(w).as("next_id"),
+        first(col("event_id")).over(w).as("first_id"),
+        ntile(4).over(w).cast("long").as("bucket"))
+      .orderBy("event_id")
+  }
+
+  val qWindowFuncsSql: String =
+    """SELECT event_id, user_id,
+      |  lag(event_id, 1) OVER w AS prev_id,
+      |  lead(event_id, 1) OVER w AS next_id,
+      |  first_value(event_id) OVER w AS first_id,
+      |  ntile(4) OVER w AS bucket
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY event_id""".stripMargin
+
+  /** Array kernel coverage over the embedding column: length and
+    * element min/max/mean without exploding.
+    */
+  def qEmbedStats(t: Tables): DataFrame =
+    t.embeddings
+      .select(col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(array_min(col("embedding").cast("array<double>")), 6).as("vmin"),
+        round(array_max(col("embedding").cast("array<double>")), 6).as("vmax"),
+        round(aggregate(col("embedding").cast("array<double>"), lit(0.0), (a, x) => a + x) /
+          size(col("embedding")), 6).as("vavg"))
+      .orderBy("vec_id")
+
+  val qEmbedStatsSql: String =
+    """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+      |  round(list_min(embedding::DOUBLE[]), 6) AS vmin,
+      |  round(list_max(embedding::DOUBLE[]), 6) AS vmax,
+      |  round(list_sum(embedding::DOUBLE[]) / len(embedding), 6) AS vavg
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
   /** CASE bucketing: order-value bands. */
   def qCaseBands(t: Tables): DataFrame =
     t.orders
