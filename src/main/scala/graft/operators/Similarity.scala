@@ -18,8 +18,9 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  /** Double-precision cosine similarity between two array columns via
-    * codegen'd higher-order functions (no UDF).
+  /** Reference cosine via built-in higher-order functions — kept for
+    * spec cross-checks. HOFs evaluate interpreted (not codegen), so
+    * operators use graft.functions.VectorFunctions.dot instead.
     */
   def cosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =

@@ -20,8 +20,10 @@ import org.apache.spark.sql.graftbridge.Bridge
   * logical node → planner Strategy (injected via SparkSessionExtensions
   * or used directly through [[RangeJoin.rangeJoin]]) → physical
   * BinaryExecNode with declared distribution/ordering requirements, so
-  * the engine inserts the exchanges and sorts (and AQE still manages
-  * them).
+  * the engine inserts the exchanges and sorts. (Known limitation: the
+  * per-partition merge zips sibling partitions, so a plan where AQE
+  * coalesces only ONE side's exchange would fail loudly; Spark's
+  * requirement validation keeps the shapes used here consistent.)
   */
 case class RangeJoinPlan(
     left: LogicalPlan,
