@@ -238,10 +238,14 @@ object Relational2 {
     t.lineitem
       .groupBy(col("l_returnflag"))
       .agg(
-        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
-        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_price"))
+        // array form: ONE percentile buffer per column, not one per cut
+        expr("percentile(l_quantity, array(0.5, 0.9))").as("q"),
+        expr("percentile(l_extendedprice, array(0.25, 0.99))").as("p"))
+      .select(col("l_returnflag"),
+        round(col("q").getItem(0), 4).as("median_qty"),
+        round(col("q").getItem(1), 4).as("p90_qty"),
+        round(col("p").getItem(0), 4).as("p25_price"),
+        round(col("p").getItem(1), 4).as("p99_price"))
       .orderBy("l_returnflag")
 
   val qPercentilesSql: String =
