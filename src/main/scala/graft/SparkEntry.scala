@@ -40,6 +40,7 @@ object SparkEntry {
     "word_stats"           -> q(WordPipeline.wordStats),
     "word_freq_topk"       -> q(WordPipeline.wordFreqTopK(_)),
     "word_doc_freq"        -> q(WordPipeline.wordDocFreq),
+    "tfidf_top"            -> q(WordPipeline.tfidfTop(_)),
     "file_corpus_stats"    -> q(WordPipeline.corpusStats),
     // §2.7 text analysis
     "lang_id"              -> q(TextAnalysis.langId),
@@ -106,6 +107,7 @@ object SparkEntry {
     "word_stats"           -> WordPipeline.wordStatsSql,
     "word_freq_topk"       -> WordPipeline.wordFreqTopKSql,
     "word_doc_freq"        -> WordPipeline.wordDocFreqSql,
+    "tfidf_top"            -> WordPipeline.tfidfTopSql(),
     "file_corpus_stats"    -> WordPipeline.corpusStatsSql,
     "lang_id"              -> TextAnalysis.langIdSql,
     "quality_score"        -> TextAnalysis.qualityScoreSql,

@@ -79,6 +79,52 @@ object WordPipeline {
   def wordDocFreqSql: String =
     s"$tokensCte SELECT doc_id, word, count(*) AS freq FROM toks GROUP BY doc_id, word ORDER BY doc_id, word"
 
+  /** TF-IDF, top terms per document: tf = freq/doc_len,
+    * idf = ln(N/df). The df table is tiny (one row per distinct word)
+    * and broadcast; doc stats join is co-partitioned with the tf
+    * aggregate. Deterministic: scores rounded, ties broken by word.
+    */
+  def tfidfTop(t: Tables, perDoc: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq    = tokens(t).groupBy("doc_id", "word").agg(count(lit(1)).as("tf_raw"))
+    val docLen  = freq.groupBy("doc_id").agg(sum(col("tf_raw")).as("doc_len"))
+    val df      = freq.groupBy("word").agg(count(lit(1)).as("df"))
+    val nDocs   = t.documents.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("word"))
+    freq
+      .join(docLen, "doc_id")
+      .join(broadcast(df), "word")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round((col("tf_raw").cast("double") / col("doc_len")) *
+          log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= perDoc)
+      .select(col("doc_id"), col("rnk"), col("word"), col("tfidf"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  def tfidfTopSql(perDoc: Int = 3): String =
+    s"""$tokensCte, freq AS (
+       |  SELECT doc_id, word, count(*) AS tf_raw FROM toks GROUP BY doc_id, word
+       |), doclen AS (
+       |  SELECT doc_id, CAST(sum(tf_raw) AS BIGINT) AS doc_len FROM freq GROUP BY doc_id
+       |), dfreq AS (
+       |  SELECT word, count(*) AS df FROM freq GROUP BY word
+       |), n AS (SELECT count(*) AS n_docs FROM documents
+       |), scored AS (
+       |  SELECT f.doc_id, f.word,
+       |    round((CAST(tf_raw AS DOUBLE) / doc_len) * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+       |  FROM freq f JOIN doclen USING (doc_id) JOIN dfreq USING (word) CROSS JOIN n
+       |)
+       |SELECT doc_id, rnk, word, tfidf FROM (
+       |  SELECT doc_id, word, tfidf,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $perDoc
+       |ORDER BY doc_id, rnk""".stripMargin
+
   /** Corpus-wide word frequency, deterministic top-k. */
   def wordFreqTopK(t: Tables, k: Int = 100): DataFrame =
     tokens(t)
