@@ -74,6 +74,21 @@ class ReduceAggregatorSpec extends AnyFunSuite {
   }
 }
 
+class ApproxSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  def t = Tables(spark, TestSpark.sf)
+
+  test("HLL++ approx distinct is within its rsd bound of exact") {
+    val rsd = 0.05
+    val row = t.lineitem.agg(
+      countDistinct(col("l_orderkey")).as("exact"),
+      approx_count_distinct(col("l_orderkey"), rsd).as("approx")).head()
+    val (exact, approx) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 4 * rsd,
+      s"approx $approx vs exact $exact")
+  }
+}
+
 class BucketingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
