@@ -48,6 +48,17 @@ class TextFilesSpec extends AnyFunSuite {
     assert(files.columns.toSeq == Seq("path", "length", "modification_time"))
   }
 
+  test("listFiles accepts multiple roots (FoldersFilesListExtractor analog)") {
+    val one  = TextFiles.listFiles(spark, "*.txt", s"$dir/books").count()
+    val two  = TextFiles.listFiles(spark, "*.txt", s"$dir/books", s"$dir/one_book").count()
+    assert(two == one + 1)
+  }
+
+  test("noop sink materializes the plan and reports the count") {
+    val df = TextFiles.listFiles(spark, "*.txt", s"$dir/one_book")
+    assert(graft.sinks.Sinks.noop(df) == 1L)
+  }
+
   test("lines yields non-blank trimmed lines with provenance") {
     val df = TextFiles.lines(spark, "*.txt", s"$dir/one_book")
     assert(df.filter(col("line") === "").count() == 0)
