@@ -33,6 +33,8 @@ object SparkEntry {
     "q_events_hourly"      -> q(Events.hourly),
     "q_events_sessionize"  -> q(Events.sessionize(_)),
     "q_json_extract"       -> q(Events.jsonExtract),
+    "q_funnel"             -> q(Events.funnel),
+    "q_retention"          -> q(Events.retention),
     // §2.5 word pipeline
     "tok_words"            -> q(WordPipeline.tokensOrdered),
     "words_count"          -> q(WordPipeline.wordsCount),
@@ -101,6 +103,8 @@ object SparkEntry {
     "q_events_hourly"      -> Events.hourlySql,
     "q_events_sessionize"  -> Events.sessionizeSql,
     "q_json_extract"       -> Events.jsonExtractSql,
+    "q_funnel"             -> Events.funnelSql,
+    "q_retention"          -> Events.retentionSql,
     "tok_words"            -> WordPipeline.tokensSql,
     "words_count"          -> WordPipeline.wordsCountSql,
     "unique_words"         -> WordPipeline.uniqueWordsSql,

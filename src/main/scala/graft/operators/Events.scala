@@ -65,6 +65,64 @@ object Events {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** Funnel analysis: users progressing signup → click → purchase in
+    * time order. One groupBy(user) computes all stage timestamps;
+    * the funnel counts are a single global aggregate after it.
+    */
+  def funnel(t: Tables): DataFrame = {
+    val m = t.events.groupBy("user_id").agg(
+      min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+      min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+      min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+    m.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(col("t_signup").isNotNull, 1).otherwise(0)).as("n_signup"),
+      sum(when(col("t_signup") < col("t_click"), 1).otherwise(0)).as("n_signup_click"),
+      sum(when(col("t_signup") < col("t_click") && col("t_click") < col("t_purchase"), 1)
+        .otherwise(0)).as("n_full_funnel"))
+  }
+
+  val funnelSql: String =
+    """WITH m AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+      |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      |  FROM events GROUP BY user_id
+      |)
+      |SELECT count(*) AS n_users,
+      |  CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      |  CAST(sum(CASE WHEN t_signup < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_click,
+      |  CAST(sum(CASE WHEN t_signup < t_click AND t_click < t_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+      |FROM m""".stripMargin
+
+  /** Weekly retention: of users active in week w, how many are active
+    * in w+1. Distinct (user, week) grid → self-join shifted one week.
+    */
+  def retention(t: Tables): DataFrame = {
+    val weeks = t.events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    weeks.as("a")
+      .join(weeks.as("b"),
+        col("b.user_id") === col("a.user_id") &&
+          col("b.week") === col("a.week") + expr("INTERVAL 7 DAYS"), "left")
+      .groupBy(col("a.week").as("week"))
+      .agg(countDistinct(col("a.user_id")).as("active"),
+        countDistinct(col("b.user_id")).as("retained"))
+      .orderBy("week")
+  }
+
+  val retentionSql: String =
+    """WITH weeks AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+      |)
+      |SELECT a.week AS week, count(DISTINCT a.user_id) AS active,
+      |  count(DISTINCT b.user_id) AS retained
+      |FROM weeks a LEFT JOIN weeks b
+      |  ON b.user_id = a.user_id AND b.week = a.week + INTERVAL 7 DAY
+      |GROUP BY a.week ORDER BY week""".stripMargin
+
   /** JSON property extraction from the props column. */
   def jsonExtract(t: Tables): DataFrame =
     t.events

@@ -119,6 +119,19 @@ object TextAnalysis {
       |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS bpe_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** PII scrubbing for training corpora: emails, URLs and phone-shaped
+    * numbers replaced by typed placeholder tokens. Pure regexp chain
+    * (codegen'd); patterns intentionally conservative — precision over
+    * recall, since false redactions destroy data.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "https?://[^\\s]+", "<URL>"),
+      "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "<PHONE>")
+
   /** Whitespace-collapsed lowercase text → md5 fingerprint (md5 is
     * bit-identical across engines, so this is the portable content
     * address used by the dedup operators too).

@@ -78,6 +78,25 @@ class TextFilesSpec extends AnyFunSuite {
   }
 }
 
+class RedactSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("redactPii replaces emails, urls and phone numbers only") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val in = Seq(
+      "mail me at jane.doe+x@corp.example.org today",
+      "see https://example.com/a?b=1 and http://x.io",
+      "call 555-123-4567 or 555 987 6543",
+      "plain text stays: order 12345, v2.0, a@b is not an email").toDF("t")
+    val out = in.select(TextAnalysis.redactPii(col("t"))).as[String].collect()
+    assert(out(0) == "mail me at <EMAIL> today")
+    assert(out(1) == "see <URL> and <URL>")
+    assert(out(2) == "call <PHONE> or <PHONE>")
+    assert(out(3) == "plain text stays: order 12345, v2.0, a@b is not an email")
+  }
+}
+
 class DedupSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val t = Tables(TestSpark.spark, TestSpark.sf)
