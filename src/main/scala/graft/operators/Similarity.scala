@@ -133,6 +133,25 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Feature-hashed token-count vectors (the hashing trick): each doc
+    * becomes a dense dim-d Array[Double], bucket = h32(word) mod d,
+    * value = token count. Bridges the text pipeline into every vector
+    * operator here (cosine top-k, LSH, dup pairs) without a trained
+    * embedding model — the standard first-pass representation for
+    * corpus-scale similarity.
+    */
+  def hashingVectors(t: Tables, dim: Int = 64): DataFrame = {
+    val bucket = pmod(conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long"), lit(dim))
+    WordPipeline.tokens(t)
+      .groupBy(col("doc_id"), bucket.as("bucket"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("cnt")))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("m"), i.cast("long")), lit(0.0))).as("v"))
+  }
+
   /** Scale path for near-dup pairs: sign-LSH buckets generate the
     * candidates (union over `tables` independent hash tables to lift
     * recall), exact cosine re-ranks only within buckets — O(Σ bucket²)

@@ -161,6 +161,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("hashing-trick vectors separate near-dups from random pairs") {
+    import graft.functions.VectorFunctions
+    val vecs = Similarity.hashingVectors(t)
+    val cos = vecs.as("a").join(vecs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        (VectorFunctions.dot(col("a.v"), col("b.v")) /
+          (VectorFunctions.l2norm(col("a.v")) * VectorFunctions.l2norm(col("b.v")))).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val near = Dedup.ngramJaccardPairs(t, 3, 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(near.nonEmpty)
+    val nearCos = near.toSeq.map(cos)
+    val restCos = (cos.keySet -- near).toSeq.map(cos)
+    val nearAvg = nearCos.sum / nearCos.size
+    val restAvg = restCos.sum / restCos.size
+    assert(nearAvg > 0.95, s"near-dup hashed cosine avg $nearAvg")
+    assert(nearAvg - restAvg > 0.05, s"no separation: near $nearAvg vs rest $restAvg")
+  }
+
   test("ivf probes only the query's cluster") {
     val labels = t.embeddings.select("vec_id", "label").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
