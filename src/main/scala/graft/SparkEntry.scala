@@ -79,6 +79,8 @@ object SparkEntry {
     "q_correlated_avg"     -> q(Relational2.qCorrelatedAvg),
     "q_percentiles"        -> q(Relational2.qPercentiles),
     "q_pivot"              -> q(Relational2.qPivot),
+    "q_sample"             -> q(Relational2.qSample),
+    "q_histogram"          -> q(Relational2.qHistogram(_)),
     "q_asof_join"          -> q(AsOf.purchaseAsofClick),
     // §2.1 file-corpus sources over the reference's books sample
     "file_line_stats"      -> ((s, _) => FileCorpus.fileLineStats(s)),
@@ -142,6 +144,8 @@ object SparkEntry {
     "q_correlated_avg"     -> Relational2.qCorrelatedAvgSql,
     "q_percentiles"        -> Relational2.qPercentilesSql,
     "q_pivot"              -> Relational2.qPivotSql,
+    "q_sample"             -> Relational2.qSampleSql,
+    "q_histogram"          -> Relational2.qHistogramSql(),
     "q_asof_join"          -> AsOf.purchaseAsofClickSql,
     "tok_arabic_count"     -> ArabicCorpus.tokenCountsSql,
     "file_line_stats"      -> FileCorpus.fileLineStatsSql,

@@ -80,6 +80,43 @@ object Relational2 {
       |SELECT l_orderkey AS orderkey FROM lineitem
       |ORDER BY orderkey""".stripMargin
 
+  /** Deterministic content-keyed sampling: md5 of the row key mod 10.
+    * Unlike `df.sample` (RNG + partition-order dependent), this is
+    * reproducible across engines, runs and repartitioning — the
+    * property training-data pipelines need for held-out splits.
+    */
+  def qSample(t: Tables): DataFrame = {
+    val h = conv(substring(md5(concat(col("l_orderkey").cast("string"), lit(":"),
+      col("l_linenumber").cast("string"))), 1, 8), 16, 10).cast("long")
+    t.lineitem
+      .filter(pmod(h, lit(10)) === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 2).as("price"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val qSampleSql: String =
+    """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+      |FROM lineitem
+      |WHERE ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT % 10 = 0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Fixed-width histogram of order totals (floor-bucketed — portable
+    * across engines, unlike RNG-dependent approx histograms).
+    */
+  def qHistogram(t: Tables, width: Double = 50000.0): DataFrame =
+    t.orders
+      .groupBy(floor(col("o_totalprice") / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"))
+      .orderBy("bucket")
+
+  def qHistogramSql(width: Double = 50000.0): String =
+    s"""SELECT CAST(floor(o_totalprice / $width) AS BIGINT) AS bucket, count(*) AS n,
+       |  round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+       |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** INTERSECT set semantics: nations present on both sides. */
   def qIntersect(t: Tables): DataFrame = {
     val c = t.customer.select(col("c_nationkey").as("nationkey"))
