@@ -201,6 +201,36 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF with a TRAINED coarse quantizer: KMeans centroids learned
+    * from the vectors themselves (Spark ML pipeline), each vector
+    * assigned to its centroid, search probes only the query's cell.
+    * This is the production IVF shape — [[ivfTopK]] uses the given
+    * label column; here the quantizer is learned. Deterministic seed.
+    */
+  def ivfKmeansTopK(t: Tables, nQueries: Int = 10, k: Int = 5, cells: Int = 8): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = t.embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("features", array_to_vector(col("v")))
+    val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(10).fit(emb)
+    val assigned = model.transform(emb)
+      .select(col("vec_id"), col("v"), col("prediction").as("cell"))
+      .withColumn("nrm", VectorFunctions.l2norm(col("v")))
+    val queries = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("cell"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    assigned.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(VectorFunctions.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   def ivfTopKSql(nQueries: Int = 10, k: Int = 5): String =
     s"""WITH q AS (
        |  SELECT vec_id AS query_id, label AS qlabel, embedding::DOUBLE[] AS qv

@@ -180,6 +180,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(nearAvg - restAvg > 0.05, s"no separation: near $nearAvg vs rest $restAvg")
   }
 
+  test("kmeans-ivf returns correctly-scored neighbors with useful recall") {
+    val exact = Similarity.cosineTopK(t, 10, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.ivfKmeansTopK(t, 10, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (p, s) => exact.get(p).foreach(e => assert(math.abs(e - s) < 1e-9)) }
+    val recall = ivf.keySet.intersect(exact.keySet).size.toDouble / exact.size
+    assert(recall >= 0.3, s"kmeans-ivf recall $recall")
+  }
+
   test("ivf probes only the query's cluster") {
     val labels = t.embeddings.select("vec_id", "label").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
