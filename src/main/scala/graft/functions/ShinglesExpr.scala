@@ -19,11 +19,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * CodegenFallback is fine here: the expression feeds an explode, which
   * bounds a codegen stage anyway.
   */
-case class ShinglesExpr(child: Expression, n: Int)
+case class ShinglesExpr(child: Expression, n: Int, distinct: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "word_shingles"
+  override def prettyName: String = if (distinct) "word_shingles_distinct" else "word_shingles"
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
@@ -37,8 +37,12 @@ case class ShinglesExpr(child: Expression, n: Int)
       .toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
     if (toks.length < n) new GenericArrayData(Array.empty[Any])
     else {
-      val out = new Array[Any](toks.length - n + 1)
-      val sb  = new java.lang.StringBuilder()
+      // distinct=true dedups ROW-LOCALLY: with one row per document,
+      // per-doc distinct equals the global DISTINCT — so callers skip
+      // an entire dedup shuffle downstream.
+      val seen = if (distinct) new java.util.LinkedHashSet[String]() else null
+      val out  = Array.newBuilder[Any]
+      val sb   = new java.lang.StringBuilder()
       var i = 0
       while (i <= toks.length - n) {
         sb.setLength(0)
@@ -48,10 +52,11 @@ case class ShinglesExpr(child: Expression, n: Int)
           sb.append(toks(i + j))
           j += 1
         }
-        out(i) = UTF8String.fromString(sb.toString)
+        val sh = sb.toString
+        if (seen == null || seen.add(sh)) out += UTF8String.fromString(sh)
         i += 1
       }
-      new GenericArrayData(out)
+      new GenericArrayData(out.result())
     }
   }
 
@@ -62,4 +67,8 @@ case class ShinglesExpr(child: Expression, n: Int)
 object ShinglesExpr {
   def shingles(c: Column, n: Int): Column =
     Bridge.column(ShinglesExpr(Bridge.expression(c), n))
+
+  /** Row-locally distinct shingles (per-doc dedup folded into the scan). */
+  def distinctShingles(c: Column, n: Int): Column =
+    Bridge.column(ShinglesExpr(Bridge.expression(c), n, distinct = true))
 }

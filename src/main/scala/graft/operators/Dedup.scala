@@ -48,11 +48,12 @@ object Dedup {
     * (`('0x' || substr(md5(s),1,15))::BIGINT` in DuckDB).
     */
   def shingles(t: Tables, n: Int = 3): DataFrame =
+    // distinct happens INSIDE the expression (row-local == global here,
+    // one row per doc) — no dedup shuffle before the hash
     t.documents
       .select(col("doc_id"),
-        explode(graft.functions.ShinglesExpr.shingles(col("text"), n)).as("shingle"))
+        explode(graft.functions.ShinglesExpr.distinctShingles(col("text"), n)).as("shingle"))
       .filter(col("shingle") =!= "")
-      .distinct()
       .select(col("doc_id"),
         conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("shingle_hash"))
 
