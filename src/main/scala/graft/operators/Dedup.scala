@@ -17,12 +17,14 @@ object Dedup {
   /** Exact duplicate groups by content hash; keeps the smallest doc_id
     * as the canonical representative.
     */
-  def exact(t: Tables): DataFrame =
-    t.documents
-      .select(col("doc_id"), md5(col("text")).as("text_hash"))
+  def exactOf(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), md5(col(textCol)).as("text_hash"))
       .groupBy("text_hash")
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("keep_id")
+
+  def exact(t: Tables): DataFrame = exactOf(t.documents)
 
   val exactSql: String =
     """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -47,15 +49,18 @@ object Dedup {
     * 8-byte keys instead of 32-char digests, and the value is portable
     * (`('0x' || substr(md5(s),1,15))::BIGINT` in DuckDB).
     */
-  def shingles(t: Tables, n: Int = 3): DataFrame =
+  def shinglesOf(docs: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     // distinct happens INSIDE the expression (row-local == global here,
     // one row per doc) — no dedup shuffle before the hash
-    t.documents
-      .select(col("doc_id"),
-        explode(graft.functions.ShinglesExpr.distinctShingles(col("text"), n)).as("shingle"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.ShinglesExpr.distinctShingles(col(textCol), n)).as("shingle"))
       .filter(col("shingle") =!= "")
       .select(col("doc_id"),
         conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("shingle_hash"))
+
+  def shingles(t: Tables, n: Int = 3): DataFrame = shinglesOf(t.documents, n)
 
   /** Word-shingle Jaccard near-duplicate pairs: explode distinct
     * shingles → self-join on shingle hash → |A∩B| per pair → Jaccard

@@ -24,13 +24,17 @@ import graft.sources.Tables
 object WordPipeline {
 
   /** doc_id × normalized token. `lower ∘ trim` mirrors the reference's
-    * unique_value_normalizers (v2/main.py:112).
+    * unique_value_normalizers (v2/main.py:112). Works on ANY corpus
+    * DataFrame with (id, text) columns — [[tokens]] binds it to the
+    * testdata documents table.
     */
-  def tokens(t: Tables): DataFrame =
-    t.documents
-      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
+  def tokensOf(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), "\\s+")).as("word"))
       .select(col("doc_id"), lower(trim(col("word"))).as("word"))
       .filter(col("word") =!= "")
+
+  def tokens(t: Tables): DataFrame = tokensOf(t.documents)
 
   def tokensOrdered(t: Tables): DataFrame =
     tokens(t).orderBy("doc_id", "word")

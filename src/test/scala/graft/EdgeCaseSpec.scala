@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, WordPipeline}
+
+/** The testdata corpus is clean; these cover what it can't — empty and
+  * whitespace-only docs, duplicates, short docs — through the
+  * DataFrame-general operator variants a library user calls.
+  */
+class EdgeCaseSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "Hello  world  hello"),
+    (1L, ""),
+    (2L, "   "),
+    (3L, "one"),
+    (4L, "Hello  world  hello"),
+    (5L, "a b c a b c")).toDF("doc_id", "text")
+
+  test("tokensOf handles empty and whitespace-only docs") {
+    val toks = WordPipeline.tokensOf(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(!toks.exists(t => t._1 == 1L || t._1 == 2L))
+    assert(toks.count(_._1 == 0L) == 3)
+    assert(toks.filter(_._1 == 0L).map(_._2).toSet == Set("hello", "world"))
+  }
+
+  test("exactOf groups duplicate texts and keeps min id") {
+    val d = Dedup.exactOf(docs).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(d(0L) == 2L) // docs 0 and 4 identical
+    assert(d(1L) == 1L)
+  }
+
+  test("shinglesOf yields nothing for docs shorter than n") {
+    val sh = Dedup.shinglesOf(docs, 3).collect().map(_.getLong(0)).toSet
+    assert(!sh.contains(1L) && !sh.contains(2L) && !sh.contains(3L))
+    assert(sh.contains(0L) && sh.contains(5L))
+  }
+
+  test("shinglesOf distinct matches per-doc distinct semantics") {
+    // doc 5: "a b c a b c" → windows [a b c, b c a, c a b, a b c] → 3 distinct
+    val n = Dedup.shinglesOf(docs, 3).filter(col("doc_id") === 5L).count()
+    assert(n == 3)
+  }
+}
