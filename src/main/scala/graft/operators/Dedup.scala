@@ -44,6 +44,25 @@ object Dedup {
       |FROM documents
       |GROUP BY 1 ORDER BY keep_id""".stripMargin
 
+  /** Incremental dedup: drop incoming docs whose fingerprint already
+    * exists in the known corpus — the production shape for continuous
+    * ingestion (new crawl batch vs data lake). `known` is just the
+    * fingerprint column of the existing corpus; the anti-join shuffles
+    * 16-byte digests, never documents, and batch-internal duplicates
+    * are collapsed first so the join side stays minimal.
+    */
+  def incrementalExact(newDocs: DataFrame, knownFingerprints: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fp = newDocs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+      md5(TextAnalysis.normalizedText(col(textCol))).as("fp"))
+    val batchUnique = fp
+      .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+    batchUnique
+      .join(knownFingerprints.select(col("fp")).distinct(), Seq("fp"), "left_anti")
+      .join(fp.select("doc_id", "text"), "doc_id")
+      .select("doc_id", "fp", "text")
+  }
+
   /** doc_id × distinct word-`n`-gram shingle (the unit for MinHash and
     * Jaccard), as a 60-bit md5-derived integer: joins/shuffles carry
     * 8-byte keys instead of 32-char digests, and the value is portable

@@ -41,6 +41,16 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(sh.contains(0L) && sh.contains(5L))
   }
 
+  test("incrementalExact keeps only genuinely-new unique docs") {
+    import graft.operators.TextAnalysis
+    val known = Seq("Hello  world  hello").toDF("text")
+      .select(md5(TextAnalysis.normalizedText(col("text"))).as("fp"))
+    val out = Dedup.incrementalExact(docs, known).collect().map(_.getLong(0)).toSet
+    // 0 and 4 match the known corpus; 1 vs 2 are batch-dups (both
+    // normalize to ""), min id 1 survives; 3 and 5 are new
+    assert(out == Set(1L, 3L, 5L))
+  }
+
   test("shinglesOf distinct matches per-doc distinct semantics") {
     // doc 5: "a b c a b c" → windows [a b c, b c a, c a b, a b c] → 3 distinct
     val n = Dedup.shinglesOf(docs, 3).filter(col("doc_id") === 5L).count()
