@@ -83,6 +83,7 @@ object SparkEntry {
     "q_histogram"          -> q(Relational2.qHistogram(_)),
     "q_asof_join"          -> q(AsOf.purchaseAsofClick),
     // §2.1 file-corpus sources over the reference's books sample
+    "multimodal_resize"    -> ((s, dir) => graft.multimodal.Multimodal.resizeQuery(s, dir)),
     "file_line_stats"      -> ((s, _) => FileCorpus.fileLineStats(s)),
     "file_word_counts"     -> ((s, _) => FileCorpus.fileWordCounts(s)),
     "bigram_pmi"           -> q(TextAnalysis.bigramPmi(_)),
@@ -148,6 +149,7 @@ object SparkEntry {
     "q_histogram"          -> Relational2.qHistogramSql(),
     "q_asof_join"          -> AsOf.purchaseAsofClickSql,
     "tok_arabic_count"     -> ArabicCorpus.tokenCountsSql,
+    "multimodal_resize"    -> graft.multimodal.Multimodal.resizeQuerySql(),
     "file_line_stats"      -> FileCorpus.fileLineStatsSql,
     "file_word_counts"     -> FileCorpus.fileWordCountsSql,
     "bigram_pmi"           -> TextAnalysis.bigramPmiSql(),

@@ -81,6 +81,31 @@ object Multimodal {
       round(col("meta.height") * scale).cast("int").as("new_height"))
   }
 
+  /** Driver-gated form of the metadata plane: media table from
+    * documents → resize plan, deterministic order. Everything here is
+    * column math on metadata — the binary payload is never read, which
+    * is exactly the property that matters at 100 TB.
+    */
+  def resizeQuery(spark: SparkSession, dir: String, maxDim: Int = 64): DataFrame =
+    resizePlan(mediaFromDocuments(spark, dir).toDF(), maxDim)
+      .orderBy("media_id")
+
+  def resizeQuerySql(maxDim: Int = 64): String =
+    s"""WITH media AS (
+       |  SELECT doc_id AS media_id,
+       |    CAST(n_chars % 1920 AS INT) AS width,
+       |    CAST(n_chars % 1080 AS INT) AS height
+       |  FROM documents
+       |), s AS (
+       |  SELECT media_id, width, height,
+       |    least($maxDim.0 / greatest(width, 1), $maxDim.0 / greatest(height, 1), 1.0) AS scale
+       |  FROM media
+       |)
+       |SELECT media_id, width, height,
+       |  CAST(round(width * scale) AS INT) AS new_width,
+       |  CAST(round(height * scale) AS INT) AS new_height
+       |FROM s ORDER BY media_id""".stripMargin
+
   /** Frame-sampling plan for video rows: one row per sampled frame
     * index at `fps` — sequence+explode, no decode until a downstream
     * stage asks for pixels.
