@@ -115,7 +115,7 @@ object Similarity {
     val emb = t.embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val dim = 64
     val sig = (0 until bits).map { j =>
-      val hp = array(hyperplane(j, dim).map(lit): _*)
+      val hp = array(hyperplane(j, dim).toIndexedSeq.map(lit): _*)
       when(VectorFunctions.dot(col("v"), hp) >= 0, "1").otherwise("0")
     }.reduce(concat(_, _))
     val bucketed = emb.withColumn("bucket", sig)
@@ -165,7 +165,7 @@ object Similarity {
     val dim = 64
     val bucketed = (0 until tables).map { tbl =>
       val sig = (0 until bits).map { j =>
-        val hp = array(hyperplane(tbl * 1000 + j, dim).map(lit): _*)
+        val hp = array(hyperplane(tbl * 1000 + j, dim).toIndexedSeq.map(lit): _*)
         when(VectorFunctions.dot(col("v"), hp) >= 0, "1").otherwise("0")
       }.reduce(concat(_, _))
       emb.withColumn("bucket", concat(lit(s"$tbl:"), sig))
