@@ -44,6 +44,23 @@ object Dedup {
       |FROM documents
       |GROUP BY 1 ORDER BY keep_id""".stripMargin
 
+  /** Blocked fuzzy-duplicate pairs: candidates meet only within a
+    * blocking key (first token here — at scale the blocker IS the
+    * shuffle key, so edit distance runs on co-partitioned small
+    * groups, never all n² pairs), then built-in `levenshtein`
+    * (codegen'd) filters to ≤ maxDist.
+    */
+  def fuzzyPairs(df: DataFrame, idCol: String, nameCol: String, maxDist: Int = 1): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"), col(nameCol).as("name"),
+      split(col(nameCol), " ").getItem(0).as("block"))
+    keyed.as("a")
+      .join(keyed.as("b"), col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+      .filter(levenshtein(col("a.name"), col("b.name")) <= maxDist &&
+        col("a.name") =!= col("b.name"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.name").as("name_a"), col("b.name").as("name_b"))
+  }
+
   /** Incremental dedup: drop incoming docs whose fingerprint already
     * exists in the known corpus — the production shape for continuous
     * ingestion (new crawl batch vs data lake). `known` is just the

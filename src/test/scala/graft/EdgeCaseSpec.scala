@@ -41,6 +41,16 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(sh.contains(0L) && sh.contains(5L))
   }
 
+  test("fuzzyPairs finds near-identical names within blocks only") {
+    val names = Seq(
+      (1L, "small ring"), (2L, "small king"), (3L, "small ring"),
+      (4L, "blue bolt"), (5L, "blue bolts"), (6L, "red widget")).toDF("id", "name")
+    val pairs = Dedup.fuzzyPairs(names, "id", "name").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L), (4L, 5L)))
+    // exact matches (1,3) and cross-block pairs are excluded
+  }
+
   test("incrementalExact keeps only genuinely-new unique docs") {
     import graft.operators.TextAnalysis
     val known = Seq("Hello  world  hello").toDF("text")
