@@ -102,6 +102,26 @@ object Streams {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("n_events"), col("first_event"), col("last_event"))
 
+  /** Stream-stream join: each purchase joined to the same user's
+    * clicks in the preceding `windowMinutes`. Both sides carry
+    * watermarks and the join has a time-range bound, so state for
+    * either side evicts once the watermark passes — the only
+    * stream-stream join shape that is viable unbounded.
+    */
+  def purchaseClickJoin(events: DataFrame, windowMinutes: Int = 30): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"), col("p_ts"), col("c_ts"))
+  }
+
   /** Drain a streaming query into an in-memory table (test/smoke
     * convenience): processes everything currently available, then stops.
     */

@@ -38,6 +38,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("stream-stream purchase⋈click join matches the batch join") {
+    val stream = Streams.eventsStream(spark, TestSpark.sf)
+    Streams.runToMemory(Streams.purchaseClickJoin(stream), "ssj_out")
+    val got = spark.table("ssj_out").select("purchase_id", "click_id")
+      .collect().map(_.toSeq).toSet
+
+    val want = Streams.purchaseClickJoin(t.events)
+      .select("purchase_id", "click_id").collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("stateful sessionize emits batch-identical closed sessions") {
     val stream = Streams.eventsStream(spark, TestSpark.sf)
     Streams.runToMemory(Streams.sessionize(spark, stream).toDF(), "sess_out")
