@@ -37,6 +37,7 @@ object SparkEntry {
     "q_retention"          -> q(Events.retention),
     // §2.5 word pipeline
     "tok_words"            -> q(WordPipeline.tokensOrdered),
+    "tok_words_filtered"   -> q(WordPipeline.tokensFiltered),
     "words_count"          -> q(WordPipeline.wordsCount),
     "unique_words"         -> q(WordPipeline.uniqueWords),
     "word_stats"           -> q(WordPipeline.wordStats),
@@ -109,6 +110,7 @@ object SparkEntry {
     "q_funnel"             -> Events.funnelSql,
     "q_retention"          -> Events.retentionSql,
     "tok_words"            -> WordPipeline.tokensSql,
+    "tok_words_filtered"   -> WordPipeline.tokensFilteredSql,
     "words_count"          -> WordPipeline.wordsCountSql,
     "unique_words"         -> WordPipeline.uniqueWordsSql,
     "word_stats"           -> WordPipeline.wordStatsSql,

@@ -39,6 +39,23 @@ object WordPipeline {
   def tokensOrdered(t: Tables): DataFrame =
     tokens(t).orderBy("doc_id", "word")
 
+  /** Content-word tokens: stopwords and single chars dropped — the
+    * reference's `ignore_word_fn`/mappers hook (v2/core/transformers/
+    * text.py:14-16) as a declarative filter.
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  def tokensFiltered(t: Tables): DataFrame =
+    tokens(t)
+      .filter(length(col("word")) >= 2 &&
+        !col("word").isin(Stopwords: _*))
+      .orderBy("doc_id", "word")
+
+  def tokensFilteredSql: String =
+    s"""$tokensCte SELECT doc_id, word FROM toks
+       |WHERE length(word) >= 2 AND word NOT IN (${Stopwords.map("'" + _ + "'").mkString(",")})
+       |ORDER BY doc_id, word""".stripMargin
+
   /** Per-doc total token count — ReduceItemTransformer(count) analog. */
   def wordsCount(t: Tables): DataFrame =
     tokens(t).groupBy("doc_id").agg(count(lit(1)).as("words_count")).orderBy("doc_id")
