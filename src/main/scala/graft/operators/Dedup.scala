@@ -44,6 +44,35 @@ object Dedup {
       |FROM documents
       |GROUP BY 1 ORDER BY keep_id""".stripMargin
 
+  /** Near-dup CLUSTERS from pair edges: iterative min-label
+    * propagation (the GraphX connected-components algorithm as plain
+    * DataFrame joins — each iteration is one co-partitioned join +
+    * aggregate, converging in O(cluster diameter) rounds, which for
+    * near-dup clusters is tiny). Output: (id, label) where label is
+    * the smallest doc id in the component — the canonical survivor.
+    */
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels  = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var changed = 1L
+    var i       = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+      val updated = labels.join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"))
+        .cache()
+      changed = updated.filter(col("new_label") < col("label")).count()
+      labels = updated.select(col("id"), col("new_label").as("label")).cache()
+      i += 1
+    }
+    labels
+  }
+
   /** Blocked fuzzy-duplicate pairs: candidates meet only within a
     * blocking key (first token here — at scale the blocker IS the
     * shuffle key, so edit distance runs on co-partitioned small

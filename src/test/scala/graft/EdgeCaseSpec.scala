@@ -41,6 +41,25 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(sh.contains(0L) && sh.contains(5L))
   }
 
+  test("nearDupClusters produces transitive components with min-id labels") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (3L, 4L))
+      .toDF("doc_a", "doc_b")
+    val labels = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 8L -> 8L, 9L -> 8L))
+  }
+
+  test("nearDupClusters on real jaccard pairs keeps pair endpoints together") {
+    val t = graft.sources.Tables(spark, TestSpark.sf)
+    val pairs = Dedup.ngramJaccardPairs(t, 3, 0.6).select("doc_a", "doc_b")
+    val labels = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.collect().foreach { r =>
+      assert(labels(r.getLong(0)) == labels(r.getLong(1)))
+    }
+  }
+
   test("fuzzyPairs finds near-identical names within blocks only") {
     val names = Seq(
       (1L, "small ring"), (2L, "small king"), (3L, "small ring"),
