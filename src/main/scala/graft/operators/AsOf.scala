@@ -22,10 +22,17 @@ object AsOf {
   /** Generic as-of: rows of `left` matched to the latest `right` row
     * with right.ts <= left.ts and equal key. Both inputs need columns
     * (id, key, ts); output: left_id, key, right_id, right_ts.
+    *
+    * Ties on the right side (several rows at the same (key, ts)) are
+    * broken BEFORE the join by keeping the max id — an as-of match is
+    * defined by (key, ts), so this loses nothing, and it forces this
+    * composition and any reference engine (DuckDB's native ASOF JOIN
+    * leaves the equal-timestamp choice unspecified) to the same row.
     */
   def asofJoin(left: DataFrame, right: DataFrame): DataFrame = {
+    val rightDistinct = right.groupBy(col("key"), col("ts")).agg(max(col("id")).as("id"))
     val l = left.select(col("id").as("left_id"), col("key"), col("ts"), lit(1).as("_is_left"))
-    val r = right.select(col("id").as("right_id"), col("key"), col("ts"), lit(0).as("_is_left"))
+    val r = rightDistinct.select(col("id").as("right_id"), col("key"), col("ts"), lit(0).as("_is_left"))
     val all = l.withColumn("right_id", lit(null).cast("long"))
       .unionByName(r.withColumn("left_id", lit(null).cast("long")), allowMissingColumns = false)
     // right rows sort before left rows at equal ts (ASOF's >= bound)
@@ -59,7 +66,8 @@ object AsOf {
 
   val purchaseAsofClickSql: String =
     """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-      |     c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+      |     c AS (SELECT max(event_id) AS event_id, user_id, ts FROM events
+      |           WHERE event_type = 'click' GROUP BY user_id, ts)
       |SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
       |       CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS gap_s
       |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts

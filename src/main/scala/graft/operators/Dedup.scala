@@ -51,7 +51,7 @@ object Dedup {
     * near-dup clusters is tiny). Output: (id, label) where label is
     * the smallest doc id in the component — the canonical survivor.
     */
-  def nearDupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
@@ -67,9 +67,21 @@ object Dedup {
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"))
         .cache()
       changed = updated.filter(col("new_label") < col("label")).count()
-      labels = updated.select(col("id"), col("new_label").as("label")).cache()
+      val next = updated.select(col("id"), col("new_label").as("label")).cache()
+      next.count() // materialize before dropping the lineage it was built from
+      labels.unpersist(blocking = false)
+      updated.unpersist(blocking = false)
+      labels = next
       i += 1
     }
+    edges.unpersist(blocking = false)
+    // A component with diameter > maxIter would exit with split labels
+    // (multiple "canonical" docs per real cluster) — refuse to return
+    // a silently-wrong clustering.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"nearDupClusters did not converge after $maxIter iterations " +
+          s"($changed labels still changing) — raise maxIter")
     labels
   }
 

@@ -191,7 +191,8 @@ object WordPipeline {
        |), uniq AS (
        |  SELECT DISTINCT doc_id, word FROM toks
        |)
-       |SELECT u.doc_id, substr(u.word, 1, 255) AS word, length(u.word) AS word_len,
+       |SELECT u.doc_id, substr(u.word, 1, 255) AS word,
+       |       length(regexp_replace(u.word, '[\\x{064b}-\\x{0652}]', '', 'g')) AS word_len,
        |       CAST(length(u.word) > 255 AS INT) AS word_truncated, c.words_count
        |FROM uniq u JOIN counts c ON u.doc_id = c.doc_id
        |ORDER BY u.doc_id, u.word""".stripMargin

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{Distribution, HashPartitioning, StatefulOpClusteredDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.graftbridge.Bridge
 
@@ -20,10 +20,15 @@ import org.apache.spark.sql.graftbridge.Bridge
   * logical node → planner Strategy (injected via SparkSessionExtensions
   * or used directly through [[RangeJoin.rangeJoin]]) → physical
   * BinaryExecNode with declared distribution/ordering requirements, so
-  * the engine inserts the exchanges and sorts. (Known limitation: the
-  * per-partition merge zips sibling partitions, so a plan where AQE
-  * coalesces only ONE side's exchange would fail loudly; Spark's
-  * requirement validation keeps the shapes used here consistent.)
+  * the engine inserts the exchanges and sorts. The per-partition merge
+  * zips sibling partitions, which is only correct when both children
+  * have IDENTICAL hash partitioning on the keys — so the node requires
+  * [[StatefulOpClusteredDistribution]] (satisfied only by exact
+  * HashPartitioning on the key with an exact partition count; a
+  * RangePartitioning left-over from an orderBy, or a pre-shuffled input
+  * with a different count, forces a fresh exchange, and AQE cannot
+  * coalesce one side independently), and doExecute still validates the
+  * children's outputPartitioning and fails loudly on any mismatch.
   */
 case class RangeJoinPlan(
     left: LogicalPlan,
@@ -51,9 +56,14 @@ case class RangeJoinExec(
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
-  // co-partition both sides on the key; Spark inserts the shuffles
-  override def requiredChildDistribution: Seq[Distribution] =
-    Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
+  // Co-partition both sides on the key with an EXACT partition count.
+  // StatefulOpClusteredDistribution is satisfied only by HashPartitioning
+  // on precisely these keys with precisely this count, so zipPartitions
+  // pairing is guaranteed key-aligned (ClusteredDistribution would also
+  // accept e.g. RangePartitioning, which zips wrong).
+  override def requiredChildDistribution: Seq[Distribution] = Seq(
+    StatefulOpClusteredDistribution(Seq(leftKey), conf.numShufflePartitions),
+    StatefulOpClusteredDistribution(Seq(rightKey), conf.numShufflePartitions))
 
   // and sorts each side by (key, time) / (key, lo)
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
@@ -63,6 +73,18 @@ case class RangeJoinExec(
       SortOrder(rightLo, org.apache.spark.sql.catalyst.expressions.Ascending)))
 
   override protected def doExecute(): RDD[InternalRow] = {
+    // Belt and braces: zipPartitions silently produces wrong results if
+    // the children ever arrive with different partitionings (the
+    // distribution requirement above should make this unreachable).
+    (left.outputPartitioning, right.outputPartitioning) match {
+      case (HashPartitioning(le, ln), HashPartitioning(re, rn))
+          if ln == rn && le.length == 1 && re.length == 1 &&
+            le.head.semanticEquals(leftKey) && re.head.semanticEquals(rightKey) => // aligned
+      case (lp, rp) =>
+        throw new IllegalStateException(
+          s"RangeJoinExec children are not co-hash-partitioned on the join keys: " +
+            s"left=$lp right=$rp — refusing to zip misaligned partitions")
+    }
     val lKey = BindReferences.bindReference(leftKey, left.output)
     val lT   = BindReferences.bindReference(leftTime, left.output)
     val rKey = BindReferences.bindReference(rightKey, right.output)
