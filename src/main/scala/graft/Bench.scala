@@ -15,7 +15,12 @@ object Bench {
     // Catalyst prune the expensive expressions and under-measure.
     // A failed query is reported as -1 (never a normal-looking fast time)
     // and listed in "failed" so the metric line can't mask breakage.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated filter for local iteration; the driver
+    // never sets it, so the full suite is the default.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

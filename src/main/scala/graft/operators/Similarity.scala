@@ -76,7 +76,17 @@ object Similarity {
   def embeddingDupPairs(t: Tables, threshold: Double = 0.4): DataFrame = {
     val emb = t.embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", VectorFunctions.l2norm(col("v")))
-    emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+    // The pure non-equi pair condition plans as a broadcast nested loop;
+    // its parallelism is the STREAMED side's partition count, and a
+    // compact embeddings file arrives as one split — repartition so the
+    // O(n²/2) dot products use every core (shuffles ~KB/vector, wins
+    // n/2 cores' worth of flops at any scale). The count is explicit:
+    // an AQE-coalescable shuffle (repartition by column alone) would be
+    // merged right back to one tiny partition, the size heuristic can't
+    // see the quadratic work downstream.
+    val slices = emb.sparkSession.sparkContext.defaultParallelism
+    emb.repartition(slices, col("vec_id")).as("a")
+      .join(broadcast(emb).as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(VectorFunctions.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
