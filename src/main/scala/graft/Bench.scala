@@ -1,9 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints ONE JSON line:
+  * {"metric":"total","value":<sum of per-query p50>,"unit":"sec",
+  *  "queries":{name:p50,...},                    // p50 of warm runs
+  *  "stats":{name:{"cold":c,"p50":m,"p95":p,"n":N},...},
+  *  "failed":[...], "reps":N,
+  *  "ladder":{sfDir:{headline:sec,...},...},     // scaling behavior
+  *  "sf":dir}
+  *
+  * Round-3 redesign (VERDICT r2 item 1): one-shot timings in a shared
+  * session made per-query numbers warmup-ordering noise — code that
+  * didn't change appeared to regress 10×. Each query now runs once
+  * cold (recorded separately: it carries codegen+AQE warmup) and then
+  * N-1 warm reps; the headline per-query number is the warm p50, so
+  * deltas between rounds reflect the plan, not scheduling accidents.
+  */
 object Bench {
+  private def pct(sorted: Array[Double], q: Double): Double =
+    if (sorted.isEmpty) -1.0
+    else sorted(math.min(sorted.length - 1, math.ceil(q * sorted.length).toInt - 1).max(0))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt.max(1)
     val spark = GraftSession.builder(master = s"local[$cpus]", appName = "graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
@@ -11,28 +32,76 @@ object Bench {
     // Warm the session (parquet reader, codegen, shuffle machinery)
     // so the first timed query isn't charged JVM startup.
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+
+    // Optional comma-separated filter for local iteration; the driver
+    // never sets it. A name that matches no query is a hard error —
+    // a typo must not silently print a clean-looking empty run.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        System.err.println(s"[bench] SPARK_GRAFT_ONLY names match no query: ${unknown.mkString(",")}")
+        spark.stop(); sys.exit(1)
+      }
+    }
+
     // noop sink materializes EVERY output column — count() would let
     // Catalyst prune the expensive expressions and under-measure.
-    // A failed query is reported as -1 (never a normal-looking fast time)
-    // and listed in "failed" so the metric line can't mask breakage.
-    // Optional comma-separated filter for local iteration; the driver
-    // never sets it, so the full suite is the default.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String): Double = {
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+      try { fn(spark, dir).write.format("noop").mode("overwrite").save(); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1.0 }
+    }
+
+    case class Stat(cold: Double, p50: Double, p95: Double, n: Int, failed: Boolean)
+    val suite = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val stats = suite.map { case (name, fn) =>
+      // A failed query is reported as -1 (never a normal-looking fast
+      // time) and listed in "failed" so the metric line can't mask
+      // breakage; remaining reps are skipped.
+      val cold = runOnce(name, fn, sfDir)
+      val warm = if (cold < 0) Array.empty[Double]
+        else Array.fill(reps - 1)(runOnce(name, fn, sfDir)).takeWhile(_ >= 0)
+      val ok = cold >= 0 && warm.length == reps - 1
+      // With reps=1 there are no warm runs; fall back to the cold time
+      // so the headline number is still real.
+      val sortedWarm = warm.sorted
+      val p50 = if (!ok) -1.0 else if (sortedWarm.isEmpty) cold else pct(sortedWarm, 0.50)
+      val p95 = if (!ok) -1.0 else if (sortedWarm.isEmpty) cold else pct(sortedWarm, 0.95)
+      name -> Stat(if (ok) cold else -1.0, p50, p95, 1 + warm.length, !ok)
+    }
+
+    // Scale ladder: the headline queries at every sf the test tree
+    // provides (one rep each — this records scaling SHAPE, the p50s
+    // above carry the precise per-query signal). sf0.01 is ~10× less
+    // data than sf0.1: near-linear times mean scan-bound plans,
+    // flat times mean fixed overhead dominates, super-linear flags a
+    // pair-join blowup.
+    val headline = Seq("q1_pricing_summary", "q3_shipping_priority", "word_stats",
+      "dedup_minhash_lsh", "dedup_ngram_jaccard", "embed_cosine_topk", "token_count")
+      .filter(n => suite.exists(_._1 == n))
+    val base = new java.io.File(sfDir).getParentFile
+    val ladderDirs = Option(base).map(_.listFiles).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("sf") && f.getPath != sfDir)
+      .map(_.getPath).sorted :+ sfDir
+    val ladder = ladderDirs.map { dir =>
+      val times = headline.map { n => n -> runOnce(n, SparkEntry.queries(n), dir) }
+      dir -> times
+    }
+
+    def jd(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = stats.map { case (k, s) => "\"" + k + "\":" + jd(s.p50) }.mkString("{", ",", "}")
+    val st = stats.map { case (k, s) =>
+      "\"" + k + s"""\":{"cold":${jd(s.cold)},"p50":${jd(s.p50)},"p95":${jd(s.p95)},"n":${s.n}}"""
+    }.mkString("{", ",", "}")
+    val failed = stats.collect { case (k, s) if s.failed => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val lad = ladder.map { case (dir, ts) =>
+      "\"" + dir + "\":" + ts.map { case (n, v) => "\"" + n + "\":" + jd(v) }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    val total = jd(stats.map(_._2.p50).filter(_ >= 0).sum)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$st,"failed":$failed,"reps":$reps,"ladder":$lad,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
