@@ -60,6 +60,7 @@ object SparkEntry {
     // §2.7 similarity
     "embed_cosine_topk"    -> q(Similarity.cosineTopK(_)),
     "embed_dup_pairs"      -> q(Similarity.embeddingDupPairs(_)),
+    "embed_dup_pairs_lsh"  -> q(Similarity.embeddingDupPairsLsh(_)),
     "embed_ivf_topk"       -> q(Similarity.ivfTopK(_)),
     "embed_ann_lsh"        -> q(Similarity.annLshTopK(_)),
     // §2.2 Arabic pipeline over the reference's own sample corpus
@@ -130,6 +131,7 @@ object SparkEntry {
     "dedup_simhash"        -> Dedup.simhashSql,
     "embed_cosine_topk"    -> Similarity.cosineTopKSql(),
     "embed_dup_pairs"      -> Similarity.embeddingDupPairsSql(),
+    "embed_dup_pairs_lsh"  -> Similarity.embeddingDupPairsLshSql(),
     "embed_ivf_topk"       -> Similarity.ivfTopKSql(),
     // embed_ann_lsh: approximate by construction — rows-only check;
     // recall vs exact top-k is spec-tested in SimilaritySpec.

@@ -18,6 +18,11 @@ object Verify {
     val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit =
+          // coalesce(1), deliberately NOT repartition(1): the gate is
+          // row-order sensitive and repartition round-robins away the
+          // final orderBy. coalesce only collapses the stage after the
+          // sort's range-exchange, so the expensive query work upstream
+          // of that shuffle still runs at full parallelism.
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           catch { case e: Throwable =>

@@ -79,8 +79,10 @@ object Similarity {
     // The pure non-equi pair condition plans as a broadcast nested loop;
     // its parallelism is the STREAMED side's partition count, and a
     // compact embeddings file arrives as one split — repartition so the
-    // O(n²/2) dot products use every core (shuffles ~KB/vector, wins
-    // n/2 cores' worth of flops at any scale). The count is explicit:
+    // O(n²/2) dot products use every core. The forced broadcast caps
+    // this form at tables that fit in executor memory — it is the
+    // small-table exact baseline ONLY; beyond that, use
+    // [[embeddingDupPairsLsh]]. The count is explicit:
     // an AQE-coalescable shuffle (repartition by column alone) would be
     // merged right back to one tiny partition, the size heuristic can't
     // see the quadratic work downstream.
@@ -189,6 +191,33 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
       .distinct()
       .orderBy("vec_a", "vec_b")
+  }
+
+  /** DuckDB twin of [[embeddingDupPairsLsh]]: the md5-seeded
+    * hyperplanes are deterministic, so the oracle inlines the same ±1
+    * vectors as literal DOUBLE[] and reproduces bucket assignment,
+    * bucket self-join, and exact re-rank — a full hash-match gate for
+    * the scale-path pipeline, not just a rows-only check.
+    */
+  def embeddingDupPairsLshSql(threshold: Double = 0.4, bits: Int = 4, tables: Int = 8): String = {
+    val dim = 64
+    val branches = (0 until tables).map { tbl =>
+      val sig = (0 until bits).map { j =>
+        val hp = hyperplane(tbl * 1000 + j, dim).map(d => if (d > 0) "1" else "-1")
+          .mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product(v, $hp::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)"
+      }.mkString(" || ")
+      s"  SELECT vec_id, v, '$tbl:' || $sig AS bucket FROM emb"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (
+       |$branches
+       |)
+       |SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       |  round(list_cosine_similarity(x.v, y.v), 6) AS cos_sim
+       |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |WHERE round(list_cosine_similarity(x.v, y.v), 6) >= $threshold
+       |ORDER BY vec_a, vec_b""".stripMargin
   }
 
   /** IVF-style search using the label column as the coarse quantizer:
