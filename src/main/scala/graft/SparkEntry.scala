@@ -57,6 +57,10 @@ object SparkEntry {
     "dedup_minhash_sig"    -> q(Dedup.minhashOrdered(_)),
     "dedup_minhash_lsh"    -> q(Dedup.minhashLshPairs(_)),
     "dedup_simhash"        -> q(Dedup.simhash),
+    "dedup_fuzzy"          -> q(Dedup.fuzzyNamePairs(_)),
+    "dedup_clusters"       -> q(Dedup.nearDupClustersQuery(_)),
+    "hashing_vectors"      -> q(Similarity.hashingVectorsExploded(_)),
+    "agg_topk"             -> q(Relational2.qAggTopK(_)),
     // §2.7 similarity
     "embed_cosine_topk"    -> q(Similarity.cosineTopK(_)),
     "embed_dup_pairs"      -> q(Similarity.embeddingDupPairs(_)),
@@ -129,6 +133,10 @@ object SparkEntry {
     "dedup_minhash_sig"    -> Dedup.minhashSql(),
     "dedup_minhash_lsh"    -> Dedup.minhashLshPairsSql(),
     "dedup_simhash"        -> Dedup.simhashSql,
+    "dedup_fuzzy"          -> Dedup.fuzzyNamePairsSql(),
+    "dedup_clusters"       -> Dedup.nearDupClustersSql(),
+    "hashing_vectors"      -> Similarity.hashingVectorsExplodedSql(),
+    "agg_topk"             -> Relational2.qAggTopKSql(),
     "embed_cosine_topk"    -> Similarity.cosineTopKSql(),
     "embed_dup_pairs"      -> Similarity.embeddingDupPairsSql(),
     "embed_dup_pairs_lsh"  -> Similarity.embeddingDupPairsLshSql(),

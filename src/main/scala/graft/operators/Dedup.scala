@@ -102,6 +102,48 @@ object Dedup {
         col("a.name").as("name_a"), col("b.name").as("name_b"))
   }
 
+  /** Gated form of [[fuzzyPairs]]: fuzzy-duplicate DISTINCT part names
+    * (canonical id = min partkey per name). Deduping the name domain
+    * first keeps the pair count scale-independent — the raw id×id pair
+    * set grows quadratically with block size, the name×name set
+    * doesn't.
+    */
+  def fuzzyNamePairs(t: Tables, maxDist: Int = 3): DataFrame = {
+    val names = t.part.groupBy(col("p_name"))
+      .agg(min(col("p_partkey")).as("id"))
+      .select(col("id"), col("p_name").as("name"))
+    fuzzyPairs(names, "id", "name", maxDist).orderBy("id_a", "id_b")
+  }
+
+  def fuzzyNamePairsSql(maxDist: Int = 3): String =
+    s"""WITH names AS (SELECT min(p_partkey) AS id, p_name AS name FROM part GROUP BY p_name),
+       |k AS (SELECT id, name, string_split(name, ' ')[1] AS block FROM names)
+       |SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b
+       |FROM k a JOIN k b ON a.block = b.block AND a.id < b.id
+       |WHERE levenshtein(a.name, b.name) <= $maxDist AND a.name <> b.name
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Gated form of [[nearDupClusters]]: components over the n-gram
+    * Jaccard pair edges. The DuckDB oracle is a recursive-CTE
+    * reachability closure + min-per-node — an independent algorithm
+    * arriving at the same labels, which is exactly what makes it a
+    * strong gate for the label-propagation loop.
+    */
+  def nearDupClustersQuery(t: Tables, n: Int = 3, threshold: Double = 0.6): DataFrame =
+    nearDupClusters(ngramJaccardPairs(t, n, threshold)).orderBy("id")
+
+  def nearDupClustersSql(n: Int = 3, threshold: Double = 0.6): String =
+    s"""WITH RECURSIVE pe AS (SELECT doc_a, doc_b FROM (
+       |${ngramJaccardPairsSql(n, threshold)}
+       |)),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pe UNION SELECT doc_b, doc_a FROM pe),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+       |)
+       |SELECT id, min(r) AS label FROM reach GROUP BY id ORDER BY id""".stripMargin
+
   /** Incremental dedup: drop incoming docs whose fingerprint already
     * exists in the known corpus — the production shape for continuous
     * ingestion (new crawl batch vs data lake). `known` is just the

@@ -319,4 +319,26 @@ object Relational2 {
       |  FROM orders)
       |WHERE cust_n >= 2 AND o_totalprice > cust_avg * 1.5
       |ORDER BY o_orderkey""".stripMargin
+
+  /** Gated form of [[graft.functions.TopKAggregate]]: per-flag top-k
+    * prices via the bounded-heap aggregate, exploded to ranked rows.
+    * The oracle ranks with a window sort — an independent algorithm;
+    * equal values make row_number's tie choice invisible in the output.
+    */
+  def qAggTopK(t: Tables, k: Int = 5): DataFrame =
+    t.lineitem.groupBy(col("l_returnflag"))
+      .agg(graft.functions.TopKAggregate.topk(col("l_extendedprice"), k).as("vals"))
+      .select(col("l_returnflag"), posexplode(col("vals")).as(Seq("rank", "price")))
+      .select(col("l_returnflag"), (col("rank") + 1).cast("long").as("rank"),
+        round(col("price"), 2).as("price"))
+      .orderBy("l_returnflag", "rank")
+
+  def qAggTopKSql(k: Int = 5): String =
+    s"""SELECT l_returnflag, rank, round(price, 2) AS price FROM (
+       |  SELECT l_returnflag,
+       |    CAST(row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC) AS BIGINT) AS rank,
+       |    l_extendedprice AS price
+       |  FROM lineitem)
+       |WHERE rank <= $k
+       |ORDER BY l_returnflag, rank""".stripMargin
 }

@@ -164,6 +164,29 @@ object Similarity {
           i => coalesce(element_at(col("m"), i.cast("long")), lit(0.0))).as("v"))
   }
 
+  /** Gated form of [[hashingVectors]]: the dense vectors exploded to
+    * (doc_id, bucket, val) rows — every cell including zeros — so the
+    * whole feature-hashing transform is value-checkable against a
+    * grid-join oracle.
+    */
+  def hashingVectorsExploded(t: Tables, dim: Int = 64): DataFrame =
+    hashingVectors(t, dim)
+      .select(col("doc_id"), posexplode(col("v")).as(Seq("bucket", "val")))
+      .select(col("doc_id"), col("bucket").cast("long").as("bucket"), col("val"))
+      .orderBy("doc_id", "bucket")
+
+  def hashingVectorsExplodedSql(dim: Int = 64): String =
+    s"""${WordPipeline.tokensCte},
+       |counts AS (
+       |  SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT % $dim AS bucket,
+       |         CAST(count(*) AS DOUBLE) AS val
+       |  FROM toks GROUP BY 1, 2
+       |), grid AS (SELECT DISTINCT doc_id FROM toks)
+       |SELECT g.doc_id AS doc_id, r.i AS bucket, coalesce(c.val, 0.0) AS val
+       |FROM grid g CROSS JOIN range(0, $dim) r(i)
+       |LEFT JOIN counts c ON c.doc_id = g.doc_id AND c.bucket = r.i
+       |ORDER BY g.doc_id, bucket""".stripMargin
+
   /** Scale path for near-dup pairs: sign-LSH buckets generate the
     * candidates (union over `tables` independent hash tables to lift
     * recall), exact cosine re-ranks only within buckets — O(Σ bucket²)

@@ -169,7 +169,7 @@ object WordPipeline {
 
   // ---- DuckDB oracles ----
 
-  private val tokensCte =
+  private[operators] val tokensCte =
     """WITH toks AS (
       |  SELECT doc_id, lower(trim(w)) AS word
       |  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents)
