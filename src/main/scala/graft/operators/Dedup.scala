@@ -185,10 +185,28 @@ object Dedup {
     * shingles → self-join on shingle hash → |A∩B| per pair → Jaccard
     * with per-doc totals. Pairs emitted once (a < b). The shared-
     * shingle join is the skew point at scale — AQE skew-join splits
-    * hot shingles, and stop-shingle filtering (df cap) is the lever.
+    * hot shingles, and `maxShingleDf` is the stop-shingle lever: a
+    * shingle shared by d docs contributes d·(d−1)/2 join rows, so
+    * capping document frequency at τ bounds per-key fan-out at
+    * τ·(τ−1)/2 regardless of corpus size. The cap is applied before
+    * BOTH the size counts and the join, i.e. Jaccard is computed
+    * consistently over the capped shingle universe (hot boilerplate
+    * shingles carry no similarity signal anyway — that is why
+    * stop-shingles are droppable).
     */
-  def ngramJaccardPairs(t: Tables, n: Int = 3, threshold: Double = 0.6): DataFrame = {
-    val sh     = shingles(t, n).cache()
+  def ngramJaccardPairsOf(docs: DataFrame, n: Int = 3, threshold: Double = 0.6,
+      maxShingleDf: Option[Long] = None): DataFrame = {
+    val raw    = shinglesOf(docs, n)
+    val sh     = (maxShingleDf match {
+      case Some(cap) =>
+        // df per shingle is a map-side-combined count on the join key;
+        // the filtered set is what every downstream step sees.
+        val keep = raw.groupBy("shingle_hash")
+          .agg(count(lit(1)).as("df")).filter(col("df") <= cap)
+          .select("shingle_hash")
+        raw.join(keep, "shingle_hash").select("doc_id", "shingle_hash")
+      case None => raw
+    }).cache()
     val sizes  = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     // The self-join side is big by construction — force a shuffle hash
     // join (hash-partition on shingle_hash; no broadcast, no sort).
@@ -208,6 +226,9 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
+
+  def ngramJaccardPairs(t: Tables, n: Int = 3, threshold: Double = 0.6): DataFrame =
+    ngramJaccardPairsOf(t.documents, n, threshold)
 
   def ngramJaccardPairsSql(n: Int = 3, threshold: Double = 0.6): String =
     s"""WITH sh AS (

@@ -117,6 +117,33 @@ class DedupSpec extends AnyFunSuite {
     assert(errs.nonEmpty && errs.sum / errs.size < 0.3, s"mean |est-true| too high")
   }
 
+  test("stop-shingle df cap collapses boilerplate-driven candidate explosion") {
+    import spark.implicits._
+    // Skewed corpus: every doc shares a boilerplate header (hot shingles,
+    // df = 40) but the real near-dup signal is in the unique tails.
+    val header = "terms of service all rights reserved please read carefully before use"
+    val docs = (1L to 40L).map { i =>
+      val tail =
+        if (i == 2L) "a1 b1 c1 d1 e1 f1 g1 changed"  // near-copy of doc 1's tail
+        else s"a$i b$i c$i d$i e$i f$i g$i h$i"
+      (i, s"$header $tail")
+    }.toDF("doc_id", "text")
+    docs.cache().count()
+    val uncapped = Dedup.ngramJaccardPairsOf(docs, 3, 0.0)
+    val capped   = Dedup.ngramJaccardPairsOf(docs, 3, 0.0, maxShingleDf = Some(5L))
+    val nUncapped = uncapped.count()
+    val nCapped   = capped.count()
+    // boilerplate links all C(40,2) = 780 pairs; the cap must kill that
+    assert(nUncapped == 780L, s"expected full clique, got $nUncapped")
+    assert(nCapped < nUncapped / 10, s"cap barely helped: $nCapped vs $nUncapped")
+    // the genuine near-dup pair (1, 2) shares tail shingles with df <= 2
+    // ("unique tail payload for document ...") and must survive the cap
+    val cappedPairs = capped.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedPairs.contains((1L, 2L)), s"true near-dup lost: $cappedPairs")
+    docs.unpersist()
+  }
+
   test("simhash is stable and near-dups have small hamming distance") {
     val sims = Dedup.simhash(t).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // near-dup pairs by jaccard should be close in simhash space
