@@ -5,7 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{Distribution, HashPartitioning, StatefulOpClusteredDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{Distribution, StatefulOpClusteredDistribution}
+import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.graftbridge.Bridge
 
@@ -72,25 +73,43 @@ case class RangeJoinExec(
     Seq(SortOrder(rightKey, org.apache.spark.sql.catalyst.expressions.Ascending),
       SortOrder(rightLo, org.apache.spark.sql.catalyst.expressions.Ascending)))
 
+  // Same-type keys/bounds are a correctness precondition, not a nicety:
+  // hash partitioning of an int and a long differ, so mixed key types
+  // would co-partition wrong even when values compare equal.
+  require(leftKey.dataType == rightKey.dataType,
+    s"range-join key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
+  require(leftTime.dataType == rightLo.dataType &&
+      leftTime.dataType == rightHi.dataType,
+    s"range-join time/bound types differ: ${leftTime.dataType} vs " +
+      s"[${rightLo.dataType}, ${rightHi.dataType}]")
+
   override protected def doExecute(): RDD[InternalRow] = {
     // Belt and braces: zipPartitions silently produces wrong results if
     // the children ever arrive with different partitionings (the
     // distribution requirement above should make this unreachable).
-    (left.outputPartitioning, right.outputPartitioning) match {
-      case (HashPartitioning(le, ln), HashPartitioning(re, rn))
-          if ln == rn && le.length == 1 && re.length == 1 &&
-            le.head.semanticEquals(leftKey) && re.head.semanticEquals(rightKey) => // aligned
-      case (lp, rp) =>
-        throw new IllegalStateException(
-          s"RangeJoinExec children are not co-hash-partitioned on the join keys: " +
-            s"left=$lp right=$rp — refusing to zip misaligned partitions")
-    }
+    // Validated via satisfies() — not a structural match — so a child
+    // whose PartitioningCollection legitimately satisfies the
+    // distribution (e.g. the output of an equi-join on the same key) is
+    // accepted; both sides must also agree on the partition count,
+    // which StatefulOpClusteredDistribution pins to numShufflePartitions.
+    val dists = requiredChildDistribution
+    if (!left.outputPartitioning.satisfies(dists.head) ||
+        !right.outputPartitioning.satisfies(dists(1)) ||
+        left.outputPartitioning.numPartitions != right.outputPartitioning.numPartitions)
+      throw new IllegalStateException(
+        s"RangeJoinExec children are not co-hash-partitioned on the join keys: " +
+          s"left=${left.outputPartitioning} right=${right.outputPartitioning} — " +
+          "refusing to zip misaligned partitions")
     val lKey = BindReferences.bindReference(leftKey, left.output)
     val lT   = BindReferences.bindReference(leftTime, left.output)
     val rKey = BindReferences.bindReference(rightKey, right.output)
     val rLo  = BindReferences.bindReference(rightLo, right.output)
     val rHi  = BindReferences.bindReference(rightHi, right.output)
     val out  = output
+    // interpreted orderings for the actual key/time types — long, int,
+    // string, date, timestamp, decimal all work; no Long assumption
+    val keyOrd  = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // both iterators arrive sorted by (key, time); merge with an
@@ -99,30 +118,33 @@ case class RangeJoinExec(
       val rBuf = rIter.map(_.copy()).buffered
 
       new Iterator[InternalRow] {
-        private var curKey: Long = Long.MinValue
+        private var curKey: Any = null                    // null = before first left row
         private var active  = Vector.empty[InternalRow]   // intervals of curKey with lo <= t so far
         private var pending = Iterator.empty: Iterator[InternalRow]
         private val joined  = new JoinedRow
 
         private def advance(): Unit = {
           while (!pending.hasNext && lIter.hasNext) {
-            val lRow = lIter.next()
-            val k    = lKey.eval(lRow).asInstanceOf[Long]
-            val t    = lT.eval(lRow).asInstanceOf[Long]
-            if (k != curKey) { curKey = k; active = Vector.empty }
+            // copy first, eval from the copy: non-primitive key values
+            // (UTF8String, Decimal) point into the row's buffer, which
+            // the scan iterator reuses on next()
+            val lRow = lIter.next().copy()
+            val k    = lKey.eval(lRow)
+            val t    = lT.eval(lRow)
+            if (curKey == null || keyOrd.compare(k, curKey) != 0) {
+              curKey = k; active = Vector.empty
+            }
             // pull newly-started intervals for this key
             while (rBuf.headOption.exists { r =>
-                val rk = rKey.eval(r).asInstanceOf[Long]
-                rk < curKey || (rk == curKey && rLo.eval(r).asInstanceOf[Long] <= t)
+                val c = keyOrd.compare(rKey.eval(r), curKey)
+                c < 0 || (c == 0 && timeOrd.compare(rLo.eval(r), t) <= 0)
               }) {
-              val r  = rBuf.next()
-              val rk = rKey.eval(r).asInstanceOf[Long]
-              if (rk == curKey) active :+= r
+              val r = rBuf.next()
+              if (keyOrd.compare(rKey.eval(r), curKey) == 0) active :+= r
             }
             // retire intervals that ended before t
-            active = active.filter(r => rHi.eval(r).asInstanceOf[Long] >= t)
-            val lCopy = lRow.copy()
-            pending = active.iterator.map(r => proj(joined(lCopy, r)).copy())
+            active = active.filter(r => timeOrd.compare(rHi.eval(r), t) >= 0)
+            pending = active.iterator.map(r => proj(joined(lRow, r)).copy())
           }
         }
 
@@ -153,8 +175,11 @@ object RangeJoin {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ RangeJoinStrategy
 
-  /** points(key: long, t: long) ⋈ intervals(key: long, lo: long, hi: long)
-    * — all other columns pass through.
+  /** points(key, t) ⋈ intervals(key_r, lo, hi) — all other columns pass
+    * through. Key and time columns may be any orderable type (long, int,
+    * string, date, timestamp, decimal); both sides' key types — and the
+    * time vs lo/hi types — must match exactly, since hash partitioning
+    * is type-sensitive.
     */
   def rangeJoin(points: DataFrame, intervals: DataFrame,
       key: String, t: String, lo: String, hi: String): DataFrame = {

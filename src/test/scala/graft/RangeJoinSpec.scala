@@ -41,6 +41,33 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got.size == t.events.count())
   }
 
+  test("range join supports string keys and int times") {
+    import spark.implicits._
+    val pts = Seq(("a", 1, 101L), ("a", 5, 102L), ("b", 3, 103L), ("c", 9, 104L))
+      .toDF("key", "t", "event_id")
+    val ivs = Seq(("a", 0, 2, 11L), ("a", 4, 6, 12L), ("b", 0, 9, 13L), ("d", 0, 9, 14L))
+      .toDF("key_r", "lo", "hi", "session_id")
+    val got = RangeJoin.rangeJoin(pts, ivs, "key", "t", "lo", "hi")
+      .select(col("event_id"), col("session_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = pts.join(ivs, col("key") === col("key_r") &&
+        col("t") >= col("lo") && col("t") <= col("hi"))
+      .select(col("event_id"), col("session_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got == Set((101L, 11L), (102L, 12L), (103L, 13L)))
+  }
+
+  test("range join refuses mismatched key types at plan time") {
+    import spark.implicits._
+    val pts = Seq((1, 1L, 1L)).toDF("key", "t", "event_id")          // int key
+    val ivs = Seq((1L, 0L, 9L, 1L)).toDF("key_r", "lo", "hi", "sid") // long key
+    val e = intercept[Exception] {
+      RangeJoin.rangeJoin(pts, ivs, "key", "t", "lo", "hi").collect()
+    }
+    assert(e.getMessage.contains("key types differ"), e.getMessage)
+  }
+
   test("range join plans as RangeJoinExec with sorts, not a nested loop") {
     val (ev, iv) = fixtures
     val p = RangeJoin.rangeJoin(ev, iv, "key", "t", "lo", "hi")
