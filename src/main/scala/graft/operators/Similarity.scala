@@ -73,9 +73,21 @@ object Similarity {
     * Exact all-pairs form for the oracle; at scale the LSH variant
     * below generates the candidate pairs instead.
     */
-  def embeddingDupPairs(t: Tables, threshold: Double = 0.4): DataFrame = {
+  def embeddingDupPairs(t: Tables, threshold: Double = 0.4,
+      maxExactRows: Long = 1000000L): DataFrame = {
     val emb = t.embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", VectorFunctions.l2norm(col("v")))
+    // Guard the forced broadcast: beyond maxExactRows the broadcast
+    // side no longer fits executors and the O(n²) flops are hopeless
+    // anyway. Fail loudly with the scale path's name rather than
+    // silently substituting an approximate answer — the caller asked
+    // for the exact one. The count is one cheap column-pruned job next
+    // to the quadratic work it protects against.
+    val n = t.embeddings.select("vec_id").count()
+    require(n <= maxExactRows,
+      s"embeddingDupPairs is the exact all-pairs baseline and broadcasts the full " +
+        s"table: $n rows > maxExactRows=$maxExactRows. Use embeddingDupPairsLsh " +
+        "(sign-LSH candidates + exact re-rank) at this scale, or raise maxExactRows.")
     // The pure non-equi pair condition plans as a broadcast nested loop;
     // its parallelism is the STREAMED side's partition count, and a
     // compact embeddings file arrives as one split — repartition so the

@@ -178,6 +178,13 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.1, s"recall $recall")
   }
 
+  test("exact dup-pairs baseline refuses tables beyond its broadcast cap") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.embeddingDupPairs(t, 0.4, maxExactRows = 10L).collect()
+    }
+    assert(e.getMessage.contains("embeddingDupPairsLsh"), e.getMessage)
+  }
+
   test("lsh near-dup pairs are a high-recall subset of exact pairs") {
     val exact = Similarity.embeddingDupPairs(t, 0.4).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
