@@ -22,6 +22,7 @@ object SparkEntry {
     // §2.6 relational
     "q1_pricing_summary"   -> q(Relational.q1PricingSummary),
     "q3_shipping_priority" -> q(Relational.q3ShippingPriority),
+    "q3_bucketed"          -> q(Relational.q3Bucketed),
     "q5_region_revenue"    -> q(Relational.q5RegionRevenue),
     "q_groupby_having"     -> q(Relational.qGroupByHaving),
     "q_window_rank"        -> q(Relational.qWindowRank),
@@ -102,6 +103,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary"   -> Relational.q1Sql,
     "q3_shipping_priority" -> Relational.q3Sql,
+    "q3_bucketed"          -> Relational.q3Sql, // same answer, bucketed plan
     "q5_region_revenue"    -> Relational.q5Sql,
     "q_groupby_having"     -> Relational.qGroupByHavingSql,
     "q_window_rank"        -> Relational.qWindowRankSql,

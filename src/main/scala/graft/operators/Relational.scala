@@ -77,6 +77,26 @@ object Relational {
       |ORDER BY revenue DESC, l_orderkey
       |LIMIT 10""".stripMargin
 
+  /** [[q3ShippingPriority]] over the pre-bucketed fact tables
+    * ([[graft.sources.Bucketed]]): same result, but orders⋈lineitem on
+    * the bucket key plans with zero shuffle exchanges — the scans are
+    * already hash-partitioned — and the groupBy (clustered on
+    * l_orderkey) reuses that partitioning too. Customer is broadcast
+    * explicitly so the probe side keeps its bucket partitioning.
+    */
+  def q3Bucketed(t: Tables): DataFrame = {
+    val (orders, lineitem) = graft.sources.Bucketed.ordersLineitem(t)
+    broadcast(t.customer.filter(col("c_mktsegment") === "BUILDING"))
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
   /** TPC-H Q5-style regional revenue: all dimension tables broadcast
     * (region/nation/supplier/customer are tiny vs lineitem at scale);
     * the only big shuffles are lineitem⋈orders and the final agg.

@@ -118,4 +118,18 @@ class BucketingSpec extends AnyFunSuite {
       s"bucketed join must not shuffle:\n${p.take(1500)}")
     assert(joined.count() > 0)
   }
+
+  test("q3 over the bucketed fact tables plans with zero shuffle exchanges") {
+    val t = Tables(spark, TestSpark.sf)
+    val df = graft.operators.Relational.q3Bucketed(t)
+    val p = df.queryExecution.executedPlan.toString
+    // broadcast exchanges (customer dim) are fine; hash-partition
+    // shuffles are what bucketing exists to eliminate — including the
+    // groupBy, whose l_orderkey clustering the bucket layout satisfies
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed q3 must not shuffle:\n${p.take(2000)}")
+    val got = df.collect().map(_.toSeq)
+    val want = graft.operators.Relational.q3ShippingPriority(t).collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq, "bucketed q3 must return the unbucketed answer")
+  }
 }
