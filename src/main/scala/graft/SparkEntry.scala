@@ -91,6 +91,8 @@ object SparkEntry {
     "q_asof_join"          -> q(AsOf.purchaseAsofClick),
     // §2.1 file-corpus sources over the reference's books sample
     "multimodal_resize"    -> ((s, dir) => graft.multimodal.Multimodal.resizeQuery(s, dir)),
+    "multimodal_keyframes" -> ((s, dir) => graft.multimodal.Multimodal.keyframesQuery(s, dir)),
+    "multimodal_audio_win" -> ((s, dir) => graft.multimodal.Multimodal.audioWindowsQuery(s, dir)),
     "file_line_stats"      -> ((s, _) => FileCorpus.fileLineStats(s)),
     "file_word_counts"     -> ((s, _) => FileCorpus.fileWordCounts(s)),
     "bigram_pmi"           -> q(TextAnalysis.bigramPmi(_)),
@@ -164,6 +166,8 @@ object SparkEntry {
     "q_asof_join"          -> AsOf.purchaseAsofClickSql,
     "tok_arabic_count"     -> ArabicCorpus.tokenCountsSql,
     "multimodal_resize"    -> graft.multimodal.Multimodal.resizeQuerySql(),
+    "multimodal_keyframes" -> graft.multimodal.Multimodal.keyframesSql,
+    "multimodal_audio_win" -> graft.multimodal.Multimodal.audioWindowsSql(),
     "file_line_stats"      -> FileCorpus.fileLineStatsSql,
     "file_word_counts"     -> FileCorpus.fileWordCountsSql,
     "bigram_pmi"           -> TextAnalysis.bigramPmiSql(),

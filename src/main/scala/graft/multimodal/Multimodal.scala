@@ -116,4 +116,72 @@ object Multimodal {
       .select(col("media_id"), col("meta.durationMs").as("duration_ms"))
       .withColumn("frame_ms",
         explode(sequence(lit(0L), col("duration_ms"), lit(math.max(1, (1000 / fps).toLong)))))
+
+  /** Video keyframe join: every sampled frame (1 fps) matched to its
+    * governing keyframe (0.2 fps) — the shape of "decode this frame
+    * relative to the last I-frame". Both grids come from
+    * [[frameSamplePlan]]; the match is the library's own composed
+    * as-of join, gated against DuckDB's NATIVE ASOF JOIN — an
+    * independent engine implementation of the same semantics. Pure
+    * metadata math: the binary payload is never scanned.
+    */
+  def keyframesQuery(spark: SparkSession, dir: String): DataFrame = {
+    val media = mediaFromDocuments(spark, dir).toDF()
+    def grid(fps: Double) = frameSamplePlan(media, fps)
+      .select(col("media_id").as("key"), col("frame_ms").as("ts"), col("frame_ms").as("id"))
+    graft.operators.AsOf.asofJoin(grid(1.0), grid(0.2))
+      .select(col("key").as("media_id"), col("ts").as("frame_ms"),
+        col("right_ts").as("keyframe_ms"))
+      .orderBy("media_id", "frame_ms")
+  }
+
+  val keyframesSql: String =
+    """WITH v AS (
+      |  SELECT doc_id AS media_id, n_chars * 40 AS duration_ms
+      |  FROM documents WHERE doc_id % 3 = 2
+      |), f AS (
+      |  SELECT media_id, unnest(range(0, duration_ms + 1, 1000)) AS frame_ms FROM v
+      |), k AS (
+      |  SELECT media_id, unnest(range(0, duration_ms + 1, 5000)) AS keyframe_ms FROM v
+      |)
+      |SELECT f.media_id AS media_id, f.frame_ms, k.keyframe_ms
+      |FROM f ASOF JOIN k ON f.media_id = k.media_id AND f.frame_ms >= k.keyframe_ms
+      |ORDER BY f.media_id, frame_ms""".stripMargin
+
+  /** Audio analysis windows: overlapping `winMs` windows every `hopMs`
+    * over each audio row's duration, with a per-window energy from the
+    * stub decode seam (md5 of media_id:start — deterministic and
+    * engine-portable, so the WHOLE pipeline including the stub is
+    * oracle-gated; a real deployment swaps the energy expression for a
+    * decoded-PCM aggregate and nothing else changes). Window
+    * generation is sequence+explode on metadata — no payload scan.
+    */
+  def audioWindowsQuery(spark: SparkSession, dir: String,
+      winMs: Long = 1000L, hopMs: Long = 500L): DataFrame =
+    mediaFromDocuments(spark, dir).toDF()
+      .filter(col("kind") === "audio")
+      .select(col("media_id"), col("meta.durationMs").as("duration_ms"))
+      .withColumn("win_start",
+        explode(sequence(lit(0L), greatest(col("duration_ms") - 1, lit(0L)), lit(hopMs))))
+      .select(
+        col("media_id"),
+        col("win_start"),
+        least(col("win_start") + winMs, col("duration_ms")).as("win_end"),
+        round(conv(substring(md5(concat_ws(":", col("media_id"), col("win_start"))), 1, 8), 16, 10)
+          .cast("long") / 4294967296.0, 6).as("energy"))
+      .orderBy("media_id", "win_start")
+
+  def audioWindowsSql(winMs: Long = 1000L, hopMs: Long = 500L): String =
+    s"""WITH a AS (
+       |  SELECT doc_id AS media_id, n_chars * 40 AS duration_ms
+       |  FROM documents WHERE doc_id % 3 = 1
+       |), w AS (
+       |  SELECT media_id, duration_ms,
+       |    unnest(range(0, greatest(duration_ms - 1, 0) + 1, $hopMs)) AS win_start
+       |  FROM a
+       |)
+       |SELECT media_id, win_start,
+       |  least(win_start + $winMs, duration_ms) AS win_end,
+       |  round(('0x' || substr(md5(media_id || ':' || win_start), 1, 8))::BIGINT / 4294967296.0, 6) AS energy
+       |FROM w ORDER BY media_id, win_start""".stripMargin
 }
