@@ -122,6 +122,28 @@ object Streams {
       .select(col("purchase_id"), col("user_id"), col("click_id"), col("p_ts"), col("c_ts"))
   }
 
+  /** Sustained-load (soak) pipeline: the rate source emits
+    * `rowsPerSecond` synthetic events over `keys` users, aggregated in
+    * 1-second tumbling windows with a 2-second watermark. The exact
+    * shape of [[hourlyAgg]] compressed to seconds granularity so a
+    * short wall-clock run crosses MANY window closures — what a day of
+    * production traffic does to the hourly plan. The invariant under
+    * soak is that state stays bounded: every closed window is evicted
+    * once the watermark passes it, so `numRowsTotal` plateaus at
+    * ~keys × (watermark + window + in-flight) seconds regardless of
+    * how long the query runs.
+    */
+  def rateSoakAgg(spark: SparkSession, rowsPerSecond: Int = 1000, keys: Int = 100): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .load()
+      .select(col("timestamp").as("ts"), (col("value") % keys).as("user_id"),
+        (col("value") % 97).cast("double").as("value"))
+      .withWatermark("ts", "2 seconds")
+      .groupBy(window(col("ts"), "1 second").as("win"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("win.start").as("sec"), col("user_id"), col("n_events"), col("sum_value"))
+
   /** Drain a streaming query into an in-memory table (test/smoke
     * convenience): processes everything currently available, then stops.
     */

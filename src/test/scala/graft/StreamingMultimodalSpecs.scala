@@ -49,6 +49,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("rate-source soak: many microbatches, state stays bounded") {
+    import org.apache.spark.sql.streaming.Trigger
+    val keys = 100
+    val q = Streams.rateSoakAgg(spark, rowsPerSecond = 1000, keys = keys)
+      .writeStream.outputMode("update").format("memory").queryName("soak_out")
+      .trigger(Trigger.ProcessingTime("250 milliseconds"))
+      .start()
+    try {
+      // run long enough that an eviction-less plan would hold far more
+      // state than the bound below (≈ keys × elapsed-seconds rows)
+      val deadline = System.currentTimeMillis() + 20000
+      while (System.currentTimeMillis() < deadline &&
+        (q.lastProgress == null || q.lastProgress.batchId < 30)) Thread.sleep(250)
+      val progresses = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      assert(q.lastProgress.batchId >= 20, s"soak too short: ${q.lastProgress.batchId} batches")
+      assert(spark.table("soak_out").count() > 0, "no rows emitted under soak")
+      // watermark evicts closed 1s windows: state plateaus near
+      // keys × (watermark 2s + window 1s + in-flight); without eviction
+      // a 15s+ run would be > keys × 12
+      val lateState = progresses.takeRight(3).map(_.stateOperators.head.numRowsTotal)
+      assert(lateState.nonEmpty && lateState.max <= keys * 8L,
+        s"state not bounded under soak: $lateState")
+      // and the watermark actually advanced past epoch
+      assert(progresses.last.eventTime.get("watermark") != null)
+    } finally q.stop()
+    spark.sql("DROP TABLE IF EXISTS soak_out")
+  }
+
   test("stateful sessionize emits batch-identical closed sessions") {
     val stream = Streams.eventsStream(spark, TestSpark.sf)
     Streams.runToMemory(Streams.sessionize(spark, stream).toDF(), "sess_out")
