@@ -59,6 +59,8 @@ object SparkEntry {
     "dedup_minhash_lsh"    -> q(Dedup.minhashLshPairs(_)),
     "dedup_simhash"        -> q(Dedup.simhash),
     "dedup_fuzzy"          -> q(Dedup.fuzzyNamePairs(_)),
+    "dedup_incremental"    -> q(Dedup.incrementalQuery),
+    "dedup_chunks"         -> q(Dedup.repeatedChunks(_)),
     "dedup_clusters"       -> q(Dedup.nearDupClustersQuery(_)),
     "hashing_vectors"      -> q(Similarity.hashingVectorsExploded(_)),
     "agg_topk"             -> q(Relational2.qAggTopK(_)),
@@ -138,6 +140,8 @@ object SparkEntry {
     "dedup_minhash_lsh"    -> Dedup.minhashLshPairsSql(),
     "dedup_simhash"        -> Dedup.simhashSql,
     "dedup_fuzzy"          -> Dedup.fuzzyNamePairsSql(),
+    "dedup_incremental"    -> Dedup.incrementalSql,
+    "dedup_chunks"         -> Dedup.repeatedChunksSql(),
     "dedup_clusters"       -> Dedup.nearDupClustersSql(),
     "hashing_vectors"      -> Similarity.hashingVectorsExplodedSql(),
     "agg_topk"             -> Relational2.qAggTopKSql(),

@@ -163,6 +163,73 @@ object Dedup {
       .select("doc_id", "fp", "text")
   }
 
+  /** Gated form of [[incrementalExact]]: even doc_ids play the known
+    * corpus (only their fingerprints cross the join), odd doc_ids the
+    * incoming crawl batch. Output = the batch's surviving canonical
+    * rows. Oracle: the same split as two DuckDB CTEs with an
+    * anti-join — batch-internal dupes collapse to min doc_id first,
+    * exactly as the operator does.
+    */
+  def incrementalQuery(t: Tables): DataFrame = {
+    val docs  = t.documents
+    val known = docs.filter(col("doc_id") % 2 === 0)
+      .select(md5(TextAnalysis.normalizedText(col("text"))).as("fp"))
+    incrementalExact(docs.filter(col("doc_id") % 2 === 1), known)
+      .select(col("doc_id"), col("fp")).orderBy("doc_id")
+  }
+
+  val incrementalSql: String =
+    """WITH fp AS (
+      |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM documents
+      |), known AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0),
+      |batch AS (
+      |  SELECT min(doc_id) AS doc_id, fp FROM fp WHERE doc_id % 2 = 1 GROUP BY fp
+      |)
+      |SELECT doc_id, fp FROM batch ANTI JOIN known USING (fp)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Repeated-span (boilerplate) detection at sub-document
+    * granularity: each doc is cut into consecutive non-overlapping
+    * `k`-word chunks; a chunk seen in more than one document is
+    * boilerplate (license headers, navigation text, templated spans) —
+    * the unit a training-data pipeline removes when whole-document
+    * dedup is too coarse. Only 16-byte chunk hashes shuffle; partial
+    * aggregation collapses per-partition repeats map-side. Trailing
+    * sub-`k` fragments are skipped so chunk identity is
+    * position-stable.
+    */
+  def repeatedChunks(t: Tables, k: Int = 10): DataFrame =
+    t.documents
+      .select(col("doc_id"),
+        split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ").as("w"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, (size(w) + ${k - 1}) div $k - 1)")).as("i"), col("w"))
+      .select(col("doc_id"), slice(col("w"), col("i") * k + 1, lit(k)).as("chunk"))
+      .filter(size(col("chunk")) === k)
+      .select(col("doc_id"), md5(array_join(col("chunk"), " ")).as("chunk_hash"))
+      .groupBy("chunk_hash")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_total"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy("chunk_hash")
+
+  def repeatedChunksSql(k: Int = 10): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+       |  FROM documents
+       |), chunks AS (
+       |  SELECT doc_id, md5(array_to_string(w[i*$k+1 : i*$k+$k], ' ')) AS chunk_hash
+       |  FROM toks, unnest(range(0, (len(w)+${k - 1})//$k)) r(i)
+       |  WHERE len(w[i*$k+1 : i*$k+$k]) = $k
+       |)
+       |SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs, count(*) AS n_total,
+       |  min(doc_id) AS first_doc
+       |FROM chunks GROUP BY chunk_hash HAVING count(DISTINCT doc_id) > 1
+       |ORDER BY chunk_hash""".stripMargin
+
   /** doc_id × distinct word-`n`-gram shingle (the unit for MinHash and
     * Jaccard), as a 60-bit md5-derived integer: joins/shuffles carry
     * 8-byte keys instead of 32-char digests, and the value is portable
