@@ -49,6 +49,7 @@ object SparkEntry {
     // §2.7 text analysis
     "lang_id"              -> q(TextAnalysis.langId),
     "quality_score"        -> q(TextAnalysis.qualityScore),
+    "quality_unigram_lp"   -> q(TextAnalysis.unigramLogProb),
     "token_count"          -> q(TextAnalysis.tokenCount),
     "doc_fingerprint"      -> q(TextAnalysis.fingerprint),
     // §2.7 dedup
@@ -66,6 +67,7 @@ object SparkEntry {
     "agg_topk"             -> q(Relational2.qAggTopK(_)),
     // §2.7 similarity
     "embed_cosine_topk"    -> q(Similarity.cosineTopK(_)),
+    "embed_quantize"       -> q(Similarity.quantize),
     "embed_dup_pairs"      -> q(Similarity.embeddingDupPairs(_)),
     "embed_dup_pairs_lsh"  -> q(Similarity.embeddingDupPairsLsh(_)),
     "embed_ivf_topk"       -> q(Similarity.ivfTopK(_)),
@@ -131,6 +133,7 @@ object SparkEntry {
     "file_corpus_stats"    -> WordPipeline.corpusStatsSql,
     "lang_id"              -> TextAnalysis.langIdSql,
     "quality_score"        -> TextAnalysis.qualityScoreSql,
+    "quality_unigram_lp"   -> TextAnalysis.unigramLogProbSql,
     "token_count"          -> TextAnalysis.tokenCountSql,
     "doc_fingerprint"      -> TextAnalysis.fingerprintSql,
     "dedup_exact"          -> Dedup.exactSql,
@@ -146,6 +149,7 @@ object SparkEntry {
     "hashing_vectors"      -> Similarity.hashingVectorsExplodedSql(),
     "agg_topk"             -> Relational2.qAggTopKSql(),
     "embed_cosine_topk"    -> Similarity.cosineTopKSql(),
+    "embed_quantize"       -> Similarity.quantizeSql,
     "embed_dup_pairs"      -> Similarity.embeddingDupPairsSql(),
     "embed_dup_pairs_lsh"  -> Similarity.embeddingDupPairsLshSql(),
     "embed_ivf_topk"       -> Similarity.ivfTopKSql(),

@@ -199,6 +199,39 @@ object Similarity {
        |LEFT JOIN counts c ON c.doc_id = g.doc_id AND c.bucket = r.i
        |ORDER BY g.doc_id, bucket""".stripMargin
 
+  /** Int8 scalar quantization of embeddings — the storage/bandwidth
+    * lever for vector search at scale (4× smaller than float32, 8×
+    * smaller than the double intermediate): per-vector min/max define
+    * the scale, each component maps to floor((x−lo)·255/(hi−lo)) ∈
+    * [0,255]. floor, not round: round-half semantics differ between
+    * engines, floor on identical IEEE doubles doesn't. Constant
+    * vectors quantize to 0. Emitted exploded (vec_id, i, q) so every
+    * cell is value-checked by the oracle.
+    */
+  def quantize(t: Tables): DataFrame =
+    t.embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("lo", array_min(col("v")))
+      .withColumn("hi", array_max(col("v")))
+      .select(col("vec_id"), col("lo"), col("hi"), posexplode(col("v")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i").cast("long").as("i"),
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(floor((col("x") - col("lo")) * 255.0 / (col("hi") - col("lo"))))
+          .cast("long").as("q"))
+      .orderBy("vec_id", "i")
+
+  val quantizeSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    list_min(embedding::DOUBLE[]) AS lo, list_max(embedding::DOUBLE[]) AS hi
+      |  FROM embeddings
+      |)
+      |SELECT vec_id, i - 1 AS i,
+      |  CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+      |       ELSE CAST(floor((v[i] - lo) * 255.0 / (hi - lo)) AS BIGINT) END AS q
+      |FROM e, unnest(range(1, len(v) + 1)) r(i)
+      |ORDER BY vec_id, i""".stripMargin
+
   /** Scale path for near-dup pairs: sign-LSH buckets generate the
     * candidates (union over `tables` independent hash tables to lift
     * recall), exact cosine re-ranks only within buckets — O(Σ bucket²)

@@ -101,6 +101,36 @@ object TextAnalysis {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  /** Unigram LM quality proxy — the CCNet/Gopher LM-filter shape with
+    * the simplest trainable model: score(doc) = mean log10 P(word),
+    * P(word) = corpusFreq(word) / corpusTokens. "Training" is one
+    * word-frequency aggregation; scoring is a broadcast join on the
+    * vocabulary (vocab ≪ corpus at any scale — Heaps' law) + one
+    * per-doc aggregation. Low scores flag gibberish/rare-token soup,
+    * high scores flag boilerplate — both ends get trimmed in a
+    * training-data pipeline.
+    */
+  def unigramLogProb(t: Tables): DataFrame = {
+    val toks  = WordPipeline.tokens(t)
+    val freqs = toks.groupBy("word").agg(count(lit(1)).as("freq"))
+    val total = freqs.agg(sum(col("freq")).as("n_total"))
+    toks.join(broadcast(freqs), "word")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log10(col("freq").cast("double") / col("n_total"))), 6).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  val unigramLogProbSql: String =
+    s"""${WordPipeline.tokensCte}, freqs AS (
+       |  SELECT word, count(*) AS freq FROM toks GROUP BY word
+       |), tot AS (SELECT sum(freq) AS n_total FROM freqs)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  round(avg(log10(CAST(freq AS DOUBLE) / n_total)), 6) AS avg_logprob
+       |FROM toks JOIN freqs USING (word) CROSS JOIN tot
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Whitespace and BPE-ish token counts (letter runs / digits /
     * single non-alnum symbols — the GPT-2 pre-tokenizer shape).
     */
