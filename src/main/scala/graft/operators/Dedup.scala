@@ -57,21 +57,26 @@ object Dedup {
       .cache()
     var labels  = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).cache()
+    // ONE action per iteration: the changed-count materializes the
+    // cached iteration result, and the next labels are a zero-cost
+    // projection over that same cache — the previous iteration's cache
+    // is dropped one step behind so no lineage ever recomputes. (The
+    // driver loop itself is the fixed cost here; halving its jobs
+    // halves the operator's wall time on small graphs.)
+    var prevCache: DataFrame = labels
     var changed = 1L
     var i       = 0
     while (changed > 0 && i < maxIter) {
       val nbrMin = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
       val updated = labels.join(nbrMin, col("id") === col("src"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"))
+        .select(col("id"), col("label").as("old_label"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
         .cache()
-      changed = updated.filter(col("new_label") < col("label")).count()
-      val next = updated.select(col("id"), col("new_label").as("label")).cache()
-      next.count() // materialize before dropping the lineage it was built from
-      labels.unpersist(blocking = false)
-      updated.unpersist(blocking = false)
-      labels = next
+      changed = updated.filter(col("label") < col("old_label")).count()
+      prevCache.unpersist(blocking = false)
+      prevCache = updated
+      labels = updated.select(col("id"), col("label"))
       i += 1
     }
     edges.unpersist(blocking = false)
