@@ -50,6 +50,7 @@ object SparkEntry {
     "lang_id"              -> q(TextAnalysis.langId),
     "quality_score"        -> q(TextAnalysis.qualityScore),
     "quality_unigram_lp"   -> q(TextAnalysis.unigramLogProb),
+    "corpus_curate"        -> q(Curate.curate(_)),
     "token_count"          -> q(TextAnalysis.tokenCount),
     "doc_fingerprint"      -> q(TextAnalysis.fingerprint),
     // §2.7 dedup
@@ -134,6 +135,7 @@ object SparkEntry {
     "lang_id"              -> TextAnalysis.langIdSql,
     "quality_score"        -> TextAnalysis.qualityScoreSql,
     "quality_unigram_lp"   -> TextAnalysis.unigramLogProbSql,
+    "corpus_curate"        -> Curate.curateSql(),
     "token_count"          -> TextAnalysis.tokenCountSql,
     "doc_fingerprint"      -> TextAnalysis.fingerprintSql,
     "dedup_exact"          -> Dedup.exactSql,

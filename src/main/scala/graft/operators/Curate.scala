@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** End-to-end corpus curation — the composed training-data pipeline
+  * the individual operators exist to serve, as ONE declarative plan:
+  *
+  *   annotate (lang, quality, fingerprint)   — one scan, all columns
+  *   → exact/normalized dedup                — keep min doc_id per fp
+  *   → near-dup removal                      — MinHash-LSH losers out
+  *   → quality gate                          — blended score ≥ τ
+  *
+  * All three annotation columns ride one scan; the dedup branches
+  * (fingerprint groupBy, MinHash shingling) are separate column-pruned
+  * passes over text, but everything that SHUFFLES is digest- or
+  * pair-sized — ids and 16-byte hashes, never documents. A production
+  * run at 100 TB would persist the annotate output and feed both
+  * branches from it; the composition here keeps each stage exactly
+  * the gated operator it reuses. Hash-gated against a DuckDB oracle
+  * built from the same stage SQLs.
+  */
+object Curate {
+
+  def curate(t: Tables, minQuality: Double = 0.5): DataFrame = {
+    val annotated = t.documents.select(
+      col("doc_id"),
+      md5(TextAnalysis.normalizedText(col("text"))).as("fp"),
+      TextAnalysis.langIdCol(col("text")).as("lang_pred"),
+      TextAnalysis.qualityCol(col("text")).as("quality"))
+    // canonical representative per normalized fingerprint
+    val keeps = annotated.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    // near-dup losers: the larger id of every LSH candidate pair
+    val losers = Dedup.minhashLshPairs(t).select(col("doc_b").as("doc_id")).distinct()
+    annotated
+      .join(keeps, Seq("doc_id"), "left_semi")
+      .join(losers, Seq("doc_id"), "left_anti")
+      .filter(col("quality") >= minQuality)
+      .select("doc_id", "lang_pred", "quality")
+      .orderBy("doc_id")
+  }
+
+  def curateSql(minQuality: Double = 0.5): String =
+    s"""WITH keeps AS (
+       |  SELECT min(doc_id) AS doc_id
+       |  FROM documents
+       |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+       |), losers AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM (${Dedup.minhashLshPairsSql()})
+       |), lang AS (SELECT doc_id, lang_pred FROM (${TextAnalysis.langIdSql})),
+       |qual AS (SELECT doc_id, quality FROM (${TextAnalysis.qualityScoreSql}))
+       |SELECT lang.doc_id AS doc_id, lang.lang_pred, qual.quality
+       |FROM lang
+       |JOIN qual ON lang.doc_id = qual.doc_id
+       |JOIN keeps ON lang.doc_id = keeps.doc_id
+       |ANTI JOIN losers ON lang.doc_id = losers.doc_id
+       |WHERE qual.quality >= $minQuality
+       |ORDER BY doc_id""".stripMargin
+}

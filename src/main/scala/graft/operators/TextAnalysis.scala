@@ -58,6 +58,21 @@ object TextAnalysis {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  /** Blended quality score as a reusable column expression — the
+    * single-number form consumed by [[Curate]]; [[qualityScore]] emits
+    * it alongside the individual features.
+    */
+  def qualityCol(text: Column): Column = {
+    val nChars = length(text)
+    val nToks  = size(split(trim(text), "\\s+"))
+    val punct  = length(regexp_replace(text, "[^.,;:!?]", ""))
+    val stops  = stopHits(text, "en")
+    round(
+      least(nToks.cast("double") / 100, lit(1.0)) * 0.5 +
+        (lit(1.0) - punct.cast("double") / nChars) * 0.25 +
+        least(stops.cast("double") / nToks * 5, lit(1.0)) * 0.25, 6)
+  }
+
   /** Quality features + a single blended score (ratios rounded to 6dp
     * for cross-engine float stability).
     */
