@@ -77,4 +77,34 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan(graft.multimodal.Multimodal.resizePlan(m, 64))
     assert(!p.contains("payload"))
   }
+
+  test("unigram log-prob: vocabulary joins broadcast, count is partial") {
+    val p = plan(TextAnalysis.unigramLogProb(t))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, "vocab must broadcast, not shuffle tokens")
+    assert(p.contains("partial_count"), "word frequencies must combine map-side")
+  }
+
+  test("repeated-chunk detection shuffles hashes with partial aggregation") {
+    assert(plan(Dedup.repeatedChunks(t)).contains("partial_count"),
+      "chunk counts must combine map-side")
+  }
+
+  test("audio windows and keyframe grids never read the payload column") {
+    assert(!plan(graft.multimodal.Multimodal.audioWindowsQuery(spark, TestSpark.sf)).contains("payload"))
+    assert(!plan(graft.multimodal.Multimodal.keyframesQuery(spark, TestSpark.sf)).contains("payload"))
+  }
+
+  test("curation pipeline: only digests and ids shuffle, never text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // AQE hides exchanges inside opaque query stages (and its inputPlan
+    // predates exchange insertion) — audit the static plan instead
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val root = Curate.curate(t).queryExecution.executedPlan
+      val shuffled = root.collect { case e: ShuffleExchangeExec => e.child.schema.fieldNames.toSeq }
+      assert(shuffled.nonEmpty, "expected the dedup branches to shuffle digests")
+      shuffled.foreach(cols =>
+        assert(!cols.contains("text"), s"document text crossed a shuffle: $cols"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
