@@ -58,12 +58,15 @@ class StreamingSpec extends AnyFunSuite {
       .start()
     try {
       // run long enough that an eviction-less plan would hold far more
-      // state than the bound below (≈ keys × elapsed-seconds rows)
-      val deadline = System.currentTimeMillis() + 20000
+      // state than the bound below (≈ keys × elapsed-seconds rows);
+      // wall time is what drives the discrimination, the batch floor
+      // only guards against a wedged query (batch rate varies with
+      // suite load)
+      val deadline = System.currentTimeMillis() + 30000
       while (System.currentTimeMillis() < deadline &&
         (q.lastProgress == null || q.lastProgress.batchId < 30)) Thread.sleep(250)
       val progresses = q.recentProgress.filter(_.stateOperators.nonEmpty)
-      assert(q.lastProgress.batchId >= 20, s"soak too short: ${q.lastProgress.batchId} batches")
+      assert(q.lastProgress.batchId >= 8, s"soak too short: ${q.lastProgress.batchId} batches")
       assert(spark.table("soak_out").count() > 0, "no rows emitted under soak")
       // watermark evicts closed 1s windows: state plateaus near
       // keys × (watermark 2s + window 1s + in-flight); without eviction
