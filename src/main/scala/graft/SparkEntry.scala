@@ -51,6 +51,7 @@ object SparkEntry {
     "quality_score"        -> q(TextAnalysis.qualityScore),
     "quality_unigram_lp"   -> q(TextAnalysis.unigramLogProb),
     "corpus_curate"        -> q(Curate.curate(_)),
+    "q_train_split"        -> q(Curate.trainSplit),
     "token_count"          -> q(TextAnalysis.tokenCount),
     "doc_fingerprint"      -> q(TextAnalysis.fingerprint),
     // §2.7 dedup
@@ -136,6 +137,7 @@ object SparkEntry {
     "quality_score"        -> TextAnalysis.qualityScoreSql,
     "quality_unigram_lp"   -> TextAnalysis.unigramLogProbSql,
     "corpus_curate"        -> Curate.curateSql(),
+    "q_train_split"        -> Curate.trainSplitSql(),
     "token_count"          -> TextAnalysis.tokenCountSql,
     "doc_fingerprint"      -> TextAnalysis.fingerprintSql,
     "dedup_exact"          -> Dedup.exactSql,

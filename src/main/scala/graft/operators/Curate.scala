@@ -42,6 +42,36 @@ object Curate {
       .orderBy("doc_id")
   }
 
+  /** Deterministic train/val/test assignment (80/10/10) keyed on
+    * md5(doc_id) — reproducible across runs, engines and cluster
+    * sizes, with no RNG state to coordinate. The summary (split ×
+    * language × count) is the stratification report a pipeline emits
+    * to prove the split didn't skew a language; row-level assignment
+    * is the same expression without the final aggregate.
+    */
+  def trainSplit(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), TextAnalysis.langIdCol(col("text")).as("lang_pred"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+      .groupBy("split", "lang_pred")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("split", "lang_pred")
+
+  def trainSplitSql(): String =
+    s"""WITH lang AS (SELECT doc_id, lang_pred FROM (${TextAnalysis.langIdSql})),
+       |b AS (
+       |  SELECT doc_id, lang_pred,
+       |    ('0x' || substr(md5('split:' || doc_id), 1, 8))::BIGINT % 100 AS bucket
+       |  FROM lang
+       |)
+       |SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       |  lang_pred, count(*) AS n_docs
+       |FROM b GROUP BY 1, 2 ORDER BY split, lang_pred""".stripMargin
+
   def curateSql(minQuality: Double = 0.5): String =
     s"""WITH keeps AS (
        |  SELECT min(doc_id) AS doc_id
