@@ -111,40 +111,54 @@ case class RangeJoinExec(
     val keyOrd  = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
 
+    val keyType  = leftKey.dataType
+    val timeType = leftTime.dataType
+
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // both iterators arrive sorted by (key, time); merge with an
       // active-interval buffer per key
       val proj = UnsafeProjection.create(out, out)
-      val rBuf = rIter.map(_.copy()).buffered
+      // code-generated extractors: keys/bounds are computed ONCE per
+      // input row into a small UnsafeRow (the merge loop below compares
+      // them several times), instead of interpreted Expression.eval
+      // per comparison
+      val lExtract = UnsafeProjection.create(Seq(lKey, lT))
+      val rExtract = UnsafeProjection.create(Seq(rKey, rLo, rHi))
+      val rBuf = rIter.map { r =>
+        val rc = r.copy(); (rc, rExtract(rc).copy())
+      }.buffered
 
       new Iterator[InternalRow] {
         private var curKey: Any = null                    // null = before first left row
-        private var active  = Vector.empty[InternalRow]   // intervals of curKey with lo <= t so far
+        // intervals of curKey with lo <= t so far, with extracted bounds
+        private var active  = Vector.empty[(InternalRow, InternalRow)]
         private var pending = Iterator.empty: Iterator[InternalRow]
         private val joined  = new JoinedRow
 
         private def advance(): Unit = {
           while (!pending.hasNext && lIter.hasNext) {
-            // copy first, eval from the copy: non-primitive key values
+            // copy first, extract from the copy: non-primitive values
             // (UTF8String, Decimal) point into the row's buffer, which
-            // the scan iterator reuses on next()
+            // the scan iterator reuses on next(); the extracted pair is
+            // copied too because the projection reuses ITS buffer
             val lRow = lIter.next().copy()
-            val k    = lKey.eval(lRow)
-            val t    = lT.eval(lRow)
+            val kt   = lExtract(lRow).copy()
+            val k    = kt.get(0, keyType)
+            val t    = kt.get(1, timeType)
             if (curKey == null || keyOrd.compare(k, curKey) != 0) {
               curKey = k; active = Vector.empty
             }
             // pull newly-started intervals for this key
-            while (rBuf.headOption.exists { r =>
-                val c = keyOrd.compare(rKey.eval(r), curKey)
-                c < 0 || (c == 0 && timeOrd.compare(rLo.eval(r), t) <= 0)
+            while (rBuf.headOption.exists { case (_, rk) =>
+                val c = keyOrd.compare(rk.get(0, keyType), curKey)
+                c < 0 || (c == 0 && timeOrd.compare(rk.get(1, timeType), t) <= 0)
               }) {
-              val r = rBuf.next()
-              if (keyOrd.compare(rKey.eval(r), curKey) == 0) active :+= r
+              val (r, rk) = rBuf.next()
+              if (keyOrd.compare(rk.get(0, keyType), curKey) == 0) active :+= ((r, rk))
             }
             // retire intervals that ended before t
-            active = active.filter(r => timeOrd.compare(rHi.eval(r), t) >= 0)
-            pending = active.iterator.map(r => proj(joined(lRow, r)).copy())
+            active = active.filter { case (_, rk) => timeOrd.compare(rk.get(2, timeType), t) >= 0 }
+            pending = active.iterator.map { case (r, _) => proj(joined(lRow, r)).copy() }
           }
         }
 
