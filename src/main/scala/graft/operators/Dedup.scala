@@ -204,8 +204,8 @@ object Dedup {
     * sub-`k` fragments are skipped so chunk identity is
     * position-stable.
     */
-  def repeatedChunks(t: Tables, k: Int = 10): DataFrame =
-    t.documents
+  def repeatedChunksOf(docs: DataFrame, k: Int = 10): DataFrame =
+    docs
       .select(col("doc_id"),
         split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ").as("w"))
       .select(col("doc_id"),
@@ -219,6 +219,8 @@ object Dedup {
         min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") > 1)
       .orderBy("chunk_hash")
+
+  def repeatedChunks(t: Tables, k: Int = 10): DataFrame = repeatedChunksOf(t.documents, k)
 
   def repeatedChunksSql(k: Int = 10): String =
     s"""WITH toks AS (

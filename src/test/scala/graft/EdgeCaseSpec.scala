@@ -80,6 +80,16 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(out == Set(1L, 3L, 5L))
   }
 
+  test("repeatedChunksOf skips short/empty docs and finds cross-doc spans") {
+    val out = Dedup.repeatedChunksOf(docs, k = 3).collect()
+    // only docs 0 and 4 share a full 3-word chunk ("hello world hello");
+    // empty/whitespace/short docs produce no chunks at all; doc 5's
+    // repeated "a b c" chunks live in ONE doc -> not cross-doc boilerplate
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 2L, "n_docs")      // docs 0 and 4
+    assert(out.head.getLong(3) == 0L, "first_doc")
+  }
+
   test("shinglesOf distinct matches per-doc distinct semantics") {
     // doc 5: "a b c a b c" → windows [a b c, b c a, c a b, a b c] → 3 distinct
     val n = Dedup.shinglesOf(docs, 3).filter(col("doc_id") === 5L).count()
