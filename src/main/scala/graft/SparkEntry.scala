@@ -95,6 +95,17 @@ object SparkEntry {
     "q_sample"             -> q(Relational2.qSample),
     "q_histogram"          -> q(Relational2.qHistogram(_)),
     "q_asof_join"          -> q(AsOf.purchaseAsofClick),
+    // §2.6 round-4 TPC-H coverage (Relational3)
+    "q4_order_priority"    -> q(Relational3.q4OrderPriority),
+    "q6_forecast_revenue"  -> q(Relational3.q6ForecastRevenue),
+    "q7_volume_shipping"   -> q(Relational3.q7VolumeShipping),
+    "q8_market_share"      -> q(Relational3.q8MarketShare),
+    "q10_returned_items"   -> q(Relational3.q10ReturnedItems),
+    "q13_order_distribution" -> q(Relational3.q13OrderDistribution),
+    "q14_promo_revenue"    -> q(Relational3.q14PromoRevenue),
+    "q18_large_orders"     -> q(Relational3.q18LargeOrders),
+    "q19_disjunctive"      -> q(Relational3.q19Disjunctive),
+    "q22_idle_balance"     -> q(Relational3.q22IdleBalance),
     // §2.1 file-corpus sources over the reference's books sample
     "multimodal_resize"    -> ((s, dir) => graft.multimodal.Multimodal.resizeQuery(s, dir)),
     "multimodal_keyframes" -> ((s, dir) => graft.multimodal.Multimodal.keyframesQuery(s, dir)),
@@ -176,6 +187,16 @@ object SparkEntry {
     "q_sample"             -> Relational2.qSampleSql,
     "q_histogram"          -> Relational2.qHistogramSql(),
     "q_asof_join"          -> AsOf.purchaseAsofClickSql,
+    "q4_order_priority"    -> Relational3.q4Sql,
+    "q6_forecast_revenue"  -> Relational3.q6Sql,
+    "q7_volume_shipping"   -> Relational3.q7Sql,
+    "q8_market_share"      -> Relational3.q8Sql,
+    "q10_returned_items"   -> Relational3.q10Sql,
+    "q13_order_distribution" -> Relational3.q13Sql,
+    "q14_promo_revenue"    -> Relational3.q14Sql,
+    "q18_large_orders"     -> Relational3.q18Sql,
+    "q19_disjunctive"      -> Relational3.q19Sql,
+    "q22_idle_balance"     -> Relational3.q22Sql,
     "tok_arabic_count"     -> ArabicCorpus.tokenCountsSql,
     "multimodal_resize"    -> graft.multimodal.Multimodal.resizeQuerySql(),
     "multimodal_keyframes" -> graft.multimodal.Multimodal.keyframesSql,

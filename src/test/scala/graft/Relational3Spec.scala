@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Relational3
+import graft.sources.Tables
+
+/** Semantic checks for the round-4 TPC-H batch — the shapes where a
+  * subtly wrong join type or predicate placement still returns rows.
+  */
+class Relational3Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def t = Tables(spark, TestSpark.sf)
+
+  test("q4: semi join counts each order once despite multiple late lines") {
+    val total = Relational3.q4OrderPriority(t)
+      .agg(sum("order_count")).collect()(0).getLong(0)
+    val distinctOrders = t.orders
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .select("o_orderkey").distinct().count()
+    assert(total == distinctOrders)
+  }
+
+  test("q13: customers with zero qualifying orders appear in the c_count=0 bucket") {
+    val dist = Relational3.q13OrderDistribution(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val allCustomers = t.customer.count()
+    assert(dist.values.sum == allCustomers) // every customer lands in exactly one bucket
+    val withQualifying = t.customer.join(
+      t.orders.filter(col("o_orderpriority") =!= "5-LOW"),
+      col("c_custkey") === col("o_custkey"), "left_semi").count()
+    assert(dist.getOrElse(0L, 0L) == allCustomers - withQualifying)
+  }
+
+  test("q22: no surviving customer has a recent urgent order") {
+    val survivors = Relational3.q22IdleBalance(t)
+    assert(survivors.count() > 0)
+    val ids = t.customer
+      .crossJoin(broadcast(t.customer.filter(col("c_acctbal") > 0)
+        .agg(avg(col("c_acctbal")).as("avg_bal"))))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(t.orders.filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") >= lit("2000-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+    // anti join and semi join partition the filtered set
+    val antiCount = Relational3.q22IdleBalance(t).agg(sum("numcust")).collect()(0).getLong(0)
+    val filteredCount = t.customer
+      .crossJoin(broadcast(t.customer.filter(col("c_acctbal") > 0)
+        .agg(avg(col("c_acctbal")).as("avg_bal"))))
+      .filter(col("c_acctbal") > col("avg_bal")).count()
+    assert(antiCount + ids.count() == filteredCount)
+  }
+
+  test("q6/q14/q19 single-row aggregates are non-null") {
+    assert(!Relational3.q6ForecastRevenue(t).collect()(0).isNullAt(0))
+    assert(!Relational3.q14PromoRevenue(t).collect()(0).isNullAt(0))
+    assert(!Relational3.q19Disjunctive(t).collect()(0).isNullAt(0))
+  }
+
+  test("q8 market share is a ratio in [0,1] per year") {
+    Relational3.q8MarketShare(t).collect().foreach { r =>
+      val s = r.getDouble(1)
+      assert(s >= 0.0 && s <= 1.0)
+    }
+  }
+}
