@@ -53,6 +53,10 @@ object SparkEntry {
     "corpus_curate"        -> q(Curate.curate(_)),
     "q_train_split"        -> q(Curate.trainSplit),
     "token_count"          -> q(TextAnalysis.tokenCount),
+    "text_normalize"       -> q(TextAnalysis.textNormalize),
+    "pii_redact"           -> q(TextAnalysis.piiRedactQuery),
+    "decontaminate"        -> q(Decontaminate.contaminationQuery(_)),
+    "domain_mix"           -> q(Curate.domainMix(_)),
     "doc_fingerprint"      -> q(TextAnalysis.fingerprint),
     // §2.7 dedup
     "dedup_exact"          -> q(Dedup.exact),
@@ -150,6 +154,10 @@ object SparkEntry {
     "corpus_curate"        -> Curate.curateSql(),
     "q_train_split"        -> Curate.trainSplitSql(),
     "token_count"          -> TextAnalysis.tokenCountSql,
+    "text_normalize"       -> TextAnalysis.textNormalizeSql,
+    "pii_redact"           -> TextAnalysis.piiRedactSql,
+    "decontaminate"        -> Decontaminate.contaminationSql(),
+    "domain_mix"           -> Curate.domainMixSql(),
     "doc_fingerprint"      -> TextAnalysis.fingerprintSql,
     "dedup_exact"          -> Dedup.exactSql,
     "dedup_fingerprint"    -> Dedup.byFingerprintSql,

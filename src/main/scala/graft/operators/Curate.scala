@@ -72,6 +72,52 @@ object Curate {
        |  lang_pred, count(*) AS n_docs
        |FROM b GROUP BY 1, 2 ORDER BY split, lang_pred""".stripMargin
 
+  /** Temperature-weighted domain mixing: per-source sampling rates
+    * r_g = min(1, T·w_g/n_g) with w_g ∝ n_g^α (α<1 upweights small
+    * sources — the multilingual/domain-balance move every training mix
+    * uses), T = targetFrac·N docs overall. The per-doc keep decision
+    * is a deterministic md5 fraction against the group's rate, so the
+    * sample is reproducible across runs, engines and cluster sizes and
+    * needs no RNG coordination. At 100 TB the rate table is a
+    * per-source handful of rows (broadcast); the corpus is touched by
+    * exactly one scan + one map-side filter — nothing shuffles.
+    * Rates are rounded to 9dp so the last-ulp accumulation difference
+    * in Σw_g between engines cannot flip a keep decision.
+    */
+  def domainMix(t: Tables, alpha: Double = 0.5, targetFrac: Double = 0.3): DataFrame = {
+    val counts = t.documents.groupBy("source")
+      .agg(count(lit(1)).as("n_g"))
+      .withColumn("w_g", pow(col("n_g").cast("double"), alpha))
+    val z = counts.agg(sum(col("w_g")).as("z"), sum(col("n_g")).as("n_total"))
+    val rates = counts.crossJoin(broadcast(z))
+      .select(col("source"),
+        round(least(lit(1.0),
+          lit(targetFrac) * col("n_total") * col("w_g") / col("z") / col("n_g")), 9).as("rate"))
+    val u = conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+    t.documents
+      .join(broadcast(rates), "source")
+      .filter(u < col("rate"))
+      .select(col("doc_id"), col("source"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  def domainMixSql(alpha: Double = 0.5, targetFrac: Double = 0.3): String =
+    s"""WITH counts AS (
+       |  SELECT source, count(*) AS n_g, pow(CAST(count(*) AS DOUBLE), $alpha) AS w_g
+       |  FROM documents GROUP BY source
+       |), z AS (SELECT sum(w_g) AS z, sum(n_g) AS n_total FROM counts),
+       |rates AS (
+       |  SELECT source, round(least(1.0, $targetFrac * n_total * w_g / z / n_g), 9) AS rate
+       |  FROM counts CROSS JOIN z
+       |)
+       |SELECT doc_id, d.source AS source, lang
+       |FROM documents d
+       |JOIN rates r ON d.source = r.source
+       |WHERE ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |      / 1152921504606846976.0 < rate
+       |ORDER BY doc_id""".stripMargin
+
   def curateSql(minQuality: Double = 0.5): String =
     s"""WITH keeps AS (
        |  SELECT min(doc_id) AS doc_id

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Benchmark decontamination: find training documents that share
+  * enough word-n-gram shingles with an evaluation/benchmark document
+  * to be considered contaminated (the training-data-hygiene step every
+  * LLM pipeline runs before a training mix is frozen).
+  *
+  * Scale shape — the asymmetry IS the design: benchmark suites are
+  * MBs while the training corpus is the 100 TB side, so the eval
+  * shingle set is broadcast and the training shingles stream past it
+  * map-side. No shuffle ever carries training text; the only shuffle
+  * is the (train,eval) overlap count over the matched subset, which is
+  * tiny (most training shingles match nothing and die in the
+  * broadcast-hash probe). Shingles are the same 60-bit md5 integers as
+  * [[Dedup.shinglesOf]] — 8-byte keys, DuckDB-portable.
+  */
+object Decontaminate {
+
+  /** (train_id, eval_id, n_overlap, contamination) for every pair
+    * sharing ≥ `minOverlap` distinct shingles; `contamination` is the
+    * fraction of the EVAL doc's shingles found in the training doc
+    * (eval-centric: 1.0 = the whole benchmark item leaked).
+    */
+  def contaminationPairsOf(train: DataFrame, eval: DataFrame, n: Int = 3,
+      minOverlap: Long = 3): DataFrame = {
+    val trainSh = Dedup.shinglesOf(train, n)
+      .withColumnRenamed("doc_id", "train_id")
+    val evalSh = Dedup.shinglesOf(eval, n)
+      .withColumnRenamed("doc_id", "eval_id")
+    val evalSizes = evalSh.groupBy("eval_id").agg(count(lit(1)).as("eval_size"))
+    trainSh
+      .join(broadcast(evalSh), "shingle_hash")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+      .join(broadcast(evalSizes), "eval_id")
+      .select(col("train_id"), col("eval_id"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / col("eval_size"), 6).as("contamination"))
+      .orderBy("train_id", "eval_id")
+  }
+
+  /** Gated form: doc_id % 19 == 0 plays the benchmark suite, the rest
+    * the training corpus, over the documents table.
+    */
+  def contaminationQuery(t: Tables, n: Int = 3, minOverlap: Long = 3): DataFrame = {
+    val docs = t.documents
+    contaminationPairsOf(
+      docs.filter(col("doc_id") % 19 =!= 0),
+      docs.filter(col("doc_id") % 19 === 0), n, minOverlap)
+  }
+
+  def contaminationSql(n: Int = 3, minOverlap: Long = 3): String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle_hash
+       |  FROM (
+       |    SELECT doc_id,
+       |      array_to_string(toks[i + 1 : i + $n], ' ') AS shingle
+       |    FROM (
+       |      SELECT doc_id,
+       |        regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |      FROM documents),
+       |      unnest(range(0, len(toks) - $n + 1)) AS r(i)
+       |  ) WHERE shingle <> ''
+       |), ev AS (SELECT doc_id AS eval_id, shingle_hash FROM sh WHERE doc_id % 19 = 0),
+       |tr AS (SELECT doc_id AS train_id, shingle_hash FROM sh WHERE doc_id % 19 <> 0),
+       |sizes AS (SELECT eval_id, count(*) AS eval_size FROM ev GROUP BY eval_id),
+       |ov AS (
+       |  SELECT train_id, eval_id, count(*) AS n_overlap
+       |  FROM tr JOIN ev USING (shingle_hash)
+       |  GROUP BY train_id, eval_id
+       |  HAVING count(*) >= $minOverlap)
+       |SELECT train_id, eval_id, n_overlap,
+       |  round(CAST(n_overlap AS DOUBLE) / eval_size, 6) AS contamination
+       |FROM ov JOIN sizes USING (eval_id)
+       |ORDER BY train_id, eval_id""".stripMargin
+}

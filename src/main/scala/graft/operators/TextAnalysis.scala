@@ -184,6 +184,68 @@ object TextAnalysis {
   def normalizedText(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
+  /** Gated normalization pass: the canonical text every downstream
+    * operator (fingerprints, shingles, tokens) actually consumes,
+    * surfaced as its own queryable step — md5 because hashing the
+    * normalized text is both the gate and the 100 TB shape (16-byte
+    * digests shuffle, documents don't).
+    */
+  def textNormalize(t: Tables): DataFrame =
+    t.documents.select(
+      col("doc_id"),
+      md5(normalizedText(col("text"))).as("norm_fp"),
+      length(normalizedText(col("text"))).cast("long").as("n_chars_norm"),
+      (length(col("text")) - length(normalizedText(col("text")))).cast("long").as("n_chars_removed"))
+      .orderBy("doc_id")
+
+  val textNormalizeSql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_fp,
+      |  length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS n_chars_norm,
+      |  length(text) - length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS n_chars_removed
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Gated form of [[redactPii]]. The synthetic corpus carries no PII,
+    * so the query plants a deterministic email/URL/phone (derived from
+    * doc_id, identically in the DuckDB oracle) before redacting — the
+    * gate exercises the actual regex chain, not a no-op pass-through.
+    */
+  def piiRedactQuery(t: Tables): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"), lit("@example.com via "),
+      lit("http://host/p/"), col("doc_id").cast("string"), lit(" or 555-"),
+      lpad(expr("doc_id % 1000").cast("string"), 3, "0"), lit("-"),
+      lpad(expr("doc_id % 10000").cast("string"), 4, "0"))
+    val red = redactPii(planted)
+    t.documents.select(
+      col("doc_id"),
+      md5(red).as("red_fp"),
+      size(regexp_extract_all(red, lit("<(EMAIL|URL|PHONE)>"), lit(0))).cast("long").as("n_redacted"))
+      .orderBy("doc_id")
+  }
+
+  val piiRedactSql: String =
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com via ' ||
+      |    'http://host/p/' || CAST(doc_id AS VARCHAR) || ' or 555-' ||
+      |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+      |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS ptext
+      |  FROM documents
+      |), red AS (
+      |  SELECT doc_id,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(ptext,
+      |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |        'https?://[^\s]+', '<URL>', 'g'),
+      |      '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS rtext
+      |  FROM planted
+      |)
+      |SELECT doc_id, md5(rtext) AS red_fp,
+      |  len(regexp_extract_all(rtext, '<(EMAIL|URL|PHONE)>')) AS n_redacted
+      |FROM red ORDER BY doc_id""".stripMargin
+
   /** Gopher-style repetition signal: fraction of word 3-grams that are
     * duplicates within the document (1 − distinct/total). High values
     * flag boilerplate/spam for training-data filtering.

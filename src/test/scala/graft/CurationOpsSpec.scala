@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Curate, Decontaminate, TextAnalysis}
+import graft.sources.Tables
+
+/** Round-4 curation operators: decontamination, domain mixing, PII
+  * redaction, normalization — semantics the hash gate can't localize.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private def t = Tables(spark, TestSpark.sf)
+
+  test("decontaminate: a planted verbatim eval copy is flagged with contamination 1.0") {
+    val eval  = Seq((0L, "the quick brown fox jumps over the lazy dog today")).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"), // full leak
+      (11L, "completely unrelated words about spark partitions and shuffles"))
+      .toDF("doc_id", "text")
+    val hits = Decontaminate.contaminationPairsOf(train, eval).collect()
+    assert(hits.map(_.getLong(0)).toSet == Set(10L))
+    assert(hits.head.getDouble(3) == 1.0)
+  }
+
+  test("decontaminate: overlap below minOverlap is not flagged") {
+    val eval  = Seq((0L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val train = Seq((10L, "alpha beta gamma completely different tail here now")).toDF("doc_id", "text")
+    // shares exactly 1 trigram ("alpha beta gamma") < default minOverlap=3
+    assert(Decontaminate.contaminationPairsOf(train, eval).count() == 0)
+  }
+
+  test("domain_mix: every source is sampled at most at its own size and rates upweight small sources") {
+    val mixed = Curate.domainMix(t)
+    val perSource = mixed.groupBy("source").agg(count(lit(1)).as("n_kept"))
+      .join(t.documents.groupBy("source").agg(count(lit(1)).as("n_g")), "source")
+      .collect()
+    perSource.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2), s"source ${r.getString(0)} kept more than it has")
+    }
+    // deterministic: same plan twice → identical sample
+    val a = mixed.collect().map(_.getLong(0)).toSeq
+    val b = Curate.domainMix(t).collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+  }
+
+  test("pii redaction removes every planted email/url/phone") {
+    val red = TextAnalysis.piiRedactQuery(t)
+    // each doc gets exactly one email + one url + one phone planted
+    assert(red.filter(col("n_redacted") =!= 3).count() == 0)
+  }
+
+  test("text_normalize collapses runs of whitespace") {
+    val df = Seq((1L, "  A  b\t c \n d  ")).toDF("doc_id", "text")
+    val norm = df.select(TextAnalysis.normalizedText(col("text")).as("n")).collect()(0).getString(0)
+    assert(norm == "a b\t c \n d" || norm == "a b c d") // \s+ collapse must yield single spaces
+    assert(norm == "a b c d")
+  }
+}
