@@ -62,6 +62,8 @@ object SparkEntry {
     "dedup_exact"          -> q(Dedup.exact),
     "dedup_fingerprint"    -> q(Dedup.byFingerprint),
     "dedup_ngram_jaccard"  -> q(Dedup.ngramJaccardPairs(_)),
+    "dedup_containment"    -> q(Dedup.containmentPairs(_)),
+    "phrase_search"        -> q(InvertedIndex.phraseSearchQuery),
     "dedup_minhash_sig"    -> q(Dedup.minhashOrdered(_)),
     "dedup_minhash_lsh"    -> q(Dedup.minhashLshPairs(_)),
     "dedup_simhash"        -> q(Dedup.simhash),
@@ -162,6 +164,8 @@ object SparkEntry {
     "dedup_exact"          -> Dedup.exactSql,
     "dedup_fingerprint"    -> Dedup.byFingerprintSql,
     "dedup_ngram_jaccard"  -> Dedup.ngramJaccardPairsSql(),
+    "dedup_containment"    -> Dedup.containmentPairsSql(),
+    "phrase_search"        -> InvertedIndex.phraseSearchSql(),
     "dedup_minhash_sig"    -> Dedup.minhashSql(),
     "dedup_minhash_lsh"    -> Dedup.minhashLshPairsSql(),
     "dedup_simhash"        -> Dedup.simhashSql,

@@ -293,16 +293,72 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "size_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "size_b"), "doc_b")
+      // raw-ratio filter to match the oracle exactly; round only for output
+      .filter(col("n_common").cast("double") /
+        (col("size_a") + col("size_b") - col("n_common")) >= threshold)
       .withColumn("jaccard",
         round(col("n_common").cast("double") /
           (col("size_a") + col("size_b") - col("n_common")), 6))
-      .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
   def ngramJaccardPairs(t: Tables, n: Int = 3, threshold: Double = 0.6): DataFrame =
     ngramJaccardPairsOf(t.documents, n, threshold)
+
+  /** Shingle containment C(A→B) = |A∩B| / |A| on ORDERED pairs — the
+    * asymmetric near-dup signal Jaccard misses: a short doc fully
+    * embedded in a long one scores C≈1 while Jaccard stays low because
+    * the union is dominated by the long doc. Same shuffle shape as
+    * [[ngramJaccardPairsOf]] (shingle-key self-join, integer keys,
+    * SHUFFLE_HASH) and the same `maxShingleDf` stop-shingle lever
+    * applies at scale.
+    */
+  def containmentPairsOf(docs: DataFrame, n: Int = 3, threshold: Double = 0.7): DataFrame = {
+    val sh    = shinglesOf(docs, n).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    sh.as("a").hint("SHUFFLE_HASH")
+      .join(sh.as("b").hint("SHUFFLE_HASH"),
+        col("a.shingle_hash") === col("b.shingle_hash") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "size_a"), "doc_a")
+      // filter on the RAW ratio (like the oracle), round only for output —
+      // filtering the rounded value would diverge at a τ−ε boundary
+      .filter(col("n_common").cast("double") / col("size_a") >= threshold)
+      .withColumn("containment", round(col("n_common").cast("double") / col("size_a"), 6))
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def containmentPairs(t: Tables, n: Int = 3, threshold: Double = 0.7): DataFrame =
+    containmentPairsOf(t.documents, n, threshold)
+
+  def containmentPairsSql(n: Int = 3, threshold: Double = 0.7): String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle_hash
+       |  FROM (
+       |    SELECT doc_id,
+       |      array_to_string(toks[i + 1 : i + $n], ' ') AS shingle
+       |    FROM (
+       |      SELECT doc_id,
+       |        regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |      FROM documents),
+       |      unnest(range(0, len(toks) - $n + 1)) AS r(i)
+       |  ) WHERE shingle <> ''
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.shingle_hash = b.shingle_hash AND a.doc_id <> b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |)
+       |SELECT doc_a, doc_b, n_common,
+       |  round(CAST(n_common AS DOUBLE) / sa.n_shingles, 6) AS containment
+       |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+       |WHERE CAST(n_common AS DOUBLE) / sa.n_shingles >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   def ngramJaccardPairsSql(n: Int = 3, threshold: Double = 0.6): String =
     s"""WITH sh AS (
