@@ -112,6 +112,10 @@ object SparkEntry {
     "q18_large_orders"     -> q(Relational3.q18LargeOrders),
     "q19_disjunctive"      -> q(Relational3.q19Disjunctive),
     "q22_idle_balance"     -> q(Relational3.q22IdleBalance),
+    // approx sketches are engine-specific → rows-only driver check;
+    // relative error vs exact is gated in Relational3Spec.
+    "q_approx_distinct"    -> q(Relational3.qApproxDistinct),
+    "embed_pq_codes"       -> q(Similarity.pqCodes(_)),
     // §2.1 file-corpus sources over the reference's books sample
     "multimodal_resize"    -> ((s, dir) => graft.multimodal.Multimodal.resizeQuery(s, dir)),
     "multimodal_keyframes" -> ((s, dir) => graft.multimodal.Multimodal.keyframesQuery(s, dir)),
@@ -209,6 +213,7 @@ object SparkEntry {
     "q18_large_orders"     -> Relational3.q18Sql,
     "q19_disjunctive"      -> Relational3.q19Sql,
     "q22_idle_balance"     -> Relational3.q22Sql,
+    "embed_pq_codes"       -> Similarity.pqCodesSql(),
     "tok_arabic_count"     -> ArabicCorpus.tokenCountsSql,
     "multimodal_resize"    -> graft.multimodal.Multimodal.resizeQuerySql(),
     "multimodal_keyframes" -> graft.multimodal.Multimodal.keyframesSql,

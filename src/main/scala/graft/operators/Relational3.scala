@@ -316,6 +316,20 @@ object Relational3 {
       .orderBy(col("c_nationkey"))
   }
 
+  /** HyperLogLog++ approximate distinct users per event type, next to
+    * the exact count. At 100 TB approx_count_distinct is THE distinct-
+    * count tool — fixed-size sketches merge map-side instead of
+    * shuffling every distinct key. Sketch estimates are engine-specific
+    * by construction, so the gate is a rows-only driver check plus a
+    * relative-error spec against the exact count (Relational3Spec).
+    */
+  def qApproxDistinct(t: Tables): DataFrame =
+    t.events
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy(col("event_type"))
+
   val q22Sql: String =
     """SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
       |FROM customer

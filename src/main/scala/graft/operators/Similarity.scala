@@ -353,4 +353,59 @@ object Similarity {
        |  FROM scored)
        |WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
+
+  /** Product quantization codes — the 100 TB embedding-compression
+    * path (a 64-dim float vector becomes `m` small codes): the vector
+    * is split into `m` subspaces and each subvector is assigned to its
+    * nearest codebook centroid. The codebook here is the first `k`
+    * vectors' subvectors (a given codebook, like the label-IVF twin —
+    * training it is a KMeans fit, spec'd separately for IVF). Codebook
+    * is m·k rows → broadcast; distance is an in-expression fold (no
+    * element explosion), so each vector contributes m·k codegen rows
+    * and the only shuffle is the per-(vector,subspace) argmin — at any
+    * corpus size the shuffled rows are m·k per vector, independent of
+    * dimensionality. Argmin ties break on the lower code id via
+    * struct-min (deterministic, oracle-matching).
+    */
+  def pqCodes(t: Tables, m: Int = 4, k: Int = 16, dim: Int = 64): DataFrame = {
+    val subDim = dim / m
+    val sub = t.embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), explode(array((0 until m).map { s =>
+        struct(lit(s.toLong).as("s"), slice(col("v"), s * subDim + 1, subDim).as("sv"))
+      }: _*)).as("e"))
+      .select(col("vec_id"), col("e.s").as("s"), col("e.sv").as("sv"))
+    val codebook = sub.filter(col("vec_id") < k)
+      .select(col("vec_id").as("code"), col("s").as("cs"), col("sv").as("cv"))
+    val sqDist = aggregate(zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    sub.join(broadcast(codebook), col("s") === col("cs"))
+      .withColumn("dist", sqDist)
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("dist"), col("code"))).as("best"))
+      .select(col("vec_id"), col("s"), col("best.code").as("code"))
+      .orderBy("vec_id", "s")
+  }
+
+  def pqCodesSql(m: Int = 4, k: Int = 16, dim: Int = 64): String = {
+    val subDim = dim / m
+    s"""WITH vexp AS (
+       |  SELECT vec_id, (i - 1) // $subDim AS s, (i - 1) % $subDim AS j, CAST(e AS DOUBLE) AS ve
+       |  FROM (SELECT vec_id, unnest(embedding) AS e,
+       |          generate_subscripts(embedding, 1) AS i
+       |        FROM embeddings)
+       |), cexp AS (
+       |  SELECT vec_id AS code, s, j, ve AS ce FROM vexp WHERE vec_id < $k
+       |), dist AS (
+       |  SELECT v.vec_id, v.s, c.code, sum((ve - ce) * (ve - ce)) AS dist
+       |  FROM vexp v JOIN cexp c ON v.s = c.s AND v.j = c.j
+       |  GROUP BY v.vec_id, v.s, c.code
+       |)
+       |SELECT vec_id, s, code FROM (
+       |  SELECT vec_id, s, code,
+       |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+       |  FROM dist)
+       |WHERE rn = 1
+       |ORDER BY vec_id, s""".stripMargin
+  }
 }

@@ -122,6 +122,36 @@ object Streams {
       .select(col("purchase_id"), col("user_id"), col("click_id"), col("p_ts"), col("c_ts"))
   }
 
+  /** Stream-static enrichment join: the live event stream joined to a
+    * broadcast dimension snapshot (user → market segment), then a
+    * watermarked windowed count per segment. Stream-static joins are
+    * STATELESS — the static side is just a broadcast probe per
+    * micro-batch — so this is the cheapest join shape in streaming and
+    * the standard way to attach dimensions at 100 TB/day ingest rates.
+    * Works identically on a batch DataFrame (the spec's twin).
+    */
+  def segmentHourly(events: DataFrame, customer: DataFrame): DataFrame =
+    events
+      .join(broadcast(customer.select(col("c_custkey").as("user_id"), col("c_mktsegment"))),
+        "user_id")
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("win.start").as("hour"), col("c_mktsegment"), col("n_events"))
+
+  /** Sliding-window event-type counts (2 h window, 1 h slide): each
+    * event lands in two windows; watermark evicts closed slides. The
+    * trending-top-k feed — rank downstream of the incremental counts,
+    * never inside the stateful agg (per-window top-k is a stateless
+    * post-pass over emitted rows).
+    */
+  def slidingCounts(events: DataFrame, win: String = "2 hours", slide: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", "4 hours")
+      .groupBy(window(col("ts"), win, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n_events"))
+
   /** Sustained-load (soak) pipeline: the rate source emits
     * `rowsPerSecond` synthetic events over `keys` users, aggregated in
     * 1-second tumbling windows with a 2-second watermark. The exact

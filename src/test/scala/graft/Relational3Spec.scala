@@ -60,6 +60,24 @@ class Relational3Spec extends AnyFunSuite {
     assert(!Relational3.q19Disjunctive(t).collect()(0).isNullAt(0))
   }
 
+  test("approx distinct users stays within 5% of exact per event type") {
+    Relational3.qApproxDistinct(t).collect().foreach { r =>
+      val (approx, exact) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
+  test("pq codes: codebook members quantize to themselves") {
+    val codes = graft.operators.Similarity.pqCodes(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (v <- 0L until 16L; s <- 0L until 4L)
+      assert(codes((v, s)) == v, s"codebook vector $v subspace $s got ${codes((v, s))}")
+    // every vector gets exactly m codes, each a valid codebook id
+    assert(codes.size == t.embeddings.count() * 4)
+    assert(codes.values.forall(c => c >= 0 && c < 16))
+  }
+
   test("q8 market share is a ratio in [0,1] per year") {
     Relational3.q8MarketShare(t).collect().foreach { r =>
       val s = r.getDouble(1)

@@ -97,6 +97,31 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(got == closed)
   }
+
+  test("stream-static segment join matches the batch twin") {
+    val stream = Streams.eventsStream(spark, TestSpark.sf)
+    Streams.runToMemory(Streams.segmentHourly(stream, t.customer), "seg_out", mode = "complete")
+    val got  = spark.table("seg_out").collect().map(_.toSeq).toSet
+    val want = Streams.segmentHourly(t.events, t.customer).collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("sliding-window counts match batch; each event lands in two slides") {
+    val stream = Streams.eventsStream(spark, TestSpark.sf)
+    Streams.runToMemory(Streams.slidingCounts(stream), "slide_out", mode = "complete")
+    val got  = spark.table("slide_out").collect().map(_.toSeq).toSet
+    val want = Streams.slidingCounts(t.events).collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+    // 2h window / 1h slide ⇒ total windowed count = 2 × raw count
+    val total = spark.table("slide_out").agg(sum("n_events")).collect()(0).getLong(0)
+    assert(total == 2 * t.events.count())
+    // downstream trending top-1 per window is a stateless post-pass
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("win_start")).orderBy(col("n_events").desc, col("event_type"))
+    val top = spark.table("slide_out").withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    assert(top.count() == spark.table("slide_out").select("win_start").distinct().count())
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
