@@ -107,4 +107,54 @@ class PlanAuditSpec extends AnyFunSuite {
         assert(!cols.contains("text"), s"document text crossed a shuffle: $cols"))
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  // ---- round-4 operators ----
+
+  test("decontaminate: eval shingles broadcast; no shuffle carries text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val root = Decontaminate.contaminationQuery(t).queryExecution.executedPlan
+      assert(root.toString.contains("BroadcastHashJoin"),
+        "eval shingle set must broadcast against the training side")
+      val shuffled = root.collect { case e: ShuffleExchangeExec => e.child.schema.fieldNames.toSeq }
+      shuffled.foreach(cols =>
+        assert(!cols.contains("text"), s"training text crossed a shuffle: $cols"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("phrase search: phrase table broadcast prunes postings map-side") {
+    val p = plan(InvertedIndex.phraseSearchQuery(t))
+    assert(p.contains("BroadcastHashJoin"), "phrase word table must broadcast")
+  }
+
+  test("pq codes: codebook broadcast; distance fold stays in projection") {
+    val p = plan(Similarity.pqCodes(t))
+    assert(p.contains("BroadcastHashJoin"), "codebook must broadcast, not shuffle vectors")
+    assert(p.contains("partial_min") || p.contains("partial_first") || p.contains("min("),
+      "argmin must combine map-side")
+  }
+
+  test("q6: all four predicates pushed to the lineitem scan; no shuffle at all") {
+    val p = plan(Relational3.q6ForecastRevenue(t))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)") || p.contains("l_discount"))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "a scalar aggregate needs no wide exchange")
+  }
+
+  test("q19: part side broadcast, disjunctive residual stays a filter") {
+    val p = plan(Relational3.q19Disjunctive(t))
+    assert(p.contains("BroadcastHashJoin"), "part must broadcast against lineitem")
+  }
+
+  test("q18: lineitem pre-aggregates to qualifying orders before the join-back") {
+    val p = plan(Relational3.q18LargeOrders(t))
+    assert(p.contains("partial_sum"), "quantity sums must combine map-side")
+  }
+
+  test("domain mix: rate table broadcast; the corpus is one scan + filter") {
+    val p = plan(Curate.domainMix(t))
+    assert(p.contains("BroadcastHashJoin"), "per-source rate table must broadcast")
+  }
 }
