@@ -115,6 +115,8 @@ object SparkEntry {
     // approx sketches are engine-specific → rows-only driver check;
     // relative error vs exact is gated in Relational3Spec.
     "q_approx_distinct"    -> q(Relational3.qApproxDistinct),
+    "q_window_range"       -> q(Relational3.qWindowRange),
+    "q_agg_kernels"        -> q(Relational3.qAggKernels),
     "embed_pq_codes"       -> q(Similarity.pqCodes(_)),
     // §2.1 file-corpus sources over the reference's books sample
     "multimodal_resize"    -> ((s, dir) => graft.multimodal.Multimodal.resizeQuery(s, dir)),
@@ -214,6 +216,8 @@ object SparkEntry {
     "q19_disjunctive"      -> Relational3.q19Sql,
     "q22_idle_balance"     -> Relational3.q22Sql,
     "embed_pq_codes"       -> Similarity.pqCodesSql(),
+    "q_window_range"       -> Relational3.qWindowRangeSql,
+    "q_agg_kernels"        -> Relational3.qAggKernelsSql,
     "tok_arabic_count"     -> ArabicCorpus.tokenCountsSql,
     "multimodal_resize"    -> graft.multimodal.Multimodal.resizeQuerySql(),
     "multimodal_keyframes" -> graft.multimodal.Multimodal.keyframesSql,

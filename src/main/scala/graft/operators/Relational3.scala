@@ -316,6 +316,77 @@ object Relational3 {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Time-range window frame: 7-day rolling revenue per supplier —
+    * RANGE BETWEEN over event time, not row counts (the frame every
+    * rolling-metric dashboard needs). Ordered by epoch seconds so the
+    * frame bound is engine-portable; the window shuffles once on the
+    * supplier key. Cents-exact summation for rounding stability.
+    */
+  def qWindowRange(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("epoch_s"))
+      .rangeBetween(-7L * 86400 + 1, Window.currentRow)
+    t.lineitem
+      .filter(col("l_suppkey") <= 5)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        unix_timestamp(col("l_shipdate")).as("epoch_s"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long").as("cents"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        (sum(col("cents")).over(w) / lit(100.0)).as("rev_7d"))
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  val qWindowRangeSql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  CAST(sum(cents) OVER (PARTITION BY l_suppkey ORDER BY epoch_s
+      |    RANGE BETWEEN 604799 PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0 AS rev_7d
+      |FROM (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber,
+      |    epoch(l_shipdate) AS epoch_s,
+      |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents
+      |  FROM lineitem
+      |  WHERE l_suppkey <= 5)
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
+  /** Aggregate-kernel coverage in one pass: max_by/min_by (argmax),
+    * bool_or/bool_and, count_if, and an order-stable array_agg
+    * (sort_array ∘ collect_list — collect order is nondeterministic,
+    * the sort makes it canonical). One partial-agg shuffle.
+    */
+  def qAggKernels(t: Tables): DataFrame =
+    t.orders
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        // composite integer key (cents·10⁷ + orderkey): arg-max needs a
+        // scalar ordering key portable across engines, and the orderkey
+        // term makes price ties deterministic
+        max_by(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long") * 10000000L + col("o_orderkey")).as("priciest_order"),
+        min_by(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long") * 10000000L + col("o_orderkey")).as("cheapest_order"),
+        bool_or(col("o_orderstatus") === "P").as("any_pending"),
+        bool_and(col("o_totalprice") > 0).as("all_positive"),
+        count_if(col("o_orderstatus") === "F").as("n_filled"),
+        // canonical string, not a raw array: collect order is engine-
+        // dependent and an empty group must read '' on both engines
+        concat_ws(",", sort_array(collect_list(
+          when(col("o_orderkey") <= 50, col("o_orderkey").cast("string"))))).as("small_keys"))
+      .orderBy(col("o_orderpriority"))
+
+  val qAggKernelsSql: String =
+    """SELECT o_orderpriority,
+      |  arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS priciest_order,
+      |  arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS cheapest_order,
+      |  bool_or(o_orderstatus = 'P') AS any_pending,
+      |  bool_and(o_totalprice > 0) AS all_positive,
+      |  CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_filled,
+      |  coalesce(array_to_string(list_sort(list(CAST(o_orderkey AS VARCHAR))
+      |    FILTER (o_orderkey <= 50)), ','), '') AS small_keys
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** HyperLogLog++ approximate distinct users per event type, next to
     * the exact count. At 100 TB approx_count_distinct is THE distinct-
     * count tool — fixed-size sketches merge map-side instead of
