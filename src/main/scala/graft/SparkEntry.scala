@@ -101,6 +101,7 @@ object SparkEntry {
     "q_sample"             -> q(Relational2.qSample),
     "q_histogram"          -> q(Relational2.qHistogram(_)),
     "q_asof_join"          -> q(AsOf.purchaseAsofClick),
+    "q_range_join"         -> q(AsOf.qRangeJoin),
     // §2.6 round-4 TPC-H coverage (Relational3)
     "q4_order_priority"    -> q(Relational3.q4OrderPriority),
     "q6_forecast_revenue"  -> q(Relational3.q6ForecastRevenue),
@@ -205,6 +206,7 @@ object SparkEntry {
     "q_sample"             -> Relational2.qSampleSql,
     "q_histogram"          -> Relational2.qHistogramSql(),
     "q_asof_join"          -> AsOf.purchaseAsofClickSql,
+    "q_range_join"         -> AsOf.qRangeJoinSql,
     "q4_order_priority"    -> Relational3.q4Sql,
     "q6_forecast_revenue"  -> Relational3.q6Sql,
     "q7_volume_shipping"   -> Relational3.q7Sql,

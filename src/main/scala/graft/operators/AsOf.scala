@@ -72,4 +72,33 @@ object AsOf {
       |       CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS gap_s
       |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY purchase_id""".stripMargin
+
+  /** Gated query through the custom [[graft.plans.RangeJoin]] operator
+    * (logical node → Strategy → sort-merge BinaryExecNode): every
+    * click inside the 30-minute window before a same-user purchase.
+    * The oracle is the plain inequality join DuckDB plans natively —
+    * an independent execution path arriving at the same pairs, which
+    * is what makes it a strong gate for the custom exec. (Spark's own
+    * planner would run this as a broadcast nested-loop — the custom
+    * node makes it a co-partitioned merge, O(n log n + matches).)
+    */
+  def qRangeJoin(t: Tables): DataFrame = {
+    val e = t.events
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("user_id_r"),
+        (col("ts") - expr("INTERVAL 30 MINUTES")).as("lo"), col("ts").as("hi"))
+    graft.plans.RangeJoin.rangeJoin(clicks, purchases, "user_id", "ts", "lo", "hi")
+      .select(col("click_id"), col("purchase_id"), col("user_id"))
+      .orderBy("click_id", "purchase_id")
+  }
+
+  val qRangeJoinSql: String =
+    """WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |     p AS (SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT click_id, purchase_id, c.user_id AS user_id
+      |FROM c JOIN p ON c.user_id = p.user_id
+      |  AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+      |ORDER BY click_id, purchase_id""".stripMargin
 }
