@@ -118,6 +118,8 @@ object SparkEntry {
     "q_approx_distinct"    -> q(Relational3.qApproxDistinct),
     "q_window_range"       -> q(Relational3.qWindowRange),
     "q_agg_kernels"        -> q(Relational3.qAggKernels),
+    "q_grouping_sets"      -> q(Relational3.qGroupingSets),
+    "q_skew_salted_agg"    -> q(tt => Skew.saltedEventStats(tt.events)),
     "embed_pq_codes"       -> q(Similarity.pqCodes(_)),
     // §2.1 file-corpus sources over the reference's books sample
     "multimodal_resize"    -> ((s, dir) => graft.multimodal.Multimodal.resizeQuery(s, dir)),
@@ -220,6 +222,8 @@ object SparkEntry {
     "embed_pq_codes"       -> Similarity.pqCodesSql(),
     "q_window_range"       -> Relational3.qWindowRangeSql,
     "q_agg_kernels"        -> Relational3.qAggKernelsSql,
+    "q_grouping_sets"      -> Relational3.qGroupingSetsSql,
+    "q_skew_salted_agg"    -> Skew.saltedEventStatsSql,
     "tok_arabic_count"     -> ArabicCorpus.tokenCountsSql,
     "multimodal_resize"    -> graft.multimodal.Multimodal.resizeQuerySql(),
     "multimodal_keyframes" -> graft.multimodal.Multimodal.keyframesSql,

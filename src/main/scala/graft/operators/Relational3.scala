@@ -387,6 +387,28 @@ object Relational3 {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Explicit GROUPING SETS — the general form rollup/cube specialize:
+    * (status, priority), (status), and grand total in ONE pass (Spark
+    * expands the sets inside a single Expand + aggregate, not three
+    * scans). Nulls-first ordering per cross-engine convention.
+    */
+  def qGroupingSets(t: Tables): DataFrame =
+    t.orders
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(round(col("o_totalprice") * 100).cast("long")) / lit(100.0)).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  val qGroupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   /** HyperLogLog++ approximate distinct users per event type, next to
     * the exact count. At 100 TB approx_count_distinct is THE distinct-
     * count tool — fixed-size sketches merge map-side instead of

@@ -31,6 +31,30 @@ object Skew {
       .groupBy(col(keyCol))
       .agg(sum(col("_partial")).as("cnt"))
 
+  /** Gated form of [[saltedCount]]: per-event-type counts + value sums
+    * through the two-phase salted aggregate. event_type is the
+    * textbook hot key (a handful of values over millions of rows); the
+    * salt spreads each type across 16 reducers before the tiny per-salt
+    * partials re-combine. The oracle is the plain one-phase GROUP BY —
+    * same answer, independent plan.
+    */
+  def saltedEventStats(df: DataFrame, salts: Int = 16): DataFrame =
+    df.withColumn("_salt", salt(salts, Seq("event_id").map(col): _*))
+      .groupBy(col("event_type"), col("_salt"))
+      .agg(count(lit(1)).as("_pc"),
+        sum(round(col("value") * 100).cast("long")).as("_pcents"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("_pc")).as("n_events"),
+        (sum(col("_pcents")) / lit(100.0)).as("sum_value"))
+      .orderBy("event_type")
+
+  val saltedEventStatsSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** Salted broadcast-replicated join: the skewed fact side gets a
     * deterministic salt, the small side is replicated `salts`× with
     * every salt value, and the join keys on (key, salt) — a hot key's
