@@ -80,7 +80,8 @@ object Bench {
     // flat times mean fixed overhead dominates, super-linear flags a
     // pair-join blowup.
     val headline = Seq("q1_pricing_summary", "q3_shipping_priority", "word_stats",
-      "dedup_minhash_lsh", "dedup_ngram_jaccard", "embed_cosine_topk", "token_count")
+      "dedup_minhash_lsh", "dedup_ngram_jaccard", "embed_cosine_topk", "token_count",
+      "decontaminate", "dedup_containment", "phrase_search", "embed_pq_codes")
       .filter(n => suite.exists(_._1 == n))
     val base = new java.io.File(sfDir).getParentFile
     val ladderDirs = Option(base).map(_.listFiles).getOrElse(Array.empty)

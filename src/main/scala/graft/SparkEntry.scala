@@ -125,6 +125,7 @@ object SparkEntry {
     "multimodal_resize"    -> ((s, dir) => graft.multimodal.Multimodal.resizeQuery(s, dir)),
     "multimodal_keyframes" -> ((s, dir) => graft.multimodal.Multimodal.keyframesQuery(s, dir)),
     "multimodal_audio_win" -> ((s, dir) => graft.multimodal.Multimodal.audioWindowsQuery(s, dir)),
+    "multimodal_phash"     -> ((s, dir) => graft.multimodal.Multimodal.phashQuery(s, dir)),
     "file_line_stats"      -> ((s, _) => FileCorpus.fileLineStats(s)),
     "file_word_counts"     -> ((s, _) => FileCorpus.fileWordCounts(s)),
     "bigram_pmi"           -> q(TextAnalysis.bigramPmi(_)),
@@ -228,6 +229,7 @@ object SparkEntry {
     "multimodal_resize"    -> graft.multimodal.Multimodal.resizeQuerySql(),
     "multimodal_keyframes" -> graft.multimodal.Multimodal.keyframesSql,
     "multimodal_audio_win" -> graft.multimodal.Multimodal.audioWindowsSql(),
+    "multimodal_phash"     -> graft.multimodal.Multimodal.phashSql(),
     "file_line_stats"      -> FileCorpus.fileLineStatsSql,
     "file_word_counts"     -> FileCorpus.fileWordCountsSql,
     "bigram_pmi"           -> TextAnalysis.bigramPmiSql(),

@@ -184,4 +184,62 @@ object Multimodal {
        |  least(win_start + $winMs, duration_ms) AS win_end,
        |  round(('0x' || substr(md5(media_id || ':' || win_start), 1, 8))::BIGINT / 4294967296.0, 6) AS energy
        |FROM w ORDER BY media_id, win_start""".stripMargin
+
+  /** Perceptual-hash image near-dup search: each image reduces to a
+    * 60-bit pHash (downsampled luma grid → above/below-mean bits), and
+    * similar images rank by Hamming distance to a query image — the
+    * visual twin of SimHash text dedup. The luma grid is the decode
+    * seam: here it's the deterministic md5 fake (cell = one hashed
+    * byte, portable to the oracle), a production build feeds real 8×8
+    * luma from the codec. Shape notes for 100 TB: the hash build is
+    * one scan with in-expression folds (no explode — cells never leave
+    * the projection), the query hash is a broadcast single row, and
+    * ranking is a TakeOrdered top-k. Exact-dup grouping on phash and
+    * banded-LSH over hash prefixes compose with the Dedup operators
+    * unchanged.
+    */
+  def phashQuery(spark: SparkSession, dir: String, bits: Int = 60, k: Int = 50): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val cells = transform(sequence(lit(0), lit(bits - 1)),
+      i => conv(substring(md5(concat(col("text"), lit("|"), i.cast("string"))), 1, 2), 16, 10)
+        .cast("long"))
+    // 2^i via pow: powers of two are exact in a double mantissa, so the
+    // long cast is exact up to i=59 (the reason bits stays ≤ 60)
+    val ph = docs
+      .select(col("doc_id").as("media_id"), cells.as("cells"))
+      .withColumn("mean",
+        aggregate(col("cells"), lit(0L), (a, x) => a + x).cast("double") / lit(bits.toDouble))
+      .withColumn("phash",
+        aggregate(
+          zip_with(col("cells"), sequence(lit(0), lit(bits - 1)), (c, i) =>
+            when(c.cast("double") > col("mean"), pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
+          lit(0L), (a, x) => a + x))
+      .select(col("media_id"), col("phash"))
+    val q = ph.filter(col("media_id") === 0).select(col("phash").as("qhash"))
+    ph.crossJoin(broadcast(q))
+      .filter(col("media_id") =!= 0)
+      .select(col("media_id"), col("phash"),
+        bit_count(col("phash").bitwiseXOR(col("qhash"))).cast("long").as("hamming"))
+      .orderBy(col("hamming"), col("media_id"))
+      .limit(k)
+  }
+
+  def phashSql(bits: Int = 60, k: Int = 50): String =
+    s"""WITH cells AS (
+       |  SELECT doc_id AS media_id, i,
+       |    ('0x' || substr(md5(text || '|' || CAST(i AS VARCHAR)), 1, 2))::BIGINT AS cell
+       |  FROM documents, unnest(range(0, $bits)) r(i)
+       |), m AS (
+       |  SELECT media_id, CAST(sum(cell) AS BIGINT) / CAST($bits AS DOUBLE) AS mean
+       |  FROM cells GROUP BY media_id
+       |), ph AS (
+       |  SELECT c.media_id,
+       |    CAST(sum(CASE WHEN cell > mean THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS phash
+       |  FROM cells c JOIN m USING (media_id) GROUP BY c.media_id
+       |), q AS (SELECT phash AS qhash FROM ph WHERE media_id = 0)
+       |SELECT media_id, phash, CAST(bit_count(xor(phash, qhash)) AS BIGINT) AS hamming
+       |FROM ph CROSS JOIN q
+       |WHERE media_id <> 0
+       |ORDER BY hamming, media_id
+       |LIMIT $k""".stripMargin
 }

