@@ -15,6 +15,11 @@ import graft.functions.DotProduct
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // point-in-interval joins: plain inner joins with `k = k_r AND
+    // lo <= t AND t <= hi` re-plan through the co-partitioned merge
+    // exec (rule rewrites the logical join, strategy plans the node)
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    e.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
     e.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),

@@ -10,6 +10,14 @@ class RangeJoinSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   def t = Tables(spark, TestSpark.sf)
 
+  /** Run `body` with the auto-rewrite off, so nested-loop baselines
+    * stay independent of the operator under test.
+    */
+  private def withoutRewrite[A](body: => A): A = {
+    spark.conf.set("spark.graft.rangeJoin.rewrite", "false")
+    try body finally spark.conf.set("spark.graft.rangeJoin.rewrite", "true")
+  }
+
   // points: all events; intervals: each user's sessions (from the batch
   // sessionizer) padded to [first,last] event-time
   private def fixtures = {
@@ -31,10 +39,12 @@ class RangeJoinSpec extends AnyFunSuite {
     val got = RangeJoin.rangeJoin(ev, iv, "key", "t", "lo", "hi")
       .select(col("event_id"), col("session_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val want = ev.join(iv, col("key") === col("key_r") &&
-        col("t") >= col("lo") && col("t") <= col("hi"))
-      .select(col("event_id"), col("session_id"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = withoutRewrite {
+      ev.join(iv, col("key") === col("key_r") &&
+          col("t") >= col("lo") && col("t") <= col("hi"))
+        .select(col("event_id"), col("session_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
     assert(got == want)
     assert(got.nonEmpty)
     // every event lands in exactly one session interval
@@ -50,12 +60,72 @@ class RangeJoinSpec extends AnyFunSuite {
     val got = RangeJoin.rangeJoin(pts, ivs, "key", "t", "lo", "hi")
       .select(col("event_id"), col("session_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val want = pts.join(ivs, col("key") === col("key_r") &&
-        col("t") >= col("lo") && col("t") <= col("hi"))
-      .select(col("event_id"), col("session_id"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = withoutRewrite {
+      pts.join(ivs, col("key") === col("key_r") &&
+          col("t") >= col("lo") && col("t") <= col("hi"))
+        .select(col("event_id"), col("session_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
     assert(got == want)
     assert(got == Set((101L, 11L), (102L, 12L), (103L, 13L)))
+  }
+
+  test("optimizer rule: a plain inner join with interval bounds auto-plans as RangeJoinExec") {
+    val (ev, iv) = fixtures
+    val plain = ev.join(iv, col("key") === col("key_r") &&
+      col("t") >= col("lo") && col("t") <= col("hi"))
+    assert(plain.queryExecution.executedPlan.toString.contains("RangeJoin "),
+      "rewrite rule should have re-planned the join")
+    val got = plain.select(col("event_id"), col("session_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = withoutRewrite {
+      val p = ev.join(iv, col("key") === col("key_r") &&
+        col("t") >= col("lo") && col("t") <= col("hi"))
+      assert(!p.queryExecution.executedPlan.toString.contains("RangeJoin "),
+        "escape hatch must restore the stock plan")
+      p.select(col("event_id"), col("session_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("optimizer rule: swapped sides (points on the right) keep column order and results") {
+    val (ev, iv) = fixtures
+    // intervals LEFT, points RIGHT — rule must swap and re-project
+    val plain = iv.join(ev, col("key") === col("key_r") &&
+      col("t") >= col("lo") && col("t") <= col("hi"))
+    assert(plain.queryExecution.executedPlan.toString.contains("RangeJoin "))
+    assert(plain.columns.toSeq ==
+      Seq("key_r", "session_id", "lo", "hi", "event_id", "key", "t"))
+    val got = plain.select(col("event_id"), col("session_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = withoutRewrite {
+      iv.join(ev, col("key") === col("key_r") &&
+          col("t") >= col("lo") && col("t") <= col("hi"))
+        .select(col("event_id"), col("session_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("optimizer rule: extra conjuncts survive as a filter, strict bounds are left alone") {
+    val (ev, iv) = fixtures
+    val extra = ev.join(iv, col("key") === col("key_r") &&
+      col("t") >= col("lo") && col("t") <= col("hi") && col("session_id") =!= 1)
+    assert(extra.queryExecution.executedPlan.toString.contains("RangeJoin "))
+    val gotExtra = extra.select("event_id", "session_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantExtra = withoutRewrite {
+      ev.join(iv, col("key") === col("key_r") &&
+          col("t") >= col("lo") && col("t") <= col("hi") && col("session_id") =!= 1)
+        .select("event_id", "session_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(gotExtra == wantExtra)
+    // strict bound ⇒ different semantics than the exec ⇒ no rewrite
+    val strict = ev.join(iv, col("key") === col("key_r") &&
+      col("t") > col("lo") && col("t") <= col("hi"))
+    assert(!strict.queryExecution.executedPlan.toString.contains("RangeJoin "))
   }
 
   test("range join refuses mismatched key types at plan time") {
