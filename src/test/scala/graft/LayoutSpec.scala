@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Layout
+import graft.sources.Tables
+
+/** Z-order layout: the point is multi-dimensional pruning — after
+  * clustering, per-partition min/max ranges must be narrow on BOTH
+  * dimensions, where a single-key sort leaves the second dimension's
+  * range at full width in every partition.
+  */
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def t = Tables(spark, TestSpark.sf)
+
+  test("zvalue interleaves bits (known values)") {
+    import spark.implicits._
+    // x=0b101=5, y=0b011=3 → z = 1·1 + 1·2 + 0·4 + 1·8 + 1·16 + 0·32 = 27
+    val z = Seq((5L, 3L)).toDF("x", "y")
+      .select(Layout.zvalue(col("x"), col("y"), 3).as("z")).collect()(0).getLong(0)
+    assert(z == 27L)
+    // zero maps to zero, max 10-bit pair stays within 20 bits
+    val z0 = Seq((0L, 0L)).toDF("x", "y")
+      .select(Layout.zvalue(col("x"), col("y")).as("z")).collect()(0).getLong(0)
+    assert(z0 == 0L)
+    val zm = Seq((1023L, 1023L)).toDF("x", "y")
+      .select(Layout.zvalue(col("x"), col("y")).as("z")).collect()(0).getLong(0)
+    assert(zm == (1L << 20) - 1)
+  }
+
+  /** mean per-partition extent of `c`, normalized by its global extent */
+  private def meanExtent(df: DataFrame, c: String): Double = {
+    val per = df.withColumn("_p", spark_partition_id())
+      .groupBy("_p").agg((max(col(c)) - min(col(c))).as("ext"))
+      .agg(avg(col("ext"))).collect()(0).getDouble(0)
+    val glob = df.agg((max(col(c)) - min(col(c))).cast("double")).collect()(0).getDouble(0)
+    per / glob
+  }
+
+  test("z-order layout narrows BOTH dimensions; single-key sort only one") {
+    // moduli sized so both dims FILL their bit width (sf0.001 has only
+    // 15 users): a dim whose high bits are constant cannot steer the
+    // curve and the layout degenerates to a single-key sort
+    val pts = t.events.select(
+      pmod(col("user_id"), lit(16L)).as("ux"),
+      pmod(floor(col("value")).cast("long"), lit(16L)).as("vy"))
+    val zordered = Layout.zorderLayout(pts, "ux", "vy", bits = 4, partitions = 16).cache()
+    val linear = pts.repartitionByRange(16, col("ux")).sortWithinPartitions(col("ux")).cache()
+    try {
+      val (zx, zy) = (meanExtent(zordered, "ux"), meanExtent(zordered, "vy"))
+      val (lx, ly) = (meanExtent(linear, "ux"), meanExtent(linear, "vy"))
+      assert(lx < 0.2, s"sanity: linear sort must cluster its own key ($lx)")
+      assert(ly > 0.5, s"sanity: linear sort leaves dim-2 unclustered ($ly)")
+      // z-order: both dims clustered well below the linear sort's dim-2
+      assert(zx < 0.6 && zy < 0.6, s"z-order extents too wide: x=$zx y=$zy")
+      assert(zy < ly / 2, s"z-order dim-2 ($zy) should beat linear's ($ly) by 2x+")
+    } finally { zordered.unpersist(); linear.unpersist() }
+  }
+}
