@@ -49,6 +49,24 @@ object Sinks {
     */
   def noop(df: DataFrame): Long = df.count()
 
+  /** Small-files compaction: size the output file count from the
+    * plan's size estimate so each parquet file lands near
+    * `targetBytes`. The operational chore every long-running 100 TB
+    * lake needs — streaming ingest and fine-grained partitions breed
+    * thousands of KB-sized files whose open/footer overhead dominates
+    * scans; rewriting at ~128 MB restores scan efficiency. Returns the
+    * chosen file count (estimates come from Catalyst statistics, so
+    * they are approximate — the invariant is the ORDER of magnitude,
+    * pinned by the spec).
+    */
+  def compactParquet(df: DataFrame, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val estimated = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = ((estimated + targetBytes - 1) / targetBytes).toInt.max(1)
+    df.repartition(n).write.mode("overwrite").parquet(path)
+    n
+  }
+
   /** Generic per-partition writer with the reference loader lifecycle
     * (connect → buffered load → flush/close; v2/core/loaders/commons.py:10).
     * This is the Cassandra_DBLoader-shaped extension point: any store

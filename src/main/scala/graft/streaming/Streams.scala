@@ -122,6 +122,36 @@ object Streams {
       .select(col("purchase_id"), col("user_id"), col("click_id"), col("p_ts"), col("c_ts"))
   }
 
+  /** documents.parquet schema for the file-source stream. */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  def documentsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+
+  /** Streaming corpus ingest — the continuous form of the curation
+    * pipeline's front half: normalize → fingerprint → streaming exact
+    * dedup → quality gate, incrementally as crawl batches land. The
+    * dedup state is one 16-byte digest per distinct document;
+    * unbounded here (fingerprints have no event time) — a production
+    * deployment adds an ingest-timestamp watermark +
+    * `dropDuplicatesWithinWatermark` to bound it to the re-crawl
+    * horizon. Works identically on a batch DataFrame (the spec twin).
+    */
+  def corpusIngest(docs: DataFrame, minQuality: Double = 0.5): DataFrame =
+    docs.select(col("doc_id"),
+      md5(graft.operators.TextAnalysis.normalizedText(col("text"))).as("fp"),
+      graft.operators.TextAnalysis.qualityCol(col("text")).as("quality"))
+      .dropDuplicates("fp")
+      .filter(col("quality") >= minQuality)
+
   /** Stream-static enrichment join: the live event stream joined to a
     * broadcast dimension snapshot (user → market segment), then a
     * watermarked windowed count per segment. Stream-static joins are

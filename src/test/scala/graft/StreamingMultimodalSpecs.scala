@@ -98,6 +98,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == closed)
   }
 
+  test("streaming corpus ingest dedups and quality-gates like the batch twin") {
+    val stream = Streams.documentsStream(spark, TestSpark.sf)
+    assert(stream.isStreaming)
+    Streams.runToMemory(Streams.corpusIngest(stream).select("fp"), "ingest_out")
+    val got  = spark.table("ingest_out").collect().map(_.getString(0)).toSet
+    val want = Streams.corpusIngest(
+      Tables(spark, TestSpark.sf).documents).select("fp")
+      .collect().map(_.getString(0)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("compaction sizes the output file count from the plan estimate") {
+    val docs = Tables(spark, TestSpark.sf).documents
+    val out  = "target/compact_out"
+    val n = graft.sinks.Sinks.compactParquet(docs, out, targetBytes = 8 * 1024)
+    assert(n > 1, s"8KB target over the docs table must split files (n=$n)")
+    val files = new java.io.File(out).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(files == n, s"expected $n parquet files, found $files")
+    assert(spark.read.parquet(out).count() == docs.count())
+    val n1 = graft.sinks.Sinks.compactParquet(docs, out) // 128MB default
+    assert(n1 == 1, "default target must compact the small table to one file")
+  }
+
   test("stream-static segment join matches the batch twin") {
     val stream = Streams.eventsStream(spark, TestSpark.sf)
     Streams.runToMemory(Streams.segmentHourly(stream, t.customer), "seg_out", mode = "complete")
