@@ -246,6 +246,56 @@ object TextAnalysis {
       |  len(regexp_extract_all(rtext, '<(EMAIL|URL|PHONE)>')) AS n_redacted
       |FROM red ORDER BY doc_id""".stripMargin
 
+  /** RAG-prep chunking: overlapping token windows of `k` words at
+    * stride `s` (< k ⇒ the overlap keeps sentences from being cut at
+    * every boundary) — the unit retrieval corpora index and context
+    * builders pack. Window math is pure column arithmetic; the output
+    * carries the 16-byte chunk fingerprint (the join/dedup key at
+    * scale — downstream chunk dedup is [[Dedup.exactOf]] on `chunk_fp`
+    * unchanged), so nothing wider than ids+digests needs to shuffle
+    * when this feeds an index build.
+    */
+  def chunkTextOf(docs: DataFrame, k: Int = 32, stride: Int = 24): DataFrame =
+    docs
+      .select(col("doc_id"),
+        split(normalizedText(col("text")), " ").as("w"))
+      .withColumn("n", size(col("w")).cast("long"))
+      // windows start at i·stride, i ∈ [0, nwin); the last window may
+      // be partial but every token is covered exactly ⌈k/s⌉-ish times
+      .withColumn("nwin",
+        when(col("n") > k, (col("n") - k + stride - 1) / stride + 1).otherwise(lit(1L)).cast("long"))
+      .select(col("doc_id"), col("w"), col("n"),
+        explode(expr("sequence(0, nwin - 1)")).as("i"))
+      .select(col("doc_id"), col("i").as("chunk_id"),
+        (col("i") * stride).as("start_tok"),
+        slice(col("w"), (col("i") * stride + 1).cast("int"), lit(k)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        md5(array_join(col("chunk"), " ")).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_id")
+
+  def chunkText(t: Tables, k: Int = 32, stride: Int = 24): DataFrame =
+    chunkTextOf(t.documents, k, stride)
+
+  def chunkTextSql(k: Int = 32, stride: Int = 24): String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w,
+       |    len(regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS n
+       |  FROM documents
+       |), wins AS (
+       |  SELECT doc_id, w, i
+       |  FROM (SELECT doc_id, w,
+       |          CASE WHEN n > $k THEN (n - $k + $stride - 1) // $stride + 1 ELSE 1 END AS nwin
+       |        FROM d),
+       |    unnest(range(0, nwin)) AS r(i)
+       |)
+       |SELECT doc_id, i AS chunk_id, i * $stride AS start_tok,
+       |  len(w[i * $stride + 1 : i * $stride + $k]) AS n_tokens,
+       |  md5(array_to_string(w[i * $stride + 1 : i * $stride + $k], ' ')) AS chunk_fp
+       |FROM wins
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
   /** Gopher-style repetition signal: fraction of word 3-grams that are
     * duplicates within the document (1 − distinct/total). High values
     * flag boilerplate/spam for training-data filtering.

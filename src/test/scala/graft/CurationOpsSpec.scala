@@ -45,6 +45,21 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("chunk_text: overlapping windows cover every token; short docs yield one chunk") {
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"w$i").mkString(" ")), // 100 tokens
+      (2L, "a b c")).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkTextOf(docs, k = 32, stride = 24).collect()
+    val d1 = chunks.filter(_.getLong(0) == 1L)
+    // starts: 0,24,48,72 → last window covers tokens 72..99 (28 tokens)
+    assert(d1.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((0L, 0L, 32L), (1L, 24L, 32L), (2L, 48L, 32L), (3L, 72L, 28L)))
+    // full coverage: last window reaches the final token
+    assert(d1.map(r => r.getLong(2) + r.getLong(3)).max == 100L)
+    val d2 = chunks.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2.head.getLong(3) == 3L)
+  }
+
   test("pii redaction removes every planted email/url/phone") {
     val red = TextAnalysis.piiRedactQuery(t)
     // each doc gets exactly one email + one url + one phone planted
