@@ -387,6 +387,125 @@ object Similarity {
       .orderBy("vec_id", "s")
   }
 
+  /** Composed IVF+PQ search — the production ANN architecture in one
+    * declarative plan: the coarse quantizer (label cell) prunes the
+    * candidate set, PQ codes rank candidates by asymmetric distance
+    * (query's exact subvector vs the candidate's centroid — ADC, no
+    * candidate vector is touched), and only the short-list of 2k gets
+    * the exact cosine re-rank. At scale this reads codes (m bytes per
+    * vector) for the cell, full vectors only for 2k rows per query —
+    * the I/O shape that makes billion-vector search feasible. Approx
+    * distances round to 6dp before ranking so equal-code candidates
+    * tie exactly (then break on vec_id) on both engines.
+    */
+  def ivfPqTopK(t: Tables, nQueries: Int = 10, k: Int = 5, m: Int = 4,
+      kCode: Int = 16, dim: Int = 64, shortlistFactor: Int = 2): DataFrame = {
+    val subDim = dim / m
+    val emb = t.embeddings.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val sub = emb
+      .select(col("vec_id"), explode(array((0 until m).map { s =>
+        struct(lit(s.toLong).as("s"), slice(col("v"), s * subDim + 1, subDim).as("sv"))
+      }: _*)).as("e"))
+      .select(col("vec_id"), col("e.s").as("s"), col("e.sv").as("sv"))
+    val codebook0 = sub.filter(col("vec_id") < kCode)
+      .select(col("vec_id").as("code"), col("s").as("cs"), col("sv").as("cv"))
+    val sqDist = aggregate(zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val codes = sub.join(broadcast(codebook0), col("s") === col("cs"))
+      .withColumn("dist", sqDist)
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("dist"), col("code"))).as("best"))
+      .select(col("vec_id"), col("s"), col("best.code").as("code"))
+    val qsub = sub.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("s").as("qs"), col("sv").as("qsv"))
+    val labels = emb.select(col("vec_id"), col("label"))
+    val qlabels = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+    val cand = codes.join(labels, "vec_id")
+      .join(broadcast(qlabels), col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
+    val cb2 = codebook0.select(col("code").as("c2"), col("cs").as("s2"), col("cv"))
+    val adc = aggregate(zip_with(col("qsv"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val approx = cand
+      .join(broadcast(qsub), col("query_id") === col("q_id") && col("s") === col("qs"))
+      .join(broadcast(cb2), col("code") === col("c2") && col("s") === col("s2"))
+      .withColumn("d", adc)
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(round(sum(col("d")), 6).as("approx_dist"))
+    val wShort = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist"), col("vec_id"))
+    val short = approx.withColumn("crank", row_number().over(wShort))
+      .filter(col("crank") <= shortlistFactor * k)
+      .select("query_id", "vec_id")
+    val vecs = emb.withColumn("nrm", VectorFunctions.l2norm(col("v")))
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val qvecs = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    short.join(vecs, "vec_id").join(broadcast(qvecs), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(VectorFunctions.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(wCos).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  def ivfPqTopKSql(nQueries: Int = 10, k: Int = 5, m: Int = 4,
+      kCode: Int = 16, dim: Int = 64): String = {
+    val subDim = dim / m
+    s"""WITH vexp AS (
+       |  SELECT vec_id, (i - 1) // $subDim AS s, (i - 1) % $subDim AS j, CAST(e AS DOUBLE) AS ve
+       |  FROM (SELECT vec_id, unnest(embedding) AS e,
+       |          generate_subscripts(embedding, 1) AS i
+       |        FROM embeddings)
+       |), cexp AS (
+       |  SELECT vec_id AS code, s, j, ve AS ce FROM vexp WHERE vec_id < $kCode
+       |), cdist AS (
+       |  SELECT v.vec_id, v.s, c.code, sum((ve - ce) * (ve - ce)) AS dist
+       |  FROM vexp v JOIN cexp c ON v.s = c.s AND v.j = c.j
+       |  GROUP BY v.vec_id, v.s, c.code
+       |), codes AS (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT vec_id, s, code,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+       |    FROM cdist)
+       |  WHERE rn = 1
+       |), q AS (
+       |  SELECT vec_id AS query_id, label AS qlabel, embedding::DOUBLE[] AS qv
+       |  FROM embeddings WHERE vec_id < $nQueries
+       |), cand AS (
+       |  SELECT c.vec_id, c.s, c.code, q.query_id
+       |  FROM codes c
+       |  JOIN embeddings l ON c.vec_id = l.vec_id
+       |  JOIN q ON l.label = q.qlabel AND c.vec_id <> q.query_id
+       |), adc AS (
+       |  SELECT cand.query_id, cand.vec_id, round(sum((qe.ve - ce.ce) * (qe.ve - ce.ce)), 6) AS approx_dist
+       |  FROM cand
+       |  JOIN vexp qe ON qe.vec_id = cand.query_id AND qe.s = cand.s
+       |  JOIN cexp ce ON ce.code = cand.code AND ce.s = cand.s AND ce.j = qe.j
+       |  GROUP BY cand.query_id, cand.vec_id
+       |), short AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY approx_dist, vec_id) AS rn
+       |    FROM adc)
+       |  WHERE rn <= ${2 * k}
+       |), scored AS (
+       |  SELECT s.query_id, s.vec_id,
+       |    round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS cos_sim
+       |  FROM short s
+       |  JOIN embeddings e ON e.vec_id = s.vec_id
+       |  JOIN q ON q.query_id = s.query_id
+       |)
+       |SELECT query_id, vec_id, cos_sim, rank FROM (
+       |  SELECT query_id, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   def pqCodesSql(m: Int = 4, k: Int = 16, dim: Int = 64): String = {
     val subDim = dim / m
     s"""WITH vexp AS (

@@ -178,6 +178,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.1, s"recall $recall")
   }
 
+  test("ivf+pq shortlist re-rank recalls the exact in-cell top-k; widening the shortlist helps") {
+    val exact = Similarity.ivfTopK(t, 10, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def run(factor: Int) = Similarity.ivfPqTopK(t, 10, 5, shortlistFactor = factor).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pq2 = run(2)
+    val pq6 = run(6)
+    assert(pq2.size == exact.size)
+    // overlapping pairs carry the exact cosine (re-rank is exact)
+    pq2.foreach { case (k, s) => exact.get(k).foreach(e => assert(math.abs(e - s) < 1e-9)) }
+    def recall(m: Map[(Long, Long), Double]) =
+      m.keySet.intersect(exact.keySet).size.toDouble / exact.size
+    assert(recall(pq2) >= 0.3, s"recall ${recall(pq2)} at 2k shortlist")
+    // the standard ANN quality lever: a wider shortlist must not hurt
+    assert(recall(pq6) >= recall(pq2), s"${recall(pq6)} < ${recall(pq2)}")
+    assert(recall(pq6) >= 0.6, s"recall ${recall(pq6)} at 6k shortlist")
+  }
+
   test("exact dup-pairs baseline refuses tables beyond its broadcast cap") {
     val e = intercept[IllegalArgumentException] {
       Similarity.embeddingDupPairs(t, 0.4, maxExactRows = 10L).collect()
