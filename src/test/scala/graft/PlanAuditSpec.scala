@@ -157,4 +157,33 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan(Curate.domainMix(t))
     assert(p.contains("BroadcastHashJoin"), "per-source rate table must broadcast")
   }
+
+  test("chunk_text: no shuffle before the output sort; chunks stay in-projection") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val root = TextAnalysis.chunkText(t).queryExecution.executedPlan
+      val wide = root.collect { case e: ShuffleExchangeExec => e }
+        .filterNot(_.toString.contains("rangepartitioning"))
+      assert(wide.isEmpty, s"chunking must be map-side only, found: $wide")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("ivf+pq: codebook and query sides broadcast; shortlist limits exact work") {
+    val p = plan(Similarity.ivfPqTopK(t))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "codebook, query subvectors and query vectors must all broadcast")
+    assert(p.contains("WindowGroupLimit"), "shortlist/top-k must push the group limit")
+  }
+
+  test("z-order query is a single scan with in-expression bit math") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val root = graft.operators.Layout.qZorder(t).queryExecution.executedPlan
+      val wide = root.collect { case e: ShuffleExchangeExec => e }
+        .filterNot(_.toString.contains("rangepartitioning"))
+      assert(wide.isEmpty, "z-value computation must not shuffle")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
