@@ -24,12 +24,13 @@ object Layout {
     * so the long casts are exact.
     */
   def zvalue(x: Column, y: Column, bits: Int = 10): Column =
-    aggregate(
-      sequence(lit(0), lit(bits - 1)),
-      lit(0L),
-      (acc, i) => acc
-        + pmod(floor(x / pow(lit(2.0), i)).cast("long"), lit(2L)) * pow(lit(2.0), i * 2).cast("long")
-        + pmod(floor(y / pow(lit(2.0), i)).cast("long"), lit(2L)) * pow(lit(2.0), i * 2 + 1).cast("long"))
+    // statically unrolled (bits is a plan-time constant): a flat sum of
+    // codegen'd arithmetic, where a higher-order fold would run
+    // interpreted per row
+    (0 until bits).map { i =>
+      pmod(floor(x / lit(math.pow(2.0, i))).cast("long"), lit(2L)) * lit(1L << (2 * i)) +
+        pmod(floor(y / lit(math.pow(2.0, i))).cast("long"), lit(2L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
 
   /** Cluster rows along the z-curve of the two columns: range-
     * partition on the z-value (balanced output files), sort within
