@@ -246,6 +246,66 @@ object TextAnalysis {
       |  len(regexp_extract_all(rtext, '<(EMAIL|URL|PHONE)>')) AS n_redacted
       |FROM red ORDER BY doc_id""".stripMargin
 
+  /** Interpolated bigram-LM quality score — the CCNet-filter shape one
+    * order up from [[unigramLogProb]]: score(doc) = mean log10 of
+    * λ·P(w₂|w₁) + (1−λ)·P(w₂), over every bigram instance. "Training"
+    * is two frequency aggregations; scoring joins the (small) n-gram
+    * tables broadcast against the bigram stream — the same
+    * vocab-≪-corpus asymmetry that makes LM filtering cheap at 100 TB.
+    * Jagged-score docs (rare continuations) fall to the bottom,
+    * boilerplate floats to the top; both tails get trimmed.
+    */
+  def bigramLogProb(t: Tables, lambda: Double = 0.7): DataFrame = {
+    import graft.functions.ShinglesExpr
+    val toks = WordPipeline.tokens(t)
+    val uni  = toks.groupBy("word").agg(count(lit(1)).as("c1"))
+    val n    = uni.agg(sum(col("c1")).as("n_total"))
+    val bi = t.documents
+      .select(col("doc_id"), explode(ShinglesExpr.shingles(col("text"), 2)).as("bg"))
+      .filter(col("bg") =!= "")
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    bi
+      .join(broadcast(c12), Seq("w1", "w2"))
+      .join(broadcast(uni.withColumnRenamed("word", "w1")), "w1")
+      .join(broadcast(uni.withColumnRenamed("word", "w2").withColumnRenamed("c1", "c2")), "w2")
+      .crossJoin(broadcast(n))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log10(
+          lit(lambda) * col("c12").cast("double") / col("c1") +
+            lit(1.0 - lambda) * col("c2").cast("double") / col("n_total"))), 6).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  def bigramLogProbSql(lambda: Double = 0.7): String =
+    s"""WITH grams AS (
+       |  SELECT doc_id, tk[i + 1] AS w1, tk[i + 2] AS w2
+       |  FROM (
+       |    SELECT doc_id,
+       |      regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+       |    FROM documents),
+       |    unnest(range(0, len(tk) - 1)) AS r(i)
+       |  WHERE tk[i + 1] <> '' AND tk[i + 2] <> ''
+       |), uni AS (
+       |  SELECT word, count(*) AS c1 FROM (
+       |    SELECT unnest(regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS word
+       |    FROM documents) WHERE word <> '' GROUP BY word
+       |), tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n_total FROM uni
+       |), big AS (SELECT w1, w2, count(*) AS c12 FROM grams GROUP BY w1, w2)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  round(avg(log10(
+       |    $lambda * CAST(c12 AS DOUBLE) / u1.c1 +
+       |    ${1.0 - lambda} * CAST(u2.c1 AS DOUBLE) / n_total)), 6) AS avg_logprob
+       |FROM grams g
+       |JOIN big USING (w1, w2)
+       |JOIN uni u1 ON u1.word = g.w1
+       |JOIN uni u2 ON u2.word = g.w2
+       |CROSS JOIN tot
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   /** RAG-prep chunking: overlapping token windows of `k` words at
     * stride `s` (< k ⇒ the overlap keeps sentences from being cut at
     * every boundary) — the unit retrieval corpora index and context
