@@ -15,7 +15,20 @@ object Verify {
     // 4 concurrent dumps: queries are independent Spark jobs sharing
     // the session; the scheduler interleaves their stages.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // Local-iteration filter (same contract as Bench): comma-separated
+    // query names; unset → the driver's full dump. Fails loudly on a
+    // typo rather than dumping an empty dir that reads as a clean run.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names unknown queries: $unknown")
+    }
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
+    val tasks = selected.toSeq.map { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit =
           // coalesce(1), deliberately NOT repartition(1): the gate is
@@ -44,7 +57,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Under SPARK_GRAFT_ONLY, the oracle list shrinks with the dump so
+    // the checker doesn't fail on parquet dirs that were never written.
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -119,17 +119,22 @@ object TextAnalysis {
   /** Unigram LM quality proxy — the CCNet/Gopher LM-filter shape with
     * the simplest trainable model: score(doc) = mean log10 P(word),
     * P(word) = corpusFreq(word) / corpusTokens. "Training" is one
-    * word-frequency aggregation; scoring is a broadcast join on the
-    * vocabulary (vocab ≪ corpus at any scale — Heaps' law) + one
-    * per-doc aggregation. Low scores flag gibberish/rare-token soup,
-    * high scores flag boilerplate — both ends get trimmed in a
-    * training-data pipeline.
+    * word-frequency aggregation; scoring joins the vocabulary back
+    * against the token stream. The vocab join is deliberately
+    * UN-hinted: vocab grows with the corpus (Heaps' law keeps it
+    * sublinear but a web corpus still has ~10⁸ distinct tokens), so a
+    * forced broadcast would bypass autoBroadcastJoinThreshold and OOM
+    * at 100 TB. AQE broadcasts it at runtime whenever it measures
+    * small; beyond that it stays a partitioned join whose build side
+    * reuses the groupBy("word") shuffle — only (word) keys move, never
+    * text. Low scores flag gibberish/rare-token soup, high scores flag
+    * boilerplate — both ends get trimmed in a training-data pipeline.
     */
   def unigramLogProb(t: Tables): DataFrame = {
     val toks  = WordPipeline.tokens(t)
     val freqs = toks.groupBy("word").agg(count(lit(1)).as("freq"))
     val total = freqs.agg(sum(col("freq")).as("n_total"))
-    toks.join(broadcast(freqs), "word")
+    toks.join(freqs, "word")
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
@@ -249,13 +254,22 @@ object TextAnalysis {
   /** Interpolated bigram-LM quality score — the CCNet-filter shape one
     * order up from [[unigramLogProb]]: score(doc) = mean log10 of
     * λ·P(w₂|w₁) + (1−λ)·P(w₂), over every bigram instance. "Training"
-    * is two frequency aggregations; scoring joins the (small) n-gram
-    * tables broadcast against the bigram stream — the same
-    * vocab-≪-corpus asymmetry that makes LM filtering cheap at 100 TB.
-    * Jagged-score docs (rare continuations) fall to the bottom,
-    * boilerplate floats to the top; both tails get trimmed.
+    * is two frequency aggregations; scoring joins the n-gram tables
+    * back against the bigram stream. The n-gram joins are deliberately
+    * UN-hinted: a web corpus has billions of distinct bigrams, so a
+    * forced broadcast of c12 (or even the unigram vocab) bypasses
+    * autoBroadcastJoinThreshold and OOMs at 100 TB. AQE broadcasts
+    * them at runtime when they measure small; at scale they stay
+    * partitioned joins whose build sides reuse their own groupBy
+    * shuffles — only (w1,w2) keys move, never document text. For an
+    * additional scale lever, prune c12 with `minBigramCount` > 1: a
+    * pruned bigram's probability backs off to the interpolation's
+    * (1−λ)·P(w₂) unigram term, the standard Jelinek-Mercer behavior
+    * (default 1 = exact, matches the oracle). Jagged-score docs (rare
+    * continuations) fall to the bottom, boilerplate floats to the
+    * top; both tails get trimmed.
     */
-  def bigramLogProb(t: Tables, lambda: Double = 0.7): DataFrame = {
+  def bigramLogProb(t: Tables, lambda: Double = 0.7, minBigramCount: Long = 1L): DataFrame = {
     import graft.functions.ShinglesExpr
     val toks = WordPipeline.tokens(t)
     val uni  = toks.groupBy("word").agg(count(lit(1)).as("c1"))
@@ -265,16 +279,20 @@ object TextAnalysis {
       .filter(col("bg") =!= "")
       .withColumn("w1", split(col("bg"), " ").getItem(0))
       .withColumn("w2", split(col("bg"), " ").getItem(1))
-    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c12raw = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c12 = if (minBigramCount > 1L) c12raw.filter(col("c12") >= minBigramCount) else c12raw
     bi
-      .join(broadcast(c12), Seq("w1", "w2"))
-      .join(broadcast(uni.withColumnRenamed("word", "w1")), "w1")
-      .join(broadcast(uni.withColumnRenamed("word", "w2").withColumnRenamed("c1", "c2")), "w2")
+      .join(c12, Seq("w1", "w2"), if (minBigramCount > 1L) "left" else "inner")
+      .join(uni.withColumnRenamed("word", "w1"), "w1")
+      .join(uni.withColumnRenamed("word", "w2").withColumnRenamed("c1", "c2"), "w2")
       .crossJoin(broadcast(n))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(log10(
-          lit(lambda) * col("c12").cast("double") / col("c1") +
+          // pruned bigrams (minBigramCount > 1, left join ⇒ null c12)
+          // back off to the unigram term alone — Jelinek-Mercer's
+          // natural behavior; a no-op on the exact (inner-join) path
+          lit(lambda) * coalesce(col("c12"), lit(0L)).cast("double") / col("c1") +
             lit(1.0 - lambda) * col("c2").cast("double") / col("n_total"))), 6).as("avg_logprob"))
       .orderBy("doc_id")
   }
@@ -391,8 +409,10 @@ object TextAnalysis {
   /** Bigram collocations by pointwise mutual information:
     * pmi(w₁w₂) = ln( (c₁₂/M) / ((c₁/N)(c₂/N)) ), bigrams with support
     * ≥ minCount. Bigram extraction reuses the native ShinglesExpr;
-    * unigram/bigram totals are two broadcast scalars — the whole query
-    * is two scans + one small join.
+    * unigram/bigram totals are two broadcast scalars. The vocab joins
+    * are un-hinted (vocab is corpus-dependent — AQE broadcasts when it
+    * measures small, partitioned join beyond); the stream side is
+    * already pruned to support ≥ minCount so both joins stay tiny.
     */
   def bigramPmi(t: Tables, minCount: Int = 20, k: Int = 50): DataFrame = {
     import graft.functions.ShinglesExpr
@@ -413,8 +433,8 @@ object TextAnalysis {
     bi
       .withColumn("w1", split(col("bg"), " ").getItem(0))
       .withColumn("w2", split(col("bg"), " ").getItem(1))
-      .join(broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("c1", "cw1")), "w1")
-      .join(broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("c1", "cw2")), "w2")
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c1", "cw1"), "w1")
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c1", "cw2"), "w2")
       .crossJoin(broadcast(n))
       .crossJoin(broadcast(m))
       .select(col("bg"), col("c12"),

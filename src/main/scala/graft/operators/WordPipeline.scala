@@ -101,9 +101,15 @@ object WordPipeline {
     s"$tokensCte SELECT doc_id, word, count(*) AS freq FROM toks GROUP BY doc_id, word ORDER BY doc_id, word"
 
   /** TF-IDF, top terms per document: tf = freq/doc_len,
-    * idf = ln(N/df). The df table is tiny (one row per distinct word)
-    * and broadcast; doc stats join is co-partitioned with the tf
-    * aggregate. Deterministic: scores rounded, ties broken by word.
+    * idf = ln(N/df). The df join is deliberately UN-hinted: "one row
+    * per distinct word" is small only below web scale (a 100 TB corpus
+    * has ~10⁸ distinct tokens), so a forced broadcast would bypass
+    * autoBroadcastJoinThreshold and OOM the executors. AQE broadcasts
+    * it at runtime while it measures small; beyond that it stays a
+    * partitioned join whose build side reuses the groupBy("word")
+    * shuffle — only (doc_id, word, counts) move, never text. The doc
+    * stats join is co-partitioned with the tf aggregate.
+    * Deterministic: scores rounded, ties broken by word.
     */
   def tfidfTop(t: Tables, perDoc: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -115,7 +121,7 @@ object WordPipeline {
       .orderBy(col("tfidf").desc, col("word"))
     freq
       .join(docLen, "doc_id")
-      .join(broadcast(df), "word")
+      .join(df, "word")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         round((col("tf_raw").cast("double") / col("doc_len")) *

@@ -78,10 +78,57 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("payload"))
   }
 
-  test("unigram log-prob: vocabulary joins broadcast, count is partial") {
-    val p = plan(TextAnalysis.unigramLogProb(t))
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, "vocab must broadcast, not shuffle tokens")
-    assert(p.contains("partial_count"), "word frequencies must combine map-side")
+  // LM-scoring/tf-idf scale property: the n-gram/df tables are corpus-
+  // dependent (billions of distinct bigrams at 100 TB), so they must
+  // NOT be pinned onto a broadcast build side by a hint — broadcast is
+  // fine only while threshold-governed (AQE / autoBroadcastJoinThreshold
+  // decide). The allowed hints are the 1-row scalar aggregates
+  // (n_total / n_docs — the scalar-subquery idiom). And whatever join
+  // strategy is picked, no shuffle may carry document text.
+  private def assertScaleSafeLmPlan(df: org.apache.spark.sql.DataFrame,
+      scalarCols: Set[String]): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // hints live in the analyzed plan (the optimizer folds them into JoinHint)
+    val hinted = df.queryExecution.analyzed.collect {
+      case h: ResolvedHint => h.child.schema.fieldNames.toSeq
+    }
+    assert(hinted.nonEmpty, "expected the scalar-subquery broadcasts to be hinted")
+    hinted.foreach { cols =>
+      assert(cols.size == 1 && scalarCols.contains(cols.head),
+        s"data-dependent table on a forced-broadcast build side: $cols")
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val root = df.queryExecution.executedPlan
+      val shuffled = root.collect { case e: ShuffleExchangeExec => e.child.schema.fieldNames.toSeq }
+      shuffled.foreach(cols =>
+        assert(!cols.contains("text"), s"document text crossed a shuffle: $cols"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("unigram log-prob: no forced vocab broadcast; no text shuffles; count is partial") {
+    assertScaleSafeLmPlan(TextAnalysis.unigramLogProb(t), Set("n_total"))
+    assert(plan(TextAnalysis.unigramLogProb(t)).contains("partial_count"),
+      "word frequencies must combine map-side")
+  }
+
+  test("bigram log-prob: no forced n-gram-table broadcast; no text shuffles") {
+    assertScaleSafeLmPlan(TextAnalysis.bigramLogProb(t), Set("n_total"))
+  }
+
+  test("tf-idf: no forced df broadcast; no text shuffles") {
+    assertScaleSafeLmPlan(WordPipeline.tfidfTop(t), Set("n_docs"))
+  }
+
+  test("bigram pmi: only scalar totals are hint-broadcast") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val hinted = TextAnalysis.bigramPmi(t).queryExecution.analyzed.collect {
+      case h: ResolvedHint => h.child.schema.fieldNames.toSeq
+    }
+    assert(hinted.nonEmpty, "expected the scalar-subquery broadcasts to be hinted")
+    hinted.foreach(cols => assert(cols.size == 1 && Set("n", "m").contains(cols.head),
+      s"data-dependent table on a forced-broadcast build side: $cols"))
   }
 
   test("repeated-chunk detection shuffles hashes with partial aggregation") {
