@@ -102,7 +102,26 @@ object Bench {
       "\"" + dir + "\":" + ts.map { case (n, v) => "\"" + n + "\":" + jd(v) }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
     val total = jd(stats.map(_._2.p50).filter(_ >= 0).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$st,"failed":$failed,"reps":$reps,"ladder":$lad,"sf":"$sfDir"}""")
+    // The harness that runs this captures only a short stdout TAIL, so
+    // the per-query document (was ~8 KB for 102 queries) must not ride
+    // on stdout: rounds 3-5 lost their bench detail to truncation
+    // ("parsed": null). Split the output: the FULL document goes to a
+    // file, and the printed line is a compact summary (total, failures,
+    // the 10 slowest p50s, the ladder's top rung) guaranteed to fit in
+    // a 2,000-char tail.
+    val fullDoc = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$st,"failed":$failed,"reps":$reps,"ladder":$lad,"sf":"$sfDir"}"""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outFile).toAbsolutePath.getParent)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullDoc + "\n")
+    val slow = stats.filter(_._2.p50 >= 0).sortBy(-_._2.p50).take(10)
+      .map { case (k, s) => "\"" + k + "\":" + jd(s.p50) }.mkString("{", ",", "}")
+    val topRung = ladder.lastOption.map { case (dir, ts) =>
+      s""","ladder_top":{"dir":"$dir",${ts.map { case (n, v) => "\"" + n + "\":" + jd(v) }.mkString(",")}}"""
+    }.getOrElse("")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${stats.size},"reps":$reps,"sf":"$sfDir","failed":$failed,"slowest_p50":$slow$topRung,"full_report":"$outFile"}"""
+    if (line.length > 1500)
+      System.err.println(s"[bench] WARNING summary line is ${line.length} chars (>1500); trim slowest/ladder fields")
+    println(line)
     spark.stop()
   }
 }

@@ -83,6 +83,9 @@ object SparkEntry {
     "embed_ivf_topk"       -> q(Similarity.ivfTopK(_)),
     "embed_ivf_pq"         -> q(Similarity.ivfPqTopK(_)),
     "embed_ann_lsh"        -> q(Similarity.annLshTopK(_)),
+    // rows-only: the KMeans coarse quantizer has no DuckDB twin; the
+    // recall-vs-exact property is spec-tested in SimilaritySpec.
+    "embed_ivf_kmeans"     -> q(Similarity.ivfKmeansTopK(_)),
     // §2.2 Arabic pipeline over the reference's own sample corpus
     // (input dir is fixed — rows-only check; no parquet oracle exists).
     "tok_arabic_count"     -> ((s, _) => ArabicCorpus.tokenCounts(s)),

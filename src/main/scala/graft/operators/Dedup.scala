@@ -69,10 +69,21 @@ object Dedup {
     while (changed > 0 && i < maxIter) {
       val nbrMin = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
-      val updated = labels.join(nbrMin, col("id") === col("src"), "left")
+      // Every 5 rounds, cut the lineage with a localCheckpoint. Two
+      // reasons, both scale-critical for high-diameter graphs: (a) a
+      // late executor/block loss would otherwise replay the whole join
+      // chain from iteration 0 — checkpointing bounds replay to ≤5
+      // rounds; (b) the LOGICAL plan doubles every iteration (cache
+      // only short-circuits physical re-execution), so plan analysis
+      // and the per-action plan strings grow 2^i — the checkpoint
+      // resets the plan to a LogicalRDD leaf, capping growth at 2^5.
+      // (local — no HDFS dir needed; eager materialization is fine
+      // because the next line materializes the iteration anyway.)
+      val stepped = labels.join(nbrMin, col("id") === col("src"), "left")
         .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .cache()
+      val updated =
+        (if (i % 5 == 4) stepped.localCheckpoint() else stepped).cache()
       changed = updated.filter(col("label") < col("old_label")).count()
       prevCache.unpersist(blocking = false)
       prevCache = updated

@@ -60,6 +60,20 @@ class EdgeCaseSpec extends AnyFunSuite {
     }
   }
 
+  test("nearDupClusters bounds lineage via periodic localCheckpoint") {
+    // A 13-node path graph needs ~12 min-label rounds — enough to cross
+    // two checkpoint boundaries (every 5). The logical plan doubles per
+    // iteration (cache only short-circuits physical execution), so
+    // without the checkpoints the result would drag a 2^13-node join
+    // chain; with them it restarts from a LogicalRDD leaf and only the
+    // last ≤5 rounds remain above it.
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.nearDupClusters(pairs, maxIter = 20)
+    assert(labels.collect().forall(_.getLong(1) == 0L), "path collapses to label 0")
+    val nNodes = labels.queryExecution.analyzed.collectLeaves().size
+    assert(nNodes < 200, s"lineage not truncated by localCheckpoint: $nNodes plan leaves")
+  }
+
   test("fuzzyPairs finds near-identical names within blocks only") {
     val names = Seq(
       (1L, "small ring"), (2L, "small king"), (3L, "small ring"),
