@@ -38,10 +38,34 @@ object Multimodal {
       .as[Media]
   }
 
-  /** STUB decode: a real implementation calls the codec here (JNI /
-    * library call per batch). The deterministic fake hashes payload
-    * bytes into a fixed-width feature vector so shapes, partitioning
-    * and downstream joins are fully exercised.
+  /** Pluggable media decoder — the structural seam a production build
+    * fills with a real codec (JNI, ffmpeg binding, image library). The
+    * implementation class is resolved per job from the Spark conf key
+    * [[Decoder.ConfKey]] and instantiated once per partition on the
+    * executor (reflection needs a public no-arg constructor), with
+    * open()/close() bracketing the partition so a codec context is
+    * opened once per task, not once per row. close() runs from a task
+    * completion listener, so it fires on failure paths too.
+    */
+  trait Decoder extends Serializable {
+    /** Per-partition init: open the codec context. */
+    def open(): Unit = ()
+    /** Decode one payload into a fixed-width feature vector. */
+    def decode(kind: String, payload: Array[Byte]): Array[Float]
+    /** Per-partition teardown (also invoked when the task fails). */
+    def close(): Unit = ()
+  }
+
+  object Decoder {
+    val ConfKey = "spark.graft.multimodal.decoder"
+    def resolve(className: String): Decoder =
+      Class.forName(className).getDeclaredConstructor().newInstance().asInstanceOf[Decoder]
+  }
+
+  /** STUB decode: the default [[Decoder]]. The deterministic fake
+    * hashes payload bytes into a fixed-width feature vector so shapes,
+    * partitioning and downstream joins are fully exercised without
+    * codec libraries in the environment.
     */
   object StubDecoder {
     val FeatureDim = 8
@@ -51,16 +75,29 @@ object Multimodal {
     }
   }
 
+  /** Reflection-instantiable form of [[StubDecoder]] (the conf default). */
+  final class StubDecoder extends Decoder {
+    override def decode(kind: String, payload: Array[Byte]): Array[Float] =
+      StubDecoder.decode(payload)
+  }
+
   /** Per-partition batched feature extraction — the mapInPandas shape
-    * in Scala: one decoder init per partition, streamed batches, typed
-    * output schema. This is where a real codec call goes.
+    * in Scala: one decoder init per partition, streamed rows, typed
+    * output schema. The decoder class is read from the session conf on
+    * the driver (so the PLAN carries the choice — executors never read
+    * conf) and instantiated inside each task.
     */
   def extractFeatures(media: Dataset[Media]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
+    val decoderClass =
+      media.sparkSession.conf.get(Decoder.ConfKey, classOf[StubDecoder].getName)
     media.mapPartitions { rows =>
-      // per-partition init (a real decoder would open its context here)
+      val dec = Decoder.resolve(decoderClass)
+      dec.open()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => dec.close()))
       rows.map { m =>
-        MediaFeatures(m.media_id, m.kind, m.payload.length.toLong, StubDecoder.decode(m.payload))
+        MediaFeatures(m.media_id, m.kind, m.payload.length.toLong, dec.decode(m.kind, m.payload))
       }
     }
   }

@@ -166,6 +166,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.values.flatten.forall(v => v >= 0f && v <= 1f))
   }
 
+  test("decoder is swappable via conf: fake decoder replaces the stub, stub returns on unset") {
+    val m = Multimodal.mediaFromDocuments(spark, TestSpark.sf)
+    CountingFakeDecoder.opens.set(0); CountingFakeDecoder.closes.set(0)
+    spark.conf.set(Multimodal.Decoder.ConfKey, classOf[CountingFakeDecoder].getName)
+    try {
+      val f = Multimodal.extractFeatures(m).collect()
+      // the fake's output shape, not the stub's: [n_bytes, 42]
+      assert(f.forall(r => r.features.toSeq == Seq(r.n_bytes.toFloat, 42f)))
+      // one decoder lifecycle per partition, close always paired with open
+      assert(CountingFakeDecoder.opens.get() > 0)
+      assert(CountingFakeDecoder.opens.get() == CountingFakeDecoder.closes.get())
+    } finally spark.conf.unset(Multimodal.Decoder.ConfKey)
+    // conf unset ⇒ back to the deterministic stub
+    val s = Multimodal.extractFeatures(m).head()
+    assert(s.features.length == Multimodal.StubDecoder.FeatureDim)
+  }
+
   test("resize plan scales to bounding box without touching payload") {
     val m   = Multimodal.mediaFromDocuments(spark, TestSpark.sf).toDF()
     val out = Multimodal.resizePlan(m, 64)
@@ -199,4 +216,19 @@ class MultimodalSpec extends AnyFunSuite {
     val again = Multimodal.phashQuery(spark, TestSpark.sf).collect().map(_.getLong(0)).toSeq
     assert(again == out.map(_.getLong(0)).toSeq)
   }
+}
+
+/** Reflection-instantiated test decoder: constant-shaped output plus
+  * lifecycle counters proving one open/close pair per partition.
+  */
+class CountingFakeDecoder extends Multimodal.Decoder {
+  override def open(): Unit = CountingFakeDecoder.opens.incrementAndGet()
+  override def decode(kind: String, payload: Array[Byte]): Array[Float] =
+    Array(payload.length.toFloat, 42f)
+  override def close(): Unit = CountingFakeDecoder.closes.incrementAndGet()
+}
+
+object CountingFakeDecoder {
+  val opens  = new java.util.concurrent.atomic.AtomicInteger(0)
+  val closes = new java.util.concurrent.atomic.AtomicInteger(0)
 }
