@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Benchmark main. Prints ONE JSON line:
   * {"metric":"total","value":<sum of per-query p50>,"unit":"sec",
@@ -87,9 +88,81 @@ object Bench {
     val ladderDirs = Option(base).map(_.listFiles).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("sf") && f.getPath != sfDir)
       .map(_.getPath).sorted :+ sfDir
-    val ladder = ladderDirs.map { dir =>
+    var ladder = ladderDirs.map { dir =>
       val times = headline.map { n => n -> runOnce(n, SparkEntry.queries(n), dir) }
       dir -> times
+    }
+
+    // ---- ×10 rung past sf0.1 (skipped under SPARK_GRAFT_ONLY) ----
+    // The test tree stops at sf0.1, so the dedup/similarity sublinearity
+    // claim rested on a single 10× range. Extend it one decade: replicate
+    // documents/embeddings 10× into DISJOINT shingle space — replica r
+    // suffixes every word with _r<r>, so token counts and within-replica
+    // near-dup structure are preserved exactly while cross-replica
+    // similarity is zero. Duplicates therefore scale LINEARLY, like a
+    // real 10× corpus — naive replication would instead make every doc a
+    // 10-way near-dup and quadratically inflate the pair workload, which
+    // would measure the data construction, not the operator.
+    // cache keyed by source sf dir — a local run at another sf must not
+    // leave a stale rung for the driver's sf0.1 run
+    val synthDir = s"target/bench_sfx10_${new java.io.File(sfDir).getName}"
+    if (only.isEmpty) {
+      val built = new java.io.File(s"$synthDir/_built")
+      if (!built.exists) {
+        val rep10 = explode(sequence(lit(0), lit(9)))
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .withColumn("replica", rep10)
+          .withColumn("text", when(col("replica") === 0, col("text"))
+            .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("$1_r"), col("replica")))))
+          .withColumn("doc_id", col("doc_id") + col("replica") * lit(10000000L))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .select("doc_id", "text", "lang", "source", "n_chars")
+          .write.mode("overwrite").parquet(s"$synthDir/documents.parquet")
+        spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .withColumn("replica", rep10)
+          .withColumn("embedding", transform(col("embedding"), (x, i) =>
+            (x + col("replica").cast("float") * (i.cast("float") % 7f - 3f) * lit(0.003f))
+              .cast("float")))
+          .withColumn("vec_id", col("vec_id") + col("replica") * lit(10000000L))
+          .select("vec_id", "embedding", "label")
+          .write.mode("overwrite").parquet(s"$synthDir/embeddings.parquet")
+        java.nio.file.Files.createFile(built.toPath): Unit
+      }
+      val synthQueries = Seq("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_containment",
+        "embed_cosine_topk", "embed_pq_codes", "token_count")
+      ladder :+= synthDir -> synthQueries.map { n => n -> runOnce(n, SparkEntry.queries(n), synthDir) }
+    }
+
+    // ---- skew demonstration: hot-key shard, window form vs rewrite ----
+    // sum-over-key attached per row is the skew class AQE can't touch
+    // (no partial agg for windows, no splitting a sort partition): the
+    // window form serializes the hot key on one task, the salted
+    // window-to-join rewrite (q_skew_share_rewrite) stays parallel.
+    // Same rows out of both — the gap is pure plan.
+    val skew: Option[(Double, Double, Long)] = if (only.nonEmpty) None else {
+      val skewPath = s"target/bench_skew_${new java.io.File(sfDir).getName}/events_skewed.parquet"
+      if (!new java.io.File(skewPath).exists) {
+        val ev = spark.read.parquet(s"$sfDir/events.parquet")
+          .select("event_id", "event_type", "value")
+        val hot = ev.groupBy("event_type").count()
+          .orderBy(col("count").desc, col("event_type")).head.getString(0)
+        ev.withColumn("rep", explode(sequence(lit(1),
+            when(col("event_type") === hot, 100).otherwise(1))))
+          .withColumn("event_id", col("event_id") * lit(1000L) + col("rep"))
+          .drop("rep")
+          .write.mode("overwrite").parquet(skewPath)
+      }
+      val skewed = spark.read.parquet(skewPath)
+      def time1(df: org.apache.spark.sql.DataFrame): Double = {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      import graft.operators.Skew
+      val win = time1(Skew.shareWindowForm(skewed))
+      val rw  = time1(Skew.shareOfKeyTotal(skewed))
+      Some((win, rw, skewed.count()))
     }
 
     def jd(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
@@ -102,6 +175,9 @@ object Bench {
       "\"" + dir + "\":" + ts.map { case (n, v) => "\"" + n + "\":" + jd(v) }.mkString("{", ",", "}")
     }.mkString("{", ",", "}")
     val total = jd(stats.map(_._2.p50).filter(_ >= 0).sum)
+    val skewJson = skew.map { case (w, r, n) =>
+      s""","skew":{"rows":$n,"window_s":${jd(w)},"rewrite_s":${jd(r)}}"""
+    }.getOrElse("")
     // The harness that runs this captures only a short stdout TAIL, so
     // the per-query document (was ~8 KB for 102 queries) must not ride
     // on stdout: rounds 3-5 lost their bench detail to truncation
@@ -109,7 +185,7 @@ object Bench {
     // file, and the printed line is a compact summary (total, failures,
     // the 10 slowest p50s, the ladder's top rung) guaranteed to fit in
     // a 2,000-char tail.
-    val fullDoc = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$st,"failed":$failed,"reps":$reps,"ladder":$lad,"sf":"$sfDir"}"""
+    val fullDoc = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$st,"failed":$failed,"reps":$reps,"ladder":$lad$skewJson,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outFile).toAbsolutePath.getParent)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullDoc + "\n")
@@ -118,7 +194,7 @@ object Bench {
     val topRung = ladder.lastOption.map { case (dir, ts) =>
       s""","ladder_top":{"dir":"$dir",${ts.map { case (n, v) => "\"" + n + "\":" + jd(v) }.mkString(",")}}"""
     }.getOrElse("")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${stats.size},"reps":$reps,"sf":"$sfDir","failed":$failed,"slowest_p50":$slow$topRung,"full_report":"$outFile"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${stats.size},"reps":$reps,"sf":"$sfDir","failed":$failed,"slowest_p50":$slow$topRung$skewJson,"full_report":"$outFile"}"""
     if (line.length > 1500)
       System.err.println(s"[bench] WARNING summary line is ${line.length} chars (>1500); trim slowest/ladder fields")
     println(line)

@@ -127,6 +127,9 @@ object SparkEntry {
     "q_grouping_sets"      -> q(Relational3.qGroupingSets),
     "q_zorder"             -> q(Layout.qZorder(_)),
     "q_skew_salted_agg"    -> q(tt => Skew.saltedEventStats(tt.events)),
+    // window-to-join rewrite: salted totals + broadcast join back; the
+    // DuckDB oracle is the window form — independent plan, same rows.
+    "q_skew_share_rewrite" -> q(tt => Skew.shareOfKeyTotal(tt.events)),
     "embed_pq_codes"       -> q(Similarity.pqCodes(_)),
     // §2.1 file-corpus sources over the reference's books sample
     "multimodal_resize"    -> ((s, dir) => graft.multimodal.Multimodal.resizeQuery(s, dir)),
@@ -236,6 +239,7 @@ object SparkEntry {
     "q_grouping_sets"      -> Relational3.qGroupingSetsSql,
     "q_zorder"             -> Layout.qZorderSql(),
     "q_skew_salted_agg"    -> Skew.saltedEventStatsSql,
+    "q_skew_share_rewrite" -> Skew.shareOfKeyTotalSql,
     "tok_arabic_count"     -> ArabicCorpus.tokenCountsSql,
     "multimodal_resize"    -> graft.multimodal.Multimodal.resizeQuerySql(),
     "multimodal_keyframes" -> graft.multimodal.Multimodal.keyframesSql,

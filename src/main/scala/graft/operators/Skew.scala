@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation utilities for hot keys at scale.
@@ -54,6 +55,55 @@ object Skew {
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
+
+  // Fixed-point "cents" form of the value column: float sums are
+  // order-dependent across partitionings, so every plan variant (and
+  // the DuckDB oracle) aggregates exact longs and divides once at the
+  // end — identical bits from any plan.
+  private val cents = round(col("value") * 100).cast("long")
+
+  /** Per-row share of its key's total value — the WINDOW form.
+    * `sum(value) OVER (PARTITION BY event_type)` is the one skew class
+    * neither partial aggregation nor AQE can mitigate: a window has no
+    * map-side combine, and AQE cannot split a sort partition, so EVERY
+    * row of a hot key lands on one task and that task serializes the
+    * stage. Kept as the oracle twin and the bench adversary for
+    * [[shareOfKeyTotal]].
+    */
+  def shareWindowForm(events: DataFrame): DataFrame =
+    events.select(col("event_id"), col("event_type"),
+        round(cents / sum(cents).over(Window.partitionBy(col("event_type"))).cast("double"), 6)
+          .as("share"))
+      .orderBy("event_id")
+
+  /** Per-row share of its key's total value — the window-to-join
+    * REWRITE. The per-key totals come from a salted two-phase aggregate
+    * (the hot key's partials spread over `salts` reducers before the
+    * tiny per-salt rows re-combine), and the handful of totals
+    * broadcast-join back onto the rows: same per-row answer as
+    * [[shareWindowForm]], but no task ever holds a whole key. This is
+    * the scale plan for "attach a key-level aggregate to every row"
+    * when the key histogram is skewed.
+    */
+  def shareOfKeyTotal(events: DataFrame, salts: Int = 16): DataFrame = {
+    val totals = events
+      .withColumn("_salt", salt(salts, col("event_id")))
+      .groupBy(col("event_type"), col("_salt"))
+      .agg(sum(cents).as("_pcents"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("_pcents")).as("_total_cents"))
+    events.join(broadcast(totals), "event_type")
+      .select(col("event_id"), col("event_type"),
+        round(cents / col("_total_cents").cast("double"), 6).as("share"))
+      .orderBy("event_id")
+  }
+
+  val shareOfKeyTotalSql: String =
+    """SELECT event_id, event_type,
+      |  round(CAST(round(value * 100) AS BIGINT)
+      |    / CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY event_type) AS DOUBLE), 6) AS share
+      |FROM events
+      |ORDER BY event_id""".stripMargin
 
   /** Salted broadcast-replicated join: the skewed fact side gets a
     * deterministic salt, the small side is replicated `salts`× with

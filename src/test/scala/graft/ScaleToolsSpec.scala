@@ -49,6 +49,35 @@ class SkewSpec extends AnyFunSuite {
       .select("c_custkey", "n_name").collect().map(_.toSeq).toSet
     assert(salted == plain && salted.nonEmpty)
   }
+
+  test("window-to-join share rewrite matches the window form on a hot-key shard") {
+    // 1 hot key with 50× the rows of each cold key — the shape where the
+    // window form serializes on one task at scale
+    val skewed = spark.range(0, 60000).selectExpr(
+      "id AS event_id",
+      "CASE WHEN id % 60 < 50 THEN 'hot' ELSE concat('cold_', id % 60) END AS event_type",
+      "CAST((id % 997) AS DOUBLE) / 10 AS value")
+    val got  = Skew.shareOfKeyTotal(skewed).collect().map(_.toSeq).toSeq
+    val want = Skew.shareWindowForm(skewed).collect().map(_.toSeq).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("two-phase salted aggregate shape survives AQE re-planning") {
+    // AQE coalesces partitions but must NOT collapse the two exchanges
+    // (salted partial → per-key final) into a single per-key shuffle —
+    // that would resurrect the hot reducer the salt exists to spread.
+    val df = Skew.saltedEventStats(t.events)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // compare only each exchange's key list (the split segment would
+    // otherwise include the subtree printed below it)
+    val keyLists = p.split("hashpartitioning\\(").drop(1).map(_.takeWhile(_ != ')')).toSeq
+    assert(keyLists.length >= 2, s"expected 2+ hash exchanges in:\n${p.take(2000)}")
+    assert(keyLists.exists(s => s.startsWith("event_type") && s.contains("_salt")),
+      s"salted-phase exchange must partition on (event_type, _salt): $keyLists")
+    assert(keyLists.exists(s => s.startsWith("event_type") && !s.contains("_salt")),
+      s"final-phase exchange must partition on event_type alone: $keyLists")
+  }
 }
 
 class ReduceAggregatorSpec extends AnyFunSuite {
