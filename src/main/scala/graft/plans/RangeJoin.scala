@@ -3,11 +3,12 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, BoundReference, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, StatefulOpClusteredDistribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan}
 import org.apache.spark.sql.graftbridge.Bridge
 
 /** Point-in-interval range join as a first-class operator.
@@ -53,7 +54,7 @@ case class RangeJoinExec(
     rightKey: Expression,
     rightLo: Expression,
     rightHi: Expression)
-  extends BinaryExecNode {
+  extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
@@ -83,15 +84,17 @@ case class RangeJoinExec(
     s"range-join time/bound types differ: ${leftTime.dataType} vs " +
       s"[${rightLo.dataType}, ${rightHi.dataType}]")
 
-  override protected def doExecute(): RDD[InternalRow] = {
-    // Belt and braces: zipPartitions silently produces wrong results if
-    // the children ever arrive with different partitionings (the
-    // distribution requirement above should make this unreachable).
-    // Validated via satisfies() — not a structural match — so a child
-    // whose PartitioningCollection legitimately satisfies the
-    // distribution (e.g. the output of an equi-join on the same key) is
-    // accepted; both sides must also agree on the partition count,
-    // which StatefulOpClusteredDistribution pins to numShufflePartitions.
+  // Belt and braces: zipping partitions silently produces wrong results
+  // if the children ever arrive with different partitionings (the
+  // distribution requirement above should make this unreachable).
+  // Validated via satisfies() — not a structural match — so a child
+  // whose PartitioningCollection legitimately satisfies the
+  // distribution (e.g. the output of an equi-join on the same key) is
+  // accepted; both sides must also agree on the partition count,
+  // which StatefulOpClusteredDistribution pins to numShufflePartitions.
+  // Called from BOTH execution paths: interpreted doExecute and the
+  // whole-stage-codegen inputRDDs (the zip there is WholeStageCodegenExec's).
+  private def validateCoPartitioning(): Unit = {
     val dists = requiredChildDistribution
     if (!left.outputPartitioning.satisfies(dists.head) ||
         !right.outputPartitioning.satisfies(dists(1)) ||
@@ -100,6 +103,10 @@ case class RangeJoinExec(
         s"RangeJoinExec children are not co-hash-partitioned on the join keys: " +
           s"left=${left.outputPartitioning} right=${right.outputPartitioning} — " +
           "refusing to zip misaligned partitions")
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    validateCoPartitioning()
     val lKey = BindReferences.bindReference(leftKey, left.output)
     val lT   = BindReferences.bindReference(leftTime, left.output)
     val rKey = BindReferences.bindReference(rightKey, right.output)
@@ -166,6 +173,134 @@ case class RangeJoinExec(
         override def next(): InternalRow = { advance(); pending.next() }
       }
     }
+  }
+
+  // ---------------- whole-stage codegen ----------------
+  //
+  // The node is a codegen stage ROOT with two untransformed inputs —
+  // the SortMergeJoinExec model: inputRDDs() hands both sorted children
+  // to WholeStageCodegenExec (which zips them exactly like the
+  // interpreted path), and doProduce emits the merge loop in Java, so
+  // key/bound extraction compiles to direct UnsafeRow field reads and
+  // the emitted (left, right) pairs flow straight into the downstream
+  // operators' generated code with no per-row JoinedRow/UnsafeProjection
+  // materialization between. The interpreted doExecute above stays as
+  // the fallback (conf flag off, or a non-codegen parent).
+
+  /** Escape hatch: `spark.graft.rangejoin.codegen=false` forces the
+    * interpreted merge (the node is then wrapped in an InputAdapter).
+    */
+  override def supportCodegen: Boolean =
+    conf.getConfString("spark.graft.rangejoin.codegen", "true").toBoolean
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] = {
+    validateCoPartitioning()
+    left.execute() :: right.execute() :: Nil
+  }
+
+  // the output row writer is reused across emitted rows; buffering
+  // parents (sort, limit) need stable copies
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val row = "org.apache.spark.sql.catalyst.InternalRow" // Janino-safe FQN, raw types
+    val leftInput  = ctx.addMutableState("scala.collection.Iterator", "rjLeftInput",
+      v => s"$v = inputs[0];")
+    val rightInput = ctx.addMutableState("scala.collection.Iterator", "rjRightInput",
+      v => s"$v = inputs[1];")
+    // leftRow is NOT copied: the sorter's reuse contract keeps it valid
+    // until the next next() call, which only happens after its active
+    // set is fully emitted. Right rows ARE copied — they outlive many
+    // left rows in the active buffer.
+    val leftRow  = ctx.addMutableState(row, "rjLeftRow")
+    val rHead    = ctx.addMutableState(row, "rjRightHead")
+    val active   = ctx.addMutableState("java.util.ArrayList", "rjActive",
+      v => s"$v = new java.util.ArrayList();")
+    val activeIdx = ctx.addMutableState("int", "rjActiveIdx")
+
+    // --- generated expression evaluation, one per (expr, input row) ---
+    def evalOn(rowVar: String, expr: Expression, attrs: Seq[Attribute]): ExprCode = {
+      ctx.INPUT_ROW = rowVar
+      ctx.currentVars = null
+      BindReferences.bindReference(expr, attrs).genCode(ctx)
+    }
+    val lk = evalOn(leftRow, leftKey, left.output)
+    val lt = evalOn(leftRow, leftTime, left.output)
+    val rk  = evalOn(rHead, rightKey, right.output)
+    val rlo = evalOn(rHead, rightLo, right.output)
+    val probe = ctx.freshName("rjProbe")
+    val ak  = evalOn(probe, rightKey, right.output)
+    val ahi = evalOn(probe, rightHi, right.output)
+
+    val keyComp  = (a: String, b: String) => ctx.genComp(leftKey.dataType, a, b)
+    val timeComp = (a: String, b: String) => ctx.genComp(leftTime.dataType, a, b)
+
+    // findNext: advances until the current left row has a non-empty
+    // un-emitted active set. All loop state lives in the mutable fields,
+    // so processNext() can return mid-emission (shouldStop) and resume.
+    val findNext = ctx.addNewFunction("rjFindNext",
+      s"""
+         |private boolean rjFindNext() throws java.io.IOException {
+         |  while (true) {
+         |    if ($activeIdx < $active.size()) return true;
+         |    if (!$leftInput.hasNext()) return false;
+         |    $leftRow = ($row) $leftInput.next();
+         |    ${lk.code}
+         |    ${lt.code}
+         |    if (${lk.isNull} || ${lt.isNull}) { $active.clear(); continue; }
+         |    // pull newly-started intervals: right side is sorted by
+         |    // (key, lo), so stop at the first row beyond (k, t)
+         |    while (true) {
+         |      if ($rHead == null) {
+         |        if (!$rightInput.hasNext()) break;
+         |        $rHead = (($row) $rightInput.next()).copy();
+         |      }
+         |      ${rk.code}
+         |      ${rlo.code}
+         |      if (${rk.isNull} || ${rlo.isNull}) { $rHead = null; continue; }
+         |      int cmp = ${keyComp(rk.value, lk.value)};
+         |      if (cmp < 0) { $rHead = null; continue; }
+         |      if (cmp == 0 && ${timeComp(rlo.value, lt.value)} <= 0) {
+         |        $active.add($rHead); $rHead = null; continue;
+         |      }
+         |      break;
+         |    }
+         |    // retire: stale key (left key advanced) or interval ended
+         |    for (int i = $active.size() - 1; i >= 0; i--) {
+         |      $row $probe = ($row) $active.get(i);
+         |      ${ak.code}
+         |      ${ahi.code}
+         |      if (${ak.isNull} || ${ahi.isNull} ||
+         |          ${keyComp(ak.value, lk.value)} != 0 ||
+         |          ${timeComp(ahi.value, lt.value)} < 0) {
+         |        $active.remove(i);
+         |      }
+         |    }
+         |    $activeIdx = 0;
+         |  }
+         |}
+       """.stripMargin)
+
+    // --- emission: output columns as direct field reads on the two rows ---
+    val rightRow = ctx.freshName("rjRightRow")
+    ctx.INPUT_ROW = leftRow
+    ctx.currentVars = null
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    ctx.INPUT_ROW = rightRow
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    // consume() evaluates the variables it needs itself (unused columns
+    // are never even read) — pre-emitting them here would double-declare
+    s"""
+       |while ($limitNotReachedCond $findNext()) {
+       |  $row $rightRow = ($row) $active.get($activeIdx++);
+       |  ${consume(ctx, leftVars ++ rightVars)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
   }
 
   override protected def withNewChildrenInternal(l: SparkPlan, r: SparkPlan): SparkPlan =

@@ -138,6 +138,35 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(e.getMessage.contains("key types differ"), e.getMessage)
   }
 
+  test("merge loop runs inside whole-stage codegen; interpreted fallback agrees") {
+    val (ev, iv) = fixtures
+    // fallback=false turns a Janino compile error into a hard failure —
+    // a silently-falling-back stage would otherwise still pass on results
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = RangeJoin.rangeJoin(ev, iv, "key", "t", "lo", "hi")
+        .select(col("event_id"), col("session_id"))
+      val cg = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the POST-EXECUTION plan (AQE final) must show the join INSIDE a
+      // codegen stage (the `*(n)` star prefix), not under an InputAdapter
+      val p = df.queryExecution.executedPlan.toString
+      val starLine = p.linesIterator.find(_.contains("RangeJoin ")).getOrElse("")
+      assert(starLine.contains("*("), s"RangeJoin not codegen'd:\n${p.take(1500)}")
+
+      spark.conf.set("spark.graft.rangejoin.codegen", "false")
+      val interp = RangeJoin.rangeJoin(ev, iv, "key", "t", "lo", "hi")
+      val pi = interp.queryExecution.executedPlan.toString
+      val interpLine = pi.linesIterator.find(_.contains("RangeJoin ")).getOrElse("")
+      assert(!interpLine.contains("*("), "escape hatch must fall back to interpreted")
+      val got = interp.select(col("event_id"), col("session_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == cg && cg.nonEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.codegen.fallback")
+      spark.conf.unset("spark.graft.rangejoin.codegen")
+    }
+  }
+
   test("range join plans as RangeJoinExec with sorts, not a nested loop") {
     val (ev, iv) = fixtures
     val p = RangeJoin.rangeJoin(ev, iv, "key", "t", "lo", "hi")
