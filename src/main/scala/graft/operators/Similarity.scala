@@ -369,7 +369,15 @@ object Similarity {
     */
   def pqCodes(t: Tables, m: Int = 4, k: Int = 16, dim: Int = 64): DataFrame = {
     val subDim = dim / m
+    // The explode below multiplies each row ×m, and the codebook join
+    // ×k again (64× here) — a stage whose task count is inherited from
+    // the SCAN's file splits would run 64× the scanned bytes on a
+    // handful of tasks. Spread the rows across the full parallelism
+    // BEFORE the blow-up; the shuffle moves only the raw vectors (the
+    // cheapest point in the plan).
+    val slices = t.embeddings.sparkSession.sparkContext.defaultParallelism
     val sub = t.embeddings
+      .repartition(slices, col("vec_id"))
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .select(col("vec_id"), explode(array((0 until m).map { s =>
         struct(lit(s.toLong).as("s"), slice(col("v"), s * subDim + 1, subDim).as("sv"))
