@@ -59,6 +59,9 @@ object SparkEntry {
     "pii_redact"           -> q(TextAnalysis.piiRedactQuery),
     "decontaminate"        -> q(Decontaminate.contaminationQuery(_)),
     "domain_mix"           -> q(Curate.domainMix(_)),
+    "url_canonicalize"     -> q(Curate.urlCanonicalize),
+    // distributed two-phase prefix sum; oracle is the naive global window
+    "pack_shards"          -> q(Layout.packShards(_)),
     "doc_fingerprint"      -> q(TextAnalysis.fingerprint),
     // §2.7 dedup
     "dedup_exact"          -> q(Dedup.exact),
@@ -182,6 +185,8 @@ object SparkEntry {
     "pii_redact"           -> TextAnalysis.piiRedactSql,
     "decontaminate"        -> Decontaminate.contaminationSql(),
     "domain_mix"           -> Curate.domainMixSql(),
+    "url_canonicalize"     -> Curate.urlCanonicalizeSql,
+    "pack_shards"          -> Layout.packShardsSql(),
     "doc_fingerprint"      -> TextAnalysis.fingerprintSql,
     "dedup_exact"          -> Dedup.exactSql,
     "dedup_fingerprint"    -> Dedup.byFingerprintSql,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -117,6 +117,93 @@ object Curate {
        |WHERE ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
        |      / 1152921504606846976.0 < rate
        |ORDER BY doc_id""".stripMargin
+
+  /** Canonicalize one URL column: lowercase, drop fragment, scheme,
+    * `www.`, default ports, tracking query params (utm_*, fbclid,
+    * gclid, ref), empty left-over `?`/`&`, and trailing slashes. Pure
+    * regexp chain — codegen'd, no UDF — and every pattern avoids
+    * lookarounds so the DuckDB (RE2) twin evaluates identically.
+    * Whole-URL lowercasing is a declared heuristic (paths are
+    * case-sensitive in theory, never meaningfully in crawl dedup).
+    */
+  def canonicalUrl(c: Column): Column = {
+    val lowered  = lower(trim(c))
+    val noFrag   = regexp_replace(lowered, "#.*$", "")
+    val noScheme = regexp_replace(noFrag, "^https?://", "")
+    val noWww    = regexp_replace(noScheme, "^www\\.", "")
+    val noPort   = regexp_replace(noWww, "^([^/:]+):(80|443)", "$1")
+    // leading-separator form eats consecutive tracking params in one
+    // pass and cannot false-match inside another key (e.g. href=)
+    val noTrack  = regexp_replace(noPort, "[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&]*", "")
+    // if the strip removed the '?', promote the first surviving '&'
+    val requery  = regexp_replace(noTrack, "^([^?]+)&", "$1?")
+    val noDangle = regexp_replace(requery, "[?&]+$", "")
+    regexp_replace(noDangle, "/+$", "")
+  }
+
+  /** URL canonicalization + dedup — the crawl-pipeline step before any
+    * content dedup: page variants that differ only in scheme, case,
+    * `www.`, default port, fragment, tracking params or trailing slash
+    * are one fetch identity. The gate plants deterministic messy URLs
+    * from doc_id (the `pii_redact` trick — the data has no URL column,
+    * so the query manufactures the five variant shapes and must
+    * collapse them). Output is the canonical-URL manifest (variant
+    * count + representative doc): one scan, one groupBy on the
+    * canonical string — at 100 TB only (url-hash, doc_id) pairs
+    * shuffle.
+    */
+  def urlCanonicalize(t: Tables): DataFrame = {
+    val base = concat(lit("example"), (col("doc_id") % 97).cast("string"),
+      lit(".com/path/p"), (col("doc_id") % 97).cast("string"))
+    val url =
+      when(col("doc_id") % 5 === 0, concat(lit("https://"), base))
+        .when(col("doc_id") % 5 === 1, upper(concat(lit("http://"), base, lit("/"))))
+        .when(col("doc_id") % 5 === 2, concat(lit("https://www."), base, lit("?utm_source=feed")))
+        .when(col("doc_id") % 5 === 3, concat(lit("http://"),
+          regexp_replace(base, "\\.com/", ".com:80/"), lit("#frag")))
+        .otherwise(concat(lit("https://"), base, lit("?id=1&utm_campaign=x")))
+    t.documents
+      .select(col("doc_id"), canonicalUrl(url).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("first_doc"))
+      .orderBy("canonical_url")
+  }
+
+  def urlCanonicalizeSql: String =
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 5 AS INT)
+      |      WHEN 0 THEN 'https://' || base
+      |      WHEN 1 THEN upper('http://' || base || '/')
+      |      WHEN 2 THEN 'https://www.' || base || '?utm_source=feed'
+      |      WHEN 3 THEN 'http://' || replace(base, '.com/', '.com:80/') || '#frag'
+      |      ELSE 'https://' || base || '?id=1&utm_campaign=x'
+      |    END AS url
+      |  FROM (
+      |    SELECT doc_id,
+      |      'example' || CAST(doc_id % 97 AS VARCHAR) || '.com/path/p' || CAST(doc_id % 97 AS VARCHAR) AS base
+      |    FROM documents)
+      |), canon AS (
+      |  SELECT doc_id,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(
+      |            regexp_replace(
+      |              regexp_replace(
+      |                regexp_replace(
+      |                  regexp_replace(lower(trim(url)), '#.*$', ''),
+      |                  '^https?://', ''),
+      |                '^www\.', ''),
+      |              '^([^/:]+):(80|443)', '\1'),
+      |            '[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&]*', '', 'g'),
+      |          '^([^?]+)&', '\1?'),
+      |        '[?&]+$', ''),
+      |      '/+$', '') AS canonical_url
+      |  FROM planted
+      |)
+      |SELECT canonical_url, count(*) AS n_variants, min(doc_id) AS first_doc
+      |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin
 
   def curateSql(minQuality: Double = 0.5): String =
     s"""WITH keeps AS (

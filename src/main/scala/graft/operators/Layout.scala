@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -55,6 +56,74 @@ object Layout {
         pmod(floor(col("value")).cast("long"), lit(1024L)).as("vy"))
       .select(col("event_id"), zvalue(col("ux"), col("vy"), bits).as("zval"))
       .orderBy("event_id")
+
+  /** Token-budget shard packing — the pre-tokenization layout step
+    * that sizes training shards by TOKENS, not bytes or rows (a shard
+    * of long documents would otherwise tokenize to many × the step
+    * budget). Greedy assignment by document order needs each doc's
+    * GLOBAL prefix token sum; the textbook form — one window over a
+    * global ORDER BY — funnels the whole corpus through a single task.
+    * This is the distributed two-phase prefix sum instead:
+    *
+    *   1. bucket docs into `buckets` contiguous doc_id ranges (range
+    *      bounds from a 1-row min/max scalar, broadcast);
+    *   2. per-bucket token totals — an ordinary parallel aggregate;
+    *   3. exclusive running offsets over the ≤`buckets` totals — the
+    *      ONLY unpartitioned window, sized by cluster fan-out, never
+    *      by data;
+    *   4. offsets broadcast back; each bucket computes its exact
+    *      global running sum with a bucket-local window.
+    *
+    * Shard id = floor(exclusive-prefix / tokensPerShard); the gated
+    * output is the per-shard manifest (doc count, token sum, doc_id
+    * span) a writer would hand to the tokenizer fleet. Oracle computes
+    * the same thing with the naive global window — fine at oracle
+    * scale, and an independent plan for the same semantics.
+    */
+  def packShards(t: Tables, tokensPerShard: Long = 2000L, buckets: Int = 32): DataFrame = {
+    val toks = t.documents.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    // contiguous value-range bucketing: deterministic (no sampling) and
+    // order-preserving, so per-bucket prefix + bucket offset = exact
+    // global prefix
+    val bounds = toks.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+    val bucketed = toks.crossJoin(broadcast(bounds))
+      .withColumn("_b", least(lit(buckets - 1),
+        floor((col("doc_id") - col("lo")) * buckets /
+          (col("hi") - col("lo") + 1)).cast("int")))
+      .drop("lo", "hi")
+    val offsets = bucketed.groupBy(col("_b")).agg(sum(col("n_tokens")).as("_bsum"))
+      .withColumn("_off",
+        coalesce(sum(col("_bsum")).over(
+          Window.orderBy(col("_b")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_b"), col("_off"))
+    val wLocal = Window.partitionBy(col("_b")).orderBy(col("doc_id"))
+    bucketed.join(broadcast(offsets), Seq("_b"))
+      .withColumn("_prev",
+        col("_off") + coalesce(sum(col("n_tokens")).over(
+          wLocal.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("shard_id",
+        floor(col("_prev").cast("double") / lit(tokensPerShard.toDouble)).cast("long"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("shard_id")
+  }
+
+  def packShardsSql(tokensPerShard: Long = 2000L): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), cum AS (
+       |  SELECT doc_id, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+       |  FROM tok
+       |)
+       |SELECT CAST(floor(CAST(prev AS DOUBLE) / $tokensPerShard.0) AS BIGINT) AS shard_id,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
 
   def qZorderSql(bits: Int = 10): String =
     s"""WITH d AS (

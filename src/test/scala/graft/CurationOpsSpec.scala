@@ -73,3 +73,43 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(norm == "a b c d")
   }
 }
+
+class UrlCanonicalizeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    urls.toDF("u").select(Curate.canonicalUrl(col("u")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  test("scheme/case/www/port/fragment/trailing-slash variants collapse to one identity") {
+    val got = canon(
+      "https://example5.com/path/p5",
+      "HTTP://EXAMPLE5.COM/path/p5/",
+      "https://www.example5.com/path/p5?utm_source=feed",
+      "http://example5.com:80/path/p5#frag",
+      "https://example5.com:443/path/p5//")
+    assert(got.toSet == Set("example5.com/path/p5"), got.toString)
+  }
+
+  test("real query params survive, tracking params vanish — wherever they sit") {
+    assert(canon("https://a.com/x?id=1&utm_campaign=z") == Seq("a.com/x?id=1"))
+    // tracking param FIRST: the '&' must be promoted back to '?'
+    assert(canon("https://a.com/x?utm_a=1&id=2") == Seq("a.com/x?id=2"))
+    // consecutive tracking params all go
+    assert(canon("https://a.com/x?utm_a=1&utm_b=2&gclid=3") == Seq("a.com/x"))
+    // 'href' must NOT match the 'ref' tracking key
+    assert(canon("https://a.com/x?href=keep") == Seq("a.com/x?href=keep"))
+  }
+
+  test("gated query collapses the planted variant groups") {
+    val t = Tables(spark, TestSpark.sf)
+    val out = Curate.urlCanonicalize(t).collect()
+    // groups with n_variants >= 2 exist (the dedup signal), and total
+    // variant count conserves the corpus
+    assert(out.exists(_.getLong(1) >= 2))
+    assert(out.map(_.getLong(1)).sum == t.documents.count())
+  }
+}

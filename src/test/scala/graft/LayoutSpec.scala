@@ -59,3 +59,62 @@ class LayoutSpec extends AnyFunSuite {
     } finally { zordered.unpersist(); linear.unpersist() }
   }
 }
+
+/** pack_shards: the two-phase distributed prefix sum must agree with
+  * the naive single-window form bit-for-bit, independent of how many
+  * buckets the corpus is cut into (boundary correctness), and the
+  * manifest must account for every token exactly once.
+  */
+class PackShardsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def t = Tables(spark, TestSpark.sf)
+
+  private def naive(budget: Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t.documents.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val w = Window.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+    toks.withColumn("_prev", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("shard_id",
+        floor(col("_prev").cast("double") / lit(budget.toDouble)).cast("long"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("shard_id")
+  }
+
+  test("two-phase prefix sum equals the naive global window, any bucket count") {
+    val want = naive(2000L).collect().map(_.toSeq).toSeq
+    for (buckets <- Seq(1, 3, 32)) {
+      val got = Layout.packShards(t, 2000L, buckets).collect().map(_.toSeq).toSeq
+      assert(got == want, s"buckets=$buckets")
+    }
+    assert(want.nonEmpty)
+  }
+
+  test("shard manifest conserves tokens and shard ids are contiguous from 0") {
+    val rows = Layout.packShards(t, 2000L).collect()
+    val totalDocs = rows.map(_.getLong(1)).sum
+    val totalToks = rows.map(_.getLong(2)).sum
+    assert(totalDocs == t.documents.count())
+    val direct = t.documents
+      .agg(sum(size(split(trim(col("text")), "\\s+")).cast("long"))).head.getLong(0)
+    assert(totalToks == direct)
+    assert(rows.map(_.getLong(0)).toSeq == rows.indices.map(_.toLong))
+  }
+
+  test("the only unpartitioned window runs over bucket totals, not the corpus") {
+    val df = Layout.packShards(t, 2000L)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the corpus-sized window must be partitioned by the bucket column;
+    // (exactly one) global-order window exists and consumes the <=32-row
+    // per-bucket aggregate
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    val corpusWin = windows.filter(_.contains("sum(n_tokens"))
+    assert(corpusWin.nonEmpty && corpusWin.forall(_.contains("windowspecdefinition(_b#")),
+      s"corpus window not bucket-partitioned:\n${windows.mkString("\n")}")
+    assert(windows.exists(_.contains("sum(_bsum")),
+      s"missing the bucket-totals offset window:\n${windows.mkString("\n")}")
+  }
+}
