@@ -191,7 +191,7 @@ object Bench {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullDoc + "\n")
     val slow = stats.filter(_._2.p50 >= 0).sortBy(-_._2.p50).take(10)
       .map { case (k, s) => "\"" + k + "\":" + jd(s.p50) }.mkString("{", ",", "}")
-    val topRung = ladder.lastOption.map { case (dir, ts) =>
+    val topRung = ladder.lastOption.filter(_._2.nonEmpty).map { case (dir, ts) =>
       s""","ladder_top":{"dir":"$dir",${ts.map { case (n, v) => "\"" + n + "\":" + jd(v) }.mkString(",")}}"""
     }.getOrElse("")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${stats.size},"reps":$reps,"sf":"$sfDir","failed":$failed,"slowest_p50":$slow$topRung$skewJson,"full_report":"$outFile"}"""
