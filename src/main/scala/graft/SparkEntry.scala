@@ -136,6 +136,9 @@ object SparkEntry {
     "embed_pq_codes"       -> q(Similarity.pqCodes(_)),
     // §2.1 file-corpus sources over the reference's books sample
     "multimodal_resize"    -> ((s, dir) => graft.multimodal.Multimodal.resizeQuery(s, dir)),
+    // the decode seam itself (typed Dataset + mapPartitions + Decoder
+    // lifecycle) under the hash gate — the md5 stub is SQL-recomputable
+    "multimodal_features"  -> ((s, dir) => graft.multimodal.Multimodal.featuresQuery(s, dir)),
     "multimodal_keyframes" -> ((s, dir) => graft.multimodal.Multimodal.keyframesQuery(s, dir)),
     "multimodal_audio_win" -> ((s, dir) => graft.multimodal.Multimodal.audioWindowsQuery(s, dir)),
     "multimodal_phash"     -> ((s, dir) => graft.multimodal.Multimodal.phashQuery(s, dir)),
@@ -247,6 +250,7 @@ object SparkEntry {
     "q_skew_share_rewrite" -> Skew.shareOfKeyTotalSql,
     "tok_arabic_count"     -> ArabicCorpus.tokenCountsSql,
     "multimodal_resize"    -> graft.multimodal.Multimodal.resizeQuerySql(),
+    "multimodal_features"  -> graft.multimodal.Multimodal.featuresSql,
     "multimodal_keyframes" -> graft.multimodal.Multimodal.keyframesSql,
     "multimodal_audio_win" -> graft.multimodal.Multimodal.audioWindowsSql(),
     "multimodal_phash"     -> graft.multimodal.Multimodal.phashSql(),

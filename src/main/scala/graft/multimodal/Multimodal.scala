@@ -102,6 +102,41 @@ object Multimodal {
     }
   }
 
+  /** Driver-gated form of the DECODE plane: media table → the real
+    * [[extractFeatures]] seam (conf-resolved Decoder, typed Dataset,
+    * mapPartitions) → exploded per-cell features. Because the stub
+    * decoder is deterministic md5 arithmetic, the oracle can recompute
+    * every cell in SQL — so the hash gate covers the whole typed
+    * plumbing path (encoders, per-partition decoder lifecycle, batch
+    * iteration), not just column math. Float b/255f carries ~6e-8
+    * error, enough to cross a 6dp rounding boundary (131/255 does) —
+    * so the projection first recovers the exact byte (round(f·255) is
+    * exact at this magnitude) and redoes the division in DOUBLE,
+    * making the emitted value bit-identical to the oracle's.
+    */
+  def featuresQuery(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(mediaFromDocuments(spark, dir))
+      .toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        posexplode(col("features")).as(Seq("i", "f")))
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("i").cast("long").as("i"),
+        round(round(col("f").cast("double") * 255) / 255.0, 6).as("f"))
+      .orderBy("media_id", "i")
+
+  val featuresSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    strlen(text) AS n_bytes,
+      |    md5(text) AS h
+      |  FROM documents
+      |)
+      |SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes, i,
+      |  round(CAST(('0x' || substr(h, i * 4 + 1, 2))::INT AS DOUBLE) / 255.0, 6) AS f
+      |FROM m, (SELECT unnest(range(0, 8)) AS i)
+      |ORDER BY media_id, i""".stripMargin
+
   /** Metadata-only resize plan: pure column math, no payload reads —
     * at scale this never touches the (huge) binary column thanks to
     * parquet column pruning.

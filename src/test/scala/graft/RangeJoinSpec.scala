@@ -57,9 +57,14 @@ class RangeJoinSpec extends AnyFunSuite {
       .toDF("key", "t", "event_id")
     val ivs = Seq(("a", 0, 2, 11L), ("a", 4, 6, 12L), ("b", 0, 9, 13L), ("d", 0, 9, 14L))
       .toDF("key_r", "lo", "hi", "session_id")
-    val got = RangeJoin.rangeJoin(pts, ivs, "key", "t", "lo", "hi")
-      .select(col("event_id"), col("session_id"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // fallback=false: a Janino failure on the UTF8String/int codegen
+    // path must fail the test, not silently revert to interpreted
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val got = try {
+      RangeJoin.rangeJoin(pts, ivs, "key", "t", "lo", "hi")
+        .select(col("event_id"), col("session_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
     val want = withoutRewrite {
       pts.join(ivs, col("key") === col("key_r") &&
           col("t") >= col("lo") && col("t") <= col("hi"))
