@@ -38,13 +38,16 @@ object Bench {
     // never sets it. A name that matches no query is a hard error —
     // a typo must not silently print a clean-looking empty run.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // section sentinels: not queries, but runnable alone for iteration
+    val sentinels = Set("skew_pair", "ladder_x10")
     only.foreach { names =>
-      val unknown = names -- SparkEntry.queries.keySet
+      val unknown = names -- SparkEntry.queries.keySet -- sentinels
       if (unknown.nonEmpty) {
         System.err.println(s"[bench] SPARK_GRAFT_ONLY names match no query: ${unknown.mkString(",")}")
         spark.stop(); sys.exit(1)
       }
     }
+    def sectionOn(name: String): Boolean = only.forall(_.contains(name))
 
     // noop sink materializes EVERY output column — count() would let
     // Catalyst prune the expensive expressions and under-measure.
@@ -106,7 +109,7 @@ object Bench {
     // cache keyed by source sf dir — a local run at another sf must not
     // leave a stale rung for the driver's sf0.1 run
     val synthDir = s"target/bench_sfx10_${new java.io.File(sfDir).getName}"
-    if (only.isEmpty) {
+    if (sectionOn("ladder_x10")) {
       val built = new java.io.File(s"$synthDir/_built")
       if (!built.exists) {
         val rep10 = explode(sequence(lit(0), lit(9)))
@@ -140,28 +143,39 @@ object Bench {
     // window form serializes the hot key on one task, the salted
     // window-to-join rewrite (q_skew_share_rewrite) stays parallel.
     // Same rows out of both — the gap is pure plan.
-    val skew: Option[(Double, Double, Long)] = if (only.nonEmpty) None else {
-      val skewPath = s"target/bench_skew_${new java.io.File(sfDir).getName}/events_skewed.parquet"
+    val skew: Option[(Double, Double, Long)] = if (!sectionOn("skew_pair")) None else {
+      // hot key replicated 300×: ~6M-row shard, ~99% one key — small
+      // enough to generate once, big enough that the window form's
+      // single hot task dominates its wall-clock
+      val hotCopies = 300
+      val skewPath =
+        s"target/bench_skew_${new java.io.File(sfDir).getName}_x$hotCopies/events_skewed.parquet"
       if (!new java.io.File(skewPath).exists) {
         val ev = spark.read.parquet(s"$sfDir/events.parquet")
           .select("event_id", "event_type", "value")
         val hot = ev.groupBy("event_type").count()
           .orderBy(col("count").desc, col("event_type")).head.getString(0)
         ev.withColumn("rep", explode(sequence(lit(1),
-            when(col("event_type") === hot, 100).otherwise(1))))
+            when(col("event_type") === hot, hotCopies).otherwise(1))))
           .withColumn("event_id", col("event_id") * lit(1000L) + col("rep"))
           .drop("rep")
+          // spread across real file splits: a 1-task write would leave
+          // BOTH timed plans serialized at the scan, hiding the skew
+          .repartition(cpus.toInt)
           .write.mode("overwrite").parquet(skewPath)
       }
       val skewed = spark.read.parquet(skewPath)
-      def time1(df: org.apache.spark.sql.DataFrame): Double = {
+      def time1(df: => org.apache.spark.sql.DataFrame): Double = {
         val t0 = System.nanoTime()
         df.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
       import graft.operators.Skew
-      val win = time1(Skew.shareWindowForm(skewed))
-      val rw  = time1(Skew.shareOfKeyTotal(skewed))
+      // unordered forms: the oracle's determinism sort is shared by both
+      // plans and would dilute the delta being demonstrated; min of 2
+      // reps per form rejects cold-cache noise
+      val win = (1 to 2).map(_ => time1(Skew.shareWindowForm(skewed, ordered = false))).min
+      val rw  = (1 to 2).map(_ => time1(Skew.shareOfKeyTotal(skewed, ordered = false))).min
       Some((win, rw, skewed.count()))
     }
 

@@ -80,8 +80,11 @@ object Layout {
     * the same thing with the naive global window — fine at oracle
     * scale, and an independent plan for the same semantics.
     */
-  def packShards(t: Tables, tokensPerShard: Long = 2000L, buckets: Int = 32): DataFrame = {
-    val toks = t.documents.select(col("doc_id"),
+  def packShards(t: Tables, tokensPerShard: Long = 2000L, buckets: Int = 32): DataFrame =
+    packShardsOf(t.documents, tokensPerShard, buckets)
+
+  def packShardsOf(docs: DataFrame, tokensPerShard: Long, buckets: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"),
       size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
     // contiguous value-range bucketing: deterministic (no sampling) and
     // order-preserving, so per-bucket prefix + bucket offset = exact

@@ -70,11 +70,15 @@ object Skew {
     * stage. Kept as the oracle twin and the bench adversary for
     * [[shareOfKeyTotal]].
     */
-  def shareWindowForm(events: DataFrame): DataFrame =
-    events.select(col("event_id"), col("event_type"),
-        round(cents / sum(cents).over(Window.partitionBy(col("event_type"))).cast("double"), 6)
-          .as("share"))
-      .orderBy("event_id")
+  def shareWindowForm(events: DataFrame, ordered: Boolean = true): DataFrame = {
+    val shares = events.select(col("event_id"), col("event_type"),
+      round(cents / sum(cents).over(Window.partitionBy(col("event_type"))).cast("double"), 6)
+        .as("share"))
+    // the total order exists for the oracle hash; the bench pair times
+    // the unordered form so the shared global sort can't dilute the
+    // window-vs-rewrite plan difference
+    if (ordered) shares.orderBy("event_id") else shares
+  }
 
   /** Per-row share of its key's total value — the window-to-join
     * REWRITE. The per-key totals come from a salted two-phase aggregate
@@ -85,17 +89,17 @@ object Skew {
     * the scale plan for "attach a key-level aggregate to every row"
     * when the key histogram is skewed.
     */
-  def shareOfKeyTotal(events: DataFrame, salts: Int = 16): DataFrame = {
+  def shareOfKeyTotal(events: DataFrame, salts: Int = 16, ordered: Boolean = true): DataFrame = {
     val totals = events
       .withColumn("_salt", salt(salts, col("event_id")))
       .groupBy(col("event_type"), col("_salt"))
       .agg(sum(cents).as("_pcents"))
       .groupBy(col("event_type"))
       .agg(sum(col("_pcents")).as("_total_cents"))
-    events.join(broadcast(totals), "event_type")
+    val shares = events.join(broadcast(totals), "event_type")
       .select(col("event_id"), col("event_type"),
         round(cents / col("_total_cents").cast("double"), 6).as("share"))
-      .orderBy("event_id")
+    if (ordered) shares.orderBy("event_id") else shares
   }
 
   val shareOfKeyTotalSql: String =

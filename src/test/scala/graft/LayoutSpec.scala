@@ -103,6 +103,21 @@ class PackShardsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).toSeq == rows.indices.map(_.toLong))
   }
 
+  test("degenerate corpora: one doc, sparse ids, more buckets than docs") {
+    import spark.implicits._
+    val one = Seq((7L, "a b c")).toDF("doc_id", "text")
+    val got1 = Layout.packShardsOf(one, 2L, 32).collect()
+    assert(got1.map(_.toSeq).toSeq == Seq(Seq(0L, 1L, 3L, 7L, 7L)))
+    // sparse non-contiguous ids, buckets >> docs: value-range bucketing
+    // leaves most buckets empty, result must still equal the naive form
+    val sparse = Seq((1L, "a b"), (1000L, "c d e"), (1000000L, "f")).toDF("doc_id", "text")
+    val got = Layout.packShardsOf(sparse, 4L, 32).collect().map(_.toSeq).toSeq
+    // prefix sums: 0, 2, 5 → shards 0,0,1
+    assert(got == Seq(
+      Seq(0L, 2L, 5L, 1L, 1000L),
+      Seq(1L, 1L, 1L, 1000000L, 1000000L)))
+  }
+
   test("the only unpartitioned window runs over bucket totals, not the corpus") {
     val df = Layout.packShards(t, 2000L)
     df.collect()
