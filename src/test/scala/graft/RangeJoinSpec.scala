@@ -172,6 +172,26 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("early termination and empty sides through the codegen path") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // limit above the join: the generated loop must honor shouldStop/
+      // limitNotReached mid-emission and resume state correctly
+      val (ev, iv) = fixtures
+      val limited = RangeJoin.rangeJoin(ev, iv, "key", "t", "lo", "hi").limit(5)
+      assert(limited.count() == 5)
+      // empty interval side → zero rows, no crash in the merge state
+      val pts = Seq(("a", 1, 1L)).toDF("key", "t", "event_id")
+      val noIv = Seq.empty[(String, Int, Int, Long)].toDF("key_r", "lo", "hi", "session_id")
+      assert(RangeJoin.rangeJoin(pts, noIv, "key", "t", "lo", "hi").count() == 0)
+      // empty point side
+      val noPts = Seq.empty[(String, Int, Long)].toDF("key", "t", "event_id")
+      val ivs = Seq(("a", 0, 9, 1L)).toDF("key_r", "lo", "hi", "session_id")
+      assert(RangeJoin.rangeJoin(noPts, ivs, "key", "t", "lo", "hi").count() == 0)
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("range join plans as RangeJoinExec with sorts, not a nested loop") {
     val (ev, iv) = fixtures
     val p = RangeJoin.rangeJoin(ev, iv, "key", "t", "lo", "hi")
