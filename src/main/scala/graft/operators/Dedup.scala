@@ -520,6 +520,32 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Per-ROW LSH band keys — the whole shingle → minhash → band chain
+    * folded into one projection via the distinct-shingles expression
+    * and in-expression array folds: each doc's band keys derive from
+    * its own text alone, so there is NO shuffle and NO per-doc
+    * aggregation state. Bit-identical to the [[minhashWide]] +
+    * band-explode path (spec-pinned); this is the form a STREAMING
+    * near-dup gate needs, because a stateless projection keeps the
+    * stream side of a stream-static join free of stateful operators.
+    * Docs with fewer than n words have no shingles and emit no keys,
+    * matching the grouped path's semantics.
+    */
+  def bandKeysInline(docs: DataFrame, k: Int = 16, n: Int = 3,
+      rowsPerBand: Int = 2): DataFrame = {
+    val bands = k / rowsPerBand
+    val bases = transform(
+      graft.functions.ShinglesExpr.distinctShingles(col("text"), n),
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long") % 4294967296L)
+    val sigs = (0 until k).map(i => array_min(transform(bases, b => seedHash(b, i))))
+    val bandKey = (b: Int) => md5(concat_ws(",",
+      (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => sigs(i).cast("string")): _*))
+    docs
+      .filter(size(graft.functions.ShinglesExpr.distinctShingles(col("text"), n)) > 0)
+      .select(col("doc_id"), posexplode(array(
+        (0 until bands).map(b => bandKey(b)): _*)).as(Seq("band", "band_key")))
+  }
+
   def minhashLshPairsSql(k: Int = 16, n: Int = 3,
       rowsPerBand: Int = 2, estThreshold: Double = 0.5): String = {
     val bands    = k / rowsPerBand

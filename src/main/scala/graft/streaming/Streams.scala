@@ -152,6 +152,30 @@ object Streams {
       .dropDuplicates("fp")
       .filter(col("quality") >= minQuality)
 
+  /** Stream-static near-duplicate gate — continuous MinHash-LSH dedup
+    * of incoming documents against an already-indexed corpus. The
+    * incoming side computes its band keys with the per-row inline form
+    * ([[graft.operators.Dedup.bandKeysInline]] — no shuffle, no
+    * aggregation state), so the stream-static band join stays
+    * STATELESS: the corpus index is a probe per micro-batch, exactly
+    * like a dimension join. Emits one row per colliding band
+    * (doc_id, corpus_doc, band) — append-mode safe; dedup of repeat
+    * collisions is a stateless downstream `distinct` for a batch
+    * consumer, or `dropDuplicatesWithinWatermark` if bounded streaming
+    * dedup is needed. At scale the index is bucketed/broadcast by
+    * band_key; ~(k/rowsPerBand) small rows per corpus doc.
+    * Works identically on a batch DataFrame (the spec's twin).
+    */
+  def nearDupGate(newDocs: DataFrame, corpus: DataFrame,
+      k: Int = 16, n: Int = 3, rowsPerBand: Int = 2): DataFrame = {
+    val idx = graft.operators.Dedup.bandKeysInline(corpus, k, n, rowsPerBand)
+      .withColumnRenamed("doc_id", "corpus_doc")
+    graft.operators.Dedup.bandKeysInline(newDocs, k, n, rowsPerBand)
+      .join(idx, Seq("band", "band_key"))
+      .filter(col("doc_id") =!= col("corpus_doc"))
+      .select(col("doc_id"), col("corpus_doc"), col("band"))
+  }
+
   /** Stream-static enrichment join: the live event stream joined to a
     * broadcast dimension snapshot (user → market segment), then a
     * watermarked windowed count per segment. Stream-static joins are

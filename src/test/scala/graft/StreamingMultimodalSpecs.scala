@@ -98,6 +98,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == closed)
   }
 
+  test("inline band keys are bit-identical to the grouped minhash path") {
+    import graft.operators.Dedup
+    val docs = Tables(spark, TestSpark.sf).documents
+    val inline = Dedup.bandKeysInline(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    // grouped path: wide signatures → same band digests
+    val k = 16; val rowsPerBand = 2
+    val sig = Dedup.minhashWide(Tables(spark, TestSpark.sf))
+    val grouped = sig.select(col("doc_id"), posexplode(array(
+        (0 until k / rowsPerBand).map { b =>
+          md5(concat_ws(",", (b * rowsPerBand until (b + 1) * rowsPerBand)
+            .map(i => col(s"m$i").cast("string")): _*))
+        }: _*)).as(Seq("band", "band_key")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(inline == grouped && inline.nonEmpty)
+  }
+
+  test("streaming near-dup gate flags the same collisions as its batch twin") {
+    val corpus = Tables(spark, TestSpark.sf).documents
+    val stream = Streams.documentsStream(spark, TestSpark.sf)
+    Streams.runToMemory(Streams.nearDupGate(stream, corpus), "ndg_out")
+    val got = spark.table("ndg_out").select("doc_id", "corpus_doc")
+      .collect().map(_.toSeq).toSet
+    val want = Streams.nearDupGate(corpus, corpus).select("doc_id", "corpus_doc")
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+    // collisions line up with the batch LSH candidate pairs (unordered)
+    val pairs = graft.operators.Dedup.minhashLshPairs(Tables(spark, TestSpark.sf),
+        estThreshold = 0.0)
+      .select("doc_a", "doc_b").collect()
+      .flatMap(r => Seq(Seq(r.getLong(0), r.getLong(1)), Seq(r.getLong(1), r.getLong(0))))
+      .toSet
+    assert(got.map(s => Seq(s(0), s(1))) == pairs)
+  }
+
   test("streaming corpus ingest dedups and quality-gates like the batch twin") {
     val stream = Streams.documentsStream(spark, TestSpark.sf)
     assert(stream.isStreaming)
