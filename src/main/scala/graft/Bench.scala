@@ -100,24 +100,29 @@ object Bench {
     // The test tree stops at sf0.1, so the dedup/similarity sublinearity
     // claim rested on a single 10× range. Extend it one decade: replicate
     // documents/embeddings 10× into DISJOINT shingle space — replica r
-    // suffixes every word with _r<r>, so token counts and within-replica
-    // near-dup structure are preserved exactly while cross-replica
-    // similarity is zero. Duplicates therefore scale LINEARLY, like a
-    // real 10× corpus — naive replication would instead make every doc a
-    // 10-way near-dup and quadratically inflate the pair workload, which
-    // would measure the data construction, not the operator.
+    // rotates the alphabet by r (translate), so char counts, token
+    // counts, and within-replica near-dup structure are preserved
+    // EXACTLY while cross-replica similarity is zero. Duplicates
+    // therefore scale LINEARLY, like a real 10× corpus — naive
+    // replication would make every doc a 10-way near-dup and
+    // quadratically inflate the pair workload, measuring the data
+    // construction instead of the operator.
     // cache keyed by source sf dir — a local run at another sf must not
     // leave a stale rung for the driver's sf0.1 run
-    val synthDir = s"target/bench_sfx10_${new java.io.File(sfDir).getName}"
+    val synthDir = s"target/bench_sfx10_${new java.io.File(sfDir).getName}_v2"
     if (sectionOn("ladder_x10")) {
       val built = new java.io.File(s"$synthDir/_built")
       if (!built.exists) {
         val rep10 = explode(sequence(lit(0), lit(9)))
+        val alpha = "abcdefghijklmnopqrstuvwxyz"
+        val rotated = (0 until 10).map(r => alpha.drop(r) + alpha.take(r))
         spark.read.parquet(s"$sfDir/documents.parquet")
           .withColumn("replica", rep10)
-          .withColumn("text", when(col("replica") === 0, col("text"))
-            .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
-              concat(lit("$1_r"), col("replica")))))
+          .withColumn("text",
+            (1 until 10).foldLeft(col("text")) { (c, r) =>
+              when(col("replica") === r, translate(col("text"), alpha, rotated(r)))
+                .otherwise(c)
+            })
           .withColumn("doc_id", col("doc_id") + col("replica") * lit(10000000L))
           .withColumn("n_chars", length(col("text")).cast("long"))
           .select("doc_id", "text", "lang", "source", "n_chars")
