@@ -86,6 +86,8 @@ object SparkEntry {
     "embed_ivf_topk"       -> q(Similarity.ivfTopK(_)),
     "embed_ivf_pq"         -> q(Similarity.ivfPqTopK(_)),
     "embed_ann_lsh"        -> q(Similarity.annLshTopK(_)),
+    // rows-only like ann_lsh; recall-dominance vs single-probe is spec-gated
+    "embed_ann_multiprobe" -> q(Similarity.annLshMultiProbe(_)),
     // rows-only: the KMeans coarse quantizer has no DuckDB twin; the
     // recall-vs-exact property is spec-tested in SimilaritySpec.
     "embed_ivf_kmeans"     -> q(Similarity.ivfKmeansTopK(_)),

@@ -135,7 +135,21 @@ object Similarity {
     * spec-tested against [[cosineTopK]]; bits trades recall vs
     * candidate-set size (each bit halves the bucket).
     */
-  def annLshTopK(t: Tables, nQueries: Int = 10, k: Int = 5, bits: Int = 8): DataFrame = {
+  def annLshTopK(t: Tables, nQueries: Int = 10, k: Int = 5, bits: Int = 8): DataFrame =
+    annLshMultiProbe(t, nQueries, k, bits, probeRadius = 0)
+
+  /** Multi-probe sign-LSH: each QUERY probes its own bucket plus every
+    * bucket within Hamming distance `probeRadius` of it (radius 1 ⇒
+    * bits extra probes — the classic recall lift that single-table LSH
+    * buys only by duplicating the whole index). Only the tiny
+    * broadcast query side fans out ×(1+bits); the corpus keeps exactly
+    * one bucket per vector and is scanned once, so the scale shape is
+    * unchanged. A candidate found by several probes is deduplicated by
+    * the rank window (same exact cosine, tie-broken identically).
+    */
+  def annLshMultiProbe(t: Tables, nQueries: Int = 10, k: Int = 5, bits: Int = 8,
+      probeRadius: Int = 1): DataFrame = {
+    require(probeRadius <= 1, "probe radius > 1 not implemented (probe count grows as C(bits,r))")
     val emb = t.embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val dim = 64
     val sig = (0 until bits).map { j =>
@@ -144,14 +158,26 @@ object Similarity {
     }.reduce(concat(_, _))
     val bucketed = emb.withColumn("bucket", sig)
       .withColumn("nrm", VectorFunctions.l2norm(col("v")))
+    // flip bit j of the 0/1 bucket string (1-indexed substring math)
+    def flip(b: Column, j: Int): Column = concat(
+      substring(b, 1, j),
+      when(substring(b, j + 1, 1) === "1", "0").otherwise("1"),
+      substring(b, j + 2, bits - j - 1))
+    val probes = (b: Column) =>
+      if (probeRadius == 0) array(b)
+      else array(b +: (0 until bits).map(j => flip(b, j)): _*)
     val queries = bucketed.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"), col("nrm").as("qnrm"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(probes(col("bucket"))).as("bucket"), col("nrm").as("qnrm"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
-    bucketed.join(broadcast(queries), Seq("bucket"))
+    val scored = bucketed.join(broadcast(queries), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(VectorFunctions.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6).as("cos_sim"))
+    // radius 0 cannot produce duplicate candidates — skip the dedup
+    // shuffle so the single-probe plan is unchanged
+    (if (probeRadius == 0) scored else scored.distinct())
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .orderBy("query_id", "rank")

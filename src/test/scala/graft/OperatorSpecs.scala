@@ -178,6 +178,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.1, s"recall $recall")
   }
 
+  test("multi-probe lsh recall dominates single-probe at the same bits") {
+    val exact = Similarity.cosineTopK(t, 10, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame) = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val single = recallOf(Similarity.annLshTopK(t, 10, 5, bits = 4))
+    val multi  = recallOf(Similarity.annLshMultiProbe(t, 10, 5, bits = 4, probeRadius = 1))
+    assert(multi >= single, s"multi $multi < single $single")
+    assert(multi >= 0.3, s"multi-probe recall $multi")
+    // scores for found pairs still agree exactly with the exact ranker
+    val exactScores = Similarity.cosineTopK(t, 10, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    Similarity.annLshMultiProbe(t, 10, 5, bits = 4).collect()
+      .foreach(r => exactScores.get((r.getLong(0), r.getLong(1)))
+        .foreach(e => assert(math.abs(e - r.getDouble(2)) < 1e-9)))
+  }
+
   test("ivf+pq shortlist re-rank recalls the exact in-cell top-k; widening the shortlist helps") {
     val exact = Similarity.ivfTopK(t, 10, 5).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
