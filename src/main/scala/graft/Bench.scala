@@ -109,18 +109,26 @@ object Bench {
     // construction instead of the operator.
     // cache keyed by source sf dir — a local run at another sf must not
     // leave a stale rung for the driver's sf0.1 run
-    val synthDir = s"target/bench_sfx10_${new java.io.File(sfDir).getName}_v2"
+    val synthDir = s"target/bench_sfx10_${new java.io.File(sfDir).getName}_v3"
     if (sectionOn("ladder_x10")) {
       val built = new java.io.File(s"$synthDir/_built")
       if (!built.exists) {
         val rep10 = explode(sequence(lit(0), lit(9)))
-        val alpha = "abcdefghijklmnopqrstuvwxyz"
-        val rotated = (0 until 10).map(r => alpha.drop(r) + alpha.take(r))
+        // rotate letters AND digits so every token class maps to a
+        // replica-distinct image; uppercase is lowered first (a no-op
+        // on the current corpus, a guard if it ever gains case) — an
+        // unrotated character class would let its tokens collide
+        // across replicas and quietly re-inflate the pair workload
+        val alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+        val rotated = (0 until 10).map { r =>
+          alpha.take(26).drop(r) + alpha.take(r) +
+            alpha.drop(26).drop(r % 10) + alpha.drop(26).take(r % 10)
+        }
         spark.read.parquet(s"$sfDir/documents.parquet")
           .withColumn("replica", rep10)
           .withColumn("text",
-            (1 until 10).foldLeft(col("text")) { (c, r) =>
-              when(col("replica") === r, translate(col("text"), alpha, rotated(r)))
+            (1 until 10).foldLeft(lower(col("text"))) { (c, r) =>
+              when(col("replica") === r, translate(lower(col("text")), alpha, rotated(r)))
                 .otherwise(c)
             })
           .withColumn("doc_id", col("doc_id") + col("replica") * lit(10000000L))

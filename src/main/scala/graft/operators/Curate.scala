@@ -131,7 +131,9 @@ object Curate {
     val noFrag   = regexp_replace(lowered, "#.*$", "")
     val noScheme = regexp_replace(noFrag, "^https?://", "")
     val noWww    = regexp_replace(noScheme, "^www\\.", "")
-    val noPort   = regexp_replace(noWww, "^([^/:]+):(80|443)", "$1")
+    // (/|$) anchors the port: without it ':8080' would match ':80' and
+    // corrupt the host into 'example.com80/...'
+    val noPort   = regexp_replace(noWww, "^([^/:]+):(80|443)(/|$)", "$1$3")
     // leading-separator form eats consecutive tracking params in one
     // pass and cannot false-match inside another key (e.g. href=)
     val noTrack  = regexp_replace(noPort, "[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&]*", "")
@@ -195,7 +197,7 @@ object Curate {
       |                  regexp_replace(lower(trim(url)), '#.*$', ''),
       |                  '^https?://', ''),
       |                '^www\.', ''),
-      |              '^([^/:]+):(80|443)', '\1'),
+      |              '^([^/:]+):(80|443)(/|$)', '\1\3'),
       |            '[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&]*', '', 'g'),
       |          '^([^?]+)&', '\1?'),
       |        '[?&]+$', ''),

@@ -69,21 +69,27 @@ object Dedup {
     while (changed > 0 && i < maxIter) {
       val nbrMin = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
-      // Every 5 rounds, cut the lineage with a localCheckpoint. Two
-      // reasons, both scale-critical for high-diameter graphs: (a) a
-      // late executor/block loss would otherwise replay the whole join
-      // chain from iteration 0 — checkpointing bounds replay to ≤5
-      // rounds; (b) the LOGICAL plan doubles every iteration (cache
-      // only short-circuits physical re-execution), so plan analysis
-      // and the per-action plan strings grow 2^i — the checkpoint
-      // resets the plan to a LogicalRDD leaf, capping growth at 2^5.
-      // (local — no HDFS dir needed; eager materialization is fine
-      // because the next line materializes the iteration anyway.)
+      // Every 5 rounds, cut the lineage. Reason that always holds:
+      // the LOGICAL plan doubles every iteration (cache only
+      // short-circuits physical re-execution), so plan analysis and
+      // per-action plan strings grow 2^i — the checkpoint resets the
+      // plan to a leaf, capping growth at 2^5. Fault tolerance depends
+      // on WHICH checkpoint: with a checkpoint dir configured
+      // (sc.setCheckpointDir — any production run) this is a RELIABLE
+      // checkpoint and replay after executor loss is bounded to ≤5
+      // rounds; without one it falls back to localCheckpoint, which
+      // stores executor-LOCAL blocks — losing an executor then fails
+      // the job rather than replaying from iteration 0, an accepted
+      // trade in local/test mode where there is no HDFS to write to.
       val stepped = labels.join(nbrMin, col("id") === col("src"), "left")
         .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+      val cut = i % 5 == 4
+      val sc = stepped.sparkSession.sparkContext
       val updated =
-        (if (i % 5 == 4) stepped.localCheckpoint() else stepped).cache()
+        (if (cut && sc.getCheckpointDir.isDefined) stepped.checkpoint()
+         else if (cut) stepped.localCheckpoint()
+         else stepped).cache()
       changed = updated.filter(col("label") < col("old_label")).count()
       prevCache.unpersist(blocking = false)
       prevCache = updated
@@ -534,14 +540,19 @@ object Dedup {
   def bandKeysInline(docs: DataFrame, k: Int = 16, n: Int = 3,
       rowsPerBand: Int = 2): DataFrame = {
     val bands = k / rowsPerBand
+    // materialize the base-hash array as a column FIRST: filter and
+    // projection are separate operators, so referencing the shingle
+    // expression in both would tokenize every document twice
     val bases = transform(
       graft.functions.ShinglesExpr.distinctShingles(col("text"), n),
       s => conv(substring(md5(s), 1, 15), 16, 10).cast("long") % 4294967296L)
-    val sigs = (0 until k).map(i => array_min(transform(bases, b => seedHash(b, i))))
+    val sigs = (0 until k).map(i =>
+      array_min(transform(col("bases"), b => seedHash(b, i))))
     val bandKey = (b: Int) => md5(concat_ws(",",
       (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => sigs(i).cast("string")): _*))
     docs
-      .filter(size(graft.functions.ShinglesExpr.distinctShingles(col("text"), n)) > 0)
+      .select(col("doc_id"), bases.as("bases"))
+      .filter(size(col("bases")) > 0)
       .select(col("doc_id"), posexplode(array(
         (0 until bands).map(b => bandKey(b)): _*)).as(Seq("band", "band_key")))
   }

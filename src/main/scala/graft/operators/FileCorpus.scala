@@ -54,6 +54,9 @@ object FileCorpus {
       .select(col("fname"),
         size(col("ws")).cast("long").as("n_words"),
         size(array_distinct(transform(col("ws"), w => lower(w)))).cast("long").as("n_distinct"))
+      // a wordless file must emit NO row (the explode form and the
+      // oracle's WHERE w <> '' both drop it) — not a (fname, 0, 0) row
+      .filter(col("n_words") > 0)
       .orderBy("fname")
   }
 

@@ -131,8 +131,13 @@ case class RangeJoinExec(
       // per comparison
       val lExtract = UnsafeProjection.create(Seq(lKey, lT))
       val rExtract = UnsafeProjection.create(Seq(rKey, rLo, rHi))
+      // null key/bound rows can never match (inner-join semantics) and
+      // would NPE the interpreted orderings — drop them here, exactly
+      // as the codegen path's null guards do
       val rBuf = rIter.map { r =>
         val rc = r.copy(); (rc, rExtract(rc).copy())
+      }.filter { case (_, rk) =>
+        !rk.isNullAt(0) && !rk.isNullAt(1) && !rk.isNullAt(2)
       }.buffered
 
       new Iterator[InternalRow] {
@@ -150,6 +155,11 @@ case class RangeJoinExec(
             // copied too because the projection reuses ITS buffer
             val lRow = lIter.next().copy()
             val kt   = lExtract(lRow).copy()
+            if (kt.isNullAt(0) || kt.isNullAt(1)) {
+              // null key or time: no interval can match; also must not
+              // reach curKey (null doubles as the before-first sentinel)
+              pending = Iterator.empty
+            } else {
             val k    = kt.get(0, keyType)
             val t    = kt.get(1, timeType)
             if (curKey == null || keyOrd.compare(k, curKey) != 0) {
@@ -166,6 +176,7 @@ case class RangeJoinExec(
             // retire intervals that ended before t
             active = active.filter { case (_, rk) => timeOrd.compare(rk.get(2, timeType), t) >= 0 }
             pending = active.iterator.map { case (r, _) => proj(joined(lRow, r)).copy() }
+            }
           }
         }
 

@@ -104,6 +104,13 @@ class UrlCanonicalizeSpec extends AnyFunSuite {
     assert(canon("https://a.com/x?href=keep") == Seq("a.com/x?href=keep"))
   }
 
+  test("only DEFAULT ports are stripped — :8080/:4430 and bare-host :80 handled") {
+    assert(canon("https://a.com:8080/x") == Seq("a.com:8080/x"))
+    assert(canon("https://a.com:4430/x") == Seq("a.com:4430/x"))
+    assert(canon("http://a.com:80") == Seq("a.com"))
+    assert(canon("https://a.com:443") == Seq("a.com"))
+  }
+
   test("gated query collapses the planted variant groups") {
     val t = Tables(spark, TestSpark.sf)
     val out = Curate.urlCanonicalize(t).collect()

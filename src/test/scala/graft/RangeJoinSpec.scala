@@ -192,6 +192,23 @@ class RangeJoinSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
+  test("null keys and bounds drop rows in BOTH execution paths (inner-join semantics)") {
+    import spark.implicits._
+    val pts = Seq((Some("a"), 1, 101L), (None, 2, 102L), (Some("b"), 3, 103L))
+      .toDF("key", "t", "event_id")
+    val ivs = Seq((Some("a"), Some(0), 2, 11L), (Some("b"), None, 9, 12L),
+        (None, Some(0), 9, 13L), (Some("b"), Some(1), 9, 14L))
+      .toDF("key_r", "lo", "hi", "session_id")
+    def run() = RangeJoin.rangeJoin(pts, ivs, "key", "t", "lo", "hi")
+      .select(col("event_id"), col("session_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cg = run()
+    spark.conf.set("spark.graft.rangejoin.codegen", "false")
+    val interp = try run() finally spark.conf.unset("spark.graft.rangejoin.codegen")
+    assert(cg == Set((101L, 11L), (103L, 14L)))
+    assert(interp == cg)
+  }
+
   test("range join plans as RangeJoinExec with sorts, not a nested loop") {
     val (ev, iv) = fixtures
     val p = RangeJoin.rangeJoin(ev, iv, "key", "t", "lo", "hi")
