@@ -135,6 +135,8 @@ object SparkEntry {
     // window-to-join rewrite: salted totals + broadcast join back; the
     // DuckDB oracle is the window form — independent plan, same rows.
     "q_skew_share_rewrite" -> q(tt => Skew.shareOfKeyTotal(tt.events)),
+    // salt-replicated join plan vs the oracle's plain join
+    "q_skew_salted_join"   -> q(tt => Skew.saltedJoinSegments(tt.events, tt.customer)),
     "embed_pq_codes"       -> q(Similarity.pqCodes(_)),
     // §2.1 file-corpus sources over the reference's books sample
     "multimodal_resize"    -> ((s, dir) => graft.multimodal.Multimodal.resizeQuery(s, dir)),
@@ -250,6 +252,7 @@ object SparkEntry {
     "q_zorder"             -> Layout.qZorderSql(),
     "q_skew_salted_agg"    -> Skew.saltedEventStatsSql,
     "q_skew_share_rewrite" -> Skew.shareOfKeyTotalSql,
+    "q_skew_salted_join"   -> Skew.saltedJoinSegmentsSql,
     "tok_arabic_count"     -> ArabicCorpus.tokenCountsSql,
     "multimodal_resize"    -> graft.multimodal.Multimodal.resizeQuerySql(),
     "multimodal_features"  -> graft.multimodal.Multimodal.featuresSql,

@@ -121,4 +121,27 @@ object Skew {
       explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(saltedDim, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Gated form of [[saltedJoin]]: events (user_id is the skewable
+    * key) joined to the customer dimension through the salt-replicated
+    * plan, aggregated per market segment. The oracle is the plain
+    * unsalted join — same rows, independent plan. The aggregate keeps
+    * the gate row-count stable while still verifying every joined row
+    * (counts + exact cents sums change if any row is lost or doubled).
+    */
+  def saltedJoinSegments(events: DataFrame, customer: DataFrame, salts: Int = 8): DataFrame = {
+    val dim = customer.select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    saltedJoin(events, dim, "user_id", salts, Seq("event_id"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100).cast("long")) / lit(100.0)).as("sum_value"))
+      .orderBy("c_mktsegment")
+  }
+
+  val saltedJoinSegmentsSql: String =
+    """SELECT c_mktsegment, count(*) AS n_events,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
 }
