@@ -131,9 +131,10 @@ object Curate {
     val noFrag   = regexp_replace(lowered, "#.*$", "")
     val noScheme = regexp_replace(noFrag, "^https?://", "")
     val noWww    = regexp_replace(noScheme, "^www\\.", "")
-    // (/|$) anchors the port: without it ':8080' would match ':80' and
-    // corrupt the host into 'example.com80/...'
-    val noPort   = regexp_replace(noWww, "^([^/:]+):(80|443)(/|$)", "$1$3")
+    // ([/?]|$) anchors the port: without it ':8080' would match ':80'
+    // and corrupt the host into 'example.com80/...'; '?' is included so
+    // a default port directly before the query string still strips
+    val noPort   = regexp_replace(noWww, "^([^/:]+):(80|443)([/?]|$)", "$1$3")
     // leading-separator form eats consecutive tracking params in one
     // pass and cannot false-match inside another key (e.g. href=)
     val noTrack  = regexp_replace(noPort, "[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&]*", "")
@@ -197,7 +198,7 @@ object Curate {
       |                  regexp_replace(lower(trim(url)), '#.*$', ''),
       |                  '^https?://', ''),
       |                '^www\.', ''),
-      |              '^([^/:]+):(80|443)(/|$)', '\1\3'),
+      |              '^([^/:]+):(80|443)([/?]|$)', '\1\3'),
       |            '[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&]*', '', 'g'),
       |          '^([^?]+)&', '\1?'),
       |        '[?&]+$', ''),

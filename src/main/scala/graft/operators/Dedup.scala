@@ -87,8 +87,17 @@ object Dedup {
       val cut = i % 5 == 4
       val sc = stepped.sparkSession.sparkContext
       val updated =
-        (if (cut && sc.getCheckpointDir.isDefined) stepped.checkpoint()
-         else if (cut) stepped.localCheckpoint()
+        (if (cut && sc.getCheckpointDir.isDefined) {
+          // persist first: eager checkpoint runs TWO jobs (materialize +
+          // reliable write) and would otherwise recompute the iteration's
+          // join from lineage for the second one. Checkpoint files live
+          // until app end unless spark.cleaner.referenceTracking
+          // .cleanCheckpoints=true — set it in long-running deployments.
+          val persisted = stepped.persist()
+          val cp = persisted.checkpoint()
+          persisted.unpersist(blocking = false)
+          cp
+        } else if (cut) stepped.localCheckpoint()
          else stepped).cache()
       changed = updated.filter(col("label") < col("old_label")).count()
       prevCache.unpersist(blocking = false)
@@ -550,11 +559,18 @@ object Dedup {
       array_min(transform(col("bases"), b => seedHash(b, i))))
     val bandKey = (b: Int) => md5(concat_ws(",",
       (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => sigs(i).cast("string")): _*))
+    // shingle-less docs emit an EMPTY band array (posexplode of empty =
+    // no rows) instead of being filtered out: a size() filter would be
+    // pushed below the projection and re-evaluate the shingle
+    // expression per row, defeating the tokenize-once structure.
+    // (CollapseProject won't inline `bases` into the k references
+    // either — it refuses to duplicate non-cheap expressions.)
+    val bandArr = when(size(col("bases")) > 0,
+      array((0 until bands).map(b => bandKey(b)): _*))
+      .otherwise(array().cast("array<string>"))
     docs
       .select(col("doc_id"), bases.as("bases"))
-      .filter(size(col("bases")) > 0)
-      .select(col("doc_id"), posexplode(array(
-        (0 until bands).map(b => bandKey(b)): _*)).as(Seq("band", "band_key")))
+      .select(col("doc_id"), posexplode(bandArr).as(Seq("band", "band_key")))
   }
 
   def minhashLshPairsSql(k: Int = 16, n: Int = 3,

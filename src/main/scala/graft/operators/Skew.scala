@@ -134,7 +134,7 @@ object Skew {
     saltedJoin(events, dim, "user_id", salts, Seq("event_id"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_events"),
-        (sum(round(col("value") * 100).cast("long")) / lit(100.0)).as("sum_value"))
+        (sum(cents) / lit(100.0)).as("sum_value"))
       .orderBy("c_mktsegment")
   }
 

@@ -109,6 +109,8 @@ class UrlCanonicalizeSpec extends AnyFunSuite {
     assert(canon("https://a.com:4430/x") == Seq("a.com:4430/x"))
     assert(canon("http://a.com:80") == Seq("a.com"))
     assert(canon("https://a.com:443") == Seq("a.com"))
+    // default port directly before the query string
+    assert(canon("http://a.com:80?id=1") == Seq("a.com?id=1"))
   }
 
   test("gated query collapses the planted variant groups") {

@@ -74,6 +74,20 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(nNodes < 200, s"lineage not truncated by localCheckpoint: $nNodes plan leaves")
   }
 
+  test("nearDupClusters takes the RELIABLE checkpoint path when a dir is configured") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      val labels = Dedup.nearDupClusters(pairs, maxIter = 20)
+      assert(labels.collect().forall(_.getLong(1) == 0L))
+      // reliable checkpoint files must actually exist under the dir
+      def anyFile(f: java.io.File): Boolean =
+        f.isFile || Option(f.listFiles).exists(_.exists(anyFile))
+      assert(anyFile(new java.io.File(dir)), "no reliable checkpoint written")
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("fuzzyPairs finds near-identical names within blocks only") {
     val names = Seq(
       (1L, "small ring"), (2L, "small king"), (3L, "small ring"),
