@@ -58,8 +58,17 @@ object Multimodal {
 
   object Decoder {
     val ConfKey = "spark.graft.multimodal.decoder"
-    def resolve(className: String): Decoder =
-      Class.forName(className).getDeclaredConstructor().newInstance().asInstanceOf[Decoder]
+    def resolve(className: String): Decoder = {
+      // Resolve against the thread context classloader: a decoder
+      // shipped via --jars / spark.jars is visible only through the
+      // executor's MutableURLClassLoader (set as the task thread's
+      // context loader), not through the loader that defined this
+      // class. Fall back for threads without one.
+      val loader = Option(Thread.currentThread().getContextClassLoader)
+        .getOrElse(getClass.getClassLoader)
+      Class.forName(className, true, loader)
+        .getDeclaredConstructor().newInstance().asInstanceOf[Decoder]
+    }
   }
 
   /** STUB decode: the default [[Decoder]]. The deterministic fake

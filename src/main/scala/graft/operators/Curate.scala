@@ -138,8 +138,11 @@ object Curate {
     // leading-separator form eats consecutive tracking params in one
     // pass and cannot false-match inside another key (e.g. href=)
     val noTrack  = regexp_replace(noPort, "[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&]*", "")
-    // if the strip removed the '?', promote the first surviving '&'
-    val requery  = regexp_replace(noTrack, "^([^?]+)&", "$1?")
+    // if the strip removed the '?', promote the first surviving '&';
+    // [^?&] keeps the capture before the FIRST '&' — a greedy [^?]+
+    // would swallow intermediate '&'s and promote the last one,
+    // mangling 'a.com/x&id=2&b=3' into 'a.com/x&id=2?b=3'
+    val requery  = regexp_replace(noTrack, "^([^?&]+)&", "$1?")
     val noDangle = regexp_replace(requery, "[?&]+$", "")
     regexp_replace(noDangle, "/+$", "")
   }
@@ -200,7 +203,7 @@ object Curate {
       |                '^www\.', ''),
       |              '^([^/:]+):(80|443)([/?]|$)', '\1\3'),
       |            '[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&]*', '', 'g'),
-      |          '^([^?]+)&', '\1?'),
+      |          '^([^?&]+)&', '\1?'),
       |        '[?&]+$', ''),
       |      '/+$', '') AS canonical_url
       |  FROM planted

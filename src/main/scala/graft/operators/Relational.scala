@@ -10,8 +10,13 @@ import graft.sources.Tables
   * The reference's query surface is the implicit relational algebra of
   * its pipelines (scan → map → reduce → load); here it is expressed as
   * declarative plans so Catalyst does pushdown/pruning/join-ordering.
-  * Dimension tables (region/nation/supplier) are always broadcast —
-  * at 100 TB the fact tables shuffle on join keys once, dims never do.
+  *
+  * Broadcast policy: only *bounded* dimensions (nation = 25 rows,
+  * region = 5 — fixed by the schema, independent of scale factor) carry
+  * a forced `broadcast()` hint. SF-proportional tables
+  * (customer/supplier/part) are left to the size-threshold planner and
+  * AQE: they broadcast while they fit and degrade to a shuffle join at
+  * 100 TB instead of OOM-ing the build side.
   */
 object Relational {
 
@@ -81,12 +86,14 @@ object Relational {
     * ([[graft.sources.Bucketed]]): same result, but orders⋈lineitem on
     * the bucket key plans with zero shuffle exchanges — the scans are
     * already hash-partitioned — and the groupBy (clustered on
-    * l_orderkey) reuses that partitioning too. Customer is broadcast
-    * explicitly so the probe side keeps its bucket partitioning.
+    * l_orderkey) reuses that partitioning too. Customer is
+    * SF-proportional, so it carries no forced hint — the threshold
+    * planner broadcasts it while small (keeping the probe side's
+    * bucket partitioning), and falls back to a shuffle join at scale.
     */
   def q3Bucketed(t: Tables): DataFrame = {
     val (orders, lineitem) = graft.sources.Bucketed.ordersLineitem(t)
-    broadcast(t.customer.filter(col("c_mktsegment") === "BUILDING"))
+    t.customer.filter(col("c_mktsegment") === "BUILDING")
       .join(orders, col("c_custkey") === col("o_custkey"))
       .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       .join(lineitem, col("o_orderkey") === col("l_orderkey"))
@@ -97,15 +104,16 @@ object Relational {
       .limit(10)
   }
 
-  /** TPC-H Q5-style regional revenue: all dimension tables broadcast
-    * (region/nation/supplier/customer are tiny vs lineitem at scale);
-    * the only big shuffles are lineitem⋈orders and the final agg.
+  /** TPC-H Q5-style regional revenue. Bounded dims (nation/region) are
+    * hint-broadcast; customer/supplier grow ∝ SF so the planner/AQE
+    * decide their join strategy (broadcast while small, shuffle at
+    * scale). The big shuffles are lineitem⋈orders and the final agg.
     */
   def q5RegionRevenue(t: Tables): DataFrame =
     t.lineitem
       .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey") &&
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))

@@ -69,18 +69,18 @@ object Relational3 {
 
   /** TPC-H Q7: volume shipping between a set of nations (a 3-nation
     * set rather than one pair, so the tiny sf0.001 slice still has
-    * qualifying traffic). The nation dim is
-    * joined twice (supplier side and customer side) — both broadcast;
-    * the two fact joins shuffle on l_orderkey / keep supplier
-    * broadcast-able.
+    * qualifying traffic). The bounded nation dim is joined twice
+    * (supplier side and customer side) — both hint-broadcast;
+    * customer/supplier grow ∝ SF so their join strategy is
+    * planner-decided (broadcast while small, shuffle at scale).
     */
   def q7VolumeShipping(t: Tables): DataFrame = {
     val n1 = t.nation.select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
     val n2 = t.nation.select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
     t.lineitem
       .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
       .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
       .filter(col("supp_nation").isin("NATION_1", "NATION_2", "NATION_3") &&
@@ -126,13 +126,13 @@ object Relational3 {
       .select(col("n_nationkey").as("c_nkey"))
     val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
     t.lineitem
-      .join(broadcast(t.part.filter(col("p_type") === "PROMO")), col("l_partkey") === col("p_partkey"))
+      .join(t.part.filter(col("p_type") === "PROMO"), col("l_partkey") === col("p_partkey"))
       .join(t.orders, col("l_orderkey") === col("o_orderkey"))
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(custRegion), col("c_nationkey") === col("c_nkey"))
-      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(suppNation), col("s_nationkey") === col("s_nkey"))
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(round(
@@ -218,14 +218,15 @@ object Relational3 {
       |ORDER BY custdist DESC, c_count DESC""".stripMargin
 
   /** TPC-H Q14: promo revenue percentage for one month — conditional
-    * sum over a broadcast part join, single partial agg.
+    * sum over a part join (planner-decided strategy: part grows ∝ SF,
+    * so no forced broadcast), single partial agg.
     */
   def q14PromoRevenue(t: Tables): DataFrame = {
     val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
     t.lineitem
       .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
-      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      .join(t.part, col("l_partkey") === col("p_partkey"))
       .agg(round(
         lit(100.0) * sum(when(col("p_type") === "PROMO", vol).otherwise(lit(0.0))) / sum(vol),
         4).as("promo_revenue"))
@@ -271,14 +272,15 @@ object Relational3 {
       |LIMIT 100""".stripMargin
 
   /** TPC-H Q19 shape: disjunctive brand/size/quantity predicate over a
-    * broadcast part join (no p_container / l_shipmode in this schema —
-    * the disjunction uses brand+size+quantity bands). Catalyst extracts
-    * the common l_partkey=p_partkey conjunct; the OR-of-ANDs residual
+    * part join (no p_container / l_shipmode in this schema — the
+    * disjunction uses brand+size+quantity bands). Part grows ∝ SF so
+    * the join strategy is planner-decided. Catalyst extracts the
+    * common l_partkey=p_partkey conjunct; the OR-of-ANDs residual
     * stays a codegen filter.
     */
   def q19Disjunctive(t: Tables): DataFrame =
     t.lineitem
-      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      .join(t.part, col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) && col("l_quantity").between(1, 11)) ||
         (col("p_brand") === "Brand#23" && col("p_size").between(1, 20) && col("l_quantity").between(10, 20)) ||

@@ -74,7 +74,7 @@ object Similarity {
     * below generates the candidate pairs instead.
     */
   def embeddingDupPairs(t: Tables, threshold: Double = 0.4,
-      maxExactRows: Long = 1000000L): DataFrame = {
+      maxExactRows: Long = 1000000L, knownRows: Option[Long] = None): DataFrame = {
     val emb = t.embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", VectorFunctions.l2norm(col("v")))
     // Guard the forced broadcast: beyond maxExactRows the broadcast
@@ -82,8 +82,11 @@ object Similarity {
     // anyway. Fail loudly with the scale path's name rather than
     // silently substituting an approximate answer — the caller asked
     // for the exact one. The count is one cheap column-pruned job next
-    // to the quadratic work it protects against.
-    val n = t.embeddings.select("vec_id").count()
+    // to the quadratic work it protects against — but a caller who
+    // already knows the table size passes it via `knownRows` and plan
+    // construction stays job-free (the guard still applies to the
+    // passed value).
+    val n = knownRows.getOrElse(t.embeddings.select("vec_id").count())
     require(n <= maxExactRows,
       s"embeddingDupPairs is the exact all-pairs baseline and broadcasts the full " +
         s"table: $n rows > maxExactRows=$maxExactRows. Use embeddingDupPairsLsh " +
@@ -192,7 +195,14 @@ object Similarity {
     */
   def hashingVectors(t: Tables, dim: Int = 64): DataFrame = {
     val bucket = pmod(conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long"), lit(dim))
-    WordPipeline.tokens(t)
+    // Same stage-shape fix as [[pqCodes]]: the tokenizer explode
+    // multiplies each document ×tokens immediately downstream of the
+    // scan, and a compact documents file arrives as 1-2 splits — the
+    // multiplied work would run nearly serially. Spread the raw docs
+    // across full parallelism BEFORE the explode (the shuffle moves
+    // the un-exploded rows, the cheapest point in the plan).
+    val slices = t.documents.sparkSession.sparkContext.defaultParallelism
+    WordPipeline.tokensOf(t.documents.repartition(slices, col("doc_id")))
       .groupBy(col("doc_id"), bucket.as("bucket"))
       .agg(count(lit(1)).cast("double").as("cnt"))
       .groupBy("doc_id")

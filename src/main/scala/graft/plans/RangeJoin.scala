@@ -304,9 +304,16 @@ case class RangeJoinExec(
       BoundReference(i, a.dataType, a.nullable).genCode(ctx)
     }
     // consume() evaluates the variables it needs itself (unused columns
-    // are never even read) — pre-emitting them here would double-declare
+    // are never even read) — pre-emitting them here would double-declare.
+    //
+    // No limitNotReachedCond here: that helper is contractually for leaf
+    // /blocking nodes only (CodegenSupport warns '[BUG]' otherwise), and
+    // SortMergeJoinExec — the model for this two-input produce — relies
+    // on shouldStop() alone. A downstream limit sets stopEarly() via its
+    // consume, so the `if (shouldStop()) return` below exits the loop
+    // and every subsequent processNext() re-entry immediately.
     s"""
-       |while ($limitNotReachedCond $findNext()) {
+       |while ($findNext()) {
        |  $row $rightRow = ($row) $active.get($activeIdx++);
        |  ${consume(ctx, leftVars ++ rightVars)}
        |  if (shouldStop()) return;

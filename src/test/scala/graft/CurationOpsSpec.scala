@@ -98,6 +98,9 @@ class UrlCanonicalizeSpec extends AnyFunSuite {
     assert(canon("https://a.com/x?id=1&utm_campaign=z") == Seq("a.com/x?id=1"))
     // tracking param FIRST: the '&' must be promoted back to '?'
     assert(canon("https://a.com/x?utm_a=1&id=2") == Seq("a.com/x?id=2"))
+    // tracking param FIRST with >=2 survivors: promote the FIRST '&'
+    // (a greedy match would promote the last → 'a.com/x&id=2?b=3')
+    assert(canon("https://a.com/x?utm_a=1&id=2&b=3") == Seq("a.com/x?id=2&b=3"))
     // consecutive tracking params all go
     assert(canon("https://a.com/x?utm_a=1&utm_b=2&gclid=3") == Seq("a.com/x"))
     // 'href' must NOT match the 'ref' tracking key

@@ -220,6 +220,54 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.embeddingDupPairs(t, 0.4, maxExactRows = 10L).collect()
     }
     assert(e.getMessage.contains("embeddingDupPairsLsh"), e.getMessage)
+    // the guard applies to a caller-supplied size too — no silent bypass
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.embeddingDupPairs(t, 0.4, maxExactRows = 10L, knownRows = Some(11L))
+    }
+    assert(e2.getMessage.contains("embeddingDupPairsLsh"), e2.getMessage)
+  }
+
+  test("dup-pairs with knownRows skips the guard's count() job") {
+    val sc = spark.sparkContext
+    // Count the jobs each construction path runs. Both paths pay the
+    // same fixed costs (one parquet-footer job from the table read, the
+    // flush sentinel's jobs); only the default path should add the
+    // guard count() on top. The listener bus is async but FIFO, so a
+    // sentinel action flushed to completion bounds the measurement.
+    def jobsDuring(body: => Unit): Int = {
+      val starts = new java.util.concurrent.atomic.AtomicInteger(0)
+      val ends = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.incrementAndGet()
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          ends.incrementAndGet()
+      }
+      sc.addSparkListener(listener)
+      try {
+        body
+        spark.range(1).count() // sentinel: every job is finished once this returns
+        // drain the async bus: wait until start/end counts match and
+        // hold still — all submitted jobs are then fully delivered
+        val deadline = System.currentTimeMillis + 30000
+        var last = -1
+        while (System.currentTimeMillis < deadline &&
+            (starts.get != ends.get || starts.get != last)) {
+          last = starts.get
+          Thread.sleep(200)
+        }
+        starts.get
+      } finally sc.removeSparkListener(listener)
+    }
+    val withKnown = jobsDuring {
+      Similarity.embeddingDupPairs(t, 0.4, knownRows = Some(500L))
+        .queryExecution.executedPlan
+    }
+    val withGuard = jobsDuring {
+      Similarity.embeddingDupPairs(t, 0.4).queryExecution.executedPlan
+    }
+    assert(withGuard > withKnown,
+      s"knownRows should skip the guard count job: guard=$withGuard known=$withKnown")
   }
 
   test("lsh near-dup pairs are a high-recall subset of exact pairs") {

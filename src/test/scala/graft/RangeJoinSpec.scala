@@ -192,6 +192,25 @@ class RangeJoinSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
+  test("produce loop honors the limitNotReachedCond contract (leaf-only helper)") {
+    // CodegenSupport.limitNotReachedCond logs '[BUG] Only leaf nodes and
+    // blocking nodes need to call...' when invoked from a non-leaf node —
+    // and THROWS instead when Utils.isTesting. Flipping spark.testing on
+    // makes this test fail hard if the produce loop ever calls the
+    // leaf-only helper again (it must rely on shouldStop(), like
+    // SortMergeJoinExec does).
+    System.setProperty("spark.testing", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val (ev, iv) = fixtures
+      val limited = RangeJoin.rangeJoin(ev, iv, "key", "t", "lo", "hi").limit(5)
+      assert(limited.count() == 5)
+    } finally {
+      System.clearProperty("spark.testing")
+      spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("null keys and bounds drop rows in BOTH execution paths (inner-join semantics)") {
     import spark.implicits._
     val pts = Seq((Some("a"), 1, 101L), (None, 2, 102L), (Some("b"), 3, 103L))
