@@ -34,6 +34,7 @@ object SparkEntry {
     "q_events_hourly"      -> q(Events.hourly),
     "q_events_sessionize"  -> q(Events.sessionize(_)),
     "q_json_extract"       -> q(Events.jsonExtract),
+    "q_struct_paths"       -> q(Events.structPaths),
     "q_funnel"             -> q(Events.funnel),
     "q_retention"          -> q(Events.retention),
     // §2.5 word pipeline
@@ -169,6 +170,7 @@ object SparkEntry {
     "q_events_hourly"      -> Events.hourlySql,
     "q_events_sessionize"  -> Events.sessionizeSql,
     "q_json_extract"       -> Events.jsonExtractSql,
+    "q_struct_paths"       -> Events.structPathsSql,
     "q_funnel"             -> Events.funnelSql,
     "q_retention"          -> Events.retentionSql,
     "tok_words"            -> WordPipeline.tokensSql,

@@ -136,4 +136,57 @@ object Events {
       |FROM events
       |WHERE json_extract_string(props, '$.k') IS NOT NULL
       |ORDER BY event_id""".stripMargin
+
+  /** Nested-struct column paths — the Spark-first mapping of the
+    * reference's dict-path helpers `dict_deep_get` / `dict_deep_set` /
+    * `dict_deep_remove` (v2/core/commons.py:29-44): the reference's
+    * nested-dict data model is a struct column, a dict path is a field
+    * path, and the three verbs are nested field access,
+    * `Column.withField`, and `Column.dropFields`. The query parses
+    * events.props into a two-level struct, applies one of each verb on
+    * deep paths, and reads every output THROUGH the struct — Catalyst
+    * (OptimizeUpdateFields + SimplifyExtractValueOps) collapses the
+    * construct/update/extract chains, so at 100 TB the dict-path
+    * abstraction is free: the physical plan is the same flat projection
+    * a hand-written query would get, and the scan never reads the
+    * columns whose struct fields were dropped ([[StructPathsSpec]]
+    * pins both properties).
+    */
+  def structPaths(t: Tables): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    // the nested-dict row: {user: {id, segment}, event: {type, props: {k, value}}}
+    val nested = struct(
+      struct(col("user_id").as("id"), (col("user_id") % 5).as("segment")).as("user"),
+      struct(col("event_type").as("type"),
+        struct(k.as("k"), col("value").as("value")).as("props")).as("event"))
+    val meta = nested
+      // dict_deep_set(meta, [event, props, k2], 2k) — new leaf on a deep path
+      .withField("event.props.k2", k * 2)
+      // dict_deep_set on an EXISTING deep path overwrites in place
+      .withField("user.segment", col("user_id") % 7)
+      // dict_deep_remove(meta, [event, props, value]) and ([user, id])
+      .dropFields("event.props.value", "user.id")
+    // `meta` is composed as a Column, not materialized via withColumn:
+    // each extract below carries its own copy of the update chain, so
+    // SimplifyExtractValueOps reduces every one to its leaf expression
+    // (a shared withColumn reference defeats CollapseProject — it will
+    // not triple a non-cheap named_struct — and the whole struct would
+    // be built per row just to be torn apart again)
+    t.events
+      .filter(k.isNotNull)
+      .select(col("event_id"),
+        meta.getField("event").getField("props").getField("k").as("k"), // dict_deep_get
+        meta.getField("event").getField("props").getField("k2").as("k2"), // get of the set leaf
+        meta.getField("user").getField("segment").as("segment"))
+      .orderBy("event_id")
+  }
+
+  val structPathsSql: String =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      |  CAST(json_extract_string(props, '$.k') AS INT) * 2 AS k2,
+      |  user_id % 7 AS segment
+      |FROM events
+      |WHERE json_extract_string(props, '$.k') IS NOT NULL
+      |ORDER BY event_id""".stripMargin
 }

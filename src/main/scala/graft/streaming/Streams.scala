@@ -176,6 +176,56 @@ object Streams {
       .select(col("doc_id"), col("corpus_doc"), col("band"))
   }
 
+  /** Seed a [[nearDupIngest]] band index from an existing corpus: one
+    * (corpus_doc, band, band_key) row per band per document.
+    */
+  def buildBandIndex(corpus: DataFrame, indexDir: String,
+      k: Int = 16, n: Int = 3, rowsPerBand: Int = 2): Unit =
+    graft.operators.Dedup.bandKeysInline(corpus, k, n, rowsPerBand)
+      .withColumnRenamed("doc_id", "corpus_doc")
+      .write.mode("overwrite").parquet(indexDir)
+
+  /** Continuous near-dup ingest — [[nearDupGate]] with an index that
+    * ABSORBS accepted documents, so a near-duplicate of a doc accepted
+    * in batch N is rejected in batch N+1 (a static index only ever
+    * rejects against the day-zero corpus). Each micro-batch, inside
+    * foreachBatch (the idiomatic seam for transactional side effects a
+    * pure stream-static join cannot express):
+    *   1. probe: the batch's inline band keys join the on-disk index;
+    *      any collision rejects the document;
+    *   2. admit: survivors append to `acceptedDir`;
+    *   3. absorb: the survivors' band keys append to `indexDir`.
+    * Within-batch collisions are admitted (the micro-batch is the
+    * atomic unit — upstream exact dedup such as [[corpusIngest]]
+    * handles intra-batch repeats) but their bands are indexed, so later
+    * kin are rejected. At scale only (doc_id, band, band_key) digests
+    * shuffle — never text — and the index is a parquet table bucketable
+    * by band_key; the probe is the same dimension-join shape as
+    * [[nearDupGate]]. Restart-safe: both writes are idempotent appends
+    * keyed by Spark's file-commit protocol, and a replayed batch
+    * re-rejects against a superset index (rejections are monotone).
+    */
+  def nearDupIngest(newDocs: DataFrame, indexDir: String, acceptedDir: String,
+      k: Int = 16, n: Int = 3, rowsPerBand: Int = 2)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val keys = graft.operators.Dedup
+          .bandKeysInline(batch.toDF(), k, n, rowsPerBand).persist()
+        try {
+          val rejected =
+            if (!new java.io.File(indexDir).exists) keys.limit(0).select("doc_id")
+            else keys.join(spark.read.parquet(indexDir), Seq("band", "band_key"))
+              .select("doc_id").distinct()
+          val accepted = batch.join(rejected, Seq("doc_id"), "left_anti")
+          accepted.write.mode("append").parquet(acceptedDir)
+          keys.join(rejected, Seq("doc_id"), "left_anti")
+            .withColumnRenamed("doc_id", "corpus_doc")
+            .write.mode("append").parquet(indexDir)
+        } finally { keys.unpersist(); () }
+    }
+
   /** Stream-static enrichment join: the live event stream joined to a
     * broadcast dimension snapshot (user → market segment), then a
     * watermarked windowed count per segment. Stream-static joins are

@@ -64,6 +64,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assertBoundedDimHintsOnly(Relational3.q19Disjunctive(t), "q19")
   }
 
+  test("struct paths: dict-path verbs collapse to a flat projection; dropped fields prune") {
+    // the whole nested-dict abstraction must be free: after Catalyst
+    // (OptimizeUpdateFields + SimplifyExtractValueOps) the scan reads
+    // only the columns the OUTPUT needs — `value` feeds a struct field
+    // that dict_deep_remove drops, `ts`/`event_type` are never read, so
+    // none of the three may survive to the parquet scan
+    val p = plan(Events.structPaths(t))
+    assert(p.contains("ReadSchema: struct<event_id:bigint,user_id:bigint,props:string>"),
+      s"scan must read exactly the output's source columns (value/ts/event_type pruned):\n${p.take(1200)}")
+    assert(!p.contains("named_struct"), "struct construction survived optimization")
+  }
+
+  test("struct-path verbs: deep set adds and overwrites, deep remove drops (schema)") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{struct, col, lit}
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, 10L, 2.5)).toDF("id", "uid", "v")
+      .withColumn("meta", struct(
+        struct(col("uid").as("id"), lit(0L).as("segment")).as("user"),
+        struct(lit("x").as("type"), struct(lit(1).as("k"), col("v").as("value")).as("props")).as("event")))
+      .withColumn("meta", col("meta").withField("event.props.k2", lit(2)))
+      .withColumn("meta", col("meta").dropFields("event.props.value", "user.id"))
+    val meta = df.schema("meta").dataType.asInstanceOf[StructType]
+    val user = meta("user").dataType.asInstanceOf[StructType]
+    val props = meta("event").dataType.asInstanceOf[StructType]("props")
+      .dataType.asInstanceOf[StructType]
+    assert(user.fieldNames.toSeq == Seq("segment"), "user.id must be dropped")
+    assert(props.fieldNames.toSeq == Seq("k", "k2"), "k2 appended, value dropped")
+  }
+
   test("q5: dims still broadcast at small SF (threshold-decided, not forced)") {
     val p = plan(Relational.q5RegionRevenue(t))
     val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).size

@@ -115,6 +115,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(inline == grouped && inline.nonEmpty)
   }
 
+  test("continuous ingest: batch N's accepted docs reject their batch N+1 kin") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ndi").toString
+    val (idxDir, accDir) = (s"$dir/index", s"$dir/accepted")
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = Streams.nearDupIngest(docs, idxDir, accDir)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      // batch 1: two unrelated docs — both accepted, both indexed
+      mem.addData(
+        (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2L, "one two three four five six seven eight nine"))
+      q.processAllAvailable()
+      // batch 2: a near-dup of doc 1 (one word changed) must be
+      // rejected by the index batch 1 built; a fresh doc is accepted
+      mem.addData(
+        (10L, "alpha beta gamma delta epsilon zeta eta iota"),
+        (11L, "red orange yellow green blue indigo violet colors"))
+      q.processAllAvailable()
+      // batch 3: a near-dup of the doc ACCEPTED in batch 2 — rejected
+      // only if the index absorbed batch 2's survivors
+      mem.addData((20L, "red orange yellow green blue indigo violet shades"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val accepted = spark.read.parquet(accDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(accepted == Set(1L, 2L, 11L),
+      s"expected batches to accept exactly {1,2,11}, got $accepted")
+  }
+
   test("streaming near-dup gate flags the same collisions as its batch twin") {
     val corpus = Tables(spark, TestSpark.sf).documents
     val stream = Streams.documentsStream(spark, TestSpark.sf)
