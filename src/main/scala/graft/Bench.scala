@@ -39,7 +39,7 @@ object Bench {
     // a typo must not silently print a clean-looking empty run.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // section sentinels: not queries, but runnable alone for iteration
-    val sentinels = Set("skew_pair", "ladder_x10")
+    val sentinels = Set("skew_pair", "ladder_x10", "ladder_x100", "ann_recall")
     only.foreach { names =>
       val unknown = names -- SparkEntry.queries.keySet -- sentinels
       if (unknown.nonEmpty) {
@@ -96,59 +96,80 @@ object Bench {
       dir -> times
     }
 
-    // ---- ×10 rung past sf0.1 (skipped under SPARK_GRAFT_ONLY) ----
+    // ---- ×10 / ×100 rungs past sf0.1 (skipped under SPARK_GRAFT_ONLY) ----
     // The test tree stops at sf0.1, so the dedup/similarity sublinearity
-    // claim rested on a single 10× range. Extend it one decade: replicate
-    // documents/embeddings 10× into DISJOINT shingle space — replica r
-    // rotates the alphabet by r (translate), so char counts, token
-    // counts, and within-replica near-dup structure are preserved
-    // EXACTLY while cross-replica similarity is zero. Duplicates
-    // therefore scale LINEARLY, like a real 10× corpus — naive
-    // replication would make every doc a 10-way near-dup and
-    // quadratically inflate the pair workload, measuring the data
-    // construction instead of the operator.
-    // cache keyed by source sf dir — a local run at another sf must not
-    // leave a stale rung for the driver's sf0.1 run
-    val synthDir = s"target/bench_sfx10_${new java.io.File(sfDir).getName}_v3"
-    if (sectionOn("ladder_x10")) {
-      val built = new java.io.File(s"$synthDir/_built")
-      if (!built.exists) {
-        val rep10 = explode(sequence(lit(0), lit(9)))
-        // rotate letters AND digits so every token class maps to a
-        // replica-distinct image; uppercase is lowered first (a no-op
-        // on the current corpus, a guard if it ever gains case) — an
-        // unrotated character class would let its tokens collide
-        // across replicas and quietly re-inflate the pair workload
-        val alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
-        val rotated = (0 until 10).map { r =>
-          alpha.take(26).drop(r) + alpha.take(r) +
-            alpha.drop(26).drop(r % 10) + alpha.drop(26).take(r % 10)
-        }
-        spark.read.parquet(s"$sfDir/documents.parquet")
-          .withColumn("replica", rep10)
-          .withColumn("text",
-            (1 until 10).foldLeft(lower(col("text"))) { (c, r) =>
-              when(col("replica") === r, translate(lower(col("text")), alpha, rotated(r)))
-                .otherwise(c)
-            })
-          .withColumn("doc_id", col("doc_id") + col("replica") * lit(10000000L))
-          .withColumn("n_chars", length(col("text")).cast("long"))
-          .select("doc_id", "text", "lang", "source", "n_chars")
-          .write.mode("overwrite").parquet(s"$synthDir/documents.parquet")
-        spark.read.parquet(s"$sfDir/embeddings.parquet")
-          .withColumn("replica", rep10)
-          .withColumn("embedding", transform(col("embedding"), (x, i) =>
-            (x + col("replica").cast("float") * (i.cast("float") % 7f - 3f) * lit(0.003f))
-              .cast("float")))
-          .withColumn("vec_id", col("vec_id") + col("replica") * lit(10000000L))
-          .select("vec_id", "embedding", "label")
-          .write.mode("overwrite").parquet(s"$synthDir/embeddings.parquet")
-        java.nio.file.Files.createFile(built.toPath): Unit
-      }
-      val synthQueries = Seq("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_containment",
-        "embed_cosine_topk", "embed_pq_codes", "token_count")
-      ladder :+= synthDir -> synthQueries.map { n => n -> runOnce(n, SparkEntry.queries(n), synthDir) }
+    // claim rested on a single 10× range. Extend it two decades by
+    // replicating documents/embeddings — but each replica must be
+    // DISJOINT from the others: naive copies would make every doc an
+    // N-way near-dup and quadratically inflate the pair workload,
+    // measuring the data construction instead of the operator.
+    //   documents — replica r > 0 suffixes every whitespace token with a
+    //   letters-only base-26 code of r: within-replica shingle-equality
+    //   structure and ws/BPE token counts are preserved EXACTLY (the
+    //   suffix is one more [a-z] run glued to the word), while
+    //   cross-replica token spaces are fully disjoint for ANY replica
+    //   count (an alphabet rotation caps out at 26 distinct images).
+    //   embeddings — replica r > 0 applies an ORTHOGONAL transform:
+    //   rotate components by r mod dim, then flip odd-index signs for
+    //   r >= dim. Orthogonality preserves every within-replica dot
+    //   product/norm (near-dup structure identical to the base corpus);
+    //   cross-replica cosines drop to random-pair level — replicas are
+    //   genuinely dissimilar, so bucket/candidate-based queries measure
+    //   a real N× corpus, not synthetic near-dup structure.
+    def replicate(factor: Int, outDir: String): Unit = {
+      val rep = explode(sequence(lit(0), lit(factor - 1)))
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      // id-offset safety: replica ids live at r*1e7 — a base id past 1e7
+      // would collide with replica 1 and corrupt the dedup ground truth
+      val maxDoc = docs.agg(max("doc_id")).head.getLong(0)
+      val maxVec = embs.agg(max("vec_id")).head.getLong(0)
+      require(maxDoc < 10000000L && maxVec < 10000000L,
+        s"replica id offset collision: max doc_id=$maxDoc vec_id=$maxVec >= 1e7")
+      // letters-only base-26 replica code ("qab" for r=1): a pure [a-z]
+      // run keeps ws AND BPE token counts identical to the base corpus
+      val code = concat(lit("q"),
+        chr(pmod(floor(col("replica") / 26), lit(26)) + lit(97)),
+        chr(pmod(col("replica"), lit(26)) + lit(97)))
+      docs
+        .withColumn("replica", rep)
+        .withColumn("text", when(col("replica") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"), concat(lit("$1"), code))))
+        .withColumn("doc_id", col("doc_id") + col("replica") * lit(10000000L))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+      val dim = 64
+      val rot = transform(sequence(lit(0), lit(dim - 1)),
+        i => element_at(col("embedding"), (pmod(i + col("replica"), lit(dim)) + 1).cast("int")))
+      val flipped = transform(rot, (x, i) =>
+        when(col("replica") >= dim && pmod(i, lit(2)) === 1, -x).otherwise(x).cast("float"))
+      embs
+        .withColumn("replica", rep)
+        .withColumn("embedding",
+          when(col("replica") === 0, col("embedding")).otherwise(flipped))
+        .withColumn("vec_id", col("vec_id") + col("replica") * lit(10000000L))
+        .select("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     }
+    // cache keyed by source sf dir — a local run at another sf must not
+    // leave a stale rung for the driver's sf0.1 run; _v4: suffix-token +
+    // orthogonal-embedding construction (was alphabet-rotation + additive
+    // perturbation, whose embedding replicas were near-identical copies)
+    val synthQueries = Seq("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_containment",
+      "embed_cosine_topk", "embed_pq_codes", "token_count")
+    def rung(tag: String, factor: Int): Unit = {
+      val dir = s"target/bench_sfx${factor}_${new java.io.File(sfDir).getName}_v4"
+      if (sectionOn(tag)) {
+        val built = new java.io.File(s"$dir/_built")
+        if (!built.exists) { replicate(factor, dir); java.nio.file.Files.createFile(built.toPath): Unit }
+        ladder :+= dir -> synthQueries.map { n => n -> runOnce(n, SparkEntry.queries(n), dir) }
+      }
+    }
+    rung("ladder_x10", 10)
+    // ×100 (~50 GB-scale shape at 100× sf0.1 rows): the second decade —
+    // linear ×10→×100 growth is the evidence the 100 TB claim rides on
+    rung("ladder_x100", 100)
 
     // ---- skew demonstration: hot-key shard, window form vs rewrite ----
     // sum-over-key attached per row is the skew class AQE can't touch
@@ -163,7 +184,11 @@ object Bench {
       val hotCopies = 300
       val skewPath =
         s"target/bench_skew_${new java.io.File(sfDir).getName}_x$hotCopies/events_skewed.parquet"
-      if (!new java.io.File(skewPath).exists) {
+      // reuse is keyed on a sentinel written AFTER the parquet write (the
+      // ladder-rung pattern): a crash mid-write must not leave a partial
+      // shard that later runs silently reuse
+      val skewBuilt = new java.io.File(s"$skewPath/../_built").getCanonicalFile
+      if (!skewBuilt.exists) {
         val ev = spark.read.parquet(s"$sfDir/events.parquet")
           .select("event_id", "event_type", "value")
         val hot = ev.groupBy("event_type").count()
@@ -176,6 +201,7 @@ object Bench {
           // BOTH timed plans serialized at the scan, hiding the skew
           .repartition(cpus.toInt)
           .write.mode("overwrite").parquet(skewPath)
+        java.nio.file.Files.createFile(skewBuilt.toPath): Unit
       }
       val skewed = spark.read.parquet(skewPath)
       def time1(df: => org.apache.spark.sql.DataFrame): Double = {
@@ -192,6 +218,26 @@ object Bench {
       Some((win, rw, skewed.count()))
     }
 
+    // ---- ANN recall vs the exact brute-force top-k ----
+    // embed_ann_lsh / embed_ann_multiprobe / embed_ivf_kmeans are
+    // approximate by construction, so the driver gate records them
+    // rows-only; their recall-vs-brute specs are green but the VALUES
+    // were invisible across rounds. Emit them per run so regressions
+    // trend in BENCH_r{N} (recall = |ann ∩ exact| / |exact| over the
+    // same queries, exact ties included via identical rank windows).
+    val recall: Seq[(String, Double)] = if (!sectionOn("ann_recall")) Seq.empty else {
+      val exact = SparkEntry.queries("embed_cosine_topk")(spark, sfDir)
+        .select("query_id", "vec_id").persist()
+      val nExact = exact.count().toDouble
+      val r = Seq("embed_ann_lsh", "embed_ann_multiprobe", "embed_ivf_kmeans").map { nm =>
+        val hits = SparkEntry.queries(nm)(spark, sfDir).select("query_id", "vec_id")
+          .join(exact, Seq("query_id", "vec_id")).count()
+        nm -> (if (nExact > 0) hits / nExact else -1.0)
+      }
+      exact.unpersist()
+      r
+    }
+
     def jd(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     val qs = stats.map { case (k, s) => "\"" + k + "\":" + jd(s.p50) }.mkString("{", ",", "}")
     val st = stats.map { case (k, s) =>
@@ -205,6 +251,9 @@ object Bench {
     val skewJson = skew.map { case (w, r, n) =>
       s""","skew":{"rows":$n,"window_s":${jd(w)},"rewrite_s":${jd(r)}}"""
     }.getOrElse("")
+    val recallJson = if (recall.isEmpty) "" else
+      recall.map { case (n, v) => "\"" + n + "\":" + jd(v) }
+        .mkString(""","recall":{""", ",", "}")
     // The harness that runs this captures only a short stdout TAIL, so
     // the per-query document (was ~8 KB for 102 queries) must not ride
     // on stdout: rounds 3-5 lost their bench detail to truncation
@@ -212,7 +261,7 @@ object Bench {
     // file, and the printed line is a compact summary (total, failures,
     // the 10 slowest p50s, the ladder's top rung) guaranteed to fit in
     // a 2,000-char tail.
-    val fullDoc = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$st,"failed":$failed,"reps":$reps,"ladder":$lad$skewJson,"sf":"$sfDir"}"""
+    val fullDoc = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$st,"failed":$failed,"reps":$reps,"ladder":$lad$skewJson$recallJson,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outFile).toAbsolutePath.getParent)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullDoc + "\n")
@@ -221,7 +270,7 @@ object Bench {
     val topRung = ladder.lastOption.filter(_._2.nonEmpty).map { case (dir, ts) =>
       s""","ladder_top":{"dir":"$dir",${ts.map { case (n, v) => "\"" + n + "\":" + jd(v) }.mkString(",")}}"""
     }.getOrElse("")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${stats.size},"reps":$reps,"sf":"$sfDir","failed":$failed,"slowest_p50":$slow$topRung$skewJson,"full_report":"$outFile"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${stats.size},"reps":$reps,"sf":"$sfDir","failed":$failed,"slowest_p50":$slow$topRung$skewJson$recallJson,"full_report":"$outFile"}"""
     if (line.length > 1500)
       System.err.println(s"[bench] WARNING summary line is ${line.length} chars (>1500); trim slowest/ladder fields")
     println(line)

@@ -135,10 +135,15 @@ object Similarity {
 
   /** ANN via sign-LSH: bucket = concatenated hyperplane signs; exact
     * cosine re-rank only inside the query's bucket. Recall is
-    * spec-tested against [[cosineTopK]]; bits trades recall vs
-    * candidate-set size (each bit halves the bucket).
+    * spec-tested against [[cosineTopK]] and emitted per bench run;
+    * bits trades recall vs candidate-set size (each bit halves the
+    * bucket). The default sizes buckets for the testdata corpus
+    * (~0.2 single-probe / ~0.6 multi-probe recall at sf0.1 — the
+    * embeddings are near-random, so recall tracks the probed
+    * fraction); a larger corpus raises bits ~log₂(n) and recovers
+    * recall via probeRadius instead of bucket width.
     */
-  def annLshTopK(t: Tables, nQueries: Int = 10, k: Int = 5, bits: Int = 8): DataFrame =
+  def annLshTopK(t: Tables, nQueries: Int = 10, k: Int = 5, bits: Int = 4): DataFrame =
     annLshMultiProbe(t, nQueries, k, bits, probeRadius = 0)
 
   /** Multi-probe sign-LSH: each QUERY probes its own bucket plus every
@@ -150,7 +155,7 @@ object Similarity {
     * unchanged. A candidate found by several probes is deduplicated by
     * the rank window (same exact cosine, tie-broken identically).
     */
-  def annLshMultiProbe(t: Tables, nQueries: Int = 10, k: Int = 5, bits: Int = 8,
+  def annLshMultiProbe(t: Tables, nQueries: Int = 10, k: Int = 5, bits: Int = 4,
       probeRadius: Int = 1): DataFrame = {
     require(probeRadius <= 1, "probe radius > 1 not implemented (probe count grows as C(bits,r))")
     val emb = t.embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
