@@ -30,6 +30,10 @@ object SparkEntry {
     "q_semi_join"          -> q(Relational.qSemiJoin),
     "q_anti_join"          -> q(Relational.qAntiJoin),
     "q_topk_per_group"     -> q(Relational.qTopKPerGroup),
+    "q12_priority_counts"  -> q(Relational4.q12PriorityCounts),
+    "q15_top_supplier"     -> q(Relational4.q15TopSupplier),
+    "q17_small_qty_revenue" -> q(Relational4.q17SmallQtyRevenue),
+    "q21_waiting_supplier" -> q(Relational4.q21WaitingSupplier),
     // §2.6 events
     "q_events_hourly"      -> q(Events.hourly),
     "q_events_sessionize"  -> q(Events.sessionize(_)),
@@ -51,6 +55,9 @@ object SparkEntry {
     "lang_id"              -> q(TextAnalysis.langId),
     "quality_score"        -> q(TextAnalysis.qualityScore),
     "quality_unigram_lp"   -> q(TextAnalysis.unigramLogProb),
+    "quality_ppl_buckets"  -> q(TextAnalysis.pplBuckets),
+    "src_jsonl_roundtrip"  -> q(graft.sources.Formats.documentsViaJsonl),
+    "src_orc_roundtrip"    -> q(graft.sources.Formats.documentsViaOrc),
     "quality_bigram_lp"    -> q(TextAnalysis.bigramLogProb(_)),
     "corpus_curate"        -> q(Curate.curate(_)),
     "q_train_split"        -> q(Curate.trainSplit),
@@ -167,6 +174,10 @@ object SparkEntry {
     "q_semi_join"          -> Relational.qSemiJoinSql,
     "q_anti_join"          -> Relational.qAntiJoinSql,
     "q_topk_per_group"     -> Relational.qTopKPerGroupSql,
+    "q12_priority_counts"  -> Relational4.q12Sql,
+    "q15_top_supplier"     -> Relational4.q15Sql,
+    "q17_small_qty_revenue" -> Relational4.q17Sql,
+    "q21_waiting_supplier" -> Relational4.q21Sql,
     "q_events_hourly"      -> Events.hourlySql,
     "q_events_sessionize"  -> Events.sessionizeSql,
     "q_json_extract"       -> Events.jsonExtractSql,
@@ -185,6 +196,9 @@ object SparkEntry {
     "lang_id"              -> TextAnalysis.langIdSql,
     "quality_score"        -> TextAnalysis.qualityScoreSql,
     "quality_unigram_lp"   -> TextAnalysis.unigramLogProbSql,
+    "quality_ppl_buckets"  -> TextAnalysis.pplBucketsSql,
+    "src_jsonl_roundtrip"  -> graft.sources.Formats.documentsSql,
+    "src_orc_roundtrip"    -> graft.sources.Formats.documentsSql,
     "quality_bigram_lp"    -> TextAnalysis.bigramLogProbSql(),
     "corpus_curate"        -> Curate.curateSql(),
     "q_train_split"        -> Curate.trainSplitSql(),

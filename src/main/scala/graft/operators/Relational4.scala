@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Round-7 TPC-H coverage extension: the four remaining query SHAPES
+  * this schema can express (no partsupp table, no
+  * commitdate/receiptdate/shipmode columns — q2/q9/q11/q16/q20 need
+  * partsupp and are out of schema; q12/q21 keep their aggregation and
+  * correlation structure over the columns that exist).
+  *
+  * Broadcast policy follows [[Relational]]: no forced hints on
+  * SF-proportional tables — the threshold planner / AQE decide.
+  */
+object Relational4 {
+
+  /** TPC-H Q12 shape: two-way conditional counts per line status over
+    * the orders⋈lineitem join (the original buckets shipmodes by
+    * late-commit; this schema buckets return flags by order priority —
+    * the same single-pass conditional aggregation over a fact join).
+    */
+  def q12PriorityCounts(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+
+  val q12Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** TPC-H Q15: top supplier(s) by quarter revenue — the revenue
+    * aggregate is computed ONCE and joined against its own max (a
+    * 1-row broadcast cross join, the scalar-subquery idiom), never
+    * recomputed per row. Revenue is summed in exact integer cents so
+    * the max-equality compare cannot split float ties.
+    */
+  def q15TopSupplier(t: Tables): DataFrame = {
+    val cents = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+      .cast("long")
+    val revenue = t.lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("l_suppkey"), cents.as("cents"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("cents")).as("total_cents"))
+    val top = revenue.agg(max(col("total_cents")).as("max_cents"))
+    revenue
+      .crossJoin(broadcast(top))
+      .filter(col("total_cents") === col("max_cents"))
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("total_cents") / 100.0).as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q15Sql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey,
+      |    sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS total_cents
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_cents / 100.0 AS total_revenue
+      |FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_cents = (SELECT max(total_cents) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q17: revenue impact of small-quantity lines — each line
+    * compares against 20% of ITS part's average quantity. The
+    * correlated scalar subquery becomes one per-part aggregate joined
+    * back to the fact (two scans of lineitem, one shuffle each; at
+    * 100 TB the per-part agg is the map-side-combined cheap pass).
+    */
+  def q17SmallQtyRevenue(t: Tables): DataFrame = {
+    val partAvg = t.lineitem
+      .groupBy(col("l_partkey").as("p_key"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    t.lineitem
+      .join(partAvg, col("l_partkey") === col("p_key"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+  }
+
+  val q17Sql: String =
+    """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      |FROM lineitem l
+      |JOIN (SELECT l_partkey AS p_key, avg(l_quantity) AS avg_qty
+      |      FROM lineitem GROUP BY l_partkey) pa
+      |  ON l.l_partkey = pa.p_key
+      |WHERE l.l_quantity < 0.2 * pa.avg_qty""".stripMargin
+
+  /** TPC-H Q21 shape: suppliers who alone returned lines on shared
+    * orders — EXISTS (another supplier on the order) AND NOT EXISTS
+    * (another supplier with a returned line). The double correlation
+    * becomes one per-order aggregate (distinct suppliers, distinct
+    * returning suppliers) joined to the returned lines — one pass over
+    * lineitem for the correlation instead of two correlated rescans
+    * per row, then semi-join semantics via plain filters.
+    */
+  def q21WaitingSupplier(t: Tables): DataFrame = {
+    val perOrder = t.lineitem
+      .groupBy(col("l_orderkey").as("okey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+          .as("n_ret_supp"))
+    t.lineitem
+      .filter(col("l_returnflag") === "R")
+      .join(t.orders.filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(perOrder, col("l_orderkey") === col("okey"))
+      // other suppliers exist on the order; none of THEM returned
+      .filter(col("n_supp") > 1 && col("n_ret_supp") === 1)
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(100)
+  }
+
+  val q21Sql: String =
+    """WITH per_order AS (
+      |  SELECT l_orderkey AS okey,
+      |    count(DISTINCT l_suppkey) AS n_supp,
+      |    count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_ret_supp
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT s_suppkey, s_name, count(*) AS numwait
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+      |JOIN per_order ON l_orderkey = okey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE l_returnflag = 'R' AND n_supp > 1 AND n_ret_supp = 1
+      |GROUP BY s_suppkey, s_name
+      |ORDER BY numwait DESC, s_suppkey
+      |LIMIT 100""".stripMargin
+}

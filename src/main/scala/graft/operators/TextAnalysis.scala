@@ -151,6 +151,38 @@ object TextAnalysis {
        |FROM toks JOIN freqs USING (word) CROSS JOIN tot
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** CCNet-style perplexity bucketing: documents split into
+    * head/middle/tail thirds by language-model score (here the unigram
+    * LM's avg log-prob — higher = more "in-distribution"), the standard
+    * corpus-quality stratification before sampling training mixes.
+    * `ntile` over a TOTALLY ordered key ((lp, doc_id) — lp alone has
+    * ties) keeps the cut deterministic and oracle-stable. The global
+    * sort is the same single range-exchange any ranked cut needs; the
+    * LM scoring underneath scales as [[unigramLogProb]] (no forced
+    * broadcasts, partial aggs).
+    */
+  def pplBuckets(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("avg_logprob").desc, col("doc_id"))
+    unigramLogProb(t)
+      .select(col("doc_id"), col("avg_logprob"),
+        ntile(3).over(w).cast("long").as("ppl_bucket"))
+      .orderBy("doc_id")
+  }
+
+  val pplBucketsSql: String =
+    s"""${WordPipeline.tokensCte}, freqs AS (
+       |  SELECT word, count(*) AS freq FROM toks GROUP BY word
+       |), tot AS (SELECT sum(freq) AS n_total FROM freqs
+       |), lp AS (
+       |  SELECT doc_id,
+       |    round(avg(log10(CAST(freq AS DOUBLE) / n_total)), 6) AS avg_logprob
+       |  FROM toks JOIN freqs USING (word) CROSS JOIN tot
+       |  GROUP BY doc_id)
+       |SELECT doc_id, avg_logprob,
+       |  ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id) AS ppl_bucket
+       |FROM lp ORDER BY doc_id""".stripMargin
+
   /** Whitespace and BPE-ish token counts (letter runs / digits /
     * single non-alnum symbols — the GPT-2 pre-tokenizer shape).
     */

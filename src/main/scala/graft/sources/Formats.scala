@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interchange-format round trips for the corpus tables.
+  *
+  * Parquet is the engine's home format, but LLM training corpora move
+  * between systems as compressed JSONL (the de-facto interchange format
+  * for text datasets) and ORC (the other columnar format Spark ships a
+  * vectorized reader for). Each round trip here writes the documents
+  * table in the foreign format and reads it back with an EXPLICIT
+  * schema — schema inference on JSONL is a full extra pass over the
+  * data and can widen types (a doc_id column of small ints infers as
+  * long only if the sampled partition says so), so a 100 TB pipeline
+  * always carries the schema. Both are driver-gated against the parquet
+  * oracle: the round trip must be value-exact, including multi-line
+  * text (JSON escapes newlines inside the string — one JSON object per
+  * line holds), unicode, and column types.
+  *
+  * Maps the reference's loader/extractor pairing (CSV_FileLoader,
+  * v2/core/loaders/files.py:11 ↔ FilesListExtractor,
+  * v2/core/extractors/files.py:7) onto columnar/JSONL formats with
+  * distributed, partitioned writes.
+  */
+object Formats {
+
+  private def scratch(name: String): String = {
+    val dir = java.nio.file.Paths.get(s"target/format_roundtrip/$name")
+    java.nio.file.Files.createDirectories(dir.getParent)
+    dir.toString
+  }
+
+  /** documents → gzip JSONL → read back (explicit schema). */
+  def documentsViaJsonl(t: Tables): DataFrame = {
+    val docs = t.documents
+    val out = scratch("documents_jsonl")
+    docs.write.mode("overwrite").option("compression", "gzip").json(out)
+    docs.sparkSession.read.schema(docs.schema).json(out)
+      .orderBy("doc_id")
+  }
+
+  /** documents → ORC (zlib) → read back (explicit schema). */
+  def documentsViaOrc(t: Tables): DataFrame = {
+    val docs = t.documents
+    val out = scratch("documents_orc")
+    docs.write.mode("overwrite").orc(out)
+    docs.sparkSession.read.schema(docs.schema).orc(out)
+      .orderBy("doc_id")
+  }
+
+  /** The shared oracle: the round trip must reproduce the parquet
+    * table exactly.
+    */
+  val documentsSql: String =
+    "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"
+}
