@@ -66,6 +66,9 @@ object SparkEntry {
     "chunk_text"           -> q(TextAnalysis.chunkText(_)),
     "pii_redact"           -> q(TextAnalysis.piiRedactQuery),
     "decontaminate"        -> q(Decontaminate.contaminationQuery(_)),
+    // rows-only: probabilistic membership (no SQL twin); spec pins the
+    // no-false-negative superset property vs the exact pass
+    "decontaminate_bloom"  -> q(Decontaminate.bloomContaminatedDocs(_)),
     "domain_mix"           -> q(Curate.domainMix(_)),
     "url_canonicalize"     -> q(Curate.urlCanonicalize),
     // distributed two-phase prefix sum; oracle is the naive global window
@@ -77,6 +80,7 @@ object SparkEntry {
     "dedup_ngram_jaccard"  -> q(Dedup.ngramJaccardPairs(_)),
     "dedup_containment"    -> q(Dedup.containmentPairs(_)),
     "phrase_search"        -> q(InvertedIndex.phraseSearchQuery),
+    "bm25_search"          -> q(InvertedIndex.bm25Search(_)),
     "dedup_minhash_sig"    -> q(Dedup.minhashOrdered(_)),
     "dedup_minhash_lsh"    -> q(Dedup.minhashLshPairs(_)),
     "dedup_simhash"        -> q(Dedup.simhash),
@@ -216,6 +220,7 @@ object SparkEntry {
     "dedup_ngram_jaccard"  -> Dedup.ngramJaccardPairsSql(),
     "dedup_containment"    -> Dedup.containmentPairsSql(),
     "phrase_search"        -> InvertedIndex.phraseSearchSql(),
+    "bm25_search"          -> InvertedIndex.bm25Sql(),
     "dedup_minhash_sig"    -> Dedup.minhashSql(),
     "dedup_minhash_lsh"    -> Dedup.minhashLshPairsSql(),
     "dedup_simhash"        -> Dedup.simhashSql,

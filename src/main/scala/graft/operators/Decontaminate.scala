@@ -53,6 +53,44 @@ object Decontaminate {
       docs.filter(col("doc_id") % 19 === 0), n, minOverlap)
   }
 
+  /** Bloom-filter decontamination — the scale path for when even the
+    * eval SHINGLE TABLE outgrows an exact broadcast (a full benchmark
+    * battery is tens of GB of shingles; a Bloom filter over them is
+    * tens of MB at 1% FPR). The eval shingles aggregate into one
+    * Bloom filter (Spark's own `BloomFilterAggregate` — partial
+    * filters OR together map-side, so the build is one shuffle of
+    * fixed-size bitmaps, not shingles), delivered to the probe side as
+    * a scalar subquery — the exact mechanism Spark's runtime row-group
+    * filtering uses — and every training shingle tests membership
+    * map-side. No false negatives: every exactly-contaminated doc is
+    * flagged (spec-pinned against [[contaminationQuery]]); false
+    * positives only ever ADD candidate docs, which a second exact pass
+    * over the (tiny) flagged subset would confirm. Probabilistic ⇒
+    * rows-only gate, like the ANN family; the flag set itself is
+    * deterministic (fixed hash seeds, order-independent OR-merge).
+    */
+  def bloomContaminatedDocs(t: Tables, n: Int = 3, minHits: Long = 3,
+      expectedItems: Long = 200000L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    val docs = t.documents
+    val evalSh = Dedup.shinglesOf(docs.filter(col("doc_id") % 19 === 0), n)
+    val bloomPlan = evalSh
+      .agg(Bridge.column(new BloomFilterAggregate(
+        Bridge.expression(col("shingle_hash")), expectedItems)
+        .toAggregateExpression()).as("bloom"))
+      .queryExecution.analyzed
+    val mightContain = Bridge.column(BloomFilterMightContain(
+      ScalarSubquery(bloomPlan), Bridge.expression(col("shingle_hash"))))
+    Dedup.shinglesOf(docs.filter(col("doc_id") % 19 =!= 0), n)
+      .filter(mightContain)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bloom_hits"))
+      .filter(col("n_bloom_hits") >= minHits)
+      .orderBy("doc_id")
+  }
+
   def contaminationSql(n: Int = 3, minOverlap: Long = 3): String =
     s"""WITH sh AS (
        |  SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle_hash

@@ -52,6 +52,64 @@ object InvertedIndex {
   def phraseSearchQuery(t: Tables): DataFrame =
     phraseSearchOf(t.documents, gatePhrases)
 
+  /** BM25 ranked retrieval — the scoring half of the IR surface next
+    * to [[phraseSearchOf]]'s exact matching: classic Okapi BM25
+    * (k1=1.2, b=0.75, the `+1` idf variant that stays positive for
+    * high-df terms). Everything is relational: tf is a (doc, term)
+    * count over the pruned postings, df/N/avgdl are broadcast scalars,
+    * the score a single codegen'd expression — no per-query index
+    * structure, so at 100 TB it is one pruned scan + one doc-keyed
+    * shuffle, and the term filter (isin over a handful of literals)
+    * pushes into the scan. Scores round to 6dp before the rank sort so
+    * the (score, doc_id) order is oracle-stable.
+    */
+  val gateTerms: Seq[String] = Seq("spark", "scan", "slow", "order")
+
+  def bm25Search(t: Tables, terms: Seq[String] = gateTerms, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = postingsOf(t.documents).select("doc_id", "word")
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = toks.filter(col("word").isin(terms: _*))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val denom = col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))
+    tf.join(broadcast(dft), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score", idf * col("tf") * (lit(k1) + lit(1.0)) / denom)
+      .groupBy("doc_id")
+      .agg(round(sum(col("term_score")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def bm25Sql(terms: Seq[String] = gateTerms, k: Int = 10): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, tk[i + 1] AS word
+       |  FROM (
+       |    SELECT doc_id,
+       |      regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+       |    FROM documents),
+       |    unnest(range(0, len(tk))) AS r(i)
+       |  WHERE tk[i + 1] <> ''
+       |), dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |tf AS (
+       |  SELECT doc_id, word, count(*) AS tf FROM toks
+       |  WHERE word IN ($inList) GROUP BY doc_id, word
+       |), dft AS (SELECT word, count(*) AS df FROM tf GROUP BY word)
+       |SELECT doc_id,
+       |  round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * (1.2 + 1.0)
+       |    / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+       |FROM tf JOIN dft USING (word) JOIN dl USING (doc_id) CROSS JOIN stats
+       |GROUP BY doc_id
+       |ORDER BY bm25 DESC, doc_id
+       |LIMIT $k""".stripMargin
+  }
+
   def phraseSearchSql(phrases: Seq[String] = gatePhrases): String = {
     val values = phrases.map(p => s"('$p')").mkString(", ")
     s"""WITH postings AS (

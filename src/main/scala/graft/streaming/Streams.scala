@@ -176,6 +176,26 @@ object Streams {
       .select(col("doc_id"), col("corpus_doc"), col("band"))
   }
 
+  /** [[corpusIngest]] with BOUNDED dedup state — the production form
+    * its doc-comment promises: fingerprints carry the crawl's ingest
+    * timestamp, and `dropDuplicatesWithinWatermark` holds each
+    * fingerprint only until the watermark passes its event time +
+    * horizon. Re-crawls inside the horizon are dropped; state size
+    * plateaus at ~(distinct docs per horizon) instead of growing with
+    * the life of the query; a re-crawl AFTER the horizon is re-admitted
+    * (the deliberate trade — at 100 TB/day an unbounded exact-dedup
+    * state is the thing that kills the job, and the re-admitted doc
+    * dies in the downstream batch dedup anyway).
+    */
+  def corpusIngestBounded(docs: DataFrame, horizon: String = "10 minutes",
+      minQuality: Double = 0.5): DataFrame =
+    docs.select(col("ts"), col("doc_id"),
+      md5(graft.operators.TextAnalysis.normalizedText(col("text"))).as("fp"),
+      graft.operators.TextAnalysis.qualityCol(col("text")).as("quality"))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("fp")
+      .filter(col("quality") >= minQuality)
+
   /** Seed a [[nearDupIngest]] band index from an existing corpus: one
     * (corpus_doc, band, band_key) row per band per document.
     */

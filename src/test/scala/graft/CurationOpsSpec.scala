@@ -31,6 +31,24 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(Decontaminate.contaminationPairsOf(train, eval).count() == 0)
   }
 
+  test("bloom decontamination: no false negatives vs the exact pass, and selective") {
+    // every exactly-contaminated training doc (pair overlap >= 3 with
+    // some eval doc) has >= 3 shingles in the eval UNION, and a Bloom
+    // filter has no false negatives — so exact-flagged ⊆ bloom-flagged
+    val exact = Decontaminate.contaminationQuery(t)
+      .select("train_id").distinct().collect().map(_.getLong(0)).toSet
+    val bloom = Decontaminate.bloomContaminatedDocs(t)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(bloom),
+      s"bloom missed exactly-contaminated docs: ${exact -- bloom}")
+    // and it must FILTER, not wave everything through: the flagged set
+    // stays a strict minority of the training corpus (FPR + union-hit
+    // extras are bounded at the default sizing)
+    val nTrain = t.documents.filter(col("doc_id") % 19 =!= 0).count()
+    assert(bloom.size < nTrain / 2,
+      s"bloom flagged ${bloom.size} of $nTrain training docs — not selective")
+  }
+
   test("domain_mix: every source is sampled at most at its own size and rates upweight small sources") {
     val mixed = Curate.domainMix(t)
     val perSource = mixed.groupBy("source").agg(count(lit(1)).as("n_kept"))

@@ -115,6 +115,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(inline == grouped && inline.nonEmpty)
   }
 
+  test("bounded ingest dedup: re-crawls drop within the horizon, state evicts past it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "sec", "text")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    // quality-neutral long text so the quality gate stays out of the way
+    val body = "a perfectly reasonable sentence with enough words to pass the quality gate, " * 3
+    val q = Streams.corpusIngestBounded(docs, horizon = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("cib_out").start()
+    try {
+      mem.addData((1L, 36000L, body))              // t=10:00:00 — admitted
+      q.processAllAvailable()
+      // re-crawl 5 min later: inside the horizon — dropped; a fresh doc
+      // an hour ahead advances the watermark past fp(1)'s eviction point
+      mem.addData((2L, 36300L, body), (3L, 39600L, body + "unique tail"))
+      q.processAllAvailable()
+      // re-crawl long after the horizon: state evicted — re-admitted
+      mem.addData((4L, 39900L, body))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cib_out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L, 4L),
+      s"expected within-horizon dup 2 dropped and post-horizon 4 re-admitted, got $got")
+  }
+
   test("continuous ingest: batch N's accepted docs reject their batch N+1 kin") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
