@@ -95,6 +95,41 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(props.fieldNames.toSeq == Seq("k", "k2"), "k2 appended, value dropped")
   }
 
+  test("q17: the correlated per-part average is one partial-agg pass, not per-row rescans") {
+    val p = plan(Relational3.q6ForecastRevenue(t)) // warm tables
+    val p17 = plan(Relational4.q17SmallQtyRevenue(t))
+    assert(p17.contains("partial_avg"), "per-part avg must combine map-side")
+    assert(!p17.contains("CartesianProduct"), "correlation must not plan as a cross product")
+    assert(p.nonEmpty)
+  }
+
+  test("q21: distinct-supplier correlation is a two-phase aggregate, no cross product") {
+    val p = plan(Relational4.q21WaitingSupplier(t))
+    assert(p.contains("partial_count"), "per-order distinct counts must pre-aggregate")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("bm25: corpus stats ride 1-row broadcasts; term scores combine map-side") {
+    val p = plan(InvertedIndex.bm25Search(t))
+    assert(p.contains("partial_"), "tf/score aggregation must be map-side partial")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "n_docs/avgdl must arrive as a broadcast scalar, not a shuffle")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not be a full sort")
+  }
+
+  test("bloom decontamination: probe is a subquery-fed map-side filter; only hashes aggregate") {
+    val p = plan(Decontaminate.bloomContaminatedDocs(t))
+    assert(p.contains("partial_bloom_filter_agg"),
+      "bloom bitmaps must OR together map-side before the single-partition merge")
+    assert(p.contains("might_contain(Subquery"),
+      s"membership must probe a scalar-subquery-fed bloom:\n${p.take(800)}")
+    // toString prints top-down, so deeper = later: the might_contain
+    // filter must sit BELOW the partial count agg (map-side, before the
+    // doc_id shuffle — most shingles die in the probe, never shuffling)
+    assert(p.indexOf("might_contain") > p.indexOf("partial_count"),
+      "membership filter must run below the partial aggregation")
+  }
+
   test("q5: dims still broadcast at small SF (threshold-decided, not forced)") {
     val p = plan(Relational.q5RegionRevenue(t))
     val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).size
