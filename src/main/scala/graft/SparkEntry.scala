@@ -69,6 +69,9 @@ object SparkEntry {
     // rows-only: probabilistic membership (no SQL twin); spec pins the
     // no-false-negative superset property vs the exact pass
     "decontaminate_bloom"  -> q(Decontaminate.bloomContaminatedDocs(_)),
+    // rows-only: DuckDB has no count-min sketch; spec pins the CMS
+    // never-under/εN-over contract against the exact counts
+    "q_heavy_hitters_cms"  -> q(TextAnalysis.cmsHeavyHitters(_)),
     "domain_mix"           -> q(Curate.domainMix(_)),
     "url_canonicalize"     -> q(Curate.urlCanonicalize),
     // distributed two-phase prefix sum; oracle is the naive global window

@@ -183,6 +183,31 @@ object TextAnalysis {
        |  ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id) AS ppl_bucket
        |FROM lp ORDER BY doc_id""".stripMargin
 
+  /** Count-min-sketch heavy hitters — the streaming/mergeable
+    * counterpart of the exact `word_freq_topk`, and the second member
+    * of the sketch family next to HLL (`q_approx_distinct`). The build
+    * side is Spark's own `count_min_sketch` aggregate (fixed-size
+    * mergeable bitmaps, partial sketches merging map-side — at 100 TB
+    * the word counts never materialize, only εN-wide counters); the
+    * probe side reads estimates back INSIDE the query through the
+    * custom [[graft.functions.CmsEstimate]] expression (Spark ships no
+    * reader expression — without it the sketch has to collect to the
+    * driver). Estimates are deterministic for a fixed seed; the spec
+    * pins the CMS contract: never under exact, over by at most ~εN.
+    */
+  def cmsHeavyHitters(t: Tables, k: Int = 20, eps: Double = 0.001,
+      confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+    val toks = WordPipeline.tokens(t)
+    val sketch = toks.agg(
+      count_min_sketch(col("word"), lit(eps), lit(confidence), lit(seed)).as("sk"))
+    toks.groupBy("word").agg(count(lit(1)).as("exact_count"))
+      .orderBy(col("exact_count").desc, col("word")).limit(k)
+      .crossJoin(broadcast(sketch))
+      .select(col("word"), col("exact_count"),
+        graft.functions.CmsEstimate(col("sk"), col("word")).as("cms_count"))
+      .orderBy(col("exact_count").desc, col("word"))
+  }
+
   /** Whitespace and BPE-ish token counts (letter runs / digits /
     * single non-alnum symbols — the GPT-2 pre-tokenizer shape).
     */

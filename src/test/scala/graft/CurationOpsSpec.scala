@@ -49,6 +49,18 @@ class CurationOpsSpec extends AnyFunSuite {
       s"bloom flagged ${bloom.size} of $nTrain training docs — not selective")
   }
 
+  test("cms heavy hitters: estimates never undercount and overcount by at most ~εN") {
+    val rows = TextAnalysis.cmsHeavyHitters(t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val n = graft.operators.WordPipeline.tokens(t).count()
+    val slack = math.ceil(0.001 * math.E * n).toLong.max(1) // εN at the sketch's width
+    rows.foreach { case (w, exact, est) =>
+      assert(est >= exact, s"CMS undercounted '$w': $est < $exact")
+      assert(est <= exact + slack, s"CMS overcounted '$w' beyond εN: $est > $exact + $slack")
+    }
+  }
+
   test("domain_mix: every source is sampled at most at its own size and rates upweight small sources") {
     val mixed = Curate.domainMix(t)
     val perSource = mixed.groupBy("source").agg(count(lit(1)).as("n_kept"))
