@@ -114,12 +114,16 @@ object Relational4 {
     * per row, then semi-join semantics via plain filters.
     */
   def q21WaitingSupplier(t: Tables): DataFrame = {
-    val perOrder = t.lineitem
-      .groupBy(col("l_orderkey").as("okey"))
-      .agg(
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
-          .as("n_ret_supp"))
+    // two distinct-counts over the same grouping would plan as one
+    // Expand (×2 row multiplier) feeding the aggregate; the two-level
+    // form — per-(order, supplier) partial first, then per-order counts
+    // — aggregates each lineitem row once, both levels map-side partial
+    val perSupp = t.lineitem
+      .groupBy(col("l_orderkey").as("okey"), col("l_suppkey").as("skey"))
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("returned"))
+    val perOrder = perSupp
+      .groupBy(col("okey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("returned")).as("n_ret_supp"))
     t.lineitem
       .filter(col("l_returnflag") === "R")
       .join(t.orders.filter(col("o_orderstatus") === "F"),
