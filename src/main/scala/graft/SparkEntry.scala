@@ -72,6 +72,9 @@ object SparkEntry {
     // rows-only: DuckDB has no count-min sketch; spec pins the CMS
     // never-under/εN-over contract against the exact counts
     "q_heavy_hitters_cms"  -> q(TextAnalysis.cmsHeavyHitters(_)),
+    // rows-only: GK-sketch results vary with partial-merge order;
+    // spec bounds the rank error against the exact percentiles
+    "q_approx_percentiles" -> q(Relational2.qApproxPercentiles(_)),
     "domain_mix"           -> q(Curate.domainMix(_)),
     "url_canonicalize"     -> q(Curate.urlCanonicalize),
     // distributed two-phase prefix sum; oracle is the naive global window

@@ -293,6 +293,29 @@ object Relational2 {
       |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** The 100 TB percentile path: `percentile_approx` (Greenwald-Khanna
+    * sketch — bounded memory per group, partials merge map-side)
+    * against the same cuts as the exact [[qPercentiles]]. Exact
+    * percentile buffers EVERY value of a group on one reducer — the
+    * thing that dies first at scale; the sketch trades that for a
+    * rank-error bound of 1/accuracy. Third sketch-family member next
+    * to HLL distinct and CMS counts. Approximate and merge-order
+    * dependent ⇒ rows-only gate; the error-vs-exact bound is
+    * spec-pinned.
+    */
+  def qApproxPercentiles(t: Tables, accuracy: Int = 10000): DataFrame =
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr(s"percentile_approx(l_quantity, array(0.5, 0.9), $accuracy)").as("q"),
+        expr(s"percentile_approx(l_extendedprice, array(0.25, 0.99), $accuracy)").as("p"))
+      .select(col("l_returnflag"),
+        round(col("q").getItem(0), 4).as("median_qty"),
+        round(col("q").getItem(1), 4).as("p90_qty"),
+        round(col("p").getItem(0), 4).as("p25_price"),
+        round(col("p").getItem(1), 4).as("p99_price"))
+      .orderBy("l_returnflag")
+
   /** Correlated-aggregate shape: orders above their customer's average
     * (decorrelated to a window — one shuffle, no per-row subquery).
     */

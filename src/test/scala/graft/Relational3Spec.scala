@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.Relational3
+import graft.operators.{Relational2, Relational3}
 import graft.sources.Tables
 
 /** Semantic checks for the round-4 TPC-H batch — the shapes where a
@@ -65,6 +65,21 @@ class Relational3Spec extends AnyFunSuite {
       val (approx, exact) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
       assert(math.abs(approx - exact) / exact < 0.05,
         s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
+  test("approx percentiles track the exact cuts within the sketch's rank-error bound") {
+    val exact = Relational2.qPercentiles(t).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    Relational2.qApproxPercentiles(t).collect().foreach { r =>
+      val e = exact(r.getString(0))
+      val a = Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      // 1/accuracy rank error on these distributions stays well inside
+      // 5% relative value error; exactness is the other query's job
+      a.zip(e).foreach { case (approx, ex) =>
+        assert(math.abs(approx - ex) / math.max(math.abs(ex), 1e-9) < 0.05,
+          s"${r.getString(0)}: approx $approx vs exact $ex")
+      }
     }
   }
 
