@@ -83,6 +83,18 @@ class Relational3Spec extends AnyFunSuite {
     }
   }
 
+  test("bm25: absent query terms contribute nothing; scores are positive and ranked") {
+    import graft.operators.InvertedIndex
+    val base = InvertedIndex.bm25Search(t, Seq("spark", "scan")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // a term with zero postings must not shift any score (tf inner join
+    // drops it) — same result set, same scores
+    val withGhost = InvertedIndex.bm25Search(t, Seq("spark", "scan", "zzzyqx")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(withGhost == base && base.nonEmpty)
+    assert(base.values.forall(_ > 0), "the +1 idf variant keeps scores positive")
+  }
+
   test("pq codes: codebook members quantize to themselves") {
     val codes = graft.operators.Similarity.pqCodes(t).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
