@@ -155,19 +155,70 @@ object TextAnalysis {
     * head/middle/tail thirds by language-model score (here the unigram
     * LM's avg log-prob — higher = more "in-distribution"), the standard
     * corpus-quality stratification before sampling training mixes.
-    * `ntile` over a TOTALLY ordered key ((lp, doc_id) — lp alone has
-    * ties) keeps the cut deterministic and oracle-stable. The global
-    * sort is the same single range-exchange any ranked cut needs; the
-    * LM scoring underneath scales as [[unigramLogProb]] (no forced
-    * broadcasts, partial aggs).
+    *
+    * Scale design: an unpartitioned `ntile` window would plan as
+    * Exchange SinglePartition — every (score, doc_id) row on ONE task,
+    * which at 100 TB IS the job. Instead the two tercile CUT ROWS are
+    * located with the distributed two-phase rank pattern: range-
+    * partition on the total order (score desc, doc_id), collect only
+    * the per-partition COUNTS (one Long per partition), turn them into
+    * global-rank offsets, then fetch exactly the two rows at the cut
+    * ranks from the two partitions that own them (`runJob` touches just
+    * those partitions). Buckets are then assigned MAP-SIDE by comparing
+    * each row against the 2 collected cut tuples — no global shuffle,
+    * no single-partition window, and the LM scoring underneath scales
+    * as [[unigramLogProb]]. The tie rule is exact `ntile` semantics
+    * over the total order ((score, doc_id) — doc_id is unique): rank
+    * r is in bucket b iff r <= cut_b, so the DuckDB ntile oracle
+    * hash-matches bit-for-bit.
     */
   def pplBuckets(t: Tables): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("avg_logprob").desc, col("doc_id"))
-    unigramLogProb(t)
-      .select(col("doc_id"), col("avg_logprob"),
-        ntile(3).over(w).cast("long").as("ppl_bucket"))
-      .orderBy("doc_id")
+    val spark = t.documents.sparkSession
+    val lp = unigramLogProb(t).select(col("doc_id"), col("avg_logprob"))
+    // Cache the per-doc LM scores (tiny: 2 columns × 1 row/doc) for the
+    // duration of cut-point location: the range exchange SAMPLES its
+    // child before shuffling it, so an uncached plan would pay the full
+    // LM computation twice here and once more at execution.
+    val lpCached = lp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sorted = lpCached
+      .repartitionByRange(spark.sessionState.conf.numShufflePartitions,
+        col("avg_logprob").desc, col("doc_id").asc)
+      .sortWithinPartitions(col("avg_logprob").desc, col("doc_id").asc)
+    try {
+      val rdd = sorted.select(col("avg_logprob"), col("doc_id")).rdd
+        .map(r => (r.getDouble(0), r.getLong(1)))
+      val counts = rdd
+        .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+        .collect().sortBy(_._1).map(_._2)
+      val n = counts.sum
+      if (n == 0L) return lp.withColumn("ppl_bucket", lit(0L)).limit(0)
+      // ntile(3): the first (n mod 3) buckets get one extra row, so
+      // bucket b covers global ranks 1..cut_b
+      val third = n / 3; val extra = n % 3
+      val cutRanks = Seq(third + math.min(1L, extra), 2 * third + math.min(2L, extra))
+      val offsets = counts.scanLeft(0L)(_ + _) // rows before partition i
+      val cuts = cutRanks.map { rank =>
+        val pid   = offsets.lastIndexWhere(_ < rank)
+        val local = (rank - offsets(pid) - 1).toInt // 0-based within pid
+        spark.sparkContext
+          // hasNext-then-next, never bare next(): codegen row iterators
+          // only fill their buffer inside hasNext()
+          .runJob(rdd, (it: Iterator[(Double, Long)]) => {
+            val at = it.drop(local)
+            require(at.hasNext, s"rank $rank: partition $pid shorter than its counted size")
+            at.next()
+          }, Seq(pid))
+          .head
+      }
+      def atOrAbove(cut: (Double, Long)): Column =
+        col("avg_logprob") > cut._1 ||
+          (col("avg_logprob") === cut._1 && col("doc_id") <= cut._2)
+      lp.select(col("doc_id"), col("avg_logprob"),
+        when(atOrAbove(cuts(0)), 1L)
+          .when(atOrAbove(cuts(1)), 2L)
+          .otherwise(3L).as("ppl_bucket"))
+        .orderBy("doc_id")
+    } finally { lpCached.unpersist(); () }
   }
 
   val pplBucketsSql: String =

@@ -104,6 +104,41 @@ class CurationOpsSpec extends AnyFunSuite {
   }
 }
 
+/** The r8 pplBuckets rewrite (broadcast cut points + map-side
+  * comparison, no single-partition window) must keep EXACT ntile
+  * semantics — pin bit-equality against the window form it replaced.
+  */
+class PplBucketsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def t = Tables(spark, TestSpark.sf)
+
+  test("cut-point bucketing is bit-equal to the global ntile window") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("avg_logprob").desc, col("doc_id"))
+    val viaWindow = TextAnalysis.unigramLogProb(t)
+      .select(col("doc_id"), col("avg_logprob"),
+        ntile(3).over(w).cast("long").as("ppl_bucket"))
+      .orderBy("doc_id").collect()
+    val viaCuts = TextAnalysis.pplBuckets(t).collect()
+    assert(viaCuts.toSeq == viaWindow.toSeq)
+  }
+
+  test("buckets are balanced within one row (ntile contract)") {
+    val sizes = TextAnalysis.pplBuckets(t).groupBy("ppl_bucket").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == Set(1L, 2L, 3L))
+    assert(sizes.values.max - sizes.values.min <= 1)
+  }
+
+  test("no single-partition window in the plan") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val wins = TextAnalysis.pplBuckets(t).queryExecution.executedPlan.collect {
+      case x: WindowExec => x
+    }
+    assert(wins.isEmpty, "pplBuckets must not plan any WindowExec at all")
+  }
+}
+
 class UrlCanonicalizeSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._

@@ -322,6 +322,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), "shortlist/top-k must push the group limit")
   }
 
+  test("no gated query plans an unpartitioned window over corpus-proportional input") {
+    // An unpartitioned WindowExec is Exchange SinglePartition — every
+    // input row on one task, the classic silent scale-killer (the r7
+    // quality_ppl_buckets finding). Ban it across the WHOLE gated
+    // surface. pack_shards is exempt by design: its global window runs
+    // over the ≤#buckets pre-aggregated rows, not the corpus.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exempt = Set("pack_shards")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // AQE hides nodes in query stages
+    try {
+      for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
+        val offenders = fn(spark, TestSpark.sf).queryExecution.executedPlan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w.windowExpression.mkString(",")
+        }
+        assert(offenders.isEmpty,
+          s"$name plans an unpartitioned (single-partition) window: ${offenders.mkString("; ")}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("z-order query is a single scan with in-expression bit math") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")
