@@ -197,13 +197,15 @@ object Streams {
       .filter(col("quality") >= minQuality)
 
   /** Seed a [[nearDupIngest]] band index from an existing corpus: one
-    * (corpus_doc, band, band_key) row per band per document.
+    * (corpus_doc, band, band_key) row per band per document. Written
+    * into the `batch_id=-1` partition so the seed and the per-batch
+    * absorptions share one partition-discovered table layout.
     */
   def buildBandIndex(corpus: DataFrame, indexDir: String,
       k: Int = 16, n: Int = 3, rowsPerBand: Int = 2): Unit =
     graft.operators.Dedup.bandKeysInline(corpus, k, n, rowsPerBand)
       .withColumnRenamed("doc_id", "corpus_doc")
-      .write.mode("overwrite").parquet(indexDir)
+      .write.mode("overwrite").parquet(s"$indexDir/batch_id=-1")
 
   /** Continuous near-dup ingest — [[nearDupGate]] with an index that
     * ABSORBS accepted documents, so a near-duplicate of a doc accepted
@@ -221,28 +223,43 @@ object Streams {
     * kin are rejected. At scale only (doc_id, band, band_key) digests
     * shuffle — never text — and the index is a parquet table bucketable
     * by band_key; the probe is the same dimension-join shape as
-    * [[nearDupGate]]. Restart-safe: both writes are idempotent appends
-    * keyed by Spark's file-commit protocol, and a replayed batch
-    * re-rejects against a superset index (rejections are monotone).
+    * [[nearDupGate]].
+    *
+    * Restart-safe by construction, not by append-luck: both writes land
+    * in a `batch_id=N` partition with mode("overwrite"), so a replayed
+    * batch REWRITES its own output instead of appending duplicates; and
+    * the probe excludes the current batch's own partition, so a replay
+    * after a crash mid-absorb re-derives the identical accept set from
+    * the identical pre-batch index (a batch's partially-written bands
+    * must never reject their own documents). All existence checks go
+    * through the Hadoop FileSystem API — `java.io.File` only ever works
+    * on a local filesystem, and the continuous-ingest deployment this
+    * operator exists for runs on HDFS/S3.
     */
   def nearDupIngest(newDocs: DataFrame, indexDir: String, acceptedDir: String,
       k: Int = 16, n: Int = 3, rowsPerBand: Int = 2)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     newDocs.writeStream.outputMode("append").foreachBatch {
-      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val keys = graft.operators.Dedup
           .bandKeysInline(batch.toDF(), k, n, rowsPerBand).persist()
         try {
+          val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+          val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val seeded = fs.exists(idxPath) &&
+            fs.globStatus(new org.apache.hadoop.fs.Path(idxPath, "batch_id=*")).nonEmpty
           val rejected =
-            if (!new java.io.File(indexDir).exists) keys.limit(0).select("doc_id")
-            else keys.join(spark.read.parquet(indexDir), Seq("band", "band_key"))
+            if (!seeded) keys.limit(0).select("doc_id")
+            else keys.join(
+              spark.read.parquet(indexDir).filter(col("batch_id") =!= batchId),
+              Seq("band", "band_key"))
               .select("doc_id").distinct()
           val accepted = batch.join(rejected, Seq("doc_id"), "left_anti")
-          accepted.write.mode("append").parquet(acceptedDir)
+          accepted.write.mode("overwrite").parquet(s"$acceptedDir/batch_id=$batchId")
           keys.join(rejected, Seq("doc_id"), "left_anti")
             .withColumnRenamed("doc_id", "corpus_doc")
-            .write.mode("append").parquet(indexDir)
+            .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
         } finally { keys.unpersist(); () }
     }
 

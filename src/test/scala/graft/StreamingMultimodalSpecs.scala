@@ -149,31 +149,43 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ndi").toString
     val (idxDir, accDir) = (s"$dir/index", s"$dir/accepted")
-    val mem = MemoryStream[(Long, String)]
-    val docs = mem.toDF().toDF("doc_id", "text")
-    val q = Streams.nearDupIngest(docs, idxDir, accDir)
-      .option("checkpointLocation", s"$dir/ckpt").start()
-    try {
-      // batch 1: two unrelated docs — both accepted, both indexed
-      mem.addData(
-        (1L, "alpha beta gamma delta epsilon zeta eta theta"),
-        (2L, "one two three four five six seven eight nine"))
-      q.processAllAvailable()
-      // batch 2: a near-dup of doc 1 (one word changed) must be
-      // rejected by the index batch 1 built; a fresh doc is accepted
-      mem.addData(
-        (10L, "alpha beta gamma delta epsilon zeta eta iota"),
-        (11L, "red orange yellow green blue indigo violet colors"))
-      q.processAllAvailable()
-      // batch 3: a near-dup of the doc ACCEPTED in batch 2 — rejected
-      // only if the index absorbed batch 2's survivors
-      mem.addData((20L, "red orange yellow green blue indigo violet shades"))
-      q.processAllAvailable()
-    } finally q.stop()
-    val accepted = spark.read.parquet(accDir)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(accepted == Set(1L, 2L, 11L),
-      s"expected batches to accept exactly {1,2,11}, got $accepted")
+    def runBatches(ckpt: String): Unit = {
+      val mem = MemoryStream[(Long, String)]
+      val docs = mem.toDF().toDF("doc_id", "text")
+      val q = Streams.nearDupIngest(docs, idxDir, accDir)
+        .option("checkpointLocation", ckpt).start()
+      try {
+        // batch 0: two unrelated docs — both accepted, both indexed
+        mem.addData(
+          (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+          (2L, "one two three four five six seven eight nine"))
+        q.processAllAvailable()
+        // batch 1: a near-dup of doc 1 (one word changed) must be
+        // rejected by the index batch 0 built; a fresh doc is accepted
+        mem.addData(
+          (10L, "alpha beta gamma delta epsilon zeta eta iota"),
+          (11L, "red orange yellow green blue indigo violet colors"))
+        q.processAllAvailable()
+        // batch 2: a near-dup of the doc ACCEPTED in batch 1 — rejected
+        // only if the index absorbed batch 1's survivors
+        mem.addData((20L, "red orange yellow green blue indigo violet shades"))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    runBatches(s"$dir/ckpt")
+    def acceptedRows(): Seq[Long] = spark.read.parquet(accDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(acceptedRows() == Seq(1L, 2L, 11L),
+      s"expected batches to accept exactly {1,2,11}, got ${acceptedRows()}")
+    // crash-replay shape: the identical batches run AGAIN against the
+    // same index/accepted dirs (fresh checkpoint realigns batch ids at
+    // 0). batchId-keyed overwrites + the probe excluding the current
+    // batch's own partition must leave the exact same rows — a
+    // duplicate doc_id here means a replayed batch appended instead of
+    // rewriting, or rejected its own partially-absorbed documents.
+    runBatches(s"$dir/ckpt_replay")
+    assert(acceptedRows() == Seq(1L, 2L, 11L),
+      s"replay must be idempotent, got ${acceptedRows()}")
   }
 
   test("streaming near-dup gate flags the same collisions as its batch twin") {
