@@ -105,10 +105,16 @@ object Bench {
     // measuring the data construction instead of the operator.
     //   documents — replica r > 0 suffixes every whitespace token with a
     //   letters-only base-26 code of r: within-replica shingle-equality
-    //   structure and ws/BPE token counts are preserved EXACTLY (the
-    //   suffix is one more [a-z] run glued to the word), while
-    //   cross-replica token spaces are fully disjoint for ANY replica
-    //   count (an alphabet rotation caps out at 26 distinct images).
+    //   structure and WHITESPACE token counts are preserved EXACTLY.
+    //   BPE-ish counts are preserved only for letter-ending tokens (a
+    //   token ending in a digit/symbol gains one extra [a-z] run), so
+    //   the token_count rung scales near- not perfectly-linearly.
+    //   Cross-replica token spaces are disjoint up to the rare base
+    //   token that itself ends in a replica code ("…qab") — harmless at
+    //   shingle granularity, where one shared token never makes a pair
+    //   of documents near-duplicates. (An alphabet ROTATION instead
+    //   would cap out at 26 distinct images; the suffix scheme works
+    //   for any replica count.)
     //   embeddings — replica r > 0 applies an ORTHOGONAL transform:
     //   rotate components by r mod dim, then flip odd-index signs for
     //   r >= dim. Orthogonality preserves every within-replica dot
@@ -127,7 +133,8 @@ object Bench {
       require(maxDoc < 10000000L && maxVec < 10000000L,
         s"replica id offset collision: max doc_id=$maxDoc vec_id=$maxVec >= 1e7")
       // letters-only base-26 replica code ("qab" for r=1): a pure [a-z]
-      // run keeps ws AND BPE token counts identical to the base corpus
+      // run keeps ws token counts identical to the base corpus (BPE
+      // counts identical for letter-ending tokens — see above)
       val code = concat(lit("q"),
         chr(pmod(floor(col("replica") / 26), lit(26)) + lit(97)),
         chr(pmod(col("replica"), lit(26)) + lit(97)))

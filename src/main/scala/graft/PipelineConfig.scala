@@ -29,21 +29,26 @@ import org.json4s.jackson.JsonMethods
   */
 object PipelineConfig {
 
+  // Shared field accessors: EVERY config read goes through these so a
+  // missing or mistyped field raises the same loud assembly error —
+  // (sink \ "path").values-style extraction silently stringifies
+  // JNothing into a junk value (a sink writing to a dir named "None").
+  private def str(j: JValue, field: String): String = j \ field match {
+    case JString(s) => s
+    case JNothing   => sys.error(s"pipeline config: missing '$field' in ${JsonMethods.compact(j)}")
+    case other      => sys.error(s"pipeline config: '$field' must be a string, got $other")
+  }
+  private def strs(j: JValue, field: String): Seq[String] = j \ field match {
+    case JArray(xs) => xs.map { case JString(s) => s; case o => sys.error(s"'$field': $o") }
+    case _          => sys.error(s"pipeline config: '$field' must be an array of strings")
+  }
+
   /** Assemble the config's source + transforms into a DataFrame plan
     * (no action). `baseDir` resolves relative table/file paths.
     */
   def assemble(spark: SparkSession, json: String, baseDir: String = ""): DataFrame = {
     val root = JsonMethods.parse(json)
     val source = root \ "source"
-    def str(j: JValue, field: String): String = j \ field match {
-      case JString(s) => s
-      case JNothing   => sys.error(s"pipeline config: missing '$field' in ${JsonMethods.compact(j)}")
-      case other      => sys.error(s"pipeline config: '$field' must be a string, got $other")
-    }
-    def strs(j: JValue, field: String): Seq[String] = j \ field match {
-      case JArray(xs) => xs.map { case JString(s) => s; case o => sys.error(s"'$field': $o") }
-      case _          => sys.error(s"pipeline config: '$field' must be an array of strings")
-    }
     def resolve(p: String): String =
       if (p.startsWith("/") || baseDir.isEmpty) p else s"$baseDir/$p"
 
@@ -96,13 +101,28 @@ object PipelineConfig {
 
   /** Assemble and run the sink action. Returns the assembled frame so
     * callers can inspect what was written.
+    *
+    * `jdbc` is the config twin of the reference's DB loaders
+    * (MySQL_DBLoader / the py-beam settings.json output switch,
+    * v2/core/loaders/mysql.py:10): `url` + `table` required,
+    * `batchsize`/`num_partitions` optional — the same partition-
+    * parallel batched writer [[graft.sinks.Sinks.jdbc]] the code-first
+    * Flagship `--db` path uses.
     */
   def run(spark: SparkSession, json: String, baseDir: String = ""): DataFrame = {
     val df = assemble(spark, json, baseDir)
     val sink = JsonMethods.parse(json) \ "sink"
+    def optInt(field: String): Option[Int] = sink \ field match {
+      case JInt(i)  => Some(i.toInt)
+      case JNothing => None
+      case other    => sys.error(s"pipeline config: '$field' must be an integer, got $other")
+    }
     sink \ "type" match {
-      case JString("csv")     => graft.sinks.Sinks.csv(df, (sink \ "path").values.toString)
-      case JString("parquet") => df.write.mode("overwrite").parquet((sink \ "path").values.toString)
+      case JString("csv")     => graft.sinks.Sinks.csv(df, str(sink, "path"))
+      case JString("parquet") => df.write.mode("overwrite").parquet(str(sink, "path"))
+      case JString("jdbc")    => graft.sinks.Sinks.jdbc(df, str(sink, "url"), str(sink, "table"),
+        batchSize = optInt("batchsize").getOrElse(1000),
+        numPartitions = optInt("num_partitions"))
       case JString("noop")    => graft.sinks.Sinks.noop(df): Unit
       case JNothing           => () // sink-less config: assembly only
       case other              => sys.error(s"pipeline config: unknown sink $other")

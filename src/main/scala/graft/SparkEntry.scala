@@ -72,6 +72,9 @@ object SparkEntry {
     // rows-only: DuckDB has no count-min sketch; spec pins the CMS
     // never-under/εN-over contract against the exact counts
     "q_heavy_hitters_cms"  -> q(TextAnalysis.cmsHeavyHitters(_)),
+    // rows-only: the production probe shape — fixed candidates, no
+    // exact word aggregate in the plan; spec pins never-under-exact
+    "q_cms_probe"          -> q(TextAnalysis.cmsProbe(_)),
     // rows-only: GK-sketch results vary with partial-merge order;
     // spec bounds the rank error against the exact percentiles
     "q_approx_percentiles" -> q(Relational2.qApproxPercentiles(_)),

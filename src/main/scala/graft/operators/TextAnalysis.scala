@@ -238,13 +238,18 @@ object TextAnalysis {
     * counterpart of the exact `word_freq_topk`, and the second member
     * of the sketch family next to HLL (`q_approx_distinct`). The build
     * side is Spark's own `count_min_sketch` aggregate (fixed-size
-    * mergeable bitmaps, partial sketches merging map-side — at 100 TB
-    * the word counts never materialize, only εN-wide counters); the
-    * probe side reads estimates back INSIDE the query through the
-    * custom [[graft.functions.CmsEstimate]] expression (Spark ships no
-    * reader expression — without it the sketch has to collect to the
-    * driver). Estimates are deterministic for a fixed seed; the spec
-    * pins the CMS contract: never under exact, over by at most ~εN.
+    * mergeable bitmaps, partial sketches merging map-side); the probe
+    * side reads estimates back INSIDE the query through the custom
+    * [[graft.functions.CmsEstimate]] expression (Spark ships no reader
+    * expression — without it the sketch has to collect to the driver).
+    * Estimates are deterministic for a fixed seed; the spec pins the
+    * CMS contract: never under exact, over by at most ~εN.
+    *
+    * NOTE: this is the COMPARISON GATE, so its candidate words come
+    * from an exact top-k count on purpose — the exact counts are the
+    * baseline the estimates are judged against. The production probe
+    * shape, where candidates are a fixed/sampled list and NO exact
+    * word aggregate exists anywhere in the plan, is [[cmsProbe]].
     */
   def cmsHeavyHitters(t: Tables, k: Int = 20, eps: Double = 0.001,
       confidence: Double = 0.99, seed: Int = 42): DataFrame = {
@@ -257,6 +262,31 @@ object TextAnalysis {
       .select(col("word"), col("exact_count"),
         graft.functions.CmsEstimate(col("sk"), col("word")).as("cms_count"))
       .orderBy(col("exact_count").desc, col("word"))
+  }
+
+  /** The production CMS probe: estimate counts for a FIXED candidate
+    * word list against the corpus sketch, with no exact word aggregate
+    * anywhere in the plan — at 100 TB candidates come from a sample, a
+    * prior sketch, or a watchlist, never from the exact count that
+    * [[cmsHeavyHitters]] uses as its comparison baseline. The only
+    * aggregate is the sketch build itself (fixed εN-wide state,
+    * merging map-side); the candidate list rides a 1-row broadcast.
+    * Rows-only gate: estimates are sketch-seed-specific, so no DuckDB
+    * oracle — the spec pins never-under-exact on the fixed candidates.
+    */
+  def cmsProbe(t: Tables,
+      candidates: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is",
+        "for", "on", "with"),
+      eps: Double = 0.001, confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    val sketch = WordPipeline.tokens(t).agg(
+      count_min_sketch(col("word"), lit(eps), lit(confidence), lit(seed)).as("sk"))
+    candidates.toDF("word")
+      .crossJoin(broadcast(sketch))
+      .select(col("word"),
+        graft.functions.CmsEstimate(col("sk"), col("word")).as("cms_count"))
+      .orderBy("word")
   }
 
   /** Whitespace and BPE-ish token counts (letter runs / digits /

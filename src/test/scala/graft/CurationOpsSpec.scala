@@ -61,6 +61,26 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cms probe: fixed candidates never undercount; no exact word aggregate in the plan") {
+    val probe = TextAnalysis.cmsProbe(t)
+    // the production shape: the ONLY aggregate is the sketch build —
+    // candidates must not be derived from an exact count
+    val aggs = probe.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.size == 1, s"expected only the sketch-build aggregate, got ${aggs.size}")
+    assert(aggs.head.aggregateExpressions.mkString.contains("count_min_sketch"))
+    val est = probe.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.operators.WordPipeline.tokens(t)
+      .filter(col("word").isin(est.keySet.toSeq: _*))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.nonEmpty)
+    est.foreach { case (w, e) =>
+      assert(e >= exact.getOrElse(w, 0L), s"CMS undercounted '$w': $e < ${exact.get(w)}")
+    }
+  }
+
   test("domain_mix: every source is sampled at most at its own size and rates upweight small sources") {
     val mixed = Curate.domainMix(t)
     val perSource = mixed.groupBy("source").agg(count(lit(1)).as("n_kept"))

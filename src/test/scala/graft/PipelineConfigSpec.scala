@@ -79,6 +79,51 @@ class PipelineConfigSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("unknown sink"))
   }
 
+  test("config jdbc sink is the Flagship --db path: Derby round-trip, bit-equal to code-first") {
+    // the reference's settings switch includes DB loaders (py-beam
+    // settings.json output / v2 MySQL_DBLoader) — the config surface
+    // must reach the same partition-parallel JDBC writer the code-first
+    // Flagship --db path uses
+    val url = "jdbc:derby:target/derby-plc;create=true"
+    val json = """{
+      "source": {"type": "text_files", "path": "/root/reference/sample_data",
+                 "pattern": "*.txt", "wholetext": true},
+      "transforms": [
+        {"op": "tokenize", "col": "content", "to": "word", "arabic": true},
+        {"op": "derive", "cols": {"word": "lower(trim(word))"}},
+        {"op": "filter", "where": "word <> ''"},
+        {"op": "unique", "by": ["file_path", "word"]},
+        {"op": "derive", "cols": {"word_len": "length(word)"}},
+        {"op": "select", "cols": ["word", "word_len"]}
+      ],
+      "sink": {"type": "jdbc", "url": "jdbc:derby:target/derby-plc;create=true",
+               "table": "config_words", "batchsize": 500}
+    }"""
+    PipelineConfig.run(spark, json)
+    val back = spark.read.jdbc(url, "config_words", new java.util.Properties())
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    val want = graft.sources.TextFiles.wholeText(spark, "*.txt", "/root/reference/sample_data")
+      .select(col("file_path"),
+        explode(graft.operators.TextFunctions.arabicTokens(col("content"))).as("word"))
+      .select(col("file_path"), lower(trim(col("word"))).as("word"))
+      .filter(col("word") =!= "")
+      .dropDuplicates("file_path", "word")
+      .select(col("word"), length(col("word")).as("word_len"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(back == want && back.nonEmpty)
+  }
+
+  test("sink with a missing path fails loudly instead of writing to a junk dir") {
+    val json = s"""{"source": {"type": "table", "dir": "${TestSpark.sf}", "name": "region"},
+      "sink": {"type": "csv"}}"""
+    val e = intercept[RuntimeException](PipelineConfig.run(spark, json))
+    assert(e.getMessage.contains("missing 'path'"))
+    val json2 = s"""{"source": {"type": "table", "dir": "${TestSpark.sf}", "name": "region"},
+      "sink": {"type": "jdbc", "url": "jdbc:derby:target/derby-plc;create=true"}}"""
+    val e2 = intercept[RuntimeException](PipelineConfig.run(spark, json2))
+    assert(e2.getMessage.contains("missing 'table'"))
+  }
+
   test("config sink writes: csv round-trips the assembled frame") {
     val out = java.nio.file.Files.createTempDirectory("plc").toString + "/out"
     val json = s"""{
