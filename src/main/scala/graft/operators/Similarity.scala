@@ -439,19 +439,40 @@ object Similarity {
   /** Composed IVF+PQ search — the production ANN architecture in one
     * declarative plan: the coarse quantizer (label cell) prunes the
     * candidate set, PQ codes rank candidates by asymmetric distance
-    * (query's exact subvector vs the candidate's centroid — ADC, no
+    * (query's subvector vs the candidate's centroid — ADC, no
     * candidate vector is touched), and only the short-list of 2k gets
     * the exact cosine re-rank. At scale this reads codes (m bytes per
     * vector) for the cell, full vectors only for 2k rows per query —
     * the I/O shape that makes billion-vector search feasible. Approx
     * distances round to 6dp before ranking so equal-code candidates
     * tie exactly (then break on vec_id) on both engines.
+    *
+    * PQ quantizes the RESIDUAL v − mean(cell) (IVFADC, Jégou et al.
+    * 2011), not the raw vector — this is load-bearing, not a nicety:
+    * when a cell is tight (within-cell variance ≪ between-cell), raw
+    * vectors all snap to the same code, every ADC distance ties at
+    * 6dp, and the shortlist degenerates to lowest-vec_id order —
+    * recall collapsed to the shortlist/cell ratio (0.08) on the
+    * planted-cluster corpus before this fix, a failure the clustered
+    * recall gate exists to catch. Residuals keep per-candidate codes
+    * distinct, so ADC ranks within the cell. Cell means round to 6dp
+    * on both engines so the residuals start from identical values.
     */
   def ivfPqTopK(t: Tables, nQueries: Int = 10, k: Int = 5, m: Int = 4,
       kCode: Int = 16, dim: Int = 64, shortlistFactor: Int = 2): DataFrame = {
     val subDim = dim / m
     val emb = t.embeddings.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-    val sub = emb
+    // per-cell mean vector (the coarse centroid): tiny (#cells rows),
+    // aggregated map-side over (label, dim) pairs, then broadcast back
+    val centers = emb.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i")).agg(round(avg(col("x")), 6).as("cx"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("cx")))),
+        s => s.getField("cx")).as("center"))
+    val resid = emb.join(broadcast(centers), "label")
+      .select(col("vec_id"),
+        zip_with(col("v"), col("center"), (a, b) => a - b).as("v"))
+    val sub = resid
       .select(col("vec_id"), explode(array((0 until m).map { s =>
         struct(lit(s.toLong).as("s"), slice(col("v"), s * subDim + 1, subDim).as("sv"))
       }: _*)).as("e"))
@@ -508,11 +529,20 @@ object Similarity {
        |  FROM (SELECT vec_id, unnest(embedding) AS e,
        |          generate_subscripts(embedding, 1) AS i
        |        FROM embeddings)
+       |), cent AS (
+       |  SELECT l.label, v.s, v.j, round(avg(v.ve), 6) AS cmean
+       |  FROM vexp v JOIN embeddings l ON v.vec_id = l.vec_id
+       |  GROUP BY l.label, v.s, v.j
+       |), rexp AS (
+       |  SELECT v.vec_id, v.s, v.j, v.ve - c.cmean AS ve
+       |  FROM vexp v
+       |  JOIN embeddings l ON v.vec_id = l.vec_id
+       |  JOIN cent c ON c.label = l.label AND c.s = v.s AND c.j = v.j
        |), cexp AS (
-       |  SELECT vec_id AS code, s, j, ve AS ce FROM vexp WHERE vec_id < $kCode
+       |  SELECT vec_id AS code, s, j, ve AS ce FROM rexp WHERE vec_id < $kCode
        |), cdist AS (
        |  SELECT v.vec_id, v.s, c.code, sum((ve - ce) * (ve - ce)) AS dist
-       |  FROM vexp v JOIN cexp c ON v.s = c.s AND v.j = c.j
+       |  FROM rexp v JOIN cexp c ON v.s = c.s AND v.j = c.j
        |  GROUP BY v.vec_id, v.s, c.code
        |), codes AS (
        |  SELECT vec_id, s, code FROM (
@@ -531,7 +561,7 @@ object Similarity {
        |), adc AS (
        |  SELECT cand.query_id, cand.vec_id, round(sum((qe.ve - ce.ce) * (qe.ve - ce.ce)), 6) AS approx_dist
        |  FROM cand
-       |  JOIN vexp qe ON qe.vec_id = cand.query_id AND qe.s = cand.s
+       |  JOIN rexp qe ON qe.vec_id = cand.query_id AND qe.s = cand.s
        |  JOIN cexp ce ON ce.code = cand.code AND ce.s = cand.s AND ce.j = qe.j
        |  GROUP BY cand.query_id, cand.vec_id
        |), short AS (
