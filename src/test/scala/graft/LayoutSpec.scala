@@ -118,18 +118,24 @@ class PackShardsSpec extends AnyFunSuite {
       Seq(1L, 1L, 1L, 1000000L, 1000000L)))
   }
 
-  test("the only unpartitioned window runs over bucket totals, not the corpus") {
+  test("no unpartitioned window at all: corpus window bucket-partitioned, offsets join-based") {
+    import org.apache.spark.sql.execution.window.WindowExec
     val df = Layout.packShards(t, 2000L)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    // the corpus-sized window must be partitioned by the bucket column;
-    // (exactly one) global-order window exists and consumes the <=32-row
-    // per-bucket aggregate
+    // the corpus-sized window must be partitioned by the bucket column
     val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
     val corpusWin = windows.filter(_.contains("sum(n_tokens"))
     assert(corpusWin.nonEmpty && corpusWin.forall(_.contains("windowspecdefinition(_b#")),
       s"corpus window not bucket-partitioned:\n${windows.mkString("\n")}")
-    assert(windows.exists(_.contains("sum(_bsum")),
-      s"missing the bucket-totals offset window:\n${windows.mkString("\n")}")
+    // the bucket-offset prefix sum is a triangular self-join since r8 —
+    // NO window in the whole plan may have an empty partition spec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val empty = Layout.packShards(t, 2000L).queryExecution.executedPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(empty.isEmpty, s"unpartitioned window survived: $empty")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }

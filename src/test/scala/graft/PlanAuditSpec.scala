@@ -326,13 +326,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // An unpartitioned WindowExec is Exchange SinglePartition — every
     // input row on one task, the classic silent scale-killer (the r7
     // quality_ppl_buckets finding). Ban it across the WHOLE gated
-    // surface. pack_shards is exempt by design: its global window runs
-    // over the ≤#buckets pre-aggregated rows, not the corpus.
+    // surface, no exemptions: a window that legitimately needs one
+    // partition over BOUNDED rows (pack_shards' ≤#buckets offsets) says
+    // so with partitionBy(lit(0)) — explicit in the plan, silent in the
+    // logs — instead of an empty spec.
     import org.apache.spark.sql.execution.window.WindowExec
-    val exempt = Set("pack_shards")
     spark.conf.set("spark.sql.adaptive.enabled", "false") // AQE hides nodes in query stages
     try {
-      for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
+      for ((name, fn) <- SparkEntry.queries) {
         val offenders = fn(spark, TestSpark.sf).queryExecution.executedPlan.collect {
           case w: WindowExec if w.partitionSpec.isEmpty => w.windowExpression.mkString(",")
         }
