@@ -157,6 +157,26 @@ class PplBucketsSpec extends AnyFunSuite {
     }
     assert(wins.isEmpty, "pplBuckets must not plan any WindowExec at all")
   }
+
+  test("degenerate corpora: 1, 2 and 3 docs still follow ntile semantics") {
+    // cut ranks must stay in-bounds when n < buckets: ntile(3) over n
+    // rows yields buckets 1..min(n,3), one row each
+    val spark2 = spark
+    import spark2.implicits._
+    def bucketsFor(n: Int): Seq[(Long, Long)] = {
+      val dir = java.nio.file.Files.createTempDirectory(s"ppl$n").toString
+      Seq.tabulate(n)(i => (i.toLong, s"word$i common tail"))
+        .toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.parquet(s"$dir/documents.parquet")
+      TextAnalysis.pplBuckets(Tables(spark2, dir)).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    }
+    assert(bucketsFor(1).map(_._2) == Seq(1L))
+    assert(bucketsFor(2).map(_._2).sorted == Seq(1L, 2L))
+    assert(bucketsFor(3).map(_._2).sorted == Seq(1L, 2L, 3L))
+  }
 }
 
 class UrlCanonicalizeSpec extends AnyFunSuite {
