@@ -104,6 +104,7 @@ object SparkEntry {
     "embed_quantize"       -> q(Similarity.quantize),
     "embed_dup_pairs"      -> q(Similarity.embeddingDupPairs(_)),
     "embed_dup_pairs_lsh"  -> q(Similarity.embeddingDupPairsLsh(_)),
+    "embed_semantic_prune" -> q(Similarity.semanticPrune(_)),
     "embed_ivf_topk"       -> q(Similarity.ivfTopK(_)),
     "embed_ivf_pq"         -> q(Similarity.ivfPqTopK(_)),
     "embed_ann_lsh"        -> q(Similarity.annLshTopK(_)),
@@ -243,6 +244,7 @@ object SparkEntry {
     "embed_quantize"       -> Similarity.quantizeSql,
     "embed_dup_pairs"      -> Similarity.embeddingDupPairsSql(),
     "embed_dup_pairs_lsh"  -> Similarity.embeddingDupPairsLshSql(),
+    "embed_semantic_prune" -> Similarity.semanticPruneSql(),
     "embed_ivf_topk"       -> Similarity.ivfTopKSql(),
     "embed_ivf_pq"         -> Similarity.ivfPqTopKSql(),
     // embed_ann_lsh: approximate by construction — rows-only check;

@@ -308,7 +308,10 @@ object Similarity {
     * bucket self-join, and exact re-rank — a full hash-match gate for
     * the scale-path pipeline, not just a rows-only check.
     */
-  def embeddingDupPairsLshSql(threshold: Double = 0.4, bits: Int = 4, tables: Int = 8): String = {
+  /** The LSH-pair CTE body shared by the pairs oracle and the
+    * semantic-prune oracle (identical semantics, one definition).
+    */
+  private def lshPairsSqlCtes(threshold: Double, bits: Int, tables: Int): String = {
     val dim = 64
     val branches = (0 until tables).map { tbl =>
       val sig = (0 until bits).map { j =>
@@ -321,13 +324,50 @@ object Similarity {
     s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |b AS (
        |$branches
-       |)
-       |SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
-       |  round(list_cosine_similarity(x.v, y.v), 6) AS cos_sim
-       |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-       |WHERE round(list_cosine_similarity(x.v, y.v), 6) >= $threshold
-       |ORDER BY vec_a, vec_b""".stripMargin
+       |), pairs AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       |    round(list_cosine_similarity(x.v, y.v), 6) AS cos_sim
+       |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |  WHERE round(list_cosine_similarity(x.v, y.v), 6) >= $threshold
+       |)""".stripMargin
   }
+
+  def embeddingDupPairsLshSql(threshold: Double = 0.4, bits: Int = 4, tables: Int = 8): String =
+    s"""${lshPairsSqlCtes(threshold, bits, tables)}
+       |SELECT vec_a, vec_b, cos_sim FROM pairs
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Doc-level semantic near-dup PRUNING (the SemDeDup shape): a vector
+    * is pruned when any LOWER-id vector sits within the cosine
+    * threshold; `pruned_by` records the smallest such pruner, NULL =
+    * kept. The single-join rule is deliberately one-pass — "has a
+    * lower-id τ-neighbor" — deterministic and shuffle-bounded by the
+    * LSH candidate pairs (never all-pairs); it prunes slightly more
+    * than greedy-by-id (a doc whose only pruner was itself pruned still
+    * drops), which is the conservative direction for training-data
+    * dedup. The greedy kept-set variant is the iterative
+    * connected-components machinery [[graft.operators.Dedup]] already
+    * provides for exact clusters.
+    */
+  def semanticPrune(t: Tables, threshold: Double = 0.4,
+      bits: Int = 4, tables: Int = 8): DataFrame = {
+    val pruned = embeddingDupPairsLsh(t, threshold, bits, tables)
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(min(col("vec_a")).as("pruned_by"))
+    t.embeddings.select(col("vec_id"))
+      .join(pruned, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("pruned_by"))
+      .orderBy("vec_id")
+  }
+
+  def semanticPruneSql(threshold: Double = 0.4, bits: Int = 4, tables: Int = 8): String =
+    s"""${lshPairsSqlCtes(threshold, bits, tables)},
+       |pruned AS (
+       |  SELECT vec_b AS vec_id, min(vec_a) AS pruned_by FROM pairs GROUP BY vec_b
+       |)
+       |SELECT e.vec_id, p.pruned_by
+       |FROM embeddings e LEFT JOIN pruned p USING (vec_id)
+       |ORDER BY e.vec_id""".stripMargin
 
   /** IVF-style search using the label column as the coarse quantizer:
     * rank centroids per query, probe the top cluster only.

@@ -215,6 +215,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall(pq6) >= 0.6, s"recall ${recall(pq6)} at 6k shortlist")
   }
 
+  test("semantic prune: pruned_by is the min lower-id neighbor; one-pass rule documented") {
+    // kept vectors are exactly those with NULL pruned_by; a vector's
+    // pruner can itself be pruned (one-pass, more aggressive than
+    // greedy — the documented contract)
+    val rows = Similarity.semanticPrune(t).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(rows.nonEmpty)
+    val pairs = Similarity.embeddingDupPairsLsh(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expect = pairs.groupBy(_._2).map { case (b, ps) => b -> ps.map(_._1).min }
+    rows.foreach { case (v, p) => assert(p == expect.get(v), s"vec $v pruned_by $p") }
+    // every pair must leave at most one side unpruned among its two ends
+    pairs.foreach { case (a, b) =>
+      assert(rows(b).nonEmpty, s"pair ($a,$b): higher id must be pruned") }
+  }
+
   test("exact dup-pairs baseline refuses tables beyond its broadcast cap") {
     val e = intercept[IllegalArgumentException] {
       Similarity.embeddingDupPairs(t, 0.4, maxExactRows = 10L).collect()
