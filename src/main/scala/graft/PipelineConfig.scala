@@ -105,9 +105,12 @@ object PipelineConfig {
     * `jdbc` is the config twin of the reference's DB loaders
     * (MySQL_DBLoader / the py-beam settings.json output switch,
     * v2/core/loaders/mysql.py:10): `url` + `table` required,
-    * `batchsize`/`num_partitions` optional — the same partition-
+    * `batchsize`/`num_partitions`/`mode` optional — the same partition-
     * parallel batched writer [[graft.sinks.Sinks.jdbc]] the code-first
-    * Flagship `--db` path uses.
+    * Flagship `--db` path uses. NOTE the default mode is the reference
+    * loader's APPEND (each run inserts its batch) — unlike the csv/
+    * parquet sinks, a re-run grows the table; set `"mode":
+    * "overwrite"` for idempotent re-runs.
     */
   def run(spark: SparkSession, json: String, baseDir: String = ""): DataFrame = {
     val df = assemble(spark, json, baseDir)
@@ -122,7 +125,12 @@ object PipelineConfig {
       case JString("parquet") => df.write.mode("overwrite").parquet(str(sink, "path"))
       case JString("jdbc")    => graft.sinks.Sinks.jdbc(df, str(sink, "url"), str(sink, "table"),
         batchSize = optInt("batchsize").getOrElse(1000),
-        numPartitions = optInt("num_partitions"))
+        numPartitions = optInt("num_partitions"),
+        mode = sink \ "mode" match {
+          case JString(m) => m
+          case JNothing   => "append"
+          case other      => sys.error(s"pipeline config: 'mode' must be a string, got $other")
+        })
       case JString("noop")    => graft.sinks.Sinks.noop(df): Unit
       case JNothing           => () // sink-less config: assembly only
       case other              => sys.error(s"pipeline config: unknown sink $other")

@@ -185,10 +185,18 @@ object TextAnalysis {
         col("avg_logprob").desc, col("doc_id").asc)
       .sortWithinPartitions(col("avg_logprob").desc, col("doc_id").asc)
     try {
+      // Two-computation consistency: the cut tuples come from this
+      // cached pass, the final bucketing recomputes the scores. Safe
+      // because comparisons only ever see the 6dp-ROUNDED avg — the
+      // same rounding that lets DuckDB's differently-ordered avg()
+      // hash-match Spark's across the whole gate; within-engine
+      // merge-order jitter is strictly smaller than that.
       val rdd = sorted.select(col("avg_logprob"), col("doc_id")).rdd
         .map(r => (r.getDouble(0), r.getLong(1)))
       val counts = rdd
-        .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+        // Long count, not Iterator.size (Int): a >2^31-row partition at
+        // the target scale must not wrap the cut ranks
+        .mapPartitionsWithIndex((i, it) => Iterator((i, it.foldLeft(0L)((a, _) => a + 1))))
         .collect().sortBy(_._1).map(_._2)
       val n = counts.sum
       if (n == 0L) return lp.withColumn("ppl_bucket", lit(0L)).limit(0)
@@ -199,14 +207,16 @@ object TextAnalysis {
       val offsets = counts.scanLeft(0L)(_ + _) // rows before partition i
       val cuts = cutRanks.map { rank =>
         val pid   = offsets.lastIndexWhere(_ < rank)
-        val local = (rank - offsets(pid) - 1).toInt // 0-based within pid
+        val local = rank - offsets(pid) - 1 // 0-based within pid, Long-safe
         spark.sparkContext
           // hasNext-then-next, never bare next(): codegen row iterators
           // only fill their buffer inside hasNext()
           .runJob(rdd, (it: Iterator[(Double, Long)]) => {
-            val at = it.drop(local)
-            require(at.hasNext, s"rank $rank: partition $pid shorter than its counted size")
-            at.next()
+            var skipped = 0L
+            while (skipped < local && it.hasNext) { it.next(); skipped += 1 }
+            require(skipped == local && it.hasNext,
+              s"rank $rank: partition $pid shorter than its counted size")
+            it.next()
           }, Seq(pid))
           .head
       }

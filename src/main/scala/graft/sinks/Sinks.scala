@@ -27,9 +27,13 @@ object Sinks {
     */
   def jdbc(df: DataFrame, url: String, table: String,
       properties: java.util.Properties = new java.util.Properties(),
-      batchSize: Int = 1000, numPartitions: Option[Int] = None): Unit = {
+      batchSize: Int = 1000, numPartitions: Option[Int] = None,
+      mode: String = "append"): Unit = {
     val base = numPartitions.map(df.repartition(_)).getOrElse(df)
-    base.write.mode("append")
+    // append is the reference loader's semantics (each run inserts its
+    // batch); pass mode="overwrite" for idempotent re-runs — the config
+    // surface exposes it for exactly that
+    base.write.mode(mode)
       .option("batchsize", batchSize.toString)
       .jdbc(url, table, properties)
   }

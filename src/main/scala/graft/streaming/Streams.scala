@@ -199,13 +199,20 @@ object Streams {
   /** Seed a [[nearDupIngest]] band index from an existing corpus: one
     * (corpus_doc, band, band_key) row per band per document. Written
     * into the `batch_id=-1` partition so the seed and the per-batch
-    * absorptions share one partition-discovered table layout.
+    * absorptions share one partition-discovered table layout. Seeding
+    * INITIALIZES the index: any previously absorbed `batch_id=N`
+    * partitions are cleared first — re-seeding against a new corpus
+    * must not leave stale bands rejecting against the old one.
     */
   def buildBandIndex(corpus: DataFrame, indexDir: String,
-      k: Int = 16, n: Int = 3, rowsPerBand: Int = 2): Unit =
+      k: Int = 16, n: Int = 3, rowsPerBand: Int = 2): Unit = {
+    val path = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = path.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) { fs.delete(path, true); () }
     graft.operators.Dedup.bandKeysInline(corpus, k, n, rowsPerBand)
       .withColumnRenamed("doc_id", "corpus_doc")
       .write.mode("overwrite").parquet(s"$indexDir/batch_id=-1")
+  }
 
   /** Continuous near-dup ingest — [[nearDupGate]] with an index that
     * ABSORBS accepted documents, so a near-duplicate of a doc accepted
@@ -235,6 +242,16 @@ object Streams {
     * through the Hadoop FileSystem API — `java.io.File` only ever works
     * on a local filesystem, and the continuous-ingest deployment this
     * operator exists for runs on HDFS/S3.
+    *
+    * OWNERSHIP CONTRACT: `indexDir`/`acceptedDir` belong to ONE
+    * checkpoint lineage. Batch ids are only meaningful relative to the
+    * checkpoint, so starting a NEW query (fresh checkpoint) against
+    * populated dirs is undefined — its batch 0 would overwrite the old
+    * batch-0 partition and probe past the old batch-0 bands. This is
+    * the same contract as Spark's own file sink, whose `_spark_metadata`
+    * log is equally checkpoint-bound. To start over, re-seed fresh dirs
+    * with [[buildBandIndex]] (its `batch_id=-1` partition is the one
+    * slice no micro-batch ever touches).
     */
   def nearDupIngest(newDocs: DataFrame, indexDir: String, acceptedDir: String,
       k: Int = 16, n: Int = 3, rowsPerBand: Int = 2)

@@ -97,11 +97,14 @@ class PipelineConfigSpec extends AnyFunSuite {
         {"op": "select", "cols": ["word", "word_len"]}
       ],
       "sink": {"type": "jdbc", "url": "jdbc:derby:target/derby-plc;create=true",
-               "table": "config_words", "batchsize": 500}
+               "table": "config_words", "batchsize": 500, "mode": "overwrite"}
     }"""
     PipelineConfig.run(spark, json)
+    // run TWICE: mode=overwrite must be idempotent — a multiset compare
+    // (sorted seq, not set) would catch silently appended duplicates
+    PipelineConfig.run(spark, json)
     val back = spark.read.jdbc(url, "config_words", new java.util.Properties())
-      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
     val want = graft.sources.TextFiles.wholeText(spark, "*.txt", "/root/reference/sample_data")
       .select(col("file_path"),
         explode(graft.operators.TextFunctions.arabicTokens(col("content"))).as("word"))
@@ -109,7 +112,7 @@ class PipelineConfigSpec extends AnyFunSuite {
       .filter(col("word") =!= "")
       .dropDuplicates("file_path", "word")
       .select(col("word"), length(col("word")).as("word_len"))
-      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
     assert(back == want && back.nonEmpty)
   }
 

@@ -326,10 +326,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // An unpartitioned WindowExec is Exchange SinglePartition — every
     // input row on one task, the classic silent scale-killer (the r7
     // quality_ppl_buckets finding). Ban it across the WHOLE gated
-    // surface, no exemptions: a window that legitimately needs one
-    // partition over BOUNDED rows (pack_shards' ≤#buckets offsets) says
-    // so with partitionBy(lit(0)) — explicit in the plan, silent in the
-    // logs — instead of an empty spec.
+    // surface, no exemptions. There is deliberately no escape hatch: a
+    // constant partition key gets optimizer-folded right back to an
+    // empty spec (tried for pack_shards), so a window that legitimately
+    // needs global order over BOUNDED rows should be reformulated
+    // without a window at all — pack_shards' ≤#buckets offsets are a
+    // triangular self-join (Layout.scala).
     import org.apache.spark.sql.execution.window.WindowExec
     spark.conf.set("spark.sql.adaptive.enabled", "false") // AQE hides nodes in query stages
     try {
