@@ -188,6 +188,42 @@ class StreamingSpec extends AnyFunSuite {
       s"replay must be idempotent, got ${acceptedRows()}")
   }
 
+  test("buildBandIndex re-seed initializes: stale absorbed bands cannot reject") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("seed").toString
+    val (idxDir, accDir) = (s"$dir/index", s"$dir/acc")
+    val corpusA = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    Streams.buildBandIndex(corpusA, idxDir)
+    // absorb a batch so the index carries batch_id=0 alongside the seed
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.nearDupIngest(mem.toDF().toDF("doc_id", "text"), idxDir, accDir)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      mem.addData((1L, "one two three four five six seven eight nine"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // re-seed from an unrelated corpus: BOTH the old seed and the
+    // absorbed batch must be gone — a near-dup of the absorbed doc and
+    // of corpus A must now be accepted
+    val corpusB = Seq((200L, "red orange yellow green blue indigo violet shades")).toDF("doc_id", "text")
+    Streams.buildBandIndex(corpusB, idxDir)
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = Streams.nearDupIngest(mem2.toDF().toDF("doc_id", "text"), idxDir, s"$dir/acc2")
+      .option("checkpointLocation", s"$dir/ckpt2").start()
+    try {
+      mem2.addData(
+        (10L, "alpha beta gamma delta epsilon zeta eta iota"),   // kin of old seed — accepted now
+        (11L, "one two three four five six seven eight ten"),     // kin of absorbed doc — accepted now
+        (12L, "red orange yellow green blue indigo violet colors")) // kin of NEW seed — rejected
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = spark.read.parquet(s"$dir/acc2").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(10L, 11L), s"re-seeded index must reject only corpus B kin, got $got")
+  }
+
   test("streaming near-dup gate flags the same collisions as its batch twin") {
     val corpus = Tables(spark, TestSpark.sf).documents
     val stream = Streams.documentsStream(spark, TestSpark.sf)
