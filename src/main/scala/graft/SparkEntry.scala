@@ -34,6 +34,7 @@ object SparkEntry {
     "q15_top_supplier"     -> q(Relational4.q15TopSupplier),
     "q17_small_qty_revenue" -> q(Relational4.q17SmallQtyRevenue),
     "q21_waiting_supplier" -> q(Relational4.q21WaitingSupplier),
+    "profile_columns"      -> q(Relational4.profileColumns),
     // §2.6 events
     "q_events_hourly"      -> q(Events.hourly),
     "q_events_sessionize"  -> q(Events.sessionize(_)),
@@ -41,6 +42,7 @@ object SparkEntry {
     "q_struct_paths"       -> q(Events.structPaths),
     "q_funnel"             -> q(Events.funnel),
     "q_retention"          -> q(Events.retention),
+    "q_events_gapfill"     -> q(Events.gapfill),
     // §2.5 word pipeline
     "tok_words"            -> q(WordPipeline.tokensOrdered),
     "tok_words_filtered"   -> q(WordPipeline.tokensFiltered),
@@ -56,6 +58,7 @@ object SparkEntry {
     "quality_score"        -> q(TextAnalysis.qualityScore),
     "quality_unigram_lp"   -> q(TextAnalysis.unigramLogProb),
     "quality_ppl_buckets"  -> q(TextAnalysis.pplBuckets),
+    "vocab_build"          -> q(TextAnalysis.vocabBuild(_)),
     "src_jsonl_roundtrip"  -> q(graft.sources.Formats.documentsViaJsonl),
     "src_orc_roundtrip"    -> q(graft.sources.Formats.documentsViaOrc),
     "quality_bigram_lp"    -> q(TextAnalysis.bigramLogProb(_)),
@@ -192,12 +195,14 @@ object SparkEntry {
     "q15_top_supplier"     -> Relational4.q15Sql,
     "q17_small_qty_revenue" -> Relational4.q17Sql,
     "q21_waiting_supplier" -> Relational4.q21Sql,
+    "profile_columns"      -> Relational4.profileColumnsSql,
     "q_events_hourly"      -> Events.hourlySql,
     "q_events_sessionize"  -> Events.sessionizeSql,
     "q_json_extract"       -> Events.jsonExtractSql,
     "q_struct_paths"       -> Events.structPathsSql,
     "q_funnel"             -> Events.funnelSql,
     "q_retention"          -> Events.retentionSql,
+    "q_events_gapfill"     -> Events.gapfillSql,
     "tok_words"            -> WordPipeline.tokensSql,
     "tok_words_filtered"   -> WordPipeline.tokensFilteredSql,
     "words_count"          -> WordPipeline.wordsCountSql,
@@ -211,6 +216,7 @@ object SparkEntry {
     "quality_score"        -> TextAnalysis.qualityScoreSql,
     "quality_unigram_lp"   -> TextAnalysis.unigramLogProbSql,
     "quality_ppl_buckets"  -> TextAnalysis.pplBucketsSql,
+    "vocab_build"          -> TextAnalysis.vocabBuildSql(),
     "src_jsonl_roundtrip"  -> graft.sources.Formats.documentsSql,
     "src_orc_roundtrip"    -> graft.sources.Formats.documentsSql,
     "quality_bigram_lp"    -> TextAnalysis.bigramLogProbSql(),

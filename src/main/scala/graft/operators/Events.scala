@@ -189,4 +189,50 @@ object Events {
       |FROM events
       |WHERE json_extract_string(props, '$.k') IS NOT NULL
       |ORDER BY event_id""".stripMargin
+
+  /** Dense time-series resample: hourly counts per event type with the
+    * MISSING hours filled as explicit zero rows — the gap-fill step
+    * every downstream rate/anomaly computation needs (a gap read from
+    * a sparse aggregate is indistinguishable from "no data loaded").
+    * The dense (type × hour) grid is generated, not stored: the hour
+    * span comes from a 1-row min/max aggregate broadcast into
+    * `sequence()`+`explode`, so grid size is span×|types| — independent
+    * of row count. The heavy side is touched exactly twice (bounds agg
+    * + hourly agg, both map-side combined); the left join runs on two
+    * already-aggregated inputs, so at 100 TB nothing but group rows
+    * ever shuffles.
+    */
+  def gapfill(t: Tables): DataFrame = {
+    val hourly = t.events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val bounds = t.events.agg(
+      date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val grid = t.events.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hour"))
+    grid.join(hourly, Seq("event_type", "hour"), "left")
+      .select(col("hour"), col("event_type"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy("hour", "event_type")
+  }
+
+  val gapfillSql: String =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events
+      |  FROM events GROUP BY 1, 2
+      |), bounds AS (
+      |  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      |  FROM events
+      |), grid AS (
+      |  SELECT t.event_type, g.h AS hour
+      |  FROM (SELECT DISTINCT event_type FROM events) t
+      |  CROSS JOIN bounds
+      |  CROSS JOIN LATERAL (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h) g
+      |)
+      |SELECT g.hour, g.event_type, coalesce(h.n_events, 0) AS n_events
+      |FROM grid g LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hour = g.hour
+      |ORDER BY g.hour, g.event_type""".stripMargin
 }

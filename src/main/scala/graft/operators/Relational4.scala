@@ -153,4 +153,54 @@ object Relational4 {
       |GROUP BY s_suppkey, s_name
       |ORDER BY numwait DESC, s_suppkey
       |LIMIT 100""".stripMargin
+
+  /** Single-pass column profiler (the data-quality audit every
+    * pipeline runs before training on a new drop): per-column null
+    * count, min, max, mean over the fact table, emitted in long form
+    * (one row per column). ALL columns profile in ONE map-side-combined
+    * aggregate — the scan happens once however many columns are
+    * profiled, then `stack` pivots the 1-row wide result into rows.
+    * Exact distinct counts are deliberately absent: n columns of
+    * `count(distinct)` in one pass costs an Expand ×(n+1) of the
+    * 100 TB scan — the scalable cardinality answer is the HLL path
+    * (`q_approx_distinct`), one sketch column per profiled column.
+    */
+  def profileColumns(t: Tables): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val aggs = cols.flatMap { c =>
+      Seq((count(lit(1)) - count(col(c))).as(s"${c}_nulls"),
+        round(min(col(c)), 2).as(s"${c}_min"),
+        round(max(col(c)), 2).as(s"${c}_max"),
+        round(avg(col(c)), 4).as(s"${c}_mean"))
+    }
+    val stackArgs = cols
+      .map(c => s"'$c', ${c}_nulls, ${c}_min, ${c}_max, ${c}_mean")
+      .mkString(", ")
+    t.lineitem
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(col_name, n_nulls, min_val, max_val, mean_val)"))
+      .orderBy("col_name")
+  }
+
+  val profileColumnsSql: String =
+    """WITH s AS (
+      |  SELECT
+      |    count(*) - count(l_quantity) AS q_nulls,
+      |    round(min(l_quantity), 2) AS q_min, round(max(l_quantity), 2) AS q_max,
+      |    round(avg(l_quantity), 4) AS q_mean,
+      |    count(*) - count(l_extendedprice) AS p_nulls,
+      |    round(min(l_extendedprice), 2) AS p_min, round(max(l_extendedprice), 2) AS p_max,
+      |    round(avg(l_extendedprice), 4) AS p_mean,
+      |    count(*) - count(l_discount) AS d_nulls,
+      |    round(min(l_discount), 2) AS d_min, round(max(l_discount), 2) AS d_max,
+      |    round(avg(l_discount), 4) AS d_mean
+      |  FROM lineitem
+      |)
+      |SELECT 'l_quantity' AS col_name, q_nulls AS n_nulls, q_min AS min_val, q_max AS max_val, q_mean AS mean_val FROM s
+      |UNION ALL
+      |SELECT 'l_extendedprice', p_nulls, p_min, p_max, p_mean FROM s
+      |UNION ALL
+      |SELECT 'l_discount', d_nulls, d_min, d_max, d_mean FROM s
+      |ORDER BY col_name""".stripMargin
 }

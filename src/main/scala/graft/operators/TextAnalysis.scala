@@ -244,6 +244,53 @@ object TextAnalysis {
        |  ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id) AS ppl_bucket
        |FROM lp ORDER BY doc_id""".stripMargin
 
+  /** Tokenizer vocabulary induction: word → contiguous token id
+    * (1-based) ordered by (frequency desc, word asc), with a
+    * `minCount` floor — the id-assignment step every tokenizer
+    * training run performs after counting (the reference's
+    * UniqueFilter + reducer counting, v2/main.py:112-120, taken to its
+    * training-pipeline conclusion). Global rank assignment is the same
+    * problem [[pplBuckets]] solves for two rows, needed here for EVERY
+    * row, so the cut-point fetch generalizes to `zipWithIndex` over
+    * the range-sorted vocabulary: `repartitionByRange` +
+    * `sortWithinPartitions` give a deterministic total order (word is
+    * unique after the count, so (freq, word) has no ties), and
+    * zipWithIndex's internal per-partition count pass + offset map is
+    * exactly the two-phase prefix sum — no global window, nothing ever
+    * single-partition, and the count pass reuses the sort's shuffle
+    * files rather than recomputing the aggregation. The corpus-sized
+    * token table shuffles once (the count); only the vocabulary —
+    * orders of magnitude smaller — is range-sorted.
+    */
+  def vocabBuild(t: Tables, minCount: Long = 2L): DataFrame = {
+    val spark = t.documents.sparkSession
+    val freqs = WordPipeline.tokens(t)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minCount)
+    val sorted = freqs
+      .repartitionByRange(spark.sessionState.conf.numShufflePartitions,
+        col("freq").desc, col("word").asc)
+      .sortWithinPartitions(col("freq").desc, col("word").asc)
+    val ranked = sorted.select(col("word"), col("freq")).rdd
+      .map(r => (r.getString(0), r.getLong(1)))
+      .zipWithIndex()
+      .map { case ((word, freq), i) => org.apache.spark.sql.Row(word, freq, i + 1L) }
+    spark.createDataFrame(ranked, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("word", org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("freq", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("token_id", org.apache.spark.sql.types.LongType, nullable = false))))
+      .orderBy("token_id")
+  }
+
+  def vocabBuildSql(minCount: Long = 2L): String =
+    s"""${WordPipeline.tokensCte}, freqs AS (
+       |  SELECT word, count(*) AS freq FROM toks
+       |  GROUP BY word HAVING count(*) >= $minCount
+       |)
+       |SELECT word, freq,
+       |  CAST(row_number() OVER (ORDER BY freq DESC, word) AS BIGINT) AS token_id
+       |FROM freqs ORDER BY token_id""".stripMargin
+
   /** Count-min-sketch heavy hitters — the streaming/mergeable
     * counterpart of the exact `word_freq_topk`, and the second member
     * of the sketch family next to HLL (`q_approx_distinct`). The build

@@ -230,3 +230,55 @@ class UrlCanonicalizeSpec extends AnyFunSuite {
     assert(out.map(_.getLong(1)).sum == t.documents.count())
   }
 }
+
+/** Round-8 pipeline staples: vocabulary induction, time-series
+  * gap-fill, column profiling. Each property here is one the hash
+  * gate can't localize (contiguity, density, one-pass equivalence).
+  */
+class VocabGapfillProfileSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def t = Tables(spark, TestSpark.sf)
+
+  test("vocab_build: token ids are contiguous from 1 and ordered by (freq desc, word)") {
+    val v = TextAnalysis.vocabBuild(t).collect()
+    assert(v.nonEmpty)
+    assert(v.map(_.getLong(2)).toSeq == (1L to v.length.toLong))
+    val pairs = v.map(r => (r.getLong(1), r.getString(0)))
+    pairs.sliding(2).foreach { case Array((f1, w1), (f2, w2)) =>
+      assert(f1 > f2 || (f1 == f2 && w1 < w2),
+        s"order violated at ($f1,$w1) -> ($f2,$w2)")
+    case _ => ()
+    }
+    assert(pairs.forall(_._1 >= 2L), "minCount floor violated")
+  }
+
+  test("gapfill: grid is dense (types × hours), conserves the event count, zeros are real gaps") {
+    val g = graft.operators.Events.gapfill(t)
+    val nTypes = t.events.select("event_type").distinct().count()
+    val span = t.events.agg(
+      (floor(unix_timestamp(max(col("ts"))) / 3600) -
+        floor(unix_timestamp(min(col("ts"))) / 3600) + 1).as("h")).head.getLong(0)
+    assert(g.count() == nTypes * span)
+    assert(g.agg(sum("n_events")).head.getLong(0) == t.events.count())
+    // every (type, hour) with a zero really has no events
+    val zeros = g.filter(col("n_events") === 0)
+    val joined = zeros.join(
+      t.events.select(date_trunc("hour", col("ts")).as("hour"), col("event_type")),
+      Seq("event_type", "hour"))
+    assert(joined.count() == 0)
+  }
+
+  test("profile_columns: long-form rows equal independent per-column aggregates, in one scan") {
+    val p = graft.operators.Relational4.profileColumns(t).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(p.keySet == Set("l_quantity", "l_extendedprice", "l_discount"))
+    val direct = t.lineitem.agg(
+      round(min("l_discount"), 2), round(max("l_discount"), 2), round(avg("l_discount"), 4)).head
+    assert(p("l_discount") == ((0L, direct.getDouble(0), direct.getDouble(1), direct.getDouble(2))))
+    // one scan: a single aggregate feeds the stack projection
+    val scans = graft.operators.Relational4.profileColumns(t).queryExecution.executedPlan
+      .collectLeaves().size
+    assert(scans == 1, s"profiler must read the table once, saw $scans scans")
+  }
+}
