@@ -211,7 +211,11 @@ object Bench {
       // r7 verdict #5: the curation/IR headliners need scaling evidence
       // too — corpus_curate is the composed pipeline (and slowest real
       // query), bm25 the IR scorer, pack_shards the two-phase prefix sum
-      "corpus_curate", "bm25_search", "pack_shards")
+      "corpus_curate", "bm25_search", "pack_shards",
+      // global-rank scaling: replica token suffixes grow the VOCABULARY
+      // ~linearly with the corpus, so this rung stresses the range-sort
+      // + zipWithIndex rank at 100× vocab, not just 100× tokens
+      "vocab_build")
     // r7 verdict #6: one ×10 rung bounds the iterative connected-
     // components loop (O(diameter) driver rounds × data-proportional
     // per-round cost) and the edit-distance blocking — ×10 only, their
