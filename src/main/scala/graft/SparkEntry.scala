@@ -43,6 +43,7 @@ object SparkEntry {
     "q_funnel"             -> q(Events.funnel),
     "q_retention"          -> q(Events.retention),
     "q_events_gapfill"     -> q(Events.gapfill),
+    "q_events_anomaly"     -> q(Events.anomalies(_)),
     // §2.5 word pipeline
     "tok_words"            -> q(WordPipeline.tokensOrdered),
     "tok_words_filtered"   -> q(WordPipeline.tokensFiltered),
@@ -203,6 +204,7 @@ object SparkEntry {
     "q_funnel"             -> Events.funnelSql,
     "q_retention"          -> Events.retentionSql,
     "q_events_gapfill"     -> Events.gapfillSql,
+    "q_events_anomaly"     -> Events.anomaliesSql(),
     "tok_words"            -> WordPipeline.tokensSql,
     "tok_words_filtered"   -> WordPipeline.tokensFilteredSql,
     "words_count"          -> WordPipeline.wordsCountSql,

@@ -268,6 +268,22 @@ class VocabGapfillProfileSpec extends AnyFunSuite {
     assert(joined.count() == 0)
   }
 
+  test("anomalies: flagged set equals an independent 3-sigma recomputation over the dense grid") {
+    val flagged = graft.operators.Events.anomalies(t).collect()
+    assert(flagged.forall(r => math.abs(r.getDouble(3)) > 3.0))
+    // independent recomputation: collect the dense series, flag in Scala
+    val dense = graft.operators.Events.gapfill(t).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    val byType = dense.groupBy(_._2)
+    val expect = byType.values.flatMap { rows =>
+      val xs = rows.map(_._3.toDouble)
+      val mu = xs.sum / xs.length
+      val sd = math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / (xs.length - 1))
+      rows.filter(r => math.abs(r._3 - mu) > 3.0 * sd)
+    }.map(r => (r._1, r._2)).toSet
+    assert(flagged.map(r => (r.getTimestamp(0), r.getString(1))).toSet == expect)
+  }
+
   test("profile_columns: long-form rows equal independent per-column aggregates, in one scan") {
     val p = graft.operators.Relational4.profileColumns(t).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
