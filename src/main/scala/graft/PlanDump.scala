@@ -2,7 +2,7 @@ package graft
 import java.nio.file.{Files, Paths}
 import graft.operators._
 import graft.sources.Tables
-/** Writes docs/PLANS_r7.md — formatted-explain snapshots of the
+/** Writes docs/PLANS_r8.md — formatted-explain snapshots of the
   * headline queries, for plan-shape review without running anything.
   */
 object PlanDump {
@@ -72,9 +72,19 @@ object PlanDump {
       "decontaminate_bloom (subquery-fed bloom probe below the partial agg; bitmaps merge map-side)" ->
         Decontaminate.bloomContaminatedDocs(t),
       "q_heavy_hitters_cms (mergeable sketch build; CmsEstimate reads it back in-query)" ->
-        TextAnalysis.cmsHeavyHitters(t))
+        TextAnalysis.cmsHeavyHitters(t),
+      "quality_ppl_buckets (r8 form: broadcast cut tuples, map-side bucketing — no WindowExec anywhere)" ->
+        TextAnalysis.pplBuckets(t),
+      "q_events_gapfill (1-row bounds broadcast -> sequence/explode grid; both join inputs pre-aggregated)" ->
+        Events.gapfill(t),
+      "q_events_anomaly (dense grid + bounded-enum stats broadcast; z-compare in the projection)" ->
+        Events.anomalies(t),
+      "profile_columns (ONE scan for all profiled columns; stack pivots the 1-row aggregate)" ->
+        Relational4.profileColumns(t),
+      "embed_semantic_prune (LSH candidates only; doc-level min-neighbor prune, no all-pairs)" ->
+        Similarity.semanticPrune(t))
     val sb = new StringBuilder
-    sb.append("# Plan snapshots (round 7)\n\nGenerated by `graft.PlanDump` at sf0.001; ")
+    sb.append("# Plan snapshots (round 8)\n\nGenerated by `graft.PlanDump` at sf0.001; ")
     sb.append("`PlanAuditSpec` asserts these shapes stay true.\n")
     qs.foreach { case (title, df) =>
       sb.append(s"\n## $title\n\n```\n")
@@ -83,8 +93,8 @@ object PlanDump {
       sb.append("\n```\n")
     }
     Files.createDirectories(Paths.get("docs"))
-    Files.writeString(Paths.get("docs/PLANS_r7.md"), sb.toString)
-    println("wrote docs/PLANS_r7.md")
+    Files.writeString(Paths.get("docs/PLANS_r8.md"), sb.toString)
+    println("wrote docs/PLANS_r8.md")
     spark.stop()
   }
 }
