@@ -202,14 +202,14 @@ object Events {
     * already-aggregated inputs, so at 100 TB nothing but group rows
     * ever shuffles.
     */
-  private def denseHourly(t: Tables): DataFrame = {
-    val hourly = t.events
+  private def denseHourlyOf(events: DataFrame): DataFrame = {
+    val hourly = events
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
-    val bounds = t.events.agg(
+    val bounds = events.agg(
       date_trunc("hour", min(col("ts"))).as("lo"),
       date_trunc("hour", max(col("ts"))).as("hi"))
-    val grid = t.events.select(col("event_type")).distinct()
+    val grid = events.select(col("event_type")).distinct()
       .crossJoin(broadcast(bounds))
       .select(col("event_type"),
         explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hour"))
@@ -218,8 +218,10 @@ object Events {
         coalesce(col("n_events"), lit(0L)).as("n_events"))
   }
 
-  def gapfill(t: Tables): DataFrame =
-    denseHourly(t).orderBy("hour", "event_type")
+  def gapfillOf(events: DataFrame): DataFrame =
+    denseHourlyOf(events).orderBy("hour", "event_type")
+
+  def gapfill(t: Tables): DataFrame = gapfillOf(t.events)
 
   val gapfillSql: String =
     """WITH hourly AS (
@@ -249,8 +251,8 @@ object Events {
     * (hour, type) sits 0.14 events off the cut at sf0.1 — ~11 orders
     * above stddev's merge-order ulp jitter.
     */
-  def anomalies(t: Tables, k: Double = 3.0): DataFrame = {
-    val dense = denseHourly(t)
+  def anomaliesOf(events: DataFrame, k: Double = 3.0): DataFrame = {
+    val dense = denseHourlyOf(events)
     val stats = dense.groupBy(col("event_type"))
       .agg(avg(col("n_events")).as("mu"), stddev_samp(col("n_events")).as("sd"))
     dense.join(broadcast(stats), Seq("event_type"))
@@ -259,6 +261,8 @@ object Events {
         round((col("n_events") - col("mu")) / col("sd"), 4).as("zscore"))
       .orderBy("hour", "event_type")
   }
+
+  def anomalies(t: Tables, k: Double = 3.0): DataFrame = anomaliesOf(t.events, k)
 
   def anomaliesSql(k: Double = 3.0): String =
     s"""WITH hourly AS (

@@ -262,9 +262,9 @@ object TextAnalysis {
     * token table shuffles once (the count); only the vocabulary —
     * orders of magnitude smaller — is range-sorted.
     */
-  def vocabBuild(t: Tables, minCount: Long = 2L): DataFrame = {
-    val spark = t.documents.sparkSession
-    val freqs = WordPipeline.tokens(t)
+  def vocabBuildOf(docs: DataFrame, minCount: Long = 2L): DataFrame = {
+    val spark = docs.sparkSession
+    val freqs = WordPipeline.tokensOf(docs)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= minCount)
     val sorted = freqs
@@ -281,6 +281,9 @@ object TextAnalysis {
       org.apache.spark.sql.types.StructField("token_id", org.apache.spark.sql.types.LongType, nullable = false))))
       .orderBy("token_id")
   }
+
+  def vocabBuild(t: Tables, minCount: Long = 2L): DataFrame =
+    vocabBuildOf(t.documents, minCount)
 
   def vocabBuildSql(minCount: Long = 2L): String =
     s"""${WordPipeline.tokensCte}, freqs AS (

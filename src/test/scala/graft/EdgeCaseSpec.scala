@@ -123,4 +123,36 @@ class EdgeCaseSpec extends AnyFunSuite {
     val n = Dedup.shinglesOf(docs, 3).filter(col("doc_id") === 5L).count()
     assert(n == 3)
   }
+
+  test("vocabBuildOf: floor above every freq yields empty, not a crash; ties break word-asc") {
+    assert(graft.operators.TextAnalysis.vocabBuildOf(docs, minCount = 100L).count() == 0)
+    // hello/world and a/b/c tie within their freq classes → word order
+    val v = graft.operators.TextAnalysis.vocabBuildOf(docs, minCount = 2L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(v.map(_._3).toSeq == (1L to v.length.toLong))
+    val tied = v.filter(_._2 == v.map(_._2).max).map(_._1)
+    assert(tied.sameElements(tied.sorted), "tied freqs must order by word asc")
+  }
+
+  test("anomaliesOf: one-hour-per-type input (stddev undefined) flags nothing") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 10L, "click", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      (2L, 11L, "click", java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), 1.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    assert(graft.operators.Events.anomaliesOf(ev).count() == 0)
+  }
+
+  test("gapfillOf: single-hour span yields exactly one row per type, no zeros") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 10L, "click", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      (2L, 11L, "view", java.sql.Timestamp.valueOf("2024-01-01 10:59:00"), 1.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val g = graft.operators.Events.gapfillOf(ev).collect()
+    assert(g.length == 2 && g.forall(_.getLong(2) >= 0))
+    // dense across types: both types present for the single hour
+    assert(g.map(_.getString(1)).toSet == Set("click", "view"))
+    assert(g.map(_.getLong(2)).sum == 2L)
+  }
 }
