@@ -197,19 +197,24 @@ object Events {
     * The dense (type × hour) grid is generated, not stored: the hour
     * span comes from a 1-row min/max aggregate broadcast into
     * `sequence()`+`explode`, so grid size is span×|types| — independent
-    * of row count. The heavy side is touched exactly twice (bounds agg
-    * + hourly agg, both map-side combined); the left join runs on two
-    * already-aggregated inputs, so at 100 TB nothing but group rows
-    * ever shuffles.
+    * of row count. The plan references events three times (hourly agg,
+    * bounds, type list) and Catalyst prunes each to ITS OWN column set
+    * — three scans reading ts and/or event_type only, each feeding a
+    * map-side-combined aggregate, which beats one shared wide scan: no
+    * reference reads a byte it doesn't need, and nothing corpus-sized
+    * ever shuffles (plan-asserted).
     */
   private def denseHourlyOf(events: DataFrame): DataFrame = {
     val hourly = events
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
-    val bounds = events.agg(
-      date_trunc("hour", min(col("ts"))).as("lo"),
-      date_trunc("hour", max(col("ts"))).as("hi"))
-    val grid = events.select(col("event_type")).distinct()
+    // bounds and the type list derive from the hourly AGGREGATE
+    // (min/max of truncated hours ≡ truncated min/max ts; a type
+    // exists iff it has ≥1 hourly row) — Catalyst then collapses each
+    // into its own pruned scan + aggregate, so no branch reads columns
+    // it doesn't need and only group rows ever shuffle.
+    val bounds = hourly.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+    val grid = hourly.select(col("event_type")).distinct()
       .crossJoin(broadcast(bounds))
       .select(col("event_type"),
         explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hour"))
@@ -223,22 +228,28 @@ object Events {
 
   def gapfill(t: Tables): DataFrame = gapfillOf(t.events)
 
-  val gapfillSql: String =
+  // one dense-series CTE shared by the gapfill and anomaly oracles
+  // (the tokensCte pattern): a fix to the grid applies to both gates
+  private val denseCte =
     """WITH hourly AS (
       |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events
       |  FROM events GROUP BY 1, 2
       |), bounds AS (
-      |  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
-      |  FROM events
+      |  SELECT min(hour) AS lo, max(hour) AS hi FROM hourly
       |), grid AS (
       |  SELECT t.event_type, g.h AS hour
-      |  FROM (SELECT DISTINCT event_type FROM events) t
+      |  FROM (SELECT DISTINCT event_type FROM hourly) t
       |  CROSS JOIN bounds
       |  CROSS JOIN LATERAL (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h) g
-      |)
-      |SELECT g.hour, g.event_type, coalesce(h.n_events, 0) AS n_events
-      |FROM grid g LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hour = g.hour
-      |ORDER BY g.hour, g.event_type""".stripMargin
+      |), dense AS (
+      |  SELECT g.hour, g.event_type, coalesce(h.n_events, 0) AS n_events
+      |  FROM grid g LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hour = g.hour
+      |)""".stripMargin
+
+  val gapfillSql: String =
+    s"""$denseCte
+       |SELECT hour, event_type, n_events FROM dense
+       |ORDER BY hour, event_type""".stripMargin
 
   /** Volume anomaly detection over the DENSE hourly series: hours whose
     * count sits more than kσ from that type's mean. Running on the
@@ -265,21 +276,7 @@ object Events {
   def anomalies(t: Tables, k: Double = 3.0): DataFrame = anomaliesOf(t.events, k)
 
   def anomaliesSql(k: Double = 3.0): String =
-    s"""WITH hourly AS (
-       |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events
-       |  FROM events GROUP BY 1, 2
-       |), bounds AS (
-       |  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
-       |  FROM events
-       |), grid AS (
-       |  SELECT t.event_type, g.h AS hour
-       |  FROM (SELECT DISTINCT event_type FROM events) t
-       |  CROSS JOIN bounds
-       |  CROSS JOIN LATERAL (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h) g
-       |), dense AS (
-       |  SELECT g.hour, g.event_type, coalesce(h.n_events, 0) AS n_events
-       |  FROM grid g LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hour = g.hour
-       |), stats AS (
+    s"""$denseCte, stats AS (
        |  SELECT event_type, avg(n_events) AS mu, stddev_samp(n_events) AS sd
        |  FROM dense GROUP BY event_type
        |)

@@ -165,8 +165,7 @@ object Relational4 {
     * 100 TB scan — the scalable cardinality answer is the HLL path
     * (`q_approx_distinct`), one sketch column per profiled column.
     */
-  def profileColumns(t: Tables): DataFrame = {
-    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+  def profileColumnsOf(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq((count(lit(1)) - count(col(c))).as(s"${c}_nulls"),
         round(min(col(c)), 2).as(s"${c}_min"),
@@ -176,12 +175,14 @@ object Relational4 {
     val stackArgs = cols
       .map(c => s"'$c', ${c}_nulls, ${c}_min, ${c}_max, ${c}_mean")
       .mkString(", ")
-    t.lineitem
-      .agg(aggs.head, aggs.tail: _*)
+    df.agg(aggs.head, aggs.tail: _*)
       .select(expr(s"stack(${cols.size}, $stackArgs) AS " +
         "(col_name, n_nulls, min_val, max_val, mean_val)"))
       .orderBy("col_name")
   }
+
+  def profileColumns(t: Tables): DataFrame =
+    profileColumnsOf(t.lineitem, Seq("l_quantity", "l_extendedprice", "l_discount"))
 
   val profileColumnsSql: String =
     """WITH s AS (

@@ -270,7 +270,9 @@ class VocabGapfillProfileSpec extends AnyFunSuite {
 
   test("anomalies: flagged set equals an independent 3-sigma recomputation over the dense grid") {
     val flagged = graft.operators.Events.anomalies(t).collect()
-    assert(flagged.forall(r => math.abs(r.getDouble(3)) > 3.0))
+    // >=, not >: a true |z| in (3.0, 3.00005) passes the filter but
+    // ROUNDS to exactly 3.0 in the displayed 4dp zscore
+    assert(flagged.forall(r => math.abs(r.getDouble(3)) >= 3.0))
     // independent recomputation: collect the dense series, flag in Scala
     val dense = graft.operators.Events.gapfill(t).collect()
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
@@ -296,5 +298,17 @@ class VocabGapfillProfileSpec extends AnyFunSuite {
     val scans = graft.operators.Relational4.profileColumns(t).queryExecution.executedPlan
       .collectLeaves().size
     assert(scans == 1, s"profiler must read the table once, saw $scans scans")
+  }
+
+  test("profile_columns counts real nulls (the headline feature, on injected data)") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, null), (2.0, 4.0), (null, null), (3.0, 6.0))
+      .toDF("x", "y")
+    val p = graft.operators.Relational4.profileColumnsOf(df, Seq("x", "y")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(p("x") == ((1L, 1.0, 3.0, 2.0)))
+    assert(p("y") == ((2L, 4.0, 6.0, 5.0)))
   }
 }

@@ -130,8 +130,14 @@ class EdgeCaseSpec extends AnyFunSuite {
     val v = graft.operators.TextAnalysis.vocabBuildOf(docs, minCount = 2L).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(v.map(_._3).toSeq == (1L to v.length.toLong))
-    val tied = v.filter(_._2 == v.map(_._2).max).map(_._1)
-    assert(tied.sameElements(tied.sorted), "tied freqs must order by word asc")
+    // the REAL tie class in this fixture is freq=2 (world, a, b, c):
+    // their ids must be consecutive and in word-asc order
+    val tied = v.filter(_._2 == 2L)
+    assert(tied.length >= 2, "fixture must contain a multi-word tie class")
+    assert(tied.map(_._1).sameElements(tied.map(_._1).sorted),
+      "tied freqs must order by word asc")
+    assert(tied.map(_._3).toSeq == (tied.head._3 until tied.head._3 + tied.length),
+      "a tie class must occupy consecutive ids")
   }
 
   test("anomaliesOf: one-hour-per-type input (stddev undefined) flags nothing") {
@@ -150,9 +156,10 @@ class EdgeCaseSpec extends AnyFunSuite {
       (2L, 11L, "view", java.sql.Timestamp.valueOf("2024-01-01 10:59:00"), 1.0))
       .toDF("event_id", "user_id", "event_type", "ts", "value")
     val g = graft.operators.Events.gapfillOf(ev).collect()
-    assert(g.length == 2 && g.forall(_.getLong(2) >= 0))
-    // dense across types: both types present for the single hour
+    // dense across types: both types present for the single hour,
+    // each with EXACTLY its own event — no zeros, no double-bucketing
+    assert(g.length == 2)
     assert(g.map(_.getString(1)).toSet == Set("click", "view"))
-    assert(g.map(_.getLong(2)).sum == 2L)
+    assert(g.forall(_.getLong(2) == 1L))
   }
 }

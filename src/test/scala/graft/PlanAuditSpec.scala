@@ -345,6 +345,33 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("gapfill/anomaly: every events scan column-pruned; anomaly's dup subtrees exchange-reuse") {
+    def scans(p: String): Int = p.sliding("Scan parquet".length).count(_ == "Scan parquet")
+    // every ReadSchema over events must be a subset of {ts, event_type}
+    def prunedToGrid(p: String): Unit =
+      "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).foreach { m =>
+        val cols = m.group(1).split(",").map(_.takeWhile(_ != ':').trim).toSet
+        assert(cols.subsetOf(Set("ts", "event_type")),
+          s"scan reads columns the dense grid doesn't need: $cols")
+      }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val g = plan(Events.gapfill(t))
+      // three REFERENCES (hourly agg, bounds, types), each its own
+      // pruned scan — not one wide shared scan, and not more than three
+      assert(scans(g) == 3, s"gapfill plans one pruned scan per reference, saw ${scans(g)}")
+      prunedToGrid(g)
+      assert(g.contains("BroadcastNestedLoopJoin"), "1-row bounds must cross-join as a broadcast")
+      val a = plan(Events.anomalies(t))
+      // six references, but the stats branch's dense subtree is
+      // identical to the join branch's — exchange reuse dedupes it
+      assert(scans(a) == 3 && a.contains("ReusedExchange"),
+        s"anomaly must reuse the dense subtree, saw ${scans(a)} scans")
+      prunedToGrid(a)
+      assert(a.contains("BroadcastHashJoin"), "hinted bounded-enum stats join must broadcast")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("z-order query is a single scan with in-expression bit math") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")
