@@ -100,6 +100,7 @@ object SparkEntry {
     "dedup_fuzzy"          -> q(Dedup.fuzzyNamePairs(_)),
     "dedup_incremental"    -> q(Dedup.incrementalQuery),
     "dedup_chunks"         -> q(Dedup.repeatedChunks(_)),
+    "dedup_substring"      -> q(Dedup.substringSpans(_)),
     "dedup_clusters"       -> q(Dedup.nearDupClustersQuery(_)),
     "hashing_vectors"      -> q(Similarity.hashingVectorsExploded(_)),
     "agg_topk"             -> q(Relational2.qAggTopK(_)),
@@ -245,6 +246,7 @@ object SparkEntry {
     "dedup_fuzzy"          -> Dedup.fuzzyNamePairsSql(),
     "dedup_incremental"    -> Dedup.incrementalSql,
     "dedup_chunks"         -> Dedup.repeatedChunksSql(),
+    "dedup_substring"      -> Dedup.substringSpansSql(),
     "dedup_clusters"       -> Dedup.nearDupClustersSql(),
     "hashing_vectors"      -> Similarity.hashingVectorsExplodedSql(),
     "agg_topk"             -> Relational2.qAggTopKSql(),

@@ -263,6 +263,87 @@ object Dedup {
        |FROM chunks GROUP BY chunk_hash HAVING count(DISTINCT doc_id) > 1
        |ORDER BY chunk_hash""".stripMargin
 
+  /** Exact substring-level dedup (ref v2/core/transformers.py's
+    * unique-filter generalized below document granularity; the design
+    * follows the published suffix-dedup recipe — Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" — in
+    * its scalable rolling-window form): every OVERLAPPING `k`-word
+    * window is hashed; a window seen in ≥2 distinct documents marks
+    * its token range as duplicated; per document, flagged ranges
+    * coalesce into maximal spans — the exact byte ranges a curation
+    * pass would cut, where [[repeatedChunksOf]]'s non-overlapping grid
+    * only says "this doc has boilerplate somewhere near here".
+    *
+    * Scale shape: windows ≈ one row per corpus TOKEN, but each row is
+    * (doc_id, start, 8-byte hash) — text never shuffles. The repeated
+    * set comes from a map-side-combined count over window hashes; the
+    * flag-back is a semi join on the hash; span coalescing is
+    * gaps-and-islands under a Window PARTITIONED BY doc_id (per-doc
+    * state only, never global). Contiguous windows (next start ≤
+    * prev start + k) merge: their token ranges overlap or abut, so
+    * the duplicated text is one unbroken span.
+    */
+  def substringSpansOf(docs: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = docs
+      .select(col("doc_id"),
+        split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, size(w) - $k)")).as("i"), col("w"))
+      .select(col("doc_id"), col("i").cast("long").as("start"),
+        conv(substring(md5(array_join(slice(col("w"), col("i") + 1, lit(k)), " ")),
+          1, 15), 16, 10).cast("long").as("win_hash"))
+    val repeated = wins
+      .groupBy("win_hash")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .select("win_hash")
+    val flagged = wins.join(repeated, Seq("win_hash"), "left_semi")
+    val byDoc = Window.partitionBy("doc_id").orderBy("start")
+    flagged
+      .withColumn("gap",
+        when(col("start") - lag(col("start"), 1).over(byDoc) <= k, 0).otherwise(1))
+      .withColumn("island", sum(col("gap")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("start")).as("span_start"),
+        (max(col("start")) + (k - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "n_windows")
+      .orderBy("doc_id", "span_start")
+  }
+
+  def substringSpans(t: Tables, k: Int = 10): DataFrame = substringSpansOf(t.documents, k)
+
+  def substringSpansSql(k: Int = 10): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+       |  FROM documents
+       |), wins AS (
+       |  SELECT doc_id, i AS start,
+       |    ('0x' || substr(md5(array_to_string(w[i+1 : i+$k], ' ')), 1, 15))::BIGINT AS win_hash
+       |  FROM toks, unnest(range(0, len(w) - $k + 1)) r(i)
+       |  WHERE len(w) >= $k
+       |), repeated AS (
+       |  SELECT win_hash FROM wins GROUP BY win_hash HAVING count(DISTINCT doc_id) > 1
+       |), flagged AS (
+       |  SELECT doc_id, start FROM wins SEMI JOIN repeated USING (win_hash)
+       |), gaps AS (
+       |  SELECT doc_id, start,
+       |    CASE WHEN start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) <= $k
+       |         THEN 0 ELSE 1 END AS gap
+       |  FROM flagged
+       |), islands AS (
+       |  SELECT doc_id, start,
+       |    sum(gap) OVER (PARTITION BY doc_id ORDER BY start) AS island
+       |  FROM gaps
+       |)
+       |SELECT doc_id, min(start) AS span_start, max(start) + ${k - 1} AS span_end,
+       |  count(*) AS n_windows
+       |FROM islands GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin
+
   /** doc_id × distinct word-`n`-gram shingle (the unit for MinHash and
     * Jaccard), as a 60-bit md5-derived integer: joins/shuffles carry
     * 8-byte keys instead of 32-char digests, and the value is portable

@@ -118,6 +118,25 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(out.head.getLong(3) == 0L, "first_doc")
   }
 
+  test("substringSpansOf coalesces overlapping and abutting windows, ignores within-doc repeats") {
+    val corpus = Seq(
+      (0L, "a1 a2 a3 a4 a5 z1 z2 z3 b1 b2 b3 b4 b5"),
+      (1L, "a1 a2 a3 a4 a5 y1 y2 y3 b1 b2 b3 b4 b5"),
+      (2L, "c1 c2 c3 c4 c5 c6"),
+      (3L, "c1 c2 c3 c4 c5 c6"),
+      (4L, "short"),
+      (5L, "p q r p q r p q r")).toDF("doc_id", "text")
+    val spans = Dedup.substringSpansOf(corpus, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // docs 0/1 share two runs split by unshared middles -> two maximal
+    // spans each; docs 2/3 are identical -> one full-width span; doc 4
+    // is sub-k; doc 5's repeats live in ONE doc -> never flagged
+    assert(spans.toSet == Set(
+      (0L, 0L, 4L, 3L), (0L, 8L, 12L, 3L),
+      (1L, 0L, 4L, 3L), (1L, 8L, 12L, 3L),
+      (2L, 0L, 5L, 4L), (3L, 0L, 5L, 4L)))
+  }
+
   test("shinglesOf distinct matches per-doc distinct semantics") {
     // doc 5: "a b c a b c" → windows [a b c, b c a, c a b, a b c] → 3 distinct
     val n = Dedup.shinglesOf(docs, 3).filter(col("doc_id") === 5L).count()
