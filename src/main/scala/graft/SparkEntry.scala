@@ -44,6 +44,8 @@ object SparkEntry {
     "q_retention"          -> q(Events.retention),
     "q_events_gapfill"     -> q(Events.gapfill),
     "q_events_anomaly"     -> q(Events.anomalies(_)),
+    "q_attribution"        -> q(Events.attribution),
+    "q_pagerank"           -> q(Graph.pageRankQuery(_)),
     // §2.5 word pipeline
     "tok_words"            -> q(WordPipeline.tokensOrdered),
     "tok_words_filtered"   -> q(WordPipeline.tokensFiltered),
@@ -206,6 +208,8 @@ object SparkEntry {
     "q_retention"          -> Events.retentionSql,
     "q_events_gapfill"     -> Events.gapfillSql,
     "q_events_anomaly"     -> Events.anomaliesSql(),
+    "q_attribution"        -> Events.attributionSql,
+    "q_pagerank"           -> Graph.pageRankSql(),
     "tok_words"            -> WordPipeline.tokensSql,
     "tok_words_filtered"   -> WordPipeline.tokensFilteredSql,
     "words_count"          -> WordPipeline.wordsCountSql,

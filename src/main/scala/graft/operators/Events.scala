@@ -275,6 +275,59 @@ object Events {
 
   def anomalies(t: Tables, k: Double = 3.0): DataFrame = anomaliesOf(t.events, k)
 
+  /** Multi-touch conversion attribution (ref v2's event pipelines stop
+    * at extraction; this is the canonical downstream query): every
+    * `purchase` is credited to the user's FIRST non-purchase touch
+    * (the channel that acquired them) and to the LAST touch before the
+    * purchase (the channel that converted them); purchases with no
+    * prior touch are `direct`. One shuffle on user_id serves both
+    * window passes — `first/last(…, ignoreNulls)` over the
+    * rows-preceding frame, the exact shape DuckDB's `IGNORE NULLS`
+    * mirrors — then only (channel, model, value) triples reach the
+    * ≤|event types|×2-row aggregate. Per-user state only; no global
+    * window, no corpus-sized shuffle.
+    */
+  def attributionOf(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touched = events
+      .withColumn("touch",
+        when(col("event_type") =!= "purchase", col("event_type")))
+      .withColumn("first_touch", first(col("touch"), ignoreNulls = true).over(byUser))
+      .withColumn("last_touch", last(col("touch"), ignoreNulls = true).over(byUser))
+      .filter(col("event_type") === "purchase")
+    touched.select(coalesce(col("first_touch"), lit("direct")).as("channel"),
+        lit("first").as("model"), col("value"))
+      .unionAll(touched.select(coalesce(col("last_touch"), lit("direct")).as("channel"),
+        lit("last").as("model"), col("value")))
+      .groupBy("channel", "model")
+      .agg(count(lit(1)).as("n_conversions"), round(sum(col("value")), 2).as("revenue"))
+      .orderBy("model", "channel")
+  }
+
+  def attribution(t: Tables): DataFrame = attributionOf(t.events)
+
+  val attributionSql: String =
+    """WITH touched AS (
+      |  SELECT event_type, value,
+      |    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |      OVER w AS first_touch,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |      OVER w AS last_touch
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |), credited AS (
+      |  SELECT coalesce(first_touch, 'direct') AS channel, 'first' AS model, value
+      |  FROM touched WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT coalesce(last_touch, 'direct') AS channel, 'last' AS model, value
+      |  FROM touched WHERE event_type = 'purchase'
+      |)
+      |SELECT channel, model, count(*) AS n_conversions, round(sum(value), 2) AS revenue
+      |FROM credited GROUP BY channel, model
+      |ORDER BY model, channel""".stripMargin
+
   def anomaliesSql(k: Double = 3.0): String =
     s"""$denseCte, stats AS (
        |  SELECT event_type, avg(n_events) AS mu, stddev_samp(n_events) AS sd

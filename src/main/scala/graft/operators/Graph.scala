@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Iterative graph analytics over relational edges. Complements
+  * [[Dedup.nearDupClusters]] (unweighted label propagation): PageRank
+  * propagates WEIGHTED mass, the other canonical big-data iterative
+  * pattern (ref has no graph surface; this is §2.7 extension work).
+  */
+object Graph {
+
+  /** Weighted PageRank over the customer→supplier purchase graph:
+    * an edge (c, s) with weight = number of lineitems c bought from s.
+    * Node ids share one key space via parity (customer 2k, supplier
+    * 2k+1). Damping d=0.85, a FIXED `iters` sweeps from the uniform
+    * start — fixed so the DuckDB oracle can unroll the same loop as
+    * CTEs and hash-match bit-for-bit semantics (suppliers are sinks in
+    * this bipartite graph, so dangling mass simply decays; both
+    * engines drop it identically).
+    *
+    * Scale shape: each sweep is one shuffle join of ranks×edges on src
+    * (both sides hash-partitioned on the same key — AQE reuses the
+    * exchange) plus a map-side-combined sum over dst. Rank state is
+    * one row per NODE, never materialized on the driver; 3 sweeps = 3
+    * shuffles of node-count rows, independent of edge skew (a hot
+    * supplier only concentrates its dst-sum, which partial aggregation
+    * absorbs map-side). The final top-k is a TakeOrdered, not a global
+    * sort.
+    */
+  def pageRankQuery(t: Tables, iters: Int = 3, d: Double = 0.85,
+      topK: Int = 20): DataFrame = {
+    val edges = t.orders
+      .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .agg(count(lit(1)).cast("double").as("w"))
+    val nodes = t.customer.select((col("c_custkey") * 2).as("node"))
+      .unionAll(t.supplier.select((col("s_suppkey") * 2 + 1).as("node")))
+    pageRankOf(edges, nodes, iters, d, topK)
+  }
+
+  /** Library form over explicit `(src, dst, w)` edges and a `node`
+    * universe (nodes with no in-edges keep the teleport floor; nodes
+    * absent from `nodes` receive no rank even if edges mention them).
+    */
+  def pageRankOf(edges: DataFrame, nodes: DataFrame, iters: Int = 3,
+      d: Double = 0.85, topK: Int = 20): DataFrame = {
+    val outw = edges.groupBy("src").agg(sum(col("w")).as("wout"))
+    val nTotal = nodes.agg(count(lit(1)).cast("double").as("n"))
+
+    var ranks = nodes.crossJoin(broadcast(nTotal))
+      .select(col("node"), (lit(1.0) / col("n")).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = edges
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(outw, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") * col("w") / col("wout")).as("contrib"))
+      ranks = nodes.crossJoin(broadcast(nTotal))
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1 - d) / col("n") + lit(d) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+    }
+    ranks
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("node"))
+      .limit(topK)
+  }
+
+  def pageRankSql(iters: Int = 3, d: Double = 0.85, topK: Int = 20): String = {
+    val base =
+      s"""WITH edges AS (
+         |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+         |    CAST(count(*) AS DOUBLE) AS w
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2
+         |), outw AS (SELECT src, sum(w) AS wout FROM edges GROUP BY src),
+         |nodes AS (
+         |  SELECT c_custkey * 2 AS node FROM customer
+         |  UNION ALL SELECT s_suppkey * 2 + 1 FROM supplier
+         |), nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nt)""".stripMargin
+    val sweeps = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS node, sum(r.rank * e.w / o.wout) AS contrib
+         |  FROM edges e JOIN r${i - 1} r ON r.node = e.src JOIN outw o ON o.src = e.src
+         |  GROUP BY e.dst
+         |), r$i AS (
+         |  SELECT nd.node, ${1 - d} / nt.n + $d * coalesce(c.contrib, 0) AS rank
+         |  FROM nodes nd CROSS JOIN nt LEFT JOIN c$i c ON c.node = nd.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$sweeps
+       |SELECT node, round(rank, 6) AS rank FROM r$iters
+       |ORDER BY round(rank, 6) DESC, node LIMIT $topK""".stripMargin
+  }
+}

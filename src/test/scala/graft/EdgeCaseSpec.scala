@@ -159,6 +159,39 @@ class EdgeCaseSpec extends AnyFunSuite {
       "a tie class must occupy consecutive ids")
   }
 
+  test("attributionOf: first/last touch per purchase; untouched purchases are direct") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: view -> click -> purchase(10) -> purchase(2)
+      (1L, 1L, "view", ts("2024-01-01 10:00:00"), 0.0),
+      (2L, 1L, "click", ts("2024-01-01 10:05:00"), 0.0),
+      (3L, 1L, "purchase", ts("2024-01-01 10:10:00"), 10.0),
+      (4L, 1L, "purchase", ts("2024-01-01 10:20:00"), 2.0),
+      // user 2: cold purchase, nothing before it
+      (5L, 2L, "purchase", ts("2024-01-01 11:00:00"), 5.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = graft.operators.Events.attributionOf(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    // both of user 1's purchases credit first=view; last stays click
+    // (the intervening purchase is not a touch); user 2 is direct twice
+    assert(got == Set(
+      ("view", "first", 2L, 12.0), ("direct", "first", 1L, 5.0),
+      ("click", "last", 2L, 12.0), ("direct", "last", 1L, 5.0)))
+  }
+
+  test("pageRankOf: two-node chain matches the hand-computed fixed sweeps") {
+    import spark.implicits._
+    val edges = Seq((2L, 3L, 1.0)).toDF("src", "dst", "w")
+    val nodes = Seq(2L, 3L).toDF("node")
+    val got = graft.operators.Graph.pageRankOf(edges, nodes).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // N=2, d=0.85: src never receives mass -> teleport floor 0.075;
+    // sink at sweep 3 = 0.075 + 0.85 * 0.075 = 0.13875
+    assert(got(2L) == 0.075)
+    assert(got(3L) == 0.13875)
+  }
+
   test("anomaliesOf: one-hour-per-type input (stddev undefined) flags nothing") {
     import spark.implicits._
     val ev = Seq(
