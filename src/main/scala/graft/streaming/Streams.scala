@@ -332,6 +332,82 @@ object Streams {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
       .select(col("win.start").as("sec"), col("user_id"), col("n_events"), col("sum_value"))
 
+  final case class ValEv(event_id: Long, event_type: String, tsMicros: Long, value: Double)
+  final case class EwmaState(n: Long, ewma: Double, ewvar: Double)
+  final case class Anomaly(event_id: Long, event_type: String, value: Double, zscore: Double)
+
+  /** One sequential EWMA sweep: West's exponentially-weighted
+    * mean/variance recurrence, emitting events whose value sits more
+    * than `k` EW-sigmas off the running mean once `warmup` events have
+    * seeded the state. Shared verbatim by the streaming gate and its
+    * batch twin so "batch backfill ≡ live stream" is true by
+    * construction — the only thing the streaming runtime adds is state
+    * carry-over between micro-batches, which is exactly what the spec
+    * pins.
+    */
+  private def ewmaSweep(typ: String, evs: Iterator[ValEv], prior: Option[EwmaState],
+      alpha: Double, k: Double, warmup: Long): (Seq[Anomaly], EwmaState) = {
+    val sorted = evs.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+    var st = prior.getOrElse(EwmaState(0, 0.0, 0.0))
+    val out = Seq.newBuilder[Anomaly]
+    sorted.foreach { e =>
+      val sd = math.sqrt(st.ewvar)
+      if (st.n >= warmup && sd > 0 && math.abs(e.value - st.ewma) > k * sd)
+        out += Anomaly(e.event_id, typ, e.value,
+          math.rint((e.value - st.ewma) / sd * 1e4) / 1e4)
+      val delta = e.value - st.ewma
+      val incr = alpha * delta
+      st = EwmaState(st.n + 1, st.ewma + incr, (1 - alpha) * (st.ewvar + delta * incr))
+    }
+    (out.result(), st)
+  }
+
+  /** Streaming anomaly gate: per-event_type EWMA z-score detector via
+    * flatMapGroupsWithState — the ONLINE complement of the batch
+    * 3-sigma volume detector (graft.operators.Events.anomalies scans
+    * the dense hourly grid; this flags single events against drifting
+    * level/spread the moment they arrive). State is ONE fixed-size
+    * record per key, independent of stream length — the 100 TB/day
+    * shape; keying by event_type matches the batch twin, a production
+    * deployment keys by (device, metric) for millions of parallel
+    * recurrences. Works identically on a batch DataFrame
+    * ([[anomalyGateBatch]]) because flatMapGroupsWithState degrades to
+    * a single stateless sweep there.
+    */
+  def anomalyGate(spark: SparkSession, events: DataFrame, alpha: Double = 0.05,
+      k: Double = 3.0, warmup: Long = 20): Dataset[Anomaly] = {
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsMicros"), col("value"))
+      .as[ValEv]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[EwmaState, Anomaly](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (typ: String, evs: Iterator[ValEv], state: GroupState[EwmaState]) =>
+          val (out, st) = ewmaSweep(typ, evs, state.getOption, alpha, k, warmup)
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Batch twin of [[anomalyGate]]: the same sweep over the whole
+    * history in one pass (no GroupState API on a plain
+    * KeyValueGroupedDataset, so the recurrence is invoked directly).
+    */
+  def anomalyGateBatch(spark: SparkSession, events: DataFrame, alpha: Double = 0.05,
+      k: Double = 3.0, warmup: Long = 20): Dataset[Anomaly] = {
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsMicros"), col("value"))
+      .as[ValEv]
+      .groupByKey(_.event_type)
+      .flatMapGroups { (typ: String, evs: Iterator[ValEv]) =>
+        ewmaSweep(typ, evs, None, alpha, k, warmup)._1.iterator
+      }
+  }
+
   /** Drain a streaming query into an in-memory table (test/smoke
     * convenience): processes everything currently available, then stops.
     */

@@ -115,6 +115,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(inline == grouped && inline.nonEmpty)
   }
 
+  test("EWMA anomaly gate: state carries across batches; batch twin identical") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String, Long, Double)]
+    val ev = mem.toDF().toDF("event_id", "event_type", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    // warmup-length alternating series in batch 1, spike + a sub-warmup
+    // key in batch 2: an anomaly can only fire if batch 1's state survived
+    val batch1 = (0L until 20L).map(i =>
+      (i, "m", 1000L + i, if (i % 2 == 0) 10.0 else 12.0))
+    val batch2 = Seq((20L, "m", 1020L, 50.0), (21L, "m", 1021L, 11.0)) ++
+      (0L until 5L).map(i => (100L + i, "n", 1020L + i, 99.0))
+    val q = Streams.anomalyGate(spark, ev, alpha = 0.1, k = 3.0, warmup = 10)
+      .toDF().writeStream.outputMode("append").format("memory")
+      .queryName("anom_out").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("anom_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3))).toSet
+    val all = (batch1 ++ batch2).toDF("event_id", "event_type", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val want = Streams.anomalyGateBatch(spark, all, alpha = 0.1, k = 3.0, warmup = 10)
+      .collect().map(a => (a.event_id, a.event_type, a.value, a.zscore)).toSet
+    assert(got == want, s"stream $got != batch $want")
+    assert(got.exists(_._1 == 20L), s"spike not flagged: $got")
+    assert(!got.exists(_._2 == "n"), "sub-warmup key must stay silent")
+  }
+
   test("bounded ingest dedup: re-crawls drop within the horizon, state evicts past it") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
