@@ -13,23 +13,23 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** events.parquet schema, with ts as long nanos (see Tables.events). */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** File-source stream over an sf directory's events table. */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventsSchema)
-      // file stream sources need a directory; glob-select the table file
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** File-source stream over an sf directory's events table. File
+    * stream sources need a user-supplied schema, and the generator has
+    * shipped events.ts under more than one parquet encoding — so the
+    * raw schema comes from the batch footer of the same table (one
+    * metadata read at stream setup, no data scan) and the ts decode
+    * goes through the one shared seam ([[graft.sources.Tables.normalizeTs]]),
+    * keeping batch and streaming reads identical by construction.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    graft.sources.Tables.normalizeTs(
+      spark.readStream
+        .schema(rawSchema)
+        // file stream sources need a directory; glob-select the table file
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+  }
 
   /** Watermarked tumbling-hour aggregation — the incremental twin of
     * Events.hourly. Watermark bounds state: closed windows are evicted.
