@@ -30,15 +30,37 @@ object Bench {
     * on a quiet machine, so a polluted run is attributable instead of
     * reading as a plan regression.
     */
+  private def rd(p: String): String =
+    try new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
+    catch { case _: Throwable => "" }
+
+  private def loadAvg(): Double =
+    rd("/proc/loadavg").split("\\s+").headOption.filter(_.nonEmpty).map(_.toDouble).getOrElse(-1.0)
+
   private def envSample(): String = {
-    def rd(p: String): String =
-      try new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
-      catch { case _: Throwable => "" }
-    val load = rd("/proc/loadavg").split("\\s+").headOption.filter(_.nonEmpty).getOrElse("-1")
+    val load = loadAvg() match { case -1.0 => "-1"; case l => l.toString }
     val memGb = rd("/proc/meminfo").linesIterator
       .find(_.startsWith("MemAvailable")).flatMap(_.split("\\s+").lift(1))
       .map(kb => f"${kb.toDouble / 1048576.0}%.1f").getOrElse("-1")
     s"""{"loadavg":$load,"mem_avail_gb":$memGb}"""
+  }
+
+  /** r8 verdict #4: the timed suite must not start while the machine is
+    * still draining a previous JVM (r8's suite_start loadavg was 7.6 —
+    * the sbt-test run shutting down — and the alphabetically-early heavy
+    * queries absorbed it as inverted cold<p50 shapes). Poll until 1-min
+    * loadavg < `threshold` or `maxWaitSec` elapses; return the seconds
+    * actually waited so the artifact records the gate's effect.
+    */
+  private def drainLoad(threshold: Double = 2.0, maxWaitSec: Double = 300.0): Double = {
+    val t0 = System.nanoTime()
+    def waited = (System.nanoTime() - t0) / 1e9
+    var l = loadAvg()
+    while (l >= 0 && l > threshold && waited < maxWaitSec) {
+      Thread.sleep(5000)
+      l = loadAvg()
+    }
+    waited
   }
 
   def main(args: Array[String]): Unit = {
@@ -86,6 +108,7 @@ object Bench {
     // strictly AFTER this loop; env samples bracket it so external
     // contamination shows up in the artifact rather than masquerading
     // as a plan regression.
+    val drainWaitSec = drainLoad()
     val envSuiteStart = envSample()
     val stats = suite.map { case (name, fn) =>
       // A failed query is reported as -1 (never a normal-looking fast
@@ -119,9 +142,24 @@ object Bench {
     val ladderDirs = Option(base).map(_.listFiles).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("sf") && f.getPath != sfDir)
       .map(_.getPath).sorted :+ sfDir
+    // r8 verdict #3: single-rep cold rungs under end-of-run memory
+    // pressure produced non-monotone ladders (pack_shards ×10 24.4 s vs
+    // ×100 12.1 s) that couldn't support scaling claims either way. Each
+    // rung time is now the LOWER MEDIAN of `n` reps (true median at n=3,
+    // min at n=2 — a deliberate noise rejector, never an inflator) and
+    // every rung carries its own env sample so a residual outlier is
+    // attributable to machine state instead of reading as a plan change.
+    val ladderReps = sys.env.getOrElse("SPARK_GRAFT_LADDER_REPS", "3").toInt.max(1)
+    val ladderRepsX100 = sys.env.getOrElse("SPARK_GRAFT_LADDER_REPS_X100", "2").toInt.max(1)
+    def runMedian(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String, n: Int): Double = {
+      val ts = (1 to n).map(_ => runOnce(name, fn, dir)).filter(_ >= 0).sorted
+      if (ts.isEmpty) -1.0 else ts((ts.length - 1) / 2)
+    }
+    case class Rung(dir: String, env: String, reps: Int, times: Seq[(String, Double)])
     var ladder = ladderDirs.map { dir =>
-      val times = headline.map { n => n -> runOnce(n, SparkEntry.queries(n), dir) }
-      dir -> times
+      Rung(dir, envSample(), ladderReps,
+        headline.map { n => n -> runMedian(n, SparkEntry.queries(n), dir, ladderReps) })
     }
 
     // ---- ×10 / ×100 rungs past sf0.1 (skipped under SPARK_GRAFT_ONLY) ----
@@ -150,7 +188,7 @@ object Bench {
     //   cross-replica cosines drop to random-pair level — replicas are
     //   genuinely dissimilar, so bucket/candidate-based queries measure
     //   a real N× corpus, not synthetic near-dup structure.
-    def replicate(factor: Int, outDir: String): Unit = {
+    def replicate(factor: Int, outDir: String, graphTables: Boolean): Unit = {
       val rep = explode(sequence(lit(0), lit(factor - 1)))
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -162,6 +200,29 @@ object Bench {
       val maxPrt = prt.agg(max("p_partkey")).head.getLong(0)
       require(maxDoc < 10000000L && maxVec < 10000000L && maxPrt < 10000000L,
         s"replica id offset collision: max doc_id=$maxDoc vec_id=$maxVec p_partkey=$maxPrt >= 1e7")
+      // graph tables (the q_pagerank input): key-offset replicas give a
+      // purchase graph with factor× nodes and factor× edges as DISJOINT
+      // components — rank mass never flows between replicas, so the rung
+      // measures sweep cost at factor× node count, which is exactly the
+      // claim (≈node-count growth) the ladder exists to evidence. Only
+      // built for the ×10 rung: no ×100 query reads them, and a ×100
+      // lineitem replica would dominate rung construction for nothing.
+      if (graphTables) {
+        def offset(table: String, keys: Seq[String]): Unit = {
+          val df = spark.read.parquet(s"$sfDir/$table.parquet")
+          keys.foreach { k =>
+            val mx = df.agg(max(k)).head.getLong(0)
+            require(mx < 10000000L, s"replica id offset collision: max $table.$k=$mx >= 1e7")
+          }
+          keys.foldLeft(df.withColumn("replica", rep)) { (d, k) =>
+            d.withColumn(k, col(k) + col("replica") * lit(10000000L))
+          }.drop("replica").write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+        }
+        offset("customer", Seq("c_custkey"))
+        offset("supplier", Seq("s_suppkey"))
+        offset("orders",   Seq("o_orderkey", "o_custkey"))
+        offset("lineitem", Seq("l_orderkey", "l_suppkey"))
+      }
       // letters-only base-26 replica code ("qab" for r=1): a pure [a-z]
       // run keeps ws token counts identical to the base corpus (BPE
       // counts identical for letter-ending tokens — see above)
@@ -219,21 +280,32 @@ object Bench {
     // r7 verdict #6: one ×10 rung bounds the iterative connected-
     // components loop (O(diameter) driver rounds × data-proportional
     // per-round cost) and the edit-distance blocking — ×10 only, their
-    // ×100 single-rep cost would dominate the whole bench
-    val x10Only = Seq("dedup_fuzzy", "dedup_clusters")
-    def rung(tag: String, factor: Int, extra: Seq[String]): Unit = {
-      // _v5: replicas now include the part table (dedup_fuzzy input)
-      val dir = s"target/bench_sfx${factor}_${new java.io.File(sfDir).getName}_v5"
+    // ×100 single-rep cost would dominate the whole bench.
+    // r8 verdict #9: dedup_substring (corpus-token-sized window table —
+    // within-replica repeated k-word windows survive the token-suffix
+    // scheme, so the repeated-set workload scales with the corpus) and
+    // q_pagerank (disjoint replica components — see replicate()) join
+    // the ×10 rung for their first scaling evidence.
+    val x10Only = Seq("dedup_fuzzy", "dedup_clusters", "dedup_substring", "q_pagerank")
+    def rung(tag: String, factor: Int, extra: Seq[String], reps: Int): Unit = {
+      // _v6: ×10 replicas now include the graph tables (q_pagerank input)
+      val dir = s"target/bench_sfx${factor}_${new java.io.File(sfDir).getName}_v6"
       if (sectionOn(tag)) {
         val built = new java.io.File(s"$dir/_built")
-        if (!built.exists) { replicate(factor, dir); java.nio.file.Files.createFile(built.toPath): Unit }
-        ladder :+= dir -> (synthQueries ++ extra).map { n => n -> runOnce(n, SparkEntry.queries(n), dir) }
+        if (!built.exists) {
+          replicate(factor, dir, graphTables = factor <= 10)
+          java.nio.file.Files.createFile(built.toPath): Unit
+        }
+        ladder :+= Rung(dir, envSample(), reps,
+          (synthQueries ++ extra).map { n => n -> runMedian(n, SparkEntry.queries(n), dir, reps) })
       }
     }
-    rung("ladder_x10", 10, x10Only)
+    rung("ladder_x10", 10, x10Only, ladderReps)
     // ×100 (~50 GB-scale shape at 100× sf0.1 rows): the second decade —
-    // linear ×10→×100 growth is the evidence the 100 TB claim rides on
-    rung("ladder_x100", 100, Seq.empty)
+    // linear ×10→×100 growth is the evidence the 100 TB claim rides on.
+    // 2 reps by default: min-of-2 rejects the cold outlier at half the
+    // cost of a third rep on the most expensive rung.
+    rung("ladder_x100", 100, Seq.empty, ladderRepsX100)
 
     // ---- skew demonstration: hot-key shard, window form vs rewrite ----
     // sum-over-key attached per row is the skew class AQE can't touch
@@ -324,8 +396,9 @@ object Bench {
       "\"" + k + s"""\":{"cold":${jd(s.cold)},"p50":${jd(s.p50)},"p95":${jd(s.p95)},"n":${s.n}}"""
     }.mkString("{", ",", "}")
     val failed = stats.collect { case (k, s) if s.failed => "\"" + k + "\"" }.mkString("[", ",", "]")
-    val lad = ladder.map { case (dir, ts) =>
-      "\"" + dir + "\":" + ts.map { case (n, v) => "\"" + n + "\":" + jd(v) }.mkString("{", ",", "}")
+    val lad = ladder.map { r =>
+      "\"" + r.dir + s"""\":{"env":${r.env},"reps":${r.reps},"times":""" +
+        r.times.map { case (n, v) => "\"" + n + "\":" + jd(v) }.mkString("{", ",", "}") + "}"
     }.mkString("{", ",", "}")
     val total = jd(stats.map(_._2.p50).filter(_ >= 0).sum)
     val skewJson = skew.map { case (w, r, n) =>
@@ -337,7 +410,7 @@ object Bench {
         recallClustered.map { case (n, v) => "\"" + n + "\":" + jd(v) }
           .mkString(""","recall_clustered":{""", ",", "}")
     val envJson =
-      s""","env":{"suite_start":$envSuiteStart,"suite_end":$envSuiteEnd,"end":${envSample()}}"""
+      s""","env":{"drain_wait_s":${jd(drainWaitSec)},"suite_start":$envSuiteStart,"suite_end":$envSuiteEnd,"end":${envSample()}}"""
     // The harness that runs this captures only a short stdout TAIL, so
     // the per-query document (was ~8 KB for 102 queries) must not ride
     // on stdout: rounds 3-5 lost their bench detail to truncation
@@ -351,8 +424,8 @@ object Bench {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullDoc + "\n")
     val slow = stats.filter(_._2.p50 >= 0).sortBy(-_._2.p50).take(10)
       .map { case (k, s) => "\"" + k + "\":" + jd(s.p50) }.mkString("{", ",", "}")
-    val topRung = ladder.lastOption.filter(_._2.nonEmpty).map { case (dir, ts) =>
-      s""","ladder_top":{"dir":"$dir",${ts.map { case (n, v) => "\"" + n + "\":" + jd(v) }.mkString(",")}}"""
+    val topRung = ladder.lastOption.filter(_.times.nonEmpty).map { r =>
+      s""","ladder_top":{"dir":"${r.dir}",${r.times.map { case (n, v) => "\"" + n + "\":" + jd(v) }.mkString(",")}}"""
     }.getOrElse("")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${stats.size},"reps":$reps,"sf":"$sfDir","failed":$failed,"slowest_p50":$slow$topRung$skewJson$recallJson$envJson,"full_report":"$outFile"}"""
     if (line.length > 1500)
