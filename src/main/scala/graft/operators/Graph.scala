@@ -51,7 +51,7 @@ object Graph {
 
     var ranks = nodes.crossJoin(broadcast(nTotal))
       .select(col("node"), (lit(1.0) / col("n")).as("rank"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = edges
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .join(outw, "src")
@@ -61,6 +61,24 @@ object Graph {
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(1 - d) / col("n") + lit(d) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+      // Lineage cut every 5 sweeps (the Dedup.nearDupClusters cadence):
+      // each sweep nests the previous plan, so analysis cost and the
+      // re-derivation of edges/outw grow with iters — fine at the
+      // default 3, fatal for a library caller at iters ≈ 20. A reliable
+      // checkpoint when a checkpoint dir is configured (bounded replay
+      // after executor loss); localCheckpoint otherwise (local/test
+      // mode trade — executor loss fails the job instead of replaying
+      // from sweep 0). Skipped on the final sweep: the caller's action
+      // materializes it anyway.
+      if (i % 5 == 0 && i < iters) {
+        ranks =
+          if (ranks.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+            val persisted = ranks.persist()
+            val cp = persisted.checkpoint()
+            persisted.unpersist(blocking = false)
+            cp
+          } else ranks.localCheckpoint()
+      }
     }
     ranks
       .select(col("node"), round(col("rank"), 6).as("rank"))

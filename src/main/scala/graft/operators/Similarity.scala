@@ -497,9 +497,15 @@ object Similarity {
     * recall gate exists to catch. Residuals keep per-candidate codes
     * distinct, so ADC ranks within the cell. Cell means round to 6dp
     * on both engines so the residuals start from identical values.
+    *
+    * Defaults m=8 (subDim = dim/8), kCode=64: the r8 operating point
+    * (m=4/kCode=16) cleared its floor at 0.40 clustered recall but
+    * loses to multiprobe as a shipped default; m=8/kCode=64 measured
+    * 0.68 (PERF_r8.md) — 8-byte codes, 64-row-per-subspace codebook,
+    * still broadcast-trivial at any corpus size.
     */
-  def ivfPqTopK(t: Tables, nQueries: Int = 10, k: Int = 5, m: Int = 4,
-      kCode: Int = 16, dim: Int = 64, shortlistFactor: Int = 2): DataFrame = {
+  def ivfPqTopK(t: Tables, nQueries: Int = 10, k: Int = 5, m: Int = 8,
+      kCode: Int = 64, dim: Int = 64, shortlistFactor: Int = 2): DataFrame = {
     val subDim = dim / m
     val emb = t.embeddings.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
     // per-cell mean vector (the coarse centroid): tiny (#cells rows),
@@ -561,8 +567,8 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  def ivfPqTopKSql(nQueries: Int = 10, k: Int = 5, m: Int = 4,
-      kCode: Int = 16, dim: Int = 64): String = {
+  def ivfPqTopKSql(nQueries: Int = 10, k: Int = 5, m: Int = 8,
+      kCode: Int = 64, dim: Int = 64): String = {
     val subDim = dim / m
     s"""WITH vexp AS (
        |  SELECT vec_id, (i - 1) // $subDim AS s, (i - 1) % $subDim AS j, CAST(e AS DOUBLE) AS ve

@@ -192,6 +192,32 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(got(3L) == 0.13875)
   }
 
+  test("pageRankOf: iters=12 crosses the lineage cut and matches the recurrence") {
+    import spark.implicits._
+    // star: hub 0 -> leaves 1,2 (weights 1,3); leaf 1 -> leaf 2.
+    val edges = Seq((0L, 1L, 1.0), (0L, 2L, 3.0), (1L, 2L, 1.0)).toDF("src", "dst", "w")
+    val nodes = Seq(0L, 1L, 2L).toDF("node")
+    val iters = 12 // two localCheckpoint cuts (i=5,10) inside the loop
+    val got = graft.operators.Graph.pageRankOf(edges, nodes, iters = iters).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // the same recurrence run directly: contrib(dst) = sum over in-edges
+    // of rank(src) * w / wout(src); rank = (1-d)/n + d*contrib
+    val (d, n) = (0.85, 3.0)
+    var rank = Map(0L -> 1 / n, 1L -> 1 / n, 2L -> 1 / n)
+    for (_ <- 1 to iters) {
+      val c1 = rank(0L) * 1.0 / 4.0
+      val c2 = rank(0L) * 3.0 / 4.0 + rank(1L) * 1.0
+      rank = Map(
+        0L -> (1 - d) / n,
+        1L -> ((1 - d) / n + d * c1),
+        2L -> ((1 - d) / n + d * c2))
+    }
+    rank.foreach { case (node, want) =>
+      assert(got(node) == math.rint(want * 1e6) / 1e6,
+        s"node $node: got ${got(node)} want $want")
+    }
+  }
+
   test("anomaliesOf: one-hour-per-type input (stddev undefined) flags nothing") {
     import spark.implicits._
     val ev = Seq(
