@@ -391,6 +391,98 @@ object Streams {
       }
   }
 
+  final case class HourEv(event_type: String, h: Long, event_id: Long)
+  final case class DenseState(openHour: Long, openCount: Long, ewma: EwmaState)
+  final case class HourAnomaly(event_type: String, hour: java.sql.Timestamp,
+    n_events: Long, zscore: Double)
+
+  private val HourMicros = 3600L * 1000000L
+
+  /** One sequential dense-hourly sweep for one event_type: consume
+    * hour-truncated event stamps in ascending order, counting the open
+    * hour; when a LATER hour arrives, the open hour closes, every
+    * skipped hour in between closes at count 0 (the dense grid — a
+    * silent outage IS a zero-count hour, invisible to any sparse
+    * aggregate), and each closed (hour, count) passes through the EWMA
+    * z-score recurrence ([[ewmaSweep]]'s West update on hourly counts
+    * instead of event values). Shared verbatim by the streaming gate
+    * and its batch twin. Late events for already-closed hours are
+    * dropped — the same replay-order contract as [[sessionize]].
+    */
+  private def denseSweep(typ: String, stamps: Iterator[Long], prior: Option[DenseState],
+      alpha: Double, k: Double, warmup: Long): (Seq[HourAnomaly], DenseState) = {
+    var st = prior.getOrElse(DenseState(Long.MinValue, 0L, EwmaState(0, 0.0, 0.0)))
+    val out = Seq.newBuilder[HourAnomaly]
+    def close(h: Long, n: Long): Unit = {
+      val e = st.ewma
+      val sd = math.sqrt(e.ewvar)
+      if (e.n >= warmup && sd > 0 && math.abs(n - e.ewma) > k * sd)
+        out += HourAnomaly(typ, new java.sql.Timestamp(h / 1000L), n,
+          math.rint((n - e.ewma) / sd * 1e4) / 1e4)
+      val delta = n - e.ewma
+      val incr = alpha * delta
+      st = st.copy(ewma = EwmaState(e.n + 1, e.ewma + incr, (1 - alpha) * (e.ewvar + delta * incr)))
+    }
+    stamps.foreach { h =>
+      if (st.openHour == Long.MinValue) st = st.copy(openHour = h, openCount = 1L)
+      else if (h == st.openHour) st = st.copy(openCount = st.openCount + 1L)
+      else if (h > st.openHour) {
+        close(st.openHour, st.openCount)
+        var z = st.openHour + HourMicros
+        while (z < h) { close(z, 0L); z += HourMicros }
+        st = st.copy(openHour = h, openCount = 1L)
+      } // else: late for a closed hour — dropped
+    }
+    (out.result(), st)
+  }
+
+  /** Streaming dense-grid anomaly gate — the incremental complement of
+    * the batch `Events.anomaliesOf`: that query z-scores the
+    * gap-filled hourly series against GLOBAL per-type stats (two
+    * passes — impossible unbounded); this one keys by event_type and
+    * holds ONE fixed-size record per key (open hour + count + EWMA
+    * mean/var), closing hours incrementally — including the zero-count
+    * gap hours the dense grid exists for — the moment a later event
+    * arrives. State is independent of stream length; the trailing open
+    * hour closes only on the next event (streaming-tail semantics: an
+    * outage is flagged when traffic RESUMES, which is also the first
+    * moment an unbounded stream can distinguish it from the stream
+    * ending). Works identically on a batch DataFrame
+    * ([[anomalyDenseBatch]]).
+    */
+  def anomalyDenseGate(spark: SparkSession, events: DataFrame, alpha: Double = 0.1,
+      k: Double = 3.0, warmup: Long = 5): Dataset[HourAnomaly] = {
+    import spark.implicits._
+    denseInput(events)(spark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[DenseState, HourAnomaly](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (typ: String, evs: Iterator[HourEv], state: GroupState[DenseState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.h, e.event_id)).iterator.map(_.h)
+          val (out, st) = denseSweep(typ, sorted, state.getOption, alpha, k, warmup)
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Batch twin of [[anomalyDenseGate]]: one sweep over the history. */
+  def anomalyDenseBatch(spark: SparkSession, events: DataFrame, alpha: Double = 0.1,
+      k: Double = 3.0, warmup: Long = 5): Dataset[HourAnomaly] = {
+    import spark.implicits._
+    denseInput(events)(spark)
+      .groupByKey(_.event_type)
+      .flatMapGroups { (typ: String, evs: Iterator[HourEv]) =>
+        val sorted = evs.toSeq.sortBy(e => (e.h, e.event_id)).iterator.map(_.h)
+        denseSweep(typ, sorted, None, alpha, k, warmup)._1.iterator
+      }
+  }
+
+  private def denseInput(events: DataFrame)(spark: SparkSession): Dataset[HourEv] = {
+    import spark.implicits._
+    events.select(col("event_type"),
+      unix_micros(date_trunc("hour", col("ts"))).as("h"), col("event_id")).as[HourEv]
+  }
+
   /** Batch twin of [[anomalyGate]]: the same sweep over the whole
     * history in one pass (no GroupState API on a plain
     * KeyValueGroupedDataset, so the recurrence is invoked directly).

@@ -146,6 +146,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(!got.exists(_._2 == "n"), "sub-warmup key must stay silent")
   }
 
+  test("dense-grid anomaly gate: zero-count outage hour flagged; batch twin identical; agrees with Events.anomaliesOf") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // 48 hours of steady-but-varying click traffic (9/11 alternating so
+    // EW variance stays positive), with hour 30 SILENT — the outage the
+    // dense grid exists to catch. Split mid-series: the outage can only
+    // fire if batch 1's EWMA state survived into batch 2.
+    val base = 1704067200L // 2024-01-01 00:00:00 UTC, hour-aligned
+    val outageHour = 30
+    def hourEvents(h: Int): Seq[(Long, String, Long)] = {
+      val n = if (h % 2 == 0) 9 else 11
+      (0 until n).map(j => (h * 100L + j, "click", base + h * 3600L + j * 10L))
+    }
+    val hours = (0 until 48).filter(_ != outageHour)
+    val batch1 = hours.filter(_ < 20).flatMap(hourEvents)
+    val batch2 = hours.filter(_ >= 20).flatMap(hourEvents)
+    val mem = MemoryStream[(Long, String, Long)]
+    val ev = mem.toDF().toDF("event_id", "event_type", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val q = Streams.anomalyDenseGate(spark, ev)
+      .toDF().writeStream.outputMode("append").format("memory")
+      .queryName("dense_anom_out").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long, Double)] =
+      df.collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getLong(2), r.getDouble(3))).toSet
+    val got = rows(spark.table("dense_anom_out"))
+    val all = (batch1 ++ batch2).toDF("event_id", "event_type", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+      .withColumn("user_id", lit(1L)).withColumn("value", lit(1.0))
+    val want = rows(Streams.anomalyDenseBatch(spark, all).toDF())
+    assert(got == want, s"stream $got != batch $want")
+    // exactly the planted outage, closed at count 0 when hour 31 arrived
+    val outageMillis = (base + outageHour * 3600L) * 1000L
+    assert(got.map(t => (t._1, t._2, t._3)) == Set(("click", outageMillis, 0L)), s"got $got")
+    // semantic cross-check: the batch global-stats query over the same
+    // events flags the same (hour, type) — the dense-grid z-score shape,
+    // computed two ways
+    val batchFlags = graft.operators.Events.anomaliesOf(all).collect()
+      .map(r => (r.getString(1), r.getTimestamp(0).getTime)).toSet
+    assert(batchFlags == got.map(t => (t._1, t._2)), s"anomaliesOf $batchFlags != gate")
+  }
+
   test("bounded ingest dedup: re-crawls drop within the horizon, state evicts past it") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
