@@ -7,36 +7,87 @@ import graft.sources.Tables
 /** End-to-end corpus curation — the composed training-data pipeline
   * the individual operators exist to serve, as ONE declarative plan:
   *
-  *   annotate (lang, quality, fingerprint)   — one scan, all columns
+  *   annotate (lang, fingerprint)            — one scan, all columns
   *   → exact/normalized dedup                — keep min doc_id per fp
   *   → near-dup removal                      — MinHash-LSH losers out
-  *   → quality gate                          — blended score ≥ τ
+  *   → substring span cut                    — duplicated spans removed
+  *   → quality gate on the CUT text          — blended score ≥ τ
   *
-  * All three annotation columns ride one scan; the dedup branches
-  * (fingerprint groupBy, MinHash shingling) are separate column-pruned
-  * passes over text, but everything that SHUFFLES is digest- or
-  * pair-sized — ids and 16-byte hashes, never documents. A production
-  * run at 100 TB would persist the annotate output and feed both
-  * branches from it; the composition here keeps each stage exactly
-  * the gated operator it reuses. Hash-gated against a DuckDB oracle
-  * built from the same stage SQLs.
+  * The span-cut stage is the Lee et al. 2022 recipe applied where it
+  * belongs: [[Dedup.substringSpansOf]] finds maximal duplicated
+  * k-word spans AMONG THE SURVIVORS of doc-level dedup (an exact or
+  * near dup's spans are moot — the doc is already gone), and the
+  * duplicated tokens are cut before quality is scored, so boilerplate
+  * neither trains nor pads a doc's quality. A doc whose every token
+  * is duplicated is dropped outright. All shuffles stay digest-,
+  * pair- or (doc_id, start, 8-byte hash)-sized — documents never
+  * shuffle; the span table joins back per doc_id as a handful of
+  * (start, end) structs and the cut itself is a map-side higher-order
+  * filter. A production run at 100 TB would persist the annotate
+  * output and feed the branches from it; the composition here keeps
+  * each stage exactly the gated operator it reuses. Hash-gated
+  * against a DuckDB oracle built from the same stage SQLs.
   */
 object Curate {
 
-  def curate(t: Tables, minQuality: Double = 0.5): DataFrame = {
+  def curate(t: Tables, minQuality: Double = 0.5, spanK: Int = 10): DataFrame = {
     val annotated = t.documents.select(
       col("doc_id"),
       md5(TextAnalysis.normalizedText(col("text"))).as("fp"),
-      TextAnalysis.langIdCol(col("text")).as("lang_pred"),
-      TextAnalysis.qualityCol(col("text")).as("quality"))
+      TextAnalysis.langIdCol(col("text")).as("lang_pred"))
     // canonical representative per normalized fingerprint
     val keeps = annotated.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
     // near-dup losers: the larger id of every LSH candidate pair
     val losers = Dedup.minhashLshPairs(t).select(col("doc_b").as("doc_id")).distinct()
-    annotated
+    val survivorIds = annotated.select("doc_id")
       .join(keeps, Seq("doc_id"), "left_semi")
       .join(losers, Seq("doc_id"), "left_anti")
+    // maximal duplicated spans among SURVIVORS: the window-hash table
+    // drops text at the scan, so restricting it to survivors is an
+    // id-on-16-byte-rows semi join — never a text join
+    val spans = Dedup.substringSpansFromWins(
+        Dedup.windowHashesOf(t.documents, spanK)
+          .join(survivorIds, Seq("doc_id"), "left_semi"), spanK)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    // Clean-text quality WITHOUT reconstructing (or shuffling) any
+    // string: each token reduces to numeric features at the scan
+    // (len, punct count, stopword flag), the span cut is an index
+    // filter against the per-doc span list, and quality's inputs are
+    // per-doc sums — n_chars of the single-space-joined clean text is
+    // sum(len) + n_tokens - 1. Only (doc_id, idx, 3 ints) rows reach
+    // the shuffle, and the doc_id exchange is shared by the span join
+    // and the final aggregate.
+    val stopArr = array(TextAnalysis.stopList("en").map(lit): _*)
+    val tokStats = t.documents
+      .select(col("doc_id"),
+        posexplode(split(TextAnalysis.normalizedText(col("text")), " ")).as(Seq("idx", "tok")))
+      .select(col("doc_id"), col("idx"),
+        length(col("tok")).as("len"),
+        length(regexp_replace(col("tok"), "[^.,;:!?]", "")).as("punct"),
+        array_contains(stopArr, col("tok")).cast("long").as("is_stop"))
+    val cut = coalesce(
+      exists(col("spans"), s =>
+        col("idx") >= s.getField("span_start") && col("idx") <= s.getField("span_end")),
+      lit(false))
+    val cleanStats = tokStats
+      .join(spans, Seq("doc_id"), "left")
+      .filter(!cut)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("len")).as("sum_len"),
+        sum(col("punct")).as("punct"), sum(col("is_stop")).as("stops"))
+      .withColumn("n_chars", col("sum_len") + col("n_tokens") - 1)
+    // a fully-duplicated doc has no surviving tokens → no group → gone
+    val quality = round(
+      least(col("n_tokens").cast("double") / 100, lit(1.0)) * 0.5 +
+        (lit(1.0) - col("punct").cast("double") / col("n_chars")) * 0.25 +
+        least(col("stops").cast("double") / col("n_tokens") * 5, lit(1.0)) * 0.25, 6)
+    cleanStats
+      .join(annotated.select("doc_id", "lang_pred"), Seq("doc_id"))
+      .join(keeps, Seq("doc_id"), "left_semi")
+      .join(losers, Seq("doc_id"), "left_anti")
+      .withColumn("quality", quality)
       .filter(col("quality") >= minQuality)
       .select("doc_id", "lang_pred", "quality")
       .orderBy("doc_id")
@@ -211,20 +262,72 @@ object Curate {
       |SELECT canonical_url, count(*) AS n_variants, min(doc_id) AS first_doc
       |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin
 
-  def curateSql(minQuality: Double = 0.5): String =
+  def curateSql(minQuality: Double = 0.5, spanK: Int = 10): String = {
+    val stops = TextAnalysis.stopListSql("en")
     s"""WITH keeps AS (
        |  SELECT min(doc_id) AS doc_id
        |  FROM documents
        |  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
        |), losers AS (
        |  SELECT DISTINCT doc_b AS doc_id FROM (${Dedup.minhashLshPairsSql()})
+       |), survivors AS (
+       |  SELECT d.doc_id, d.text FROM documents d
+       |  SEMI JOIN keeps ON d.doc_id = keeps.doc_id
+       |  ANTI JOIN losers ON d.doc_id = losers.doc_id
+       |), toksv AS (
+       |  SELECT doc_id,
+       |    regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+       |  FROM survivors
+       |), wins AS (
+       |  SELECT doc_id, i AS start,
+       |    ('0x' || substr(md5(array_to_string(w[i+1 : i+$spanK], ' ')), 1, 15))::BIGINT AS win_hash
+       |  FROM toksv, unnest(range(0, len(w) - $spanK + 1)) r(i)
+       |  WHERE len(w) >= $spanK
+       |), repeated AS (
+       |  SELECT win_hash FROM wins GROUP BY win_hash HAVING count(DISTINCT doc_id) > 1
+       |), flagged AS (
+       |  SELECT doc_id, start FROM wins SEMI JOIN repeated USING (win_hash)
+       |), gaps AS (
+       |  SELECT doc_id, start,
+       |    CASE WHEN start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) <= $spanK
+       |         THEN 0 ELSE 1 END AS gap
+       |  FROM flagged
+       |), islands AS (
+       |  SELECT doc_id, start,
+       |    sum(gap) OVER (PARTITION BY doc_id ORDER BY start) AS island
+       |  FROM gaps
+       |), spans AS (
+       |  SELECT doc_id, min(start) AS s, max(start) + ${spanK - 1} AS e
+       |  FROM islands GROUP BY doc_id, island
+       |), tok AS (
+       |  SELECT doc_id, i - 1 AS idx, tokv
+       |  FROM (SELECT doc_id, unnest(w) AS tokv, generate_subscripts(w, 1) AS i FROM toksv)
+       |), cutidx AS (
+       |  SELECT DISTINCT t.doc_id, t.idx
+       |  FROM tok t JOIN spans s ON s.doc_id = t.doc_id AND t.idx BETWEEN s.s AND s.e
+       |), clean AS (
+       |  SELECT t.doc_id, string_agg(t.tokv, ' ' ORDER BY t.idx) AS clean_text
+       |  FROM tok t
+       |  ANTI JOIN cutidx c ON t.doc_id = c.doc_id AND t.idx = c.idx
+       |  GROUP BY t.doc_id
        |), lang AS (SELECT doc_id, lang_pred FROM (${TextAnalysis.langIdSql})),
-       |qual AS (SELECT doc_id, quality FROM (${TextAnalysis.qualityScoreSql}))
+       |qual AS (
+       |  SELECT doc_id,
+       |    round(least(CAST(n_tokens AS DOUBLE) / 100, 1.0) * 0.5 +
+       |          (1.0 - CAST(punct AS DOUBLE) / n_chars) * 0.25 +
+       |          least(CAST(stops AS DOUBLE) / n_tokens * 5, 1.0) * 0.25, 6) AS quality
+       |  FROM (
+       |    SELECT doc_id, length(clean_text) AS n_chars,
+       |      len(regexp_split_to_array(trim(clean_text), '\\s+')) AS n_tokens,
+       |      length(regexp_replace(clean_text, '[^.,;:!?]', '', 'g')) AS punct,
+       |      len(list_filter(regexp_split_to_array(lower(trim(clean_text)), '\\s+'),
+       |        w -> list_contains([$stops], w))) AS stops
+       |    FROM clean)
+       |)
        |SELECT lang.doc_id AS doc_id, lang.lang_pred, qual.quality
        |FROM lang
        |JOIN qual ON lang.doc_id = qual.doc_id
-       |JOIN keeps ON lang.doc_id = keeps.doc_id
-       |ANTI JOIN losers ON lang.doc_id = losers.doc_id
        |WHERE qual.quality >= $minQuality
        |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -283,9 +283,15 @@ object Dedup {
     * prev start + k) merge: their token ranges overlap or abut, so
     * the duplicated text is one unbroken span.
     */
-  def substringSpansOf(docs: DataFrame, k: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wins = docs
+  /** The rolling-window table [[substringSpansOf]] is built on:
+    * (doc_id, start, 8-byte win_hash), one row per overlapping k-word
+    * window — text is dropped at the scan, so any downstream
+    * filtering/joining moves 16-byte rows only. Exposed so composers
+    * (e.g. [[Curate.curate]]) can restrict the window set (semi join
+    * on ids) BEFORE span derivation without re-deriving this shape.
+    */
+  def windowHashesOf(docs: DataFrame, k: Int = 10): DataFrame =
+    docs
       .select(col("doc_id"),
         split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ").as("w"))
       .filter(size(col("w")) >= k)
@@ -294,6 +300,15 @@ object Dedup {
       .select(col("doc_id"), col("i").cast("long").as("start"),
         conv(substring(md5(array_join(slice(col("w"), col("i") + 1, lit(k)), " ")),
           1, 15), 16, 10).cast("long").as("win_hash"))
+
+  def substringSpansOf(docs: DataFrame, k: Int = 10): DataFrame =
+    substringSpansFromWins(windowHashesOf(docs, k), k)
+
+  /** Repeated-set → flag-back → gaps-and-islands over a prebuilt
+    * window-hash table (see [[windowHashesOf]]).
+    */
+  def substringSpansFromWins(wins: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val repeated = wins
       .groupBy("win_hash")
       .agg(countDistinct(col("doc_id")).as("n_docs"))

@@ -22,6 +22,16 @@ object TextAnalysis {
   private def stopHits(c: Column, lang: String): Column =
     size(filter(toks(c), w => array_contains(array(stop(lang).map(lit): _*), w)))
 
+  /** The stop list as a quoted SQL literal list, for oracle authors
+    * that score quality over a derived text expression (e.g. the
+    * span-cut text in [[Curate.curateSql]]).
+    */
+  def stopListSql(lang: String): String = stop(lang).map("'" + _ + "'").mkString(",")
+
+  /** The raw stop list, for composers that re-derive quality inputs
+    * from a token stream (e.g. [[Curate.curate]]'s span-cut stats). */
+  def stopList(lang: String): Seq[String] = stop(lang)
+
   /** Charset + stopword-vote language ID with a deterministic
     * tie-break order (zh/ar charsets first, then en>fr>es>de).
     */

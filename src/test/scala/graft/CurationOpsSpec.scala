@@ -177,6 +177,80 @@ class PplBucketsSpec extends AnyFunSuite {
     assert(bucketsFor(2).map(_._2).sorted == Seq(1L, 2L))
     assert(bucketsFor(3).map(_._2).sorted == Seq(1L, 2L, 3L))
   }
+
+  test("curate span-cut: shared boilerplate is cut before quality; spans computed among survivors") {
+    val spark2 = spark
+    import spark2.implicits._
+    // stop-heavy unique bodies (quality stays over the gate after the
+    // cut) + one shared 12-word boilerplate tail; docs 3/4 are exact
+    // duplicates of each other and share no text with 1/2. Bodies stay
+    // UNDER 100 tokens so the length term doesn't saturate quality at
+    // 1.0, and END in a seed-bearing token so every window straddling
+    // the body|boiler boundary is doc-unique — the flagged span is then
+    // exactly the boilerplate.
+    def body(seed: String): String =
+      (1 to 8).map(i => s"the $seed$i is a word and it was here so").mkString(" ") +
+        s" ${seed}end"
+    val boiler = "subscribe to our newsletter for all the latest updates every single day"
+    val d1 = body("alpha") + " " + boiler
+    val d2 = body("omega") + " " + boiler
+    val d3 = body("kappa")
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d3))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("curatecut").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = Curate.curate(Tables(spark2, dir)).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    // doc 4 fell to exact dedup; 1, 2, 3 survive
+    assert(out.keySet == Set(1L, 2L, 3L), s"got ${out.keySet}")
+    def qualityOf(text: String): Double =
+      Seq(text).toDF("t")
+        .select(TextAnalysis.qualityCol(TextAnalysis.normalizedText(col("t"))))
+        .head.getDouble(0)
+    // docs 1/2: the boilerplate tail was duplicated across survivors →
+    // cut → quality is that of the unique body alone
+    assert(out(1L) == qualityOf(body("alpha")), s"doc1 ${out(1L)}")
+    assert(out(2L) == qualityOf(body("omega")), s"doc2 ${out(2L)}")
+    assert(out(1L) != qualityOf(d1), "cut changed nothing for doc1")
+    // doc 3: its only duplicate (doc 4) lost doc-level dedup first, so
+    // among SURVIVORS nothing repeats — doc 3 keeps its full text
+    assert(out(3L) == qualityOf(d3), s"doc3 ${out(3L)}")
+  }
+
+  test("curate span-cut: a pure-boilerplate patchwork doc is dropped outright") {
+    val spark2 = spark
+    import spark2.implicits._
+    // doc 3 is NOTHING BUT two 25-word boilerplates, each shared with a
+    // different large doc (so no LSH near-dup pair fires — jaccard with
+    // either partner is tiny). Its A-windows and B-windows are both
+    // flagged; the straddling windows are unique, but the two flagged
+    // islands sit exactly k apart, so gaps-and-islands merges them into
+    // one span covering every token → size(kept) == 0 → dropped.
+    def body(seed: String): String =
+      (1 to 60).map(i => s"the $seed$i is a word and it was here so").mkString(" ")
+    val boilerA = (1 to 25).map(i => s"adtext$i").mkString(" ")
+    val boilerB = (1 to 25).map(i => s"promo$i").mkString(" ")
+    val docs = Seq(
+      (1L, body("ppp") + " " + boilerA),
+      (2L, body("qqq") + " " + boilerB),
+      (3L, boilerA + " " + boilerB))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("curatecut2").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = Curate.curate(Tables(spark2, dir)).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(out.keySet == Set(1L, 2L), s"got ${out.keySet}")
+    // and the big docs were cut back to exactly their unique bodies
+    def qualityOf(text: String): Double =
+      Seq(text).toDF("t")
+        .select(TextAnalysis.qualityCol(TextAnalysis.normalizedText(col("t"))))
+        .head.getDouble(0)
+    assert(out(1L) == qualityOf(body("ppp")), s"doc1 ${out(1L)}")
+  }
 }
 
 class UrlCanonicalizeSpec extends AnyFunSuite {
