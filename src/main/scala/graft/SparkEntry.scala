@@ -86,6 +86,9 @@ object SparkEntry {
     "q_approx_percentiles" -> q(Relational2.qApproxPercentiles(_)),
     "domain_mix"           -> q(Curate.domainMix(_)),
     "url_canonicalize"     -> q(Curate.urlCanonicalize),
+    "merge_upsert"         -> q(Incremental.mergeUpsert),
+    "q_stratified_sample"  -> q(Incremental.stratifiedSample(_)),
+    "bpe_train"            -> q(Bpe.bpeTrain(_)),
     // distributed two-phase prefix sum; oracle is the naive global window
     "pack_shards"          -> q(Layout.packShards(_)),
     "doc_fingerprint"      -> q(TextAnalysis.fingerprint),
@@ -252,6 +255,9 @@ object SparkEntry {
     "dedup_chunks"         -> Dedup.repeatedChunksSql(),
     "dedup_substring"      -> Dedup.substringSpansSql(),
     "dedup_clusters"       -> Dedup.nearDupClustersSql(),
+    "merge_upsert"         -> Incremental.mergeUpsertSql,
+    "q_stratified_sample"  -> Incremental.stratifiedSampleSql(),
+    "bpe_train"            -> Bpe.bpeTrainSql(),
     "hashing_vectors"      -> Similarity.hashingVectorsExplodedSql(),
     "agg_topk"             -> Relational2.qAggTopKSql(),
     "embed_cosine_topk"    -> Similarity.cosineTopKSql(),

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Byte-pair-encoding merge-table training — the tokenizer-building
+  * step of an LLM data pipeline (Sennrich et al. 2016), distributed:
+  * the classic algorithm is a corpus-sized sequential loop; here each
+  * merge round is ONE map-side-combined aggregate over the VOCABULARY
+  * (word, freq) table — Heaps-law-sublinear in the corpus — and the
+  * corpus itself is touched exactly once (the word count). The
+  * reference's pipelines stop at word counting (v2/core/transformers/
+  * text.py); this consumes that exact output one step further.
+  */
+object Bpe {
+
+  /** Train `merges` BPE merges over the corpus vocabulary; returns the
+    * merge table (rank, lhs, rhs, pair_freq) — rank-ordered, the
+    * artifact a tokenizer loads.
+    *
+    * Mechanics: every word becomes a space-delimited symbol string
+    * (" t h e "); a round counts adjacent symbol pairs weighted by
+    * word frequency, picks the argmax (ties: lexicographic on the
+    * pair — deterministic cross-engine), and rewrites the pair into
+    * one symbol via LITERAL (non-regex) replace, left-to-right
+    * non-overlapping — " a a a " merges to " aa a ", the documented
+    * in-word overlap semantics both engines share.
+    *
+    * Scale shape: the per-round aggregate input is one row per
+    * (symbol-pair occurrence) of the VOCAB — ~chars-per-word × distinct
+    * words, independent of corpus row count; the argmax row (ONE row)
+    * comes to the driver (the pplBuckets precedent: collecting O(1)
+    * rows is not a driver-side loop over data) and is folded back as a
+    * literal, so each round's plan stays independent and total cost is
+    * linear in `merges`. The evolving symbol table is cached and the
+    * previous round's cache released each step.
+    */
+  def bpeTrain(t: Tables, merges: Int = 8): DataFrame = {
+    val spark = t.spark
+    val words = WordPipeline.tokens(t)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var syms = words.select(col("word"), col("freq"),
+      concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("sym"))
+      .cache()
+    val out = Seq.newBuilder[(Long, String, String, Long)]
+    for (i <- 1 to merges) {
+      val best = syms
+        .select(col("freq"), split(trim(col("sym")), " ").as("s"))
+        .filter(size(col("s")) >= 2)
+        .select(col("freq"), explode(
+          expr("transform(sequence(0, size(s) - 2), j -> struct(s[j] AS a, s[j + 1] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("f"))
+        .orderBy(col("f").desc, col("a"), col("b"))
+        .limit(1)
+        .head()
+      val (a, b, f) = (best.getString(0), best.getString(1), best.getLong(2))
+      out += ((i.toLong, a, b, f))
+      val prev = syms
+      syms = syms.withColumn("sym",
+        replace(col("sym"),
+          concat(lit(" "), lit(a), lit(" "), lit(b), lit(" ")),
+          concat(lit(" "), lit(a + b), lit(" "))))
+        .cache()
+      // materialize the new table before releasing its parent
+      syms.count()
+      prev.unpersist(blocking = false)
+    }
+    syms.unpersist(blocking = false)
+    import spark.implicits._
+    out.result().toDF("rank", "lhs", "rhs", "pair_freq").orderBy("rank")
+  }
+
+  /** DuckDB twin: the same `merges` rounds unrolled as CTEs (the
+    * pageRank oracle pattern) — pair counts from the previous round's
+    * symbol table, 1-row argmax, literal replace fold-back.
+    */
+  def bpeTrainSql(merges: Int = 8): String = {
+    val base =
+      """WITH toks AS (
+        |  SELECT lower(trim(w)) AS word
+        |  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents)
+        |  WHERE lower(trim(w)) <> ''
+        |), words AS (SELECT word, count(*) AS freq FROM toks GROUP BY word),
+        |w0 AS (
+        |  SELECT word, freq, ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS sym
+        |  FROM words
+        |)""".stripMargin
+    val rounds = (1 to merges).map { i =>
+      s"""p$i AS (
+         |  SELECT s[j] AS a, s[j + 1] AS b, sum(freq) AS f
+         |  FROM (SELECT freq, regexp_split_to_array(trim(sym), ' ') AS s FROM w${i - 1}),
+         |    unnest(range(1, len(s))) r(j)
+         |  WHERE len(s) >= 2
+         |  GROUP BY 1, 2
+         |), b$i AS (
+         |  SELECT a, b, f FROM p$i ORDER BY f DESC, a, b LIMIT 1
+         |), w$i AS (
+         |  SELECT word, freq,
+         |    replace(sym, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS sym
+         |  FROM w${i - 1} CROSS JOIN b$i
+         |)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to merges)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS rank, a AS lhs, b AS rhs, CAST(f AS BIGINT) AS pair_freq FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"$base,\n$rounds\n$sel\nORDER BY rank"
+  }
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Incremental-maintenance operators: CDC snapshot merge and
+  * deterministic stratified sampling — the bookkeeping half of a
+  * continuously-ingesting training-data pipeline (the reference's
+  * loaders only ever append — v2/core/loaders; these are the
+  * update/delete and re-balance shapes appends eventually need).
+  */
+object Incremental {
+
+  /** CDC snapshot merge (upsert/delete): apply a change LOG to a base
+    * snapshot, latest-wins per key. The driver-gated form derives both
+    * inputs from `documents` deterministically:
+    *   base      = docs with doc_id % 4 != 0 (yesterday's snapshot)
+    *   changelog = two generations of changes over the even ids —
+    *     seq 1 upserts (n_chars + 1000); seq 2 DELETES ids % 6 == 0
+    *     and re-upserts ids % 10 == 0 (n_chars + 2000)
+    *   so the merge exercises every CDC case: insert (even ids the
+    *   base never had), update, delete, and a later change overriding
+    *   an earlier one.
+    *
+    * Scale shape: latest-wins is ONE map-side-combined max(struct(seq,
+    * …)) aggregate over the log — no window, no per-key sort; the
+    * merge is an anti join of base against change keys plus the
+    * surviving upserts — key-only shuffles. This is the standard
+    * lakehouse MERGE plan (Delta/Iceberg express the same thing with a
+    * file-level pre-prune on top).
+    */
+  def mergeUpsertOf(base: DataFrame, changes: DataFrame): DataFrame = {
+    // latest change per key: max over (seq, op, payload...) structs —
+    // seq is the leading field, so struct-max IS latest-wins, and ties
+    // cannot exist (seq unique per key by contract)
+    val latest = changes
+      .groupBy("doc_id")
+      .agg(max(struct(col("seq"), col("op"), col("lang"), col("source"), col("n_chars")))
+        .as("c"))
+      .select(col("doc_id"), col("c.op").as("op"), col("c.lang").as("lang"),
+        col("c.source").as("source"), col("c.n_chars").as("n_chars"))
+    base.join(latest.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(latest.filter(col("op") === "u")
+        .select("doc_id", "lang", "source", "n_chars"))
+      .orderBy("doc_id")
+  }
+
+  def mergeUpsert(t: Tables): DataFrame = {
+    val docs = t.documents.select("doc_id", "lang", "source", "n_chars")
+    val base = docs.filter(col("doc_id") % 4 =!= 0)
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    val gen1 = evens.select(col("doc_id"), lit(1L).as("seq"), lit("u").as("op"),
+      col("lang"), col("source"), (col("n_chars") + 1000).as("n_chars"))
+    val gen2del = evens.filter(col("doc_id") % 6 === 0)
+      .select(col("doc_id"), lit(2L).as("seq"), lit("d").as("op"),
+        col("lang"), col("source"), col("n_chars"))
+    val gen2upd = evens.filter(col("doc_id") % 10 === 0 && col("doc_id") % 6 =!= 0)
+      .select(col("doc_id"), lit(2L).as("seq"), lit("u").as("op"),
+        col("lang"), col("source"), (col("n_chars") + 2000).as("n_chars"))
+    mergeUpsertOf(base, gen1.unionByName(gen2del).unionByName(gen2upd))
+  }
+
+  val mergeUpsertSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id % 4 <> 0
+      |), evens AS (
+      |  SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id % 2 = 0
+      |), changelog AS (
+      |  SELECT doc_id, 1 AS seq, 'u' AS op, lang, source, n_chars + 1000 AS n_chars FROM evens
+      |  UNION ALL
+      |  SELECT doc_id, 2, 'd', lang, source, n_chars FROM evens WHERE doc_id % 6 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 2, 'u', lang, source, n_chars + 2000 FROM evens
+      |  WHERE doc_id % 10 = 0 AND doc_id % 6 <> 0
+      |), latest AS (
+      |  SELECT doc_id, op, lang, source, n_chars FROM (
+      |    SELECT doc_id, op, lang, source, n_chars,
+      |      row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+      |    FROM changelog)
+      |  WHERE rn = 1
+      |)
+      |SELECT b.doc_id AS doc_id, b.lang AS lang, b.source AS source, b.n_chars AS n_chars
+      |FROM base b ANTI JOIN latest l ON b.doc_id = l.doc_id
+      |UNION ALL
+      |SELECT doc_id, lang, source, n_chars FROM latest WHERE op = 'u'
+      |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic stratified sample: up to `n` docs per stratum
+    * (source), chosen by md5-hash order so the pick is reproducible
+    * across runs, engines and cluster sizes. Two phases so no stratum
+    * is ever globally sorted: (1) per-stratum counts (broadcast-sized)
+    * set a hash-threshold that passes ~`oversample`·n candidates;
+    * (2) only the candidates are ranked (tiny per-stratum windows) and
+    * capped at n. The threshold arithmetic is fixed-point (integer
+    * hash against a rounded rate) and the ORACLE APPLIES THE SAME
+    * FORMULA, so both engines pick identical rows even in the
+    * (vanishingly rare, deliberately accepted) case where the bound
+    * admits fewer than n — the trade that keeps phase 2's window input
+    * O(n) per stratum instead of the whole stratum.
+    */
+  def stratifiedSample(t: Tables, n: Int = 20, oversample: Int = 8): DataFrame = {
+    val u = conv(substring(md5(concat(lit("strat:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+    val counts = t.documents.groupBy("source").agg(count(lit(1)).as("n_g"))
+      .select(col("source"),
+        round(least(lit(1.0), lit(n.toDouble * oversample) / col("n_g")), 9).as("rate"))
+    val w = Window.partitionBy(col("source")).orderBy(col("u"), col("doc_id"))
+    t.documents
+      .select(col("doc_id"), col("source"), u.as("u"))
+      .join(broadcast(counts), "source")
+      .filter(col("u") < col("rate"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= n)
+      .select("source", "rk", "doc_id")
+      .orderBy("source", "rk")
+  }
+
+  def stratifiedSampleSql(n: Int = 20, oversample: Int = 8): String =
+    s"""WITH u AS (
+       |  SELECT doc_id, source,
+       |    ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |      / 1152921504606846976.0 AS u
+       |  FROM documents
+       |), rates AS (
+       |  SELECT source, round(least(1.0, ${n.toDouble * oversample} / count(*)), 9) AS rate
+       |  FROM documents GROUP BY source
+       |), ranked AS (
+       |  SELECT u.source, u.doc_id,
+       |    row_number() OVER (PARTITION BY u.source ORDER BY u.u, u.doc_id) AS rk
+       |  FROM u JOIN rates r ON u.source = r.source
+       |  WHERE u.u < r.rate
+       |)
+       |SELECT source, rk, doc_id FROM ranked WHERE rk <= $n
+       |ORDER BY source, rk""".stripMargin
+}

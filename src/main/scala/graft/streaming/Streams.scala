@@ -409,6 +409,29 @@ object Streams {
     * and its batch twin. Late events for already-closed hours are
     * dropped — the same replay-order contract as [[sessionize]].
     */
+  /** The hour-closing half of the dense sweeps: consume hour-truncated
+    * stamps in ascending order against an (openHour, openCount) state,
+    * invoking `onClose` for the open hour and every skipped
+    * (zero-count) hour whenever a later hour arrives. Late stamps for
+    * already-closed hours are dropped (the [[sessionize]] replay-order
+    * contract). Returns the new open state.
+    */
+  private def closeHours(stamps: Iterator[Long], open: (Long, Long),
+      onClose: (Long, Long) => Unit): (Long, Long) = {
+    var (openHour, openCount) = open
+    stamps.foreach { h =>
+      if (openHour == Long.MinValue) { openHour = h; openCount = 1L }
+      else if (h == openHour) openCount += 1L
+      else if (h > openHour) {
+        onClose(openHour, openCount)
+        var z = openHour + HourMicros
+        while (z < h) { onClose(z, 0L); z += HourMicros }
+        openHour = h; openCount = 1L
+      }
+    }
+    (openHour, openCount)
+  }
+
   private def denseSweep(typ: String, stamps: Iterator[Long], prior: Option[DenseState],
       alpha: Double, k: Double, warmup: Long): (Seq[HourAnomaly], DenseState) = {
     var st = prior.getOrElse(DenseState(Long.MinValue, 0L, EwmaState(0, 0.0, 0.0)))
@@ -423,17 +446,53 @@ object Streams {
       val incr = alpha * delta
       st = st.copy(ewma = EwmaState(e.n + 1, e.ewma + incr, (1 - alpha) * (e.ewvar + delta * incr)))
     }
-    stamps.foreach { h =>
-      if (st.openHour == Long.MinValue) st = st.copy(openHour = h, openCount = 1L)
-      else if (h == st.openHour) st = st.copy(openCount = st.openCount + 1L)
-      else if (h > st.openHour) {
-        close(st.openHour, st.openCount)
-        var z = st.openHour + HourMicros
-        while (z < h) { close(z, 0L); z += HourMicros }
-        st = st.copy(openHour = h, openCount = 1L)
-      } // else: late for a closed hour — dropped
-    }
-    (out.result(), st)
+    val (oh, oc) = closeHours(stamps, (st.openHour, st.openCount), close)
+    (out.result(), st.copy(openHour = oh, openCount = oc))
+  }
+
+  final case class GapState(openHour: Long, openCount: Long)
+  final case class DenseHour(event_type: String, hour: java.sql.Timestamp, n_events: Long)
+
+  /** Streaming gap-fill — the incremental twin of `Events.gapfillOf`'s
+    * dense hourly grid: per event_type, every hour between a type's
+    * first and latest event is emitted exactly once with its count —
+    * INCLUDING silent zero-count hours — the moment a later event
+    * closes it. State is one (openHour, openCount) pair per key,
+    * independent of stream length. Tail semantics: the open hour emits
+    * only when the next event arrives (an unbounded stream cannot know
+    * an hour is over without either an event past it or a clock —
+    * a production variant adds an event-time timeout for the latter).
+    * Works identically on a batch DataFrame ([[gapfillGateBatch]]).
+    */
+  def gapfillGate(spark: SparkSession, events: DataFrame): Dataset[DenseHour] = {
+    import spark.implicits._
+    denseInput(events)(spark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[GapState, DenseHour](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (typ: String, evs: Iterator[HourEv], state: GroupState[GapState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.h, e.event_id)).iterator.map(_.h)
+          val st = state.getOption.getOrElse(GapState(Long.MinValue, 0L))
+          val out = Seq.newBuilder[DenseHour]
+          val (oh, oc) = closeHours(sorted, (st.openHour, st.openCount),
+            (h, n) => out += DenseHour(typ, new java.sql.Timestamp(h / 1000L), n))
+          state.update(GapState(oh, oc))
+          out.result().iterator
+      }
+  }
+
+  /** Batch twin of [[gapfillGate]]: one sweep over the history. */
+  def gapfillGateBatch(spark: SparkSession, events: DataFrame): Dataset[DenseHour] = {
+    import spark.implicits._
+    denseInput(events)(spark)
+      .groupByKey(_.event_type)
+      .flatMapGroups { (typ: String, evs: Iterator[HourEv]) =>
+        val sorted = evs.toSeq.sortBy(e => (e.h, e.event_id)).iterator.map(_.h)
+        val out = Seq.newBuilder[DenseHour]
+        closeHours(sorted, (Long.MinValue, 0L),
+          (h, n) => out += DenseHour(typ, new java.sql.Timestamp(h / 1000L), n))
+        out.result().iterator
+      }
   }
 
   /** Streaming dense-grid anomaly gate — the incremental complement of

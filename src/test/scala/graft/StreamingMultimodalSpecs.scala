@@ -193,6 +193,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchFlags == got.map(t => (t._1, t._2)), s"anomaliesOf $batchFlags != gate")
   }
 
+  test("streaming gapfill: dense per-type hours incl. zeros; batch twin identical; matches Events.gapfillOf inside the closed range") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val base = 1704067200L // 2024-01-01 00:00:00 UTC
+    // clicks hours 0-9 except 4-5 silent; views hours 2-7 except 5
+    def ev(id: Long, typ: String, h: Int) = (id, typ, base + h * 3600L + (id % 50L))
+    val clicks = Seq(0, 1, 2, 3, 6, 7, 8, 9).zipWithIndex.map { case (h, i) => ev(100L + i, "click", h) }
+    val views = Seq(2, 3, 4, 6, 7).zipWithIndex.map { case (h, i) => ev(200L + i, "view", h) }
+    val all = clicks ++ views
+    val (batch1, batch2) = all.partition(_._3 < base + 5 * 3600L)
+    val mem = MemoryStream[(Long, String, Long)]
+    val evs = mem.toDF().toDF("event_id", "event_type", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val q = Streams.gapfillGate(spark, evs)
+      .toDF().writeStream.outputMode("append").format("memory")
+      .queryName("gapfill_out").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] =
+      df.collect().map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2))).toSet
+    val got = rows(spark.table("gapfill_out"))
+    val allDf = all.toDF("event_id", "event_type", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    assert(got == rows(Streams.gapfillGateBatch(spark, allDf).toDF()), "stream != batch twin")
+    // the silent hours are present as real zeros
+    def hh(h: Int) = (base + h * 3600L) * 1000L
+    assert(got(("click", hh(4), 0L)) && got(("click", hh(5), 0L)) && got(("view", hh(5), 0L)))
+    // agreement with the batch dense-grid query, restricted to each
+    // type's CLOSED range [first event hour, last event hour): the
+    // batch grid spans the global bounds and includes the open tail
+    val batchGrid = graft.operators.Events.gapfillOf(allDf).collect()
+      .map(r => (r.getString(1), r.getTimestamp(0).getTime, r.getLong(2))).toSet
+    val closedRange = Map("click" -> (hh(0), hh(9)), "view" -> (hh(2), hh(7)))
+    val batchClosed = batchGrid.filter { case (typ, h, _) =>
+      closedRange.get(typ).exists { case (lo, hi) => h >= lo && h < hi }
+    }
+    assert(got == batchClosed, s"stream $got != batch grid (closed range) $batchClosed")
+  }
+
   test("bounded ingest dedup: re-crawls drop within the horizon, state evicts past it") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
