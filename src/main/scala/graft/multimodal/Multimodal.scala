@@ -280,13 +280,68 @@ object Multimodal {
     * unchanged.
     */
   def phashQuery(spark: SparkSession, dir: String, bits: Int = 60, k: Int = 50): DataFrame = {
+    val ph = phashTable(spark, dir, bits)
+    val q = ph.filter(col("media_id") === 0).select(col("phash").as("qhash"))
+    ph.crossJoin(broadcast(q))
+      .filter(col("media_id") =!= 0)
+      .select(col("media_id"), col("phash"),
+        bit_count(col("phash").bitwiseXOR(col("qhash"))).cast("long").as("hamming"))
+      .orderBy(col("hamming"), col("media_id"))
+      .limit(k)
+  }
+
+  /** Corpus-wide pHash near-dup pairs via BANDED Hamming join — the
+    * all-pairs form [[phashQuery]]'s single-query ranking scales up to:
+    * the 60-bit hash splits into 4 bands of 15 bits, candidates share
+    * at least one full band, and only candidates pay the bit_count.
+    * EXACT for maxDist ≤ 3 by pigeonhole: 3 differing bits can corrupt
+    * at most 3 of 4 bands, so every qualifying pair collides somewhere
+    * — the same band-join shape as MinHash-LSH but with a recall
+    * GUARANTEE, because Hamming bands partition the bits instead of
+    * sampling them. Shuffles carry (media_id, 8-byte band key) rows
+    * only. Natural text-hash collisions at Hamming ≤ 3 are
+    * astronomically rare, so the gate PLANTS near-dup variants (every
+    * 7th media id re-hashed with one deterministically-flipped bit —
+    * the thumbnail/re-encode case a crawl actually contains) and the
+    * pair list must recover exactly them.
+    */
+  def phashDedupQuery(spark: SparkSession, dir: String, bits: Int = 60,
+      bands: Int = 4, maxDist: Int = 3): DataFrame = {
+    require(bits % bands == 0, s"bits $bits must split evenly into $bands bands")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val ph = phashTable(spark, dir, bits)
+    val variants = ph.filter(col("media_id") % 7 === 0)
+      .select((col("media_id") + 10000000L).as("media_id"),
+        expr(s"phash ^ shiftleft(CAST(1 AS BIGINT), CAST(media_id % $bits AS INT))").as("phash"))
+    val allm = ph.unionByName(variants)
+    val banded = allm.select(col("media_id"), col("phash"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"), shiftright(col("phash"), b * width).bitwiseAND(lit(mask)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("media_id"), col("phash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val left = banded.select(col("band"), col("key"), col("media_id").as("media_a"), col("phash").as("ph_a"))
+    val right = banded.select(col("band"), col("key"), col("media_id").as("media_b"), col("phash").as("ph_b"))
+    left.join(right, Seq("band", "key"))
+      .filter(col("media_a") < col("media_b"))
+      .select(col("media_a"), col("media_b"), col("ph_a"), col("ph_b"))
+      .distinct()
+      .select(col("media_a"), col("media_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .orderBy("media_a", "media_b")
+  }
+
+  /** The (media_id, phash) table shared by [[phashQuery]] and
+    * [[phashDedupQuery]] — deterministic fake-decode seam, see
+    * [[phashQuery]]'s doc.
+    */
+  private def phashTable(spark: SparkSession, dir: String, bits: Int): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val cells = transform(sequence(lit(0), lit(bits - 1)),
       i => conv(substring(md5(concat(col("text"), lit("|"), i.cast("string"))), 1, 2), 16, 10)
         .cast("long"))
-    // 2^i via pow: powers of two are exact in a double mantissa, so the
-    // long cast is exact up to i=59 (the reason bits stays ≤ 60)
-    val ph = docs
+    docs
       .select(col("doc_id").as("media_id"), cells.as("cells"))
       .withColumn("mean",
         aggregate(col("cells"), lit(0L), (a, x) => a + x).cast("double") / lit(bits.toDouble))
@@ -296,13 +351,40 @@ object Multimodal {
             when(c.cast("double") > col("mean"), pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
           lit(0L), (a, x) => a + x))
       .select(col("media_id"), col("phash"))
-    val q = ph.filter(col("media_id") === 0).select(col("phash").as("qhash"))
-    ph.crossJoin(broadcast(q))
-      .filter(col("media_id") =!= 0)
-      .select(col("media_id"), col("phash"),
-        bit_count(col("phash").bitwiseXOR(col("qhash"))).cast("long").as("hamming"))
-      .orderBy(col("hamming"), col("media_id"))
-      .limit(k)
+  }
+
+  def phashDedupSql(bits: Int = 60, bands: Int = 4, maxDist: Int = 3): String = {
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    s"""WITH cells AS (
+       |  SELECT doc_id AS media_id, i,
+       |    ('0x' || substr(md5(text || '|' || CAST(i AS VARCHAR)), 1, 2))::BIGINT AS cell
+       |  FROM documents, unnest(range(0, $bits)) r(i)
+       |), m AS (
+       |  SELECT media_id, CAST(sum(cell) AS BIGINT) / CAST($bits AS DOUBLE) AS mean
+       |  FROM cells GROUP BY media_id
+       |), ph AS (
+       |  SELECT c.media_id,
+       |    CAST(sum(CASE WHEN cell > mean THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS phash
+       |  FROM cells c JOIN m USING (media_id) GROUP BY c.media_id
+       |), allm AS (
+       |  SELECT media_id, phash FROM ph
+       |  UNION ALL
+       |  SELECT media_id + 10000000, xor(phash, CAST(1 AS BIGINT) << CAST(media_id % $bits AS INT))
+       |  FROM ph WHERE media_id % 7 = 0
+       |), banded AS (
+       |  SELECT media_id, phash, b AS band, (phash >> (b * $width)) & $mask AS key
+       |  FROM allm, unnest(range(0, $bands)) r(b)
+       |), cand AS (
+       |  SELECT DISTINCT l.media_id AS media_a, r.media_id AS media_b,
+       |    l.phash AS ph_a, r.phash AS ph_b
+       |  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
+       |  WHERE l.media_id < r.media_id
+       |)
+       |SELECT media_a, media_b, CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(ph_a, ph_b)) <= $maxDist
+       |ORDER BY media_a, media_b""".stripMargin
   }
 
   def phashSql(bits: Int = 60, k: Int = 50): String =

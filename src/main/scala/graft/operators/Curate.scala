@@ -169,6 +169,112 @@ object Curate {
        |      / 1152921504606846976.0 < rate
        |ORDER BY doc_id""".stripMargin
 
+  /** Per-source distribution drift: KL(source ‖ corpus) over unigram
+    * distributions — the monitoring query a continuously-ingesting
+    * pipeline runs to catch a source whose content shifted (spam
+    * flood, template change, language drift) before it poisons the
+    * mix. KL = Σ_w p_s(w)·ln(p_s(w)/p(w)); the source's support is a
+    * subset of the corpus's by construction, so no zero-denominator
+    * guard is needed. Scale shape: two word-keyed aggregates (map-side
+    * combined) and one word-keyed join — only (word, count) pairs
+    * shuffle, the per-source totals are a broadcast-sized dimension,
+    * and the final sum is one row per source.
+    */
+  def domainDrift(t: Tables): DataFrame = {
+    val toks = t.documents
+      .select(col("source"), explode(split(col("text"), "\\s+")).as("w"))
+      .select(col("source"), lower(trim(col("w"))).as("word"))
+      .filter(col("word") =!= "")
+    val srcCounts = toks.groupBy("source", "word").agg(count(lit(1)).as("c_sw"))
+    val srcTotals = srcCounts.groupBy("source").agg(sum(col("c_sw")).as("t_s"))
+    val corpusCounts = srcCounts.groupBy("word").agg(sum(col("c_sw")).as("c_w"))
+    val corpusTotal = corpusCounts.agg(sum(col("c_w")).cast("double").as("t"))
+    srcCounts
+      .join(corpusCounts, "word")
+      .join(broadcast(srcTotals), "source")
+      .crossJoin(broadcast(corpusTotal))
+      .select(col("source"), col("t_s"),
+        (col("c_sw").cast("double") / col("t_s")) .as("p_s"),
+        (col("c_w").cast("double") / col("t")).as("p"))
+      .groupBy(col("source"))
+      .agg(max(col("t_s")).as("n_tokens"),
+        round(sum(col("p_s") * log(col("p_s") / col("p"))), 6).as("kl"))
+      .orderBy("source")
+  }
+
+  val domainDriftSql: String =
+    """WITH toks AS (
+      |  SELECT source, lower(trim(w)) AS word
+      |  FROM (SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents)
+      |  WHERE lower(trim(w)) <> ''
+      |), sc AS (SELECT source, word, count(*) AS c_sw FROM toks GROUP BY 1, 2),
+      |st AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS t_s FROM sc GROUP BY source),
+      |cc AS (SELECT word, CAST(sum(c_sw) AS BIGINT) AS c_w FROM sc GROUP BY word),
+      |ct AS (SELECT CAST(sum(c_w) AS DOUBLE) AS t FROM cc)
+      |SELECT sc.source AS source, max(t_s) AS n_tokens,
+      |  round(sum((CAST(c_sw AS DOUBLE) / t_s) * ln((CAST(c_sw AS DOUBLE) / t_s) / (CAST(c_w AS DOUBLE) / t))), 6) AS kl
+      |FROM sc
+      |JOIN cc ON sc.word = cc.word
+      |JOIN st ON sc.source = st.source
+      |CROSS JOIN ct
+      |GROUP BY sc.source
+      |ORDER BY source""".stripMargin
+
+  /** Curation funnel report, per source: how many docs each dedup
+    * stage would remove and what fraction survives — the artifact a
+    * pipeline publishes with every snapshot so a regression in one
+    * source's dedup rate is visible at a glance. Exact losers are
+    * docs that are not their fingerprint group's representative;
+    * near-dup losers are the LSH pair losers; `n_kept` counts docs
+    * surviving BOTH (the sets overlap, so the union is counted, never
+    * summed). Everything shuffles ids and 16-byte digests only.
+    */
+  def dedupReport(t: Tables): DataFrame = {
+    val annotated = t.documents.select(col("doc_id"), col("source"),
+      md5(TextAnalysis.normalizedText(col("text"))).as("fp"))
+    val keeps = annotated.groupBy("fp").agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val exactLosers = annotated.select("doc_id").join(keeps, Seq("doc_id"), "left_anti")
+    val nearLosers = Dedup.minhashLshPairs(t).select(col("doc_b").as("doc_id")).distinct()
+    val flags = annotated.select("doc_id", "source")
+      .join(exactLosers.withColumn("is_exact", lit(1L)), Seq("doc_id"), "left")
+      .join(nearLosers.withColumn("is_near", lit(1L)), Seq("doc_id"), "left")
+      .select(col("source"),
+        coalesce(col("is_exact"), lit(0L)).as("is_exact"),
+        coalesce(col("is_near"), lit(0L)).as("is_near"))
+    flags.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_exact")).as("n_exact_losers"),
+        sum(col("is_near")).as("n_neardup_losers"),
+        sum(when(col("is_exact") === 0 && col("is_near") === 0, 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("pct_kept", round(col("n_kept").cast("double") / col("n_docs"), 6))
+      .orderBy("source")
+  }
+
+  def dedupReportSql: String =
+    s"""WITH ann AS (
+       |  SELECT doc_id, source,
+       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM documents
+       |), keeps AS (SELECT min(doc_id) AS doc_id FROM ann GROUP BY fp),
+       |exact_losers AS (
+       |  SELECT a.doc_id FROM ann a ANTI JOIN keeps k ON a.doc_id = k.doc_id
+       |), near_losers AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM (${Dedup.minhashLshPairsSql()})
+       |), flags AS (
+       |  SELECT a.source,
+       |    CASE WHEN e.doc_id IS NULL THEN 0 ELSE 1 END AS is_exact,
+       |    CASE WHEN n.doc_id IS NULL THEN 0 ELSE 1 END AS is_near
+       |  FROM ann a
+       |  LEFT JOIN exact_losers e ON a.doc_id = e.doc_id
+       |  LEFT JOIN near_losers n ON a.doc_id = n.doc_id
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(is_exact) AS BIGINT) AS n_exact_losers,
+       |  CAST(sum(is_near) AS BIGINT) AS n_neardup_losers,
+       |  CAST(sum(CASE WHEN is_exact = 0 AND is_near = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  round(CAST(sum(CASE WHEN is_exact = 0 AND is_near = 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS pct_kept
+       |FROM flags GROUP BY source ORDER BY source""".stripMargin
+
   /** Canonicalize one URL column: lowercase, drop fragment, scheme,
     * `www.`, default ports, tracking query params (utm_*, fbclid,
     * gclid, ref), empty left-over `?`/`&`, and trailing slashes. Pure
