@@ -314,7 +314,17 @@ object Multimodal {
     val variants = ph.filter(col("media_id") % 7 === 0)
       .select((col("media_id") + 10000000L).as("media_id"),
         expr(s"phash ^ shiftleft(CAST(1 AS BIGINT), CAST(media_id % $bits AS INT))").as("phash"))
-    val allm = ph.unionByName(variants)
+    // Lineage cut, not just an exchange: the self-join's inferred
+    // not-null constraint on the band key substitutes through every
+    // Project alias down to the scan, planting a filter that evaluates
+    // the phash expression interpreted — with the inlined mean
+    // aggregate re-run PER ZIP ELEMENT (60×60 md5 per row; measured
+    // 50 s vs ~2 s at sf0.1). localCheckpoint truncates the plan to a
+    // 16-byte-per-row leaf the constraint cannot push past, so the
+    // hash build runs exactly once. At production scale the same cut
+    // is a reliable checkpoint / persisted hash table — pHash indexes
+    // are build-once artifacts anyway.
+    val allm = ph.unionByName(variants).localCheckpoint()
     val banded = allm.select(col("media_id"), col("phash"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"), shiftright(col("phash"), b * width).bitwiseAND(lit(mask)).as("key"))
