@@ -87,6 +87,75 @@ object Incremental {
       |SELECT doc_id, lang, source, n_chars FROM latest WHERE op = 'u'
       |ORDER BY doc_id""".stripMargin
 
+  /** Corpus snapshot diff — the data-versioning query behind every
+    * "what changed since the last crawl" audit: two snapshots compared
+    * by key and content fingerprint into added / removed / changed
+    * counts per source, plus total byte drift. The gate derives the
+    * "previous" snapshot deterministically (odd ids only, every 6th
+    * doc's text perturbed via its fingerprint) so all three diff
+    * classes are exercised. One full-outer join on doc_id; only
+    * (doc_id, 16-byte fp, n_chars) rows shuffle — text is reduced to
+    * its digest at the scan.
+    */
+  def snapshotDiff(t: Tables): DataFrame = {
+    def fingerprinted(df: DataFrame): DataFrame = df.select(
+      col("doc_id"), col("source"),
+      md5(TextAnalysis.normalizedText(col("text"))).as("fp"), col("n_chars"))
+    val current = fingerprinted(t.documents)
+    // previous snapshot: evens are new this crawl (absent before);
+    // every 6th odd doc re-crawled with different content (fp of the
+    // fp — deterministic, engine-portable); plus phantom docs at
+    // offset ids that this crawl no longer has (the removed class)
+    val previous = fingerprinted(t.documents)
+      .filter(col("doc_id") % 2 === 1)
+      .withColumn("fp", when(col("doc_id") % 6 === 3, md5(col("fp"))).otherwise(col("fp")))
+      .unionByName(fingerprinted(t.documents)
+        .filter(col("doc_id") % 40 === 1)
+        .withColumn("doc_id", col("doc_id") + 5000000L))
+    current.select(col("doc_id"), col("source").as("src_cur"), col("fp").as("fp_cur"),
+        col("n_chars").as("nc_cur"))
+      .join(previous.select(col("doc_id"), col("source").as("src_prev"),
+        col("fp").as("fp_prev"), col("n_chars").as("nc_prev")), Seq("doc_id"), "full_outer")
+      .select(coalesce(col("src_cur"), col("src_prev")).as("source"),
+        when(col("fp_prev").isNull, "added")
+          .when(col("fp_cur").isNull, "removed")
+          .when(col("fp_cur") =!= col("fp_prev"), "changed")
+          .otherwise("unchanged").as("change"),
+        coalesce(col("nc_cur"), lit(0L)).as("nc_cur"),
+        coalesce(col("nc_prev"), lit(0L)).as("nc_prev"))
+      .filter(col("change") =!= "unchanged")
+      .groupBy("source", "change")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nc_cur") - col("nc_prev")).as("byte_drift"))
+      .orderBy("source", "change")
+  }
+
+  val snapshotDiffSql: String =
+    """WITH cur AS (
+      |  SELECT doc_id, source,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp, n_chars
+      |  FROM documents
+      |), prev AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 6 = 3 THEN md5(fp) ELSE fp END AS fp, n_chars
+      |  FROM cur WHERE doc_id % 2 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 5000000, source, fp, n_chars
+      |  FROM cur WHERE doc_id % 40 = 1
+      |), diff AS (
+      |  SELECT coalesce(c.source, p.source) AS source,
+      |    CASE WHEN p.fp IS NULL THEN 'added'
+      |         WHEN c.fp IS NULL THEN 'removed'
+      |         WHEN c.fp <> p.fp THEN 'changed'
+      |         ELSE 'unchanged' END AS change,
+      |    coalesce(c.n_chars, 0) AS nc_cur, coalesce(p.n_chars, 0) AS nc_prev
+      |  FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id
+      |)
+      |SELECT source, change, count(*) AS n_docs,
+      |  CAST(sum(nc_cur - nc_prev) AS BIGINT) AS byte_drift
+      |FROM diff WHERE change <> 'unchanged'
+      |GROUP BY source, change ORDER BY source, change""".stripMargin
+
   /** Deterministic stratified sample: up to `n` docs per stratum
     * (source), chosen by md5-hash order so the pick is reproducible
     * across runs, engines and cluster sizes. Two phases so no stratum
