@@ -2,7 +2,7 @@ package graft
 import java.nio.file.{Files, Paths}
 import graft.operators._
 import graft.sources.Tables
-/** Writes docs/PLANS_r8.md — formatted-explain snapshots of the
+/** Writes docs/PLANS_r9.md — formatted-explain snapshots of the
   * headline queries, for plan-shape review without running anything.
   */
 object PlanDump {
@@ -29,7 +29,7 @@ object PlanDump {
         Similarity.quantize(t),
       "quality_unigram_lp (vocab broadcast join, two partial aggs)" ->
         TextAnalysis.unigramLogProb(t),
-      "corpus_curate (annotate once; digest-only shuffles; semi/anti joins)" ->
+      "corpus_curate (r9 form: span-cut stage — survivor-restricted window hashes, numeric token features, no text past any shuffle)" ->
         Curate.curate(t),
       "decontaminate (broadcast eval shingles; training text never shuffles)" ->
         Decontaminate.contaminationQuery(t),
@@ -82,9 +82,23 @@ object PlanDump {
       "profile_columns (ONE scan for all profiled columns; stack pivots the 1-row aggregate)" ->
         Relational4.profileColumns(t),
       "embed_semantic_prune (LSH candidates only; doc-level min-neighbor prune, no all-pairs)" ->
-        Similarity.semanticPrune(t))
+        Similarity.semanticPrune(t),
+      "merge_upsert (latest-wins as ONE max-struct aggregate — no window; anti join + union)" ->
+        Incremental.mergeUpsert(t),
+      "q_stratified_sample (broadcast per-stratum rates; only ~8n candidates reach the rank windows)" ->
+        Incremental.stratifiedSample(t),
+      "q_snapshot_diff (one full-outer join on doc_id; text reduced to md5 at the scan)" ->
+        Incremental.snapshotDiff(t),
+      "q_domain_drift (two word-keyed partial aggs + word join; totals broadcast)" ->
+        Curate.domainDrift(t),
+      "q_dedup_report (id/digest joins only; union-counted loser overlap)" ->
+        Curate.dedupReport(t),
+      "multimodal_phash_dedup (checkpointed 16-byte hash table; banded self-join; pigeonhole-exact Hamming<=3)" ->
+        graft.multimodal.Multimodal.phashDedupQuery(spark, "/root/testdata/sf0.001"),
+      "q_pagerank (per sweep: ranks-edges shuffle + map-side dst sum; lineage cut every 5 sweeps)" ->
+        Graph.pageRankQuery(t))
     val sb = new StringBuilder
-    sb.append("# Plan snapshots (round 8)\n\nGenerated by `graft.PlanDump` at sf0.001; ")
+    sb.append("# Plan snapshots (round 9)\n\nGenerated by `graft.PlanDump` at sf0.001; ")
     sb.append("`PlanAuditSpec` asserts these shapes stay true.\n")
     qs.foreach { case (title, df) =>
       sb.append(s"\n## $title\n\n```\n")
@@ -93,8 +107,8 @@ object PlanDump {
       sb.append("\n```\n")
     }
     Files.createDirectories(Paths.get("docs"))
-    Files.writeString(Paths.get("docs/PLANS_r8.md"), sb.toString)
-    println("wrote docs/PLANS_r8.md")
+    Files.writeString(Paths.get("docs/PLANS_r9.md"), sb.toString)
+    println("wrote docs/PLANS_r9.md")
     spark.stop()
   }
 }
