@@ -364,4 +364,36 @@ object Relational2 {
        |  FROM lineitem)
        |WHERE rank <= $k
        |ORDER BY l_returnflag, rank""".stripMargin
+
+  /** Top-k users by total event value per event_type — "top-n per
+    * group" as a real AGGREGATE ([[graft.functions.TopKPairsAggregate]]):
+    * bounded k-pair heap state, map-side combine ships ≤ k 16-byte
+    * pairs per partition per group, NO WindowExec and no per-group
+    * sort anywhere in the plan (spec-asserted). The per-(type, user)
+    * totals round to 2dp BEFORE ranking so tie-break order (score
+    * desc, user asc) is engine-portable; the DuckDB twin is the window
+    * form — the semantic spec this aggregate must match bit-for-bit.
+    */
+  def qTopKNative(t: Tables, k: Int = 5): DataFrame =
+    t.events.groupBy(col("event_type"), col("user_id"))
+      .agg(round(sum(col("value")), 2).as("total"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.TopKPairsAggregate.topkPairs(col("total"), col("user_id"), k).as("top"))
+      .select(col("event_type"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("event_type"), (col("i") + 1).cast("long").as("rank"),
+        col("p.id").as("user_id"), col("p.score").as("total"))
+      .orderBy("event_type", "rank")
+
+  def qTopKNativeSql(k: Int = 5): String =
+    s"""WITH totals AS (
+       |  SELECT event_type, user_id, round(sum(value), 2) AS total
+       |  FROM events GROUP BY 1, 2
+       |), r AS (
+       |  SELECT event_type, user_id, total,
+       |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY total DESC, user_id) AS BIGINT) AS rank
+       |  FROM totals
+       |)
+       |SELECT event_type, rank, user_id, total FROM r
+       |WHERE rank <= $k
+       |ORDER BY event_type, rank""".stripMargin
 }
