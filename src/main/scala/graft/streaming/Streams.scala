@@ -280,6 +280,56 @@ object Streams {
         } finally { keys.unpersist(); () }
     }
 
+  /** Seed the versioned snapshot store [[upsertSink]] maintains:
+    * writes the base table as version 0.
+    */
+  def seedSnapshot(base: DataFrame, snapshotDir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(snapshotDir)
+    val fs = path.getFileSystem(base.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) { fs.delete(path, true); () }
+    base.write.mode("overwrite").parquet(s"$snapshotDir/v=0")
+  }
+
+  /** One upsert-merge step: read the latest committed snapshot version
+    * ≤ `batchId`, apply the change batch latest-wins
+    * ([[graft.operators.Incremental.mergeUpsertOf]] — the same merge
+    * the batch operator gates), write version `batchId + 1` with
+    * mode=overwrite. Replay-safe the same way [[nearDupIngest]] is:
+    * a replayed batch re-reads its ORIGINAL input version (its own
+    * partially-written output version is excluded by the ≤ batchId
+    * bound) and overwrites its own output — identical state, no
+    * appends. Exposed separately from the stream wiring so the replay
+    * contract is directly spec-testable.
+    */
+  def upsertMergeStep(batch: DataFrame, snapshotDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val path = new org.apache.hadoop.fs.Path(snapshotDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.globStatus(new org.apache.hadoop.fs.Path(path, "v=*"))
+      .map(_.getPath.getName.drop(2).toLong).filter(_ <= batchId)
+    require(versions.nonEmpty, s"no committed snapshot version <= $batchId under $snapshotDir — seed it")
+    val current = spark.read.parquet(s"$snapshotDir/v=${versions.max}")
+    graft.operators.Incremental.mergeUpsertOf(current, batch)
+      .write.mode("overwrite").parquet(s"$snapshotDir/v=${batchId + 1}")
+  }
+
+  /** Streaming CDC upsert sink — the live half of the batch
+    * `merge_upsert` operator: each micro-batch of change rows
+    * (doc_id, seq, op, payload…) merges latest-wins into a versioned
+    * parquet snapshot inside foreachBatch. Version `n+1` is a pure
+    * function of version ≤ n and batch n, so crash/replay converges
+    * (see [[upsertMergeStep]]). Old versions are the time-travel /
+    * audit trail; a production deployment compacts them on a
+    * retention schedule (the same trade every lakehouse table format
+    * makes).
+    */
+  def upsertSink(changes: DataFrame, snapshotDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        upsertMergeStep(batch.toDF(), snapshotDir, batchId)
+    }
+
   /** Stream-static enrichment join: the live event stream joined to a
     * broadcast dimension snapshot (user → market segment), then a
     * watermarked windowed count per segment. Stream-static joins are

@@ -235,6 +235,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batchClosed, s"stream $got != batch grid (closed range) $batchClosed")
   }
 
+  test("streaming upsert sink: versioned snapshots converge to the batch merge; replay is idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("upsert_snap").toString + "/snap"
+    val base = Seq((1L, "en", "s0", 100L), (2L, "en", "s0", 200L), (3L, "fr", "s1", 300L))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    Streams.seedSnapshot(base, dir)
+    // batch 0: update 2, delete 3, insert 7; batch 1: resurrect 3,
+    // delete 7, update 2 AGAIN (seq must win over batch 0's)
+    val b0 = Seq((2L, 1L, "u", "en", "s0", 250L), (3L, 2L, "d", "fr", "s1", 0L),
+      (7L, 3L, "u", "de", "s2", 700L))
+    val b1 = Seq((3L, 4L, "u", "fr", "s1", 333L), (7L, 5L, "d", "de", "s2", 0L),
+      (2L, 6L, "u", "en", "s0", 275L))
+    val mem = MemoryStream[(Long, Long, String, String, String, Long)]
+    val changes = mem.toDF().toDF("doc_id", "seq", "op", "lang", "source", "n_chars")
+    val q = Streams.upsertSink(changes, dir).start()
+    try {
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    def snap(v: Long): Set[(Long, String, String, Long)] =
+      spark.read.parquet(s"$dir/v=$v").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    val got = snap(2)
+    // the batch twin over the full change log
+    val all = (b0 ++ b1).toDF("doc_id", "seq", "op", "lang", "source", "n_chars")
+    val want = graft.operators.Incremental.mergeUpsertOf(base, all).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == want, s"stream snapshot $got != batch merge $want")
+    assert(got == Set((1L, "en", "s0", 100L), (2L, "en", "s0", 275L), (3L, "fr", "s1", 333L)))
+    // replay batch 1 (crash-after-partial-write): identical state back
+    Streams.upsertMergeStep(all.filter(col("seq") >= 4), dir, 1L)
+    assert(snap(2) == got, "replayed batch changed the snapshot")
+  }
+
   test("bounded ingest dedup: re-crawls drop within the horizon, state evicts past it") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
