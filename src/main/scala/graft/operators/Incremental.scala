@@ -87,6 +87,102 @@ object Incremental {
       |SELECT doc_id, lang, source, n_chars FROM latest WHERE op = 'u'
       |ORDER BY doc_id""".stripMargin
 
+  /** Right-to-be-forgotten purge audit: given a deletion cohort (the
+    * gate derives it deterministically — every 13th customer), count
+    * the rows each table would lose, including the rows reached only
+    * THROUGH another table (lineitems of the purged customers'
+    * orders — the cascade a compliance pipeline must follow). Counts,
+    * not the deletes themselves: the report is the audit artifact; the
+    * deletes are `left_anti` joins with exactly these shapes. Scale:
+    * the cohort is an id list (broadcast against customer; the
+    * orders/lineitem probes are key joins), rows never widen.
+    */
+  def purgeUser(t: Tables): DataFrame = {
+    val cohort = t.customer.filter(col("c_custkey") % 13 === 0)
+      .select(col("c_custkey").as("k"))
+    val custRows = t.customer.join(cohort, col("c_custkey") === col("k"), "left_semi")
+      .agg(count(lit(1)).as("n_rows")).select(lit("customer").as("table"), col("n_rows"))
+    val orderRows = t.orders.join(cohort, col("o_custkey") === col("k"), "left_semi")
+      .agg(count(lit(1)).as("n_rows")).select(lit("orders").as("table"), col("n_rows"))
+    val lineRows = t.lineitem.join(
+        t.orders.join(cohort, col("o_custkey") === col("k"), "left_semi")
+          .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .agg(count(lit(1)).as("n_rows")).select(lit("lineitem").as("table"), col("n_rows"))
+    val evRows = t.events.join(cohort, col("user_id") === col("k"), "left_semi")
+      .agg(count(lit(1)).as("n_rows")).select(lit("events").as("table"), col("n_rows"))
+    custRows.unionByName(orderRows).unionByName(lineRows).unionByName(evRows)
+      .orderBy("table")
+  }
+
+  val purgeUserSql: String =
+    """WITH cohort AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 13 = 0),
+      |po AS (SELECT o_orderkey FROM orders SEMI JOIN cohort ON o_custkey = k)
+      |SELECT 'customer' AS "table", count(*) AS n_rows FROM customer SEMI JOIN cohort ON c_custkey = k
+      |UNION ALL
+      |SELECT 'orders', count(*) FROM orders SEMI JOIN cohort ON o_custkey = k
+      |UNION ALL
+      |SELECT 'lineitem', count(*) FROM lineitem SEMI JOIN po ON l_orderkey = o_orderkey
+      |UNION ALL
+      |SELECT 'events', count(*) FROM events SEMI JOIN cohort ON user_id = k
+      |ORDER BY "table"""".stripMargin
+
+  /** Declarative data-quality expectations (the Deequ/Great-
+    * Expectations shape): each constraint evaluates to a measured
+    * metric and a pass flag IN ONE map-side-combined aggregate pass
+    * over the table — violations never materialize, nothing but the
+    * final constraint rows leaves the executors. The suite here pins
+    * the documents table's contract: completeness (no null text/
+    * source), uniqueness of doc_id, n_chars consistency with the
+    * text column, and a bounded lang domain.
+    */
+  def expectations(t: Tables): DataFrame = {
+    val d = t.documents
+    val agg = d.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("text").isNull || col("source").isNull, 1L).otherwise(0L)).as("null_rows"),
+      countDistinct(col("doc_id")).as("distinct_ids"),
+      sum(when(length(col("text")) =!= col("n_chars"), 1L).otherwise(0L)).as("bad_len"),
+      sum(when(!col("lang").isin("en", "fr", "es", "de", "zh", "ar"), 1L).otherwise(0L))
+        .as("bad_lang"))
+    agg.select(
+      array(
+        struct(lit("completeness_text_source").as("constraint"),
+          col("null_rows").cast("double").as("metric"),
+          (col("null_rows") === 0).as("pass")),
+        struct(lit("uniqueness_doc_id").as("constraint"),
+          col("distinct_ids").cast("double").as("metric"),
+          (col("distinct_ids") === col("n")).as("pass")),
+        struct(lit("consistency_n_chars").as("constraint"),
+          col("bad_len").cast("double").as("metric"),
+          (col("bad_len") === 0).as("pass")),
+        struct(lit("domain_lang").as("constraint"),
+          col("bad_lang").cast("double").as("metric"),
+          (col("bad_lang") === 0).as("pass"))).as("cs"))
+      .select(explode(col("cs")).as("c"))
+      .select(col("c.constraint").as("constraint"), col("c.metric").as("metric"),
+        col("c.pass").as("pass"))
+      .orderBy("constraint")
+  }
+
+  val expectationsSql: String =
+    """WITH a AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(CASE WHEN text IS NULL OR source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_rows,
+      |    count(DISTINCT doc_id) AS distinct_ids,
+      |    CAST(sum(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END) AS BIGINT) AS bad_len,
+      |    CAST(sum(CASE WHEN lang NOT IN ('en','fr','es','de','zh','ar') THEN 1 ELSE 0 END) AS BIGINT) AS bad_lang
+      |  FROM documents
+      |)
+      |SELECT 'completeness_text_source' AS "constraint", CAST(null_rows AS DOUBLE) AS metric, null_rows = 0 AS pass FROM a
+      |UNION ALL
+      |SELECT 'uniqueness_doc_id', CAST(distinct_ids AS DOUBLE), distinct_ids = n FROM a
+      |UNION ALL
+      |SELECT 'consistency_n_chars', CAST(bad_len AS DOUBLE), bad_len = 0 FROM a
+      |UNION ALL
+      |SELECT 'domain_lang', CAST(bad_lang AS DOUBLE), bad_lang = 0 FROM a
+      |ORDER BY "constraint"""".stripMargin
+
   /** Corpus snapshot diff — the data-versioning query behind every
     * "what changed since the last crawl" audit: two snapshots compared
     * by key and content fingerprint into added / removed / changed
