@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Bpe, Incremental}
+import graft.sources.Tables
+
+/** Unit semantics for the round-9 incremental/tokenizer operators —
+  * the hash gate proves engine parity on derived data; these pin the
+  * SEMANTICS on hand-built cases.
+  */
+class IncrementalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("mergeUpsertOf: insert, update, delete, and later-seq override") {
+    val base = Seq((1L, "en", "s", 10L), (2L, "en", "s", 20L), (3L, "en", "s", 30L))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val changes = Seq(
+      (2L, 1L, "u", "en", "s", 21L),  // update
+      (3L, 1L, "d", "en", "s", 0L),   // delete
+      (4L, 1L, "u", "de", "s", 40L),  // insert (not in base)
+      (4L, 2L, "d", "de", "s", 0L),   // ...then deleted in the same log
+      (5L, 1L, "d", "fr", "s", 0L),   // delete of a key base never had
+      (5L, 2L, "u", "fr", "s", 50L))  // ...resurrected by a later seq
+      .toDF("doc_id", "seq", "op", "lang", "source", "n_chars")
+    val got = Incremental.mergeUpsertOf(base, changes).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toList
+    assert(got == List((1L, 10L), (2L, 21L), (5L, 50L)))
+  }
+
+  test("bpeTrain: the classic low/lower/newest corpus learns the hand-derived merge table") {
+    // 5x "low", 2x "lower", 6x "newest". Round 1: (w,e) = 2 (lower) +
+    // 6 (newest) = 8 — the max. Round 2: (l,o) = 7. Round 3: all the
+    // newest-family pairs sit at 6; lexicographic tie-break picks
+    // (e,we) ("e" < "n" < "s" < "we"). Round 4: after e+we → ewe,
+    // (ewe,s) wins the 6-tie the same way.
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++ Seq.fill(6)("newest")).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    Seq((1L, text)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val merges = Bpe.bpeTrain(Tables(spark, dir), merges = 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toList
+    assert(merges == List(
+      (1L, "w", "e", 8L),
+      (2L, "l", "o", 7L),
+      (3L, "e", "we", 6L),
+      (4L, "ewe", "s", 6L)), merges.toString)
+  }
+
+  test("stratifiedSample: never more than n per stratum; deterministic across runs") {
+    val t = Tables(spark, TestSpark.sf)
+    val a = Incremental.stratifiedSample(t, n = 7).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val b = Incremental.stratifiedSample(t, n = 7).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(a.toList == b.toList)
+    val perStratum = a.groupBy(_._1).view.mapValues(_.length)
+    assert(perStratum.values.forall(_ <= 7), perStratum.toMap.toString)
+    // ranks contiguous from 1 within each stratum
+    a.groupBy(_._1).foreach { case (s, rows) =>
+      assert(rows.map(_._2).sorted.toList == (1L to rows.length).toList, s)
+    }
+  }
+
+  test("expectations: violations actually flip pass flags") {
+    val dir = java.nio.file.Files.createTempDirectory("expect").toString
+    Seq(
+      (1L, "hello there", "en", "s0", 11L),
+      (1L, "dup id", "en", "s0", 6L),        // uniqueness violation
+      (2L, null.asInstanceOf[String], "xx", "s1", 0L)) // null text + bad lang
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Incremental.expectations(Tables(spark, dir)).collect()
+      .map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(!got("completeness_text_source"))
+    assert(!got("uniqueness_doc_id"))
+    assert(!got("domain_lang"))
+    assert(got("consistency_n_chars"), got.toString) // the two non-null rows are consistent
+  }
+}
