@@ -261,6 +261,82 @@ object Similarity {
           .cast("long").as("q"))
       .orderBy("vec_id", "i")
 
+  /** Two-stage scalar-quantized search (the SQ complement of
+    * [[ivfPqTopK]]'s PQ path): the corpus is scanned through its int8
+    * DEQUANTIZED form (1 byte/dim storage, the 4× I/O saving that
+    * makes a full-scan shortlist affordable at scale), the approximate
+    * cosine ranks a `shortlistFactor`·k shortlist, and only the
+    * shortlist pays the exact re-rank against full-precision vectors.
+    * Approx scores round to 6dp before ranking (ties → vec_id) so the
+    * shortlist is engine-portable; the dequantization formula
+    * (lo + q·(hi−lo)/255) is evaluated identically by both engines.
+    */
+  def sqTopK(t: Tables, nQueries: Int = 10, k: Int = 5, shortlistFactor: Int = 4): DataFrame = {
+    val emb = t.embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("lo", array_min(col("v")))
+      .withColumn("hi", array_max(col("v")))
+    val corpus = emb.withColumn("dv",
+      transform(col("v"), x =>
+        when(col("hi") === col("lo"), col("lo"))
+          .otherwise(col("lo") +
+            floor((x - col("lo")) * 255.0 / (col("hi") - col("lo"))) * (col("hi") - col("lo")) / 255.0)))
+      .select(col("vec_id"), col("v"), col("dv"),
+        VectorFunctions.l2norm(col("dv")).as("dnrm"),
+        VectorFunctions.l2norm(col("v")).as("nrm"))
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val wShort = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("vec_id"))
+    val short = corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("v"), col("nrm"), col("qv"), col("qnrm"),
+        round(VectorFunctions.dot(col("dv"), col("qv")) / (col("dnrm") * col("qnrm")), 6)
+          .as("approx"))
+      .withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= shortlistFactor * k)
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    short
+      .select(col("query_id"), col("vec_id"),
+        round(VectorFunctions.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(wCos).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  def sqTopKSql(nQueries: Int = 10, k: Int = 5, shortlistFactor: Int = 4): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    list_min(embedding::DOUBLE[]) AS lo, list_max(embedding::DOUBLE[]) AS hi
+       |  FROM embeddings
+       |), dq AS (
+       |  SELECT vec_id, v,
+       |    list_transform(v, x -> CASE WHEN hi = lo THEN lo
+       |      ELSE lo + floor((x - lo) * 255.0 / (hi - lo)) * (hi - lo) / 255.0 END) AS dv
+       |  FROM e
+       |), q AS (
+       |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQueries
+       |), approx AS (
+       |  SELECT q.query_id, d.vec_id, d.v,
+       |    round(list_cosine_similarity(d.dv, q.qv), 6) AS approx
+       |  FROM dq d CROSS JOIN q
+       |  WHERE d.vec_id <> q.query_id
+       |), short AS (
+       |  SELECT query_id, vec_id, v FROM (
+       |    SELECT query_id, vec_id, v,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY approx DESC, vec_id) AS srank
+       |    FROM approx)
+       |  WHERE srank <= ${shortlistFactor * k}
+       |)
+       |SELECT query_id, vec_id, cos_sim, rank FROM (
+       |  SELECT s.query_id, s.vec_id,
+       |    round(list_cosine_similarity(s.v, q.qv), 6) AS cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY s.query_id
+       |      ORDER BY round(list_cosine_similarity(s.v, q.qv), 6) DESC, s.vec_id) AS BIGINT) AS rank
+       |  FROM short s JOIN q ON q.query_id = s.query_id)
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
   val quantizeSql: String =
     """WITH e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -71,6 +71,11 @@ class ClusteredRecallSpec extends AnyFunSuite {
     assert(rIvfLabel >= 0.95, s"label-cell ivf recall $rIvfLabel < 0.95")
   }
 
+  test("sq two-stage search: int8 shortlist loses almost nothing — recall >= 0.9 clustered") {
+    val r = recall(Similarity.sqTopK(t))
+    assert(r >= 0.9, s"embed_sq_topk recall $r < 0.9 — scalar quantization should barely lose precision")
+  }
+
   test("ivf_pq residual quantization keeps recall >= 0.6 (raw-vector PQ collapses to ~0.08)") {
     // floor re-pinned for the r9 production defaults (m=8/kCode=64,
     // measured 0.68 in PERF_r8.md); the old m=4/kCode=16 point sat at 0.40
