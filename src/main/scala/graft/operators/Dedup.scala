@@ -283,6 +283,59 @@ object Dedup {
     * prev start + k) merge: their token ranges overlap or abut, so
     * the duplicated text is one unbroken span.
     */
+  /** MinHash-LSH band planner: for a `k`-hash signature, every
+    * (bands, rowsPerBand) factorization evaluated on the S-curve
+    * P(collide | J=s) = 1 − (1 − s^r)^b at the target similarity and
+    * at the false-positive reference point — the table an operator of
+    * [[minhashLshPairs]] reads to pick parameters instead of
+    * folklore. Pure per-row math over ≤ log₂k rows; `pick = true`
+    * marks the factorization maximizing recall(τ) − fp(τ_low) (ties →
+    * more rows per band, i.e. the cheaper candidate set).
+    */
+  def lshBandPlan(k: Int = 128, tau: Double = 0.7, tauLow: Double = 0.3): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val base = (1 to k).filter(k % _ == 0)
+      .map(r => ((k / r).toLong, r.toLong))
+      .toDF("bands", "rows_per_band")
+    def sCurve(s: Double) =
+      round(lit(1.0) - pow(lit(1.0) - pow(lit(s), col("rows_per_band").cast("double")),
+        col("bands").cast("double")), 6)
+    val planned = base
+      .withColumn("recall_at_tau", sCurve(tau))
+      .withColumn("fp_at_low", sCurve(tauLow))
+      .withColumn("quality", round(col("recall_at_tau") - col("fp_at_low"), 6))
+    val best = planned.agg(max(struct(col("quality"), col("rows_per_band"))).as("m"))
+      .select(col("m.quality").as("bq"), col("m.rows_per_band").as("br"))
+    planned.crossJoin(broadcast(best))
+      .withColumn("pick", col("quality") === col("bq") && col("rows_per_band") === col("br"))
+      .select("bands", "rows_per_band", "recall_at_tau", "fp_at_low", "quality", "pick")
+      .orderBy("rows_per_band")
+  }
+
+  def lshBandPlanSql(k: Int = 128, tau: Double = 0.7, tauLow: Double = 0.3): String = {
+    val divisors = (1 to k).filter(k % _ == 0)
+      .map(r => s"(${(k / r).toLong}, ${r.toLong})").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT CAST(b AS BIGINT) AS bands, CAST(r AS BIGINT) AS rows_per_band
+       |  FROM (VALUES $divisors) t(b, r)
+       |), planned AS (
+       |  SELECT bands, rows_per_band,
+       |    round(1.0 - pow(1.0 - pow($tau, CAST(rows_per_band AS DOUBLE)), CAST(bands AS DOUBLE)), 6) AS recall_at_tau,
+       |    round(1.0 - pow(1.0 - pow($tauLow, CAST(rows_per_band AS DOUBLE)), CAST(bands AS DOUBLE)), 6) AS fp_at_low
+       |  FROM base
+       |), q AS (
+       |  SELECT *, round(recall_at_tau - fp_at_low, 6) AS quality FROM planned
+       |), best AS (
+       |  SELECT quality AS bq, rows_per_band AS br FROM q
+       |  ORDER BY quality DESC, rows_per_band DESC LIMIT 1
+       |)
+       |SELECT bands, rows_per_band, recall_at_tau, fp_at_low, quality,
+       |  quality = bq AND rows_per_band = br AS pick
+       |FROM q CROSS JOIN best
+       |ORDER BY rows_per_band""".stripMargin
+  }
+
   /** The rolling-window table [[substringSpansOf]] is built on:
     * (doc_id, start, 8-byte win_hash), one row per overlapping k-word
     * window — text is dropped at the scan, so any downstream
