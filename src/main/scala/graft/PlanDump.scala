@@ -96,7 +96,13 @@ object PlanDump {
       "multimodal_phash_dedup (checkpointed 16-byte hash table; banded self-join; pigeonhole-exact Hamming<=3)" ->
         graft.multimodal.Multimodal.phashDedupQuery(spark, "/root/testdata/sf0.001"),
       "q_pagerank (per sweep: ranks-edges shuffle + map-side dst sum; lineage cut every 5 sweeps)" ->
-        Graph.pageRankQuery(t))
+        Graph.pageRankQuery(t),
+      "embed_sq_topk (int8-dequantized scan shortlist, exact re-rank only for 4k rows)" ->
+        Similarity.sqTopK(t),
+      "q_topk_native (TopKPairsAggregate: bounded-heap grouped top-k, NO WindowExec)" ->
+        Relational2.qTopKNative(t),
+      "q_expectations (four constraints in ONE map-side-combined aggregate pass)" ->
+        Incremental.expectations(t))
     val sb = new StringBuilder
     sb.append("# Plan snapshots (round 9)\n\nGenerated by `graft.PlanDump` at sf0.001; ")
     sb.append("`PlanAuditSpec` asserts these shapes stay true.\n")
