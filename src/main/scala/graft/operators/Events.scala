@@ -328,6 +328,44 @@ object Events {
       |FROM credited GROUP BY channel, model
       |ORDER BY model, channel""".stripMargin
 
+  /** Path analysis: the most common 3-step event sequences across all
+    * user streams — the "how do users actually move" query behind
+    * funnel design. Two `lead`s over the per-user ordered stream
+    * (per-user window state only, same partitioning the sessionizer
+    * uses — one user_id shuffle serves both leads), then a
+    * map-side-combined count over ≤ |event types|³ path keys and a
+    * TakeOrdered top-k. Deterministic: (ts, event_id) orders ties,
+    * (n desc, steps) orders the result.
+    */
+  def pathAnalysisOf(events: DataFrame, topK: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("step2", lead(col("event_type"), 1).over(w))
+      .withColumn("step3", lead(col("event_type"), 2).over(w))
+      .filter(col("step2").isNotNull && col("step3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("step2"), col("step3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("step1"), col("step2"), col("step3"))
+      .limit(topK)
+  }
+
+  def pathAnalysis(t: Tables, topK: Int = 20): DataFrame = pathAnalysisOf(t.events, topK)
+
+  def pathAnalysisSql(topK: Int = 20): String =
+    s"""WITH steps AS (
+       |  SELECT event_type AS step1,
+       |    lead(event_type, 1) OVER w AS step2,
+       |    lead(event_type, 2) OVER w AS step3
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |)
+       |SELECT step1, step2, step3, count(*) AS n_paths
+       |FROM steps WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+       |GROUP BY 1, 2, 3
+       |ORDER BY n_paths DESC, step1, step2, step3
+       |LIMIT $topK""".stripMargin
+
   def anomaliesSql(k: Double = 3.0): String =
     s"""$denseCte, stats AS (
        |  SELECT event_type, avg(n_events) AS mu, stddev_samp(n_events) AS sd
