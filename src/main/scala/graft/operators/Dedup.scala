@@ -283,6 +283,31 @@ object Dedup {
     * prev start + k) merge: their token ranges overlap or abut, so
     * the duplicated text is one unbroken span.
     */
+  /** Near-dup cluster size histogram: how many clusters of each size
+    * the connected-components pass produced — the one-glance dedup
+    * shape report (a long tail of pairs is normal; a giant component
+    * usually means boilerplate gluing unrelated docs together, the
+    * known failure mode of transitive-closure dedup). Two map-side-
+    * combined aggregates over the (doc, label) table; rows shrink at
+    * every step.
+    */
+  def clusterSizeStats(t: Tables, n: Int = 3, threshold: Double = 0.6): DataFrame =
+    nearDupClustersQuery(t, n, threshold)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+
+  def clusterSizeStatsSql(n: Int = 3, threshold: Double = 0.6): String =
+    s"""WITH clusters AS (
+       |${nearDupClustersSql(n, threshold)}
+       |), sizes AS (
+       |  SELECT label, count(*) AS cluster_size FROM clusters GROUP BY label
+       |)
+       |SELECT cluster_size, count(*) AS n_clusters
+       |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
   /** MinHash-LSH band planner: for a `k`-hash signature, every
     * (bands, rowsPerBand) factorization evaluated on the S-curve
     * P(collide | J=s) = 1 − (1 − s^r)^b at the target similarity and

@@ -366,6 +366,35 @@ object Events {
        |ORDER BY n_paths DESC, step1, step2, step3
        |LIMIT $topK""".stripMargin
 
+  /** Daily/weekly active users + stickiness (DAU/WAU) — the canonical
+    * engagement series. One scan; two distinct-count aggregates (user
+    * ids shuffle once per grain, weeks are Monday-truncated on both
+    * engines); the week table is tiny and joins broadcast.
+    */
+  def dauWauOf(events: DataFrame): DataFrame = {
+    val ev = events.select(to_date(col("ts")).as("day"),
+      date_trunc("week", col("ts")).cast("date").as("week"), col("user_id"))
+    val dau = ev.groupBy("day", "week").agg(countDistinct(col("user_id")).as("dau"))
+    val wau = ev.groupBy("week").agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(broadcast(wau), "week")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+      .orderBy("day")
+  }
+
+  def dauWau(t: Tables): DataFrame = dauWauOf(t.events)
+
+  val dauWauSql: String =
+    """WITH ev AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(date_trunc('week', ts) AS DATE) AS week, user_id
+      |  FROM events
+      |), dau AS (SELECT day, week, count(DISTINCT user_id) AS dau FROM ev GROUP BY 1, 2),
+      |wau AS (SELECT week, count(DISTINCT user_id) AS wau FROM ev GROUP BY 1)
+      |SELECT day, dau.dau AS dau, wau.wau AS wau,
+      |  round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+      |FROM dau JOIN wau ON dau.week = wau.week
+      |ORDER BY day""".stripMargin
+
   def anomaliesSql(k: Double = 3.0): String =
     s"""$denseCte, stats AS (
        |  SELECT event_type, avg(n_events) AS mu, stddev_samp(n_events) AS sd
