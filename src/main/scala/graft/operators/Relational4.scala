@@ -15,6 +15,60 @@ import graft.sources.Tables
   */
 object Relational4 {
 
+  /** Market-basket co-purchase lift: part pairs appearing in the same
+    * order, scored lift = P(a,b) / (P(a)·P(b)) — the classic
+    * association query. The pair self-join is keyed on l_orderkey and
+    * BOUNDED: baskets hold ~4-7 items, so pairs per order are ~n²/2 of
+    * a small n, never corpus². Margins are one aggregate; the 1-row
+    * order count broadcasts; parts-per-pair dedups inside the order
+    * first (quantity repeats must not double-count a basket). Only
+    * (orderkey, partkey) pairs shuffle. Top-k by (lift, pair) is a
+    * TakeOrdered. Probabilities round to 9dp before the lift ratio so
+    * the division is engine-portable; lift rounds to 6dp.
+    */
+  def qMarketBasket(t: Tables, minCo: Long = 3, topK: Int = 25): DataFrame = {
+    val items = t.lineitem.select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+    val nOrders = t.orders.agg(countDistinct(col("o_orderkey")).cast("double").as("n"))
+    val freq = items.groupBy("part").agg(count(lit(1)).as("n_part"))
+    val a = items.select(col("okey"), col("part").as("part_a"))
+    val b = items.select(col("okey"), col("part").as("part_b"))
+    val co = a.join(b, Seq("okey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= minCo)
+    co
+      .join(freq.select(col("part").as("part_a"), col("n_part").as("n_a")), Seq("part_a"))
+      .join(freq.select(col("part").as("part_b"), col("n_part").as("n_b")), Seq("part_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("n_co"),
+        round(round(col("n_co") / col("n"), 9) /
+          (round(col("n_a") / col("n"), 9) * round(col("n_b") / col("n"), 9)), 6).as("lift"))
+      .orderBy(col("lift").desc, col("part_a"), col("part_b"))
+      .limit(topK)
+  }
+
+  def qMarketBasketSql(minCo: Long = 3, topK: Int = 25): String =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+       |), n AS (SELECT CAST(count(DISTINCT o_orderkey) AS DOUBLE) AS n FROM orders),
+       |freq AS (SELECT part, count(*) AS n_part FROM items GROUP BY part),
+       |co AS (
+       |  SELECT a.part AS part_a, b.part AS part_b, count(*) AS n_co
+       |  FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+       |  GROUP BY 1, 2 HAVING count(*) >= $minCo
+       |)
+       |SELECT part_a, part_b, n_co,
+       |  round(round(n_co / n.n, 9) /
+       |    (round(fa.n_part / n.n, 9) * round(fb.n_part / n.n, 9)), 6) AS lift
+       |FROM co
+       |JOIN freq fa ON fa.part = co.part_a
+       |JOIN freq fb ON fb.part = co.part_b
+       |CROSS JOIN n
+       |ORDER BY lift DESC, part_a, part_b
+       |LIMIT $topK""".stripMargin
+
   /** TPC-H Q12 shape: two-way conditional counts per line status over
     * the orders⋈lineitem join (the original buckets shipmodes by
     * late-commit; this schema buckets return flags by order priority —

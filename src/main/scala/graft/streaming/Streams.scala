@@ -280,6 +280,22 @@ object Streams {
         } finally { keys.unpersist(); () }
     }
 
+  /** Streaming daily-active-users: watermarked daily tumbling window
+    * with `approx_count_distinct(user_id)` — HLL sketch state, so the
+    * per-day memory is FIXED regardless of how many distinct users a
+    * day brings (an exact streaming distinct would hold every id until
+    * the watermark passes — the state that kills the job at 100 TB/
+    * day). Register-max merges are associative and commutative, so the
+    * streaming estimate is bit-identical to the batch twin over the
+    * same data (spec-pinned), and closed days emit exactly once.
+    */
+  def dauStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "25 hours")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_dau"))
+      .select(col("w.start").cast("date").as("day"), col("approx_dau"))
+
   /** Seed the versioned snapshot store [[upsertSink]] maintains:
     * writes the base table as version 0.
     */

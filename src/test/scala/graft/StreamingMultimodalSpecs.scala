@@ -235,6 +235,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batchClosed, s"stream $got != batch grid (closed range) $batchClosed")
   }
 
+  test("streaming DAU: sketch state matches the batch twin exactly; estimate near exact") {
+    val ev = Streams.eventsStream(spark, TestSpark.sf)
+    Streams.runToMemory(Streams.dauStream(ev), "dau_out")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(java.sql.Date, Long)] =
+      df.collect().map(r => (r.getDate(0), r.getLong(1))).toSet
+    val got = rows(spark.table("dau_out"))
+    val batch = graft.sources.Tables(spark, TestSpark.sf).events
+    val want = rows(batch
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_dau"))
+      .select(col("w.start").cast("date").as("day"), col("approx_dau")))
+    // the 25h-watermark tail (the last day or two) stays open in the
+    // stream — append mode only emits CLOSED days; every closed day's
+    // sketch estimate must be bit-identical to the batch twin's
+    val wantClosed = want.filter { case (d, _) => got.exists(_._1 == d) }
+    assert(got == wantClosed, s"stream $got != batch (closed days) $wantClosed")
+    assert(got.nonEmpty)
+    assert((want.size - got.size) <= 2, s"more than the tail withheld: ${want.size - got.size}")
+    // HLL default rsd 5%: each day's estimate must sit near the exact count
+    val exact = batch.groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("dau")).collect()
+      .map(r => r.getDate(0) -> r.getLong(1)).toMap
+    got.foreach { case (day, est) =>
+      val ex = exact(day).toDouble
+      assert(math.abs(est - ex) / ex <= 0.15, s"$day: est $est vs exact $ex")
+    }
+  }
+
   test("streaming upsert sink: versioned snapshots converge to the batch merge; replay is idempotent") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
