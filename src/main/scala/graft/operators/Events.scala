@@ -366,6 +366,26 @@ object Events {
        |ORDER BY n_paths DESC, step1, step2, step3
        |LIMIT $topK""".stripMargin
 
+  /** Seasonality profile: the hour-of-day × day-of-week activity grid
+    * (+ mean value) behind every traffic heatmap and staffing/capacity
+    * model. One scan, one ≤168-group map-side-combined aggregate.
+    */
+  def seasonalityOf(events: DataFrame): DataFrame =
+    events
+      .groupBy(dayofweek(col("ts")).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hour_of_day"))
+      .agg(count(lit(1)).as("n_events"), round(avg(col("value")), 4).as("avg_value"))
+      .orderBy("dow", "hour_of_day")
+
+  def seasonality(t: Tables): DataFrame = seasonalityOf(t.events)
+
+  val seasonalitySql: String =
+    """SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+      |  CAST(hour(ts) AS BIGINT) AS hour_of_day,
+      |  count(*) AS n_events, round(avg(value), 4) AS avg_value
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY dow, hour_of_day""".stripMargin
+
   /** Daily/weekly active users + stickiness (DAU/WAU) — the canonical
     * engagement series. One scan; two distinct-count aggregates (user
     * ids shuffle once per grain, weeks are Monday-truncated on both
