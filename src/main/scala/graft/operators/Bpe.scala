@@ -107,4 +107,65 @@ object Bpe {
       .mkString("\nUNION ALL\n")
     s"$base,\n$rounds\n$sel\nORDER BY rank"
   }
+
+  /** A fixed merge table for the cross-engine encode gate: the learned
+    * table from [[bpeTrain]] is data-dependent (can't be inlined into
+    * a static oracle), so the GATE encodes with known literals and the
+    * spec wires the trained table through the same fold.
+    */
+  val defaultMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("o", "r"))
+
+  /** Apply a BPE merge table — tokenize the corpus under a trained
+    * tokenizer and report per-doc token counts (the sizing pass that
+    * prices a corpus in tokens before a training run). The classic
+    * encoder loops over every token of every document; here merges
+    * apply in rank order as literal replaces (identical semantics to
+    * [[bpeTrain]]'s rewrite step) on the per-(doc, word) symbol
+    * string — one evaluation per DISTINCT word of a doc, not per
+    * token occurrence, and no word-keyed re-shuffle (recomputing the
+    * cheap codegen'd fold beats joining a vocab table back). Only
+    * (doc, word, count) rows shuffle; no UDF anywhere.
+    */
+  def bpeEncodeOf(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+    val dw = toks.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+    val sym0 = concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "))
+    val folded = merges.foldLeft(sym0) { case (s, (a, b)) =>
+      replace(s, lit(s" $a $b "), lit(s" ${a + b} "))
+    }
+    val enc = dw.select(col("doc_id"), col("c"),
+      size(split(trim(folded), " ")).cast("long").as("n_sym"))
+    enc.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * col("n_sym")).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double") / col("n_words"), 6).as("tokens_per_word"))
+      .orderBy("doc_id")
+  }
+
+  def bpeEncode(t: Tables): DataFrame = bpeEncodeOf(t.documents, defaultMerges)
+
+  def bpeEncodeSql(merges: Seq[(String, String)] = defaultMerges): String = {
+    val folded = merges.foldLeft("' ' || regexp_replace(word, '(.)', '\\1 ', 'g')") {
+      case (s, (a, b)) => s"replace($s, ' $a $b ', ' ${a + b} ')"
+    }
+    s"""WITH toks AS (
+       |  SELECT doc_id, lower(trim(w)) AS word
+       |  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents)
+       |  WHERE lower(trim(w)) <> ''
+       |), dw AS (SELECT doc_id, word, count(*) AS c FROM toks GROUP BY 1, 2),
+       |enc AS (
+       |  SELECT doc_id, c,
+       |    len(regexp_split_to_array(trim($folded), ' ')) AS n_sym
+       |  FROM dw
+       |)
+       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+       |  CAST(sum(c * n_sym) AS BIGINT) AS n_bpe_tokens,
+       |  round(CAST(sum(c * n_sym) AS DOUBLE) / sum(c), 6) AS tokens_per_word
+       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 }

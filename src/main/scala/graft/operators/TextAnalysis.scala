@@ -689,4 +689,46 @@ object TextAnalysis {
   val fingerprintSql: String =
     """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Per-source lexical-diversity profile: unigram Shannon entropy
+    * (nats), type-token ratio and hapax fraction — the monitoring
+    * triple that flags a source gone templated/spammy (entropy and TTR
+    * collapse) before it poisons the mix; the drift twin of
+    * [[graft.operators.Curate.domainDrift]]'s KL. Shape: one
+    * (source, word) map-side-combined count, then a per-source
+    * aggregate over the vocab rows — entropy via the identity
+    * H = ln N − (Σ c·ln c)/N, so no per-row probability join; only
+    * (word, count) pairs shuffle.
+    */
+  def sourceEntropyOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), explode(toks(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * log(col("c"))).as("_clnc"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        round(log(col("n_tokens")) - col("_clnc") / col("n_tokens"), 6).as("entropy_nats"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("type_token_ratio"),
+        round(col("_hapax").cast("double") / col("n_types"), 6).as("hapax_fraction"))
+      .orderBy("source")
+
+  def sourceEntropy(t: Tables): DataFrame = sourceEntropyOf(t.documents)
+
+  val sourceEntropySql: String =
+    """WITH toks AS (
+      |  SELECT source, lower(trim(w)) AS word
+      |  FROM (SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents)
+      |  WHERE lower(trim(w)) <> ''
+      |), wc AS (SELECT source, word, count(*) AS c FROM toks GROUP BY 1, 2)
+      |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
+      |  round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy_nats,
+      |  round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS type_token_ratio,
+      |  round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+      |    AS hapax_fraction
+      |FROM wc GROUP BY source ORDER BY source""".stripMargin
 }
