@@ -625,6 +625,31 @@ object Streams {
       }
   }
 
+  /** Hourly top-k users by activity with the custom
+    * [[graft.functions.TopKPairsAggregate]] running INSIDE streaming
+    * state — two CHAINED stateful aggregations (Spark 3.4+ multiple
+    * stateful operators): per-(hour, type, user) counts first, then the
+    * bounded-heap top-k re-windowed via `window_time`. The heap buffer
+    * serializes into the state store like any partial aggregate, so the
+    * stream holds ≤ k pairs per (hour, type) at level 2 — the
+    * hand-rolled alternative (flatMapGroupsWithState with a sorted map)
+    * is exactly what the aggregate abstraction already does. Append
+    * mode: each hour emits once the 2 h watermark closes it. The same
+    * plan runs in batch (watermark is a no-op) — the parity twin.
+    */
+  def topkNative(events: DataFrame, k: Int = 5): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w1"), col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(window(window_time(col("w1")), "1 hour").as("w2"), col("event_type"))
+      .agg(graft.functions.TopKPairsAggregate
+        .topkPairs(col("n").cast("double"), col("user_id"), k).as("top"))
+      .select(col("w2.start").as("hour"), col("event_type"),
+        posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("hour"), col("event_type"), (col("i") + 1).cast("long").as("rank"),
+        col("p.id").as("user_id"), col("p.score").cast("long").as("n"))
+
   /** Drain a streaming query into an in-memory table (test/smoke
     * convenience): processes everything currently available, then stops.
     */

@@ -473,6 +473,27 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("rn") === 1)
     assert(top.count() == spark.table("slide_out").select("win_start").distinct().count())
   }
+
+  test("chained stateful top-k: native heap aggregate in streaming state matches batch") {
+    val stream = Streams.eventsStream(spark, TestSpark.sf)
+    // two chained stateful aggs ⇒ append mode only; hours emit once the
+    // 2 h watermark closes them, so the in-flight tail is withheld
+    Streams.runToMemory(Streams.topkNative(stream), "topk_out")
+    val got  = spark.table("topk_out").collect().map(_.toSeq).toSet
+    val want = Streams.topkNative(t.events).collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got.subsetOf(want), s"stream emitted ${got.size} not ⊆ batch ${want.size}")
+    // every hour strictly below (max ts − watermark − window) MUST have emitted
+    val maxTs = t.events.agg(max(col("ts"))).head().getTimestamp(0).getTime
+    val cutMs = maxTs - (2 * 3600 + 3600) * 1000L
+    val wantClosed = Streams.topkNative(t.events)
+      .filter(col("hour") < new java.sql.Timestamp(cutMs))
+      .collect().map(_.toSeq).toSet
+    assert(wantClosed.subsetOf(got), s"${wantClosed.size} closed rows vs ${got.size} emitted")
+    // ≤ k ranks per (hour, type), ranks contiguous from 1
+    val byKey = spark.table("topk_out").groupBy("hour", "event_type")
+      .agg(count(lit(1)).as("n"), min("rank").as("lo"), max("rank").as("hi"))
+    assert(byKey.filter(col("n") > 5 || col("lo") =!= 1 || col("hi") =!= col("n")).count() == 0)
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
