@@ -1,0 +1,272 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Second tranche of warehouse-analytics shapes: closed-form trend
+  * regression, deterministic A/B evaluation, churn cohorts, weighted
+  * sampling without RNG state, and a Zipf-law fit over the corpus
+  * vocabulary. Same scale discipline as [[Analytics]]: facts collapse
+  * to small grids before any window, cut points and calendars ride
+  * 1-row broadcasts, selection is TakeOrdered — never a global sort or
+  * an unpartitioned window.
+  */
+object Analytics2 {
+
+  // ----------------------------------------------------------- trend
+
+  /** Yearly revenue trend per order priority as a closed-form OLS fit,
+    * slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²). The fact table collapses
+    * to a (priority × year) grid of exact integer cents first, so every
+    * regression sum is computed over LONGs (n·x·cents < 2⁶³) — the
+    * float enters once, in the final division, making the fit
+    * bit-identical across engines and partitionings. The reference's
+    * closest shape is its per-corpus aggregate report
+    * (v2/main.py:200-226); this is the dashboard "is revenue growing"
+    * twin of [[Analytics.yoyGrowthOf]].
+    */
+  def trendOf(orders: DataFrame): DataFrame = {
+    val yearly = orders
+      .groupBy(col("o_orderpriority").as("priority"),
+        year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    yearly
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_years"),
+        sum(col("yr")).as("sx"),
+        sum(col("cents")).as("sy"),
+        sum(col("yr") * col("cents")).as("sxy"),
+        sum(col("yr") * col("yr")).as("sxx"))
+      .select(col("priority"), col("n_years"),
+        round((col("n_years") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n_years") * col("sxx") - col("sx") * col("sx")).cast("double") / 100, 4)
+          .as("slope_per_year"),
+        round(col("sy").cast("double") / col("n_years") / 100, 2).as("avg_revenue"))
+      .orderBy("priority")
+  }
+
+  def trend(t: Tables): DataFrame = trendOf(t.orders)
+
+  val trendSql: String =
+    """WITH yearly AS (
+      |  SELECT o_orderpriority AS priority, CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1, 2
+      |), s AS (
+      |  SELECT priority, count(*) AS n_years, sum(yr) AS sx, sum(cents) AS sy,
+      |    sum(yr * cents) AS sxy, sum(yr * yr) AS sxx
+      |  FROM yearly GROUP BY 1
+      |)
+      |SELECT priority, n_years,
+      |  round(CAST(n_years * sxy - sx * sy AS DOUBLE)
+      |      / CAST(n_years * sxx - sx * sx AS DOUBLE) / 100, 4) AS slope_per_year,
+      |  round(CAST(sy AS DOUBLE) / n_years / 100, 2) AS avg_revenue
+      |FROM s ORDER BY priority""".stripMargin
+
+  // --------------------------------------------------------- A/B test
+
+  /** Two-proportion A/B evaluation with a deterministic assignment
+    * (`user_id % 2` — the hash-bucket split every experimentation
+    * system uses, minus the hash since user ids are already synthetic
+    * uniforms). Exposure = any `view`; conversion = exposed AND any
+    * high-value `purchase` (value > `minValue` — plain any-purchase
+    * saturates at 100% on this corpus and zeroes the z denominator).
+    * One user-keyed aggregate builds per-user flags; the variant
+    * rollup is 2 rows; the z statistic
+    * z = (p1−p0) / √(p̂(1−p̂)(1/n0+1/n1)) folds both rows into one via
+    * conditional sums — no self-join, no window. All counts are exact
+    * longs; doubles appear only in the final ratio arithmetic.
+    */
+  def abTestOf(events: DataFrame, minValue: Double = 90.0): DataFrame = {
+    val perUser = events
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "view", 1).otherwise(0)).as("exposed"),
+        max(when(col("event_type") === "purchase" && col("value") > minValue, 1)
+          .otherwise(0)).as("purchased"))
+      .filter(col("exposed") === 1)
+      .select(pmod(col("user_id"), lit(2)).as("variant"), col("purchased"))
+    perUser
+      .groupBy()
+      .agg(sum(when(col("variant") === 0, 1).otherwise(0)).as("n0"),
+        sum(when(col("variant") === 0, col("purchased")).otherwise(0)).as("c0"),
+        sum(when(col("variant") === 1, 1).otherwise(0)).as("n1"),
+        sum(when(col("variant") === 1, col("purchased")).otherwise(0)).as("c1"))
+      .select(col("n0"), col("c0"), col("n1"), col("c1"),
+        round(col("c0").cast("double") / col("n0"), 6).as("rate0"),
+        round(col("c1").cast("double") / col("n1"), 6).as("rate1"),
+        round(
+          (col("c1").cast("double") / col("n1") - col("c0").cast("double") / col("n0")) /
+            sqrt(((col("c0") + col("c1")).cast("double") / (col("n0") + col("n1"))) *
+              (lit(1.0) - (col("c0") + col("c1")).cast("double") / (col("n0") + col("n1"))) *
+              (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 4).as("z_score"))
+  }
+
+  def abTest(t: Tables): DataFrame = abTestOf(t.events)
+
+  def abTestSql(minValue: Double = 90.0): String =
+    s"""WITH per_user AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS exposed,
+      |    max(CASE WHEN event_type = 'purchase' AND value > $minValue
+      |      THEN 1 ELSE 0 END) AS purchased
+      |  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1
+      |), flags AS (
+      |  SELECT user_id % 2 AS variant, purchased FROM per_user WHERE exposed = 1
+      |), s AS (
+      |  SELECT
+      |    sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n0,
+      |    sum(CASE WHEN variant = 0 THEN purchased ELSE 0 END) AS c0,
+      |    sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n1,
+      |    sum(CASE WHEN variant = 1 THEN purchased ELSE 0 END) AS c1
+      |  FROM flags
+      |)
+      |SELECT CAST(n0 AS BIGINT) AS n0, CAST(c0 AS BIGINT) AS c0,
+      |  CAST(n1 AS BIGINT) AS n1, CAST(c1 AS BIGINT) AS c1,
+      |  round(CAST(c0 AS DOUBLE) / n0, 6) AS rate0,
+      |  round(CAST(c1 AS DOUBLE) / n1, 6) AS rate1,
+      |  round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+      |    / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+      |         * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+      |         * (1.0 / n0 + 1.0 / n1)), 4) AS z_score
+      |FROM s""".stripMargin
+
+  // ----------------------------------------------------------- churn
+
+  /** Churn by engagement cohort: a user is churned when their last
+    * event predates the corpus horizon by more than `graceDays`; the
+    * cohort axis is activity level (distinct active days) — the "do
+    * light users churn more" dashboard cut (the corpus spans one
+    * month, so calendar cohorts would collapse to a single row). One
+    * user-keyed aggregate produces (active_days, last_day); the
+    * horizon is a 1-row broadcast; the rollup is ≤ |distinct activity
+    * level| rows. The retention-dashboard companion to
+    * [[Events.retention]]'s day-offset matrix.
+    */
+  def churnOf(events: DataFrame, graceDays: Int = 14): DataFrame = {
+    val horizon = events.agg(max(to_date(col("ts"))).as("max_day"))
+    events
+      .groupBy(col("user_id"))
+      .agg(countDistinct(to_date(col("ts"))).as("active_days"),
+        max(to_date(col("ts"))).as("last_day"))
+      .crossJoin(broadcast(horizon))
+      .select(col("active_days"),
+        when(datediff(col("max_day"), col("last_day")) > graceDays, 1).otherwise(0)
+          .as("churned"))
+      .groupBy(col("active_days"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("churned")).cast("long").as("n_churned"),
+        round(sum(col("churned")).cast("double") / count(lit(1)), 6).as("churn_rate"))
+      .orderBy("active_days")
+  }
+
+  def churn(t: Tables): DataFrame = churnOf(t.events)
+
+  def churnSql(graceDays: Int = 14): String =
+    s"""WITH u AS (
+       |  SELECT user_id, count(DISTINCT CAST(ts AS DATE)) AS active_days,
+       |    max(CAST(ts AS DATE)) AS last_day
+       |  FROM events GROUP BY 1
+       |), h AS (SELECT max(CAST(ts AS DATE)) AS max_day FROM events)
+       |SELECT active_days, count(*) AS n_users,
+       |  CAST(sum(CASE WHEN date_diff('day', last_day, max_day) > $graceDays
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+       |  round(CAST(sum(CASE WHEN date_diff('day', last_day, max_day) > $graceDays
+       |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS churn_rate
+       |FROM u CROSS JOIN h GROUP BY 1 ORDER BY active_days""".stripMargin
+
+  // ------------------------------------------------ weighted sampling
+
+  /** Deterministic weight-proportional sampling (sequential Poisson /
+    * Ohlsson): key = u / w with u a per-doc uniform derived from the
+    * first 8 md5 hex digits of the doc id — P(key < t) = min(1, t·w),
+    * so the k smallest keys are a weight-biased sample, and the whole
+    * thing is one scan + TakeOrdered with zero RNG state to
+    * coordinate across executors or engines. u is an exact 32-bit
+    * integer over 2³², w an integer — one IEEE division each side, so
+    * selection and output are bit-identical. The production use is
+    * quality-weighted corpus subsampling; weight here is doc length.
+    */
+  def weightedSampleOf(documents: DataFrame, k: Int = 50): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+    documents
+      .select(col("doc_id"), col("n_chars").as("weight"),
+        ((h.cast("double") + 0.5) / 4294967296.0 / col("n_chars")).as("key"))
+      .orderBy(col("key"), col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("weight"), round(col("key") * 1e6, 6).as("key_ppm"))
+      .orderBy("doc_id")
+  }
+
+  def weightedSample(t: Tables): DataFrame = weightedSampleOf(t.documents)
+
+  def weightedSampleSql(k: Int = 50): String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id, n_chars AS weight,
+       |    ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |      + 0.5) / 4294967296.0) / n_chars AS key
+       |  FROM documents
+       |), top AS (
+       |  SELECT * FROM keyed ORDER BY key, doc_id LIMIT $k
+       |)
+       |SELECT doc_id, weight, round(key * 1e6, 6) AS key_ppm
+       |FROM top ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------- Zipf fit
+
+  /** Zipf-law fit over the corpus vocabulary: OLS slope of ln(freq) on
+    * ln(rank) for the top `topN` words — the classic corpus-health
+    * check (natural text ≈ −1; generated/boilerplate corpora drift).
+    * Top-N selection is TakeOrdered on (freq desc, word); rank is then
+    * a triangular self-join over those ≤topN rows (the repo bans
+    * unpartitioned windows even on small frames — the join states the
+    * bound explicitly). ln enters only per-retained-row, and the 4dp
+    * rounding absorbs last-ulp libm differences across engines.
+    */
+  def zipfFitOf(tokens: DataFrame, topN: Int = 200): DataFrame = {
+    val top = tokens
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word"))
+      .limit(topN)
+    val ranked = top.as("a")
+      .join(top.select(col("freq").as("f2"), col("word").as("w2")).as("b"),
+        col("f2") > col("freq") || (col("f2") === col("freq") && col("w2") < col("word")),
+        "left")
+      .groupBy(col("word"), col("freq"))
+      .agg((count(col("w2")) + 1).cast("double").as("rank"))
+      .select(log(col("rank")).as("x"), log(col("freq").cast("double")).as("y"))
+    ranked
+      .groupBy()
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("n_words"),
+        round((col("n_words") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_words") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"),
+        round((col("sy") - (col("n_words") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_words") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+          col("n_words"), 4).as("intercept"))
+  }
+
+  def zipfFit(t: Tables): DataFrame = zipfFitOf(WordPipeline.tokens(t))
+
+  def zipfFitSql(topN: Int = 200): String =
+    s"""${WordPipeline.tokensCte}, freqs AS (
+       |  SELECT word, count(*) AS freq FROM toks WHERE word <> '' GROUP BY 1
+       |  ORDER BY freq DESC, word LIMIT $topN
+       |), pts AS (
+       |  SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, word) AS DOUBLE)) AS x,
+       |    ln(CAST(freq AS DOUBLE)) AS y
+       |  FROM freqs
+       |), s AS (
+       |  SELECT count(*) AS n_words, sum(x) AS sx, sum(y) AS sy,
+       |    sum(x * y) AS sxy, sum(x * x) AS sxx
+       |  FROM pts
+       |)
+       |SELECT n_words,
+       |  round((n_words * sxy - sx * sy) / (n_words * sxx - sx * sx), 4) AS zipf_slope,
+       |  round((sy - (n_words * sxy - sx * sy) / (n_words * sxx - sx * sx) * sx)
+       |    / n_words, 4) AS intercept
+       |FROM s""".stripMargin
+}

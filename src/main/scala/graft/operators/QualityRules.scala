@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Published rule-based corpus filters — the Gopher quality rules
+  * (Rae et al. 2021, "Scaling Language Models", table A1) and the C4
+  * cleaning heuristics (Raffel et al. 2020, §2.2) — adapted to this
+  * corpus's word/sentence granularity (the testdata documents are
+  * single-line). Everything is higher-order array functions over one
+  * `split` of the text (whole-stage codegen, no UDFs, no explode —
+  * per-doc rule evaluation never shuffles; only the final ordered
+  * output does), which is the shape that matters when the rules run
+  * as the first gate over 100 TB of raw text.
+  */
+object QualityRules {
+
+  private def words(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), w => w =!= "")
+
+  // ------------------------------------------------------ Gopher rules
+
+  /** Word-level Gopher filters: word-count bounds, mean-word-length
+    * band, symbol-to-word ratio (# and ... as in the paper), fraction
+    * of words containing an alphabetic character, and a minimum
+    * stop-word hit count. Emits each feature plus the combined
+    * `gopher_pass` flag so downstream curation can re-weight
+    * individual rules without re-scanning text.
+    */
+  def gopherRulesOf(documents: DataFrame,
+                    minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val w       = words(col("text"))
+    val nWords  = size(w).cast("long")
+    val charSum = aggregate(w, lit(0L), (acc, x) => acc + length(x))
+    val meanLen = charSum.cast("double") / nWords
+    val hashes  = length(col("text")) - length(regexp_replace(col("text"), "#", ""))
+    val dots    = (length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3
+    val symbolR = (hashes + dots).cast("double") / nWords
+    val alphaR  = size(filter(w, x => x.rlike("[a-z]"))).cast("double") / nWords
+    val stops   = array(TextAnalysis.stopList("en").map(lit): _*)
+    val stopN   = size(filter(w, x => array_contains(stops, x))).cast("long")
+    documents.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(symbolR, 6).as("symbol_ratio"),
+      round(alphaR, 6).as("alpha_ratio"),
+      stopN.as("stop_hits"),
+      when(nWords.between(minWords, maxWords) &&
+        meanLen.between(3.0, 10.0) &&
+        symbolR < 0.1 && alphaR > 0.8 && stopN >= 2, 1).otherwise(0)
+        .as("gopher_pass"))
+      .orderBy("doc_id")
+  }
+
+  def gopherRules(t: Tables): DataFrame = gopherRulesOf(t.documents)
+
+  def gopherRulesSql(minWords: Int = 50, maxWords: Int = 100000): String =
+    s"""WITH f AS (
+       |  SELECT doc_id, text,
+       |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), w -> w <> '') AS w
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) AS mean_len,
+       |    CAST((length(text) - length(regexp_replace(text, '#', '', 'g')))
+       |       + (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3
+       |       AS DOUBLE) / len(w) AS symbol_r,
+       |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(w) AS alpha_r,
+       |    CAST(len(list_filter(w, x -> list_contains([${TextAnalysis.stopListSql("en")}], x)))
+       |       AS BIGINT) AS stop_hits
+       |  FROM f
+       |)
+       |SELECT doc_id, n_words,
+       |  round(mean_len, 6) AS mean_word_len,
+       |  round(symbol_r, 6) AS symbol_ratio,
+       |  round(alpha_r, 6) AS alpha_ratio,
+       |  stop_hits,
+       |  CASE WHEN n_words BETWEEN $minWords AND $maxWords
+       |    AND mean_len BETWEEN 3.0 AND 10.0
+       |    AND symbol_r < 0.1 AND alpha_r > 0.8 AND stop_hits >= 2
+       |    THEN 1 ELSE 0 END AS gopher_pass
+       |FROM g ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------- C4 rules
+
+  /** C4 cleaning heuristics at sentence granularity: a sentence
+    * (period-delimited span) is retained when it has ≥ `minSentWords`
+    * words; the document survives when ≥ `minSentences` sentences
+    * survive and none of the blacklist markers (curly brace — code;
+    * "lorem ipsum" — placeholder; "javascript" — boilerplate warnings)
+    * appear. Same single-pass, no-shuffle shape as the Gopher gate.
+    */
+  def c4RulesOf(documents: DataFrame,
+                minSentWords: Int = 5, minSentences: Int = 3): DataFrame = {
+    val sents  = split(col("text"), "\\.")
+    val nSents = size(filter(sents, s => trim(s) =!= "")).cast("long")
+    val kept   = size(filter(sents,
+      s => size(filter(split(trim(s), "\\s+"), x => x =!= "")) >= minSentWords)).cast("long")
+    val lower_ = lower(col("text"))
+    val brace  = when(col("text").contains("{") || col("text").contains("}"), 1).otherwise(0)
+    val lorem  = when(lower_.contains("lorem ipsum"), 1).otherwise(0)
+    val js     = when(lower_.contains("javascript"), 1).otherwise(0)
+    documents.select(
+      col("doc_id"),
+      nSents.as("n_sentences"),
+      kept.as("n_kept_sentences"),
+      round(kept.cast("double") / greatest(nSents, lit(1L)), 6).as("kept_ratio"),
+      brace.as("has_brace"), lorem.as("has_lorem"), js.as("has_js"),
+      when(kept >= minSentences && brace === 0 && lorem === 0 && js === 0, 1)
+        .otherwise(0).as("c4_keep"))
+      .orderBy("doc_id")
+  }
+
+  def c4Rules(t: Tables): DataFrame = c4RulesOf(t.documents)
+
+  def c4RulesSql(minSentWords: Int = 5, minSentences: Int = 3): String =
+    s"""WITH f AS (
+       |  SELECT doc_id, text, regexp_split_to_array(text, '\\.') AS sents
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(sents, s -> trim(s) <> '')) AS BIGINT) AS n_sentences,
+       |    CAST(len(list_filter(sents, s ->
+       |      len(list_filter(regexp_split_to_array(trim(s), '\\s+'), x -> x <> ''))
+       |        >= $minSentWords)) AS BIGINT) AS n_kept,
+       |    CASE WHEN contains(text, '{') OR contains(text, '}') THEN 1 ELSE 0 END AS has_brace,
+       |    CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END AS has_lorem,
+       |    CASE WHEN contains(lower(text), 'javascript') THEN 1 ELSE 0 END AS has_js
+       |  FROM f
+       |)
+       |SELECT doc_id, n_sentences, n_kept AS n_kept_sentences,
+       |  round(CAST(n_kept AS DOUBLE) / greatest(n_sentences, 1), 6) AS kept_ratio,
+       |  has_brace, has_lorem, has_js,
+       |  CASE WHEN n_kept >= $minSentences AND has_brace = 0 AND has_lorem = 0
+       |    AND has_js = 0 THEN 1 ELSE 0 END AS c4_keep
+       |FROM g ORDER BY doc_id""".stripMargin
+}

@@ -728,4 +728,108 @@ object Similarity {
        |WHERE rn = 1
        |ORDER BY vec_id, s""".stripMargin
   }
+
+  // ------------------------------------------------ threshold sweep
+
+  /** Near-dup threshold calibration: pair counts at every candidate
+    * threshold from ONE pass over the LSH candidate pairs — the query a
+    * team runs before committing to a dedup cutoff ("how much of the
+    * corpus disappears at 0.9 vs 0.95?"). Each candidate pair scores
+    * its exact cosine once; the sweep is then an explode over the
+    * ≤|thresholds| qualifying cut points and a tiny aggregate —
+    * re-running the pair generation per threshold (the naive form)
+    * would multiply the only expensive stage ×|thresholds|.
+    */
+  def thresholdSweep(t: Tables,
+      thresholds: Seq[Double] = Seq(0.3, 0.4, 0.5, 0.7, 0.9),
+      bits: Int = 4, tables: Int = 8): DataFrame = {
+    val pairs = embeddingDupPairsLsh(t, thresholds.min, bits, tables)
+    val cuts  = array(thresholds.sorted.map(lit): _*)
+    // every requested cut appears in the output — a zero row IS the
+    // calibration answer at strict thresholds, not an absent one
+    val grid = pairs.sparkSession.range(1).select(explode(cuts).as("threshold"))
+    val counts = pairs
+      .select(explode(filter(cuts, c => c <= col("cos_sim"))).as("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"))
+    grid.join(counts, Seq("threshold"), "left")
+      .select(col("threshold"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+      .orderBy("threshold")
+  }
+
+  def thresholdSweepSql(
+      thresholds: Seq[Double] = Seq(0.3, 0.4, 0.5, 0.7, 0.9),
+      bits: Int = 4, tables: Int = 8): String = {
+    val cutsLit = thresholds.sorted.mkString("[", ",", "]")
+    s"""${lshPairsSqlCtes(thresholds.min, bits, tables)},
+       |sweep AS (
+       |  SELECT unnest(list_filter($cutsLit::DOUBLE[], c -> c <= cos_sim)) AS threshold
+       |  FROM pairs
+       |), counts AS (
+       |  SELECT threshold, count(*) AS n_pairs FROM sweep GROUP BY 1
+       |)
+       |SELECT g.threshold, coalesce(c.n_pairs, 0) AS n_pairs
+       |FROM (SELECT unnest($cutsLit::DOUBLE[]) AS threshold) g
+       |LEFT JOIN counts c USING (threshold)
+       |ORDER BY threshold""".stripMargin
+  }
+
+  // ------------------------------------------------------- centroids
+
+  /** Per-label centroid geometry: centroid norm and mean member norm —
+    * the embedding-space health check (collapsed clusters, unnormalized
+    * batches) run before any ANN index build. The centroid is computed
+    * by exploding components to (label, dim) cells — a map-side-combined
+    * aggregate over fixed-width rows whose width never depends on corpus
+    * size; the per-label fold-up is ≤|labels|×dim. No vector ever
+    * crosses the shuffle whole.
+    */
+  def centroidsOf(embeddings: DataFrame): DataFrame = {
+    val cells = embeddings
+      .select(col("label").cast("long").as("label"), col("vec_id"),
+        posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
+    val perDim = cells
+      .groupBy(col("label"), col("dim"))
+      .agg(avg(col("x")).as("c"))
+    val normPer = cells
+      .groupBy(col("label"), col("vec_id"))
+      .agg(sum(col("x") * col("x")).as("sq"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), avg(sqrt(col("sq"))).as("avg_norm"))
+    perDim
+      .groupBy(col("label"))
+      .agg(sqrt(sum(col("c") * col("c"))).as("cnorm"))
+      .join(normPer, Seq("label"))
+      .select(col("label"), col("n_vecs"),
+        round(col("cnorm"), 6).as("centroid_norm"),
+        round(col("avg_norm"), 6).as("avg_vec_norm"),
+        // near-0 centroid of near-unit vectors = isotropic cluster; the
+        // ratio is the standard mean-resultant-length concentration stat
+        round(col("cnorm") / col("avg_norm"), 6).as("concentration"))
+      .orderBy("label")
+  }
+
+  def centroids(t: Tables): DataFrame = centroidsOf(t.embeddings)
+
+  val centroidsSql: String =
+    """WITH cells AS (
+      |  SELECT CAST(label AS BIGINT) AS label, vec_id, i - 1 AS dim, CAST(e AS DOUBLE) AS x
+      |  FROM (SELECT label, vec_id, unnest(embedding) AS e,
+      |          generate_subscripts(embedding, 1) AS i FROM embeddings)
+      |), per_dim AS (
+      |  SELECT label, dim, avg(x) AS c FROM cells GROUP BY 1, 2
+      |), per_vec AS (
+      |  SELECT label, vec_id, sum(x * x) AS sq FROM cells GROUP BY 1, 2
+      |), per_label AS (
+      |  SELECT label, count(*) AS n_vecs, avg(sqrt(sq)) AS avg_norm
+      |  FROM per_vec GROUP BY 1
+      |), cn AS (
+      |  SELECT label, sqrt(sum(c * c)) AS cnorm FROM per_dim GROUP BY 1
+      |)
+      |SELECT l.label, l.n_vecs,
+      |  round(cn.cnorm, 6) AS centroid_norm,
+      |  round(l.avg_norm, 6) AS avg_vec_norm,
+      |  round(cn.cnorm / l.avg_norm, 6) AS concentration
+      |FROM per_label l JOIN cn USING (label)
+      |ORDER BY label""".stripMargin
 }

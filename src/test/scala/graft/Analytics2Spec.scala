@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Analytics2, QualityRules, Similarity}
+import graft.sources.Tables
+
+/** Unit semantics for the second analytics tranche — the hash gate
+  * proves engine parity; these pin the SEMANTICS on hand-built cases.
+  */
+class Analytics2Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("trend: exact linear revenue fits slope exactly") {
+    // priority A: $1, $2, $3 across 2020-2022 → slope exactly 1.0/yr
+    // priority B: constant $5 → slope 0
+    val orders = Seq(
+      ("A", "2020-03-01", 100.00), ("A", "2021-07-15", 200.00), ("A", "2022-01-02", 300.00),
+      ("B", "2020-05-05", 500.00), ("B", "2021-06-06", 500.00), ("B", "2022-07-07", 500.00))
+      .toDF("o_orderpriority", "o_orderdate", "o_totalprice")
+    val got = Analytics2.trendOf(orders)
+      .select("priority", "slope_per_year", "avg_revenue")
+      .as[(String, Double, Double)].collect()
+      .map { case (p, s, a) => p -> ((s, a)) }.toMap
+    assert(got("A") == ((100.0, 200.0)))
+    assert(got("B") == ((0.0, 500.0)))
+  }
+
+  test("ab test: counts split by user parity and z matches the closed form") {
+    // variant 0 = users {0,2}: both exposed, one converts
+    // variant 1 = users {1,3}: both exposed, both convert
+    // user 5: purchases but never exposed → excluded entirely
+    val ev = Seq(
+      (0L, "view", 0.0), (0L, "purchase", 100.0),
+      (2L, "view", 0.0), (2L, "purchase", 10.0), // below minValue → not converted
+      (1L, "view", 0.0), (1L, "purchase", 95.0),
+      (3L, "view", 0.0), (3L, "purchase", 99.0),
+      (5L, "purchase", 500.0))
+      .toDF("user_id", "event_type", "value")
+    val r = Analytics2.abTestOf(ev, minValue = 90.0)
+      .as[(Long, Long, Long, Long, Double, Double, Double)].collect().head
+    val (n0, c0, n1, c1, r0, r1, z) = r
+    assert((n0, c0, n1, c1) == (2L, 1L, 2L, 2L))
+    assert(r0 == 0.5 && r1 == 1.0)
+    val p = 3.0 / 4.0
+    val zExp = (1.0 - 0.5) / math.sqrt(p * (1 - p) * (1.0 / 2 + 1.0 / 2))
+    assert(math.abs(z - (math.rint(zExp * 1e4) / 1e4)) < 1e-9)
+  }
+
+  test("churn: activity cohorts and the grace window are honored") {
+    // horizon = 2024-01-30. u1: 1 active day, last seen day 1 → churned.
+    // u2: 2 active days, last seen day 29 → retained.
+    // u3: 1 active day, last seen day 28 → retained (within 14-day grace).
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"),
+      (2L, "2024-01-02 10:00:00"), (2L, "2024-01-29 10:00:00"),
+      (3L, "2024-01-28 09:00:00"), (4L, "2024-01-30 23:00:00"))
+      .toDF("user_id", "s").select(col("user_id"), col("s").cast("timestamp").as("ts"))
+    val got = Analytics2.churnOf(ev, graceDays = 14)
+      .select("active_days", "n_users", "n_churned")
+      .as[(Long, Long, Long)].collect().toList
+    assert(got == List((1L, 3L, 1L), (2L, 1L, 0L)))
+  }
+
+  test("weighted sample: selection is exactly the k smallest u/w keys, rerun-stable") {
+    val docs = (1L to 200L).map(i => (i, s"doc $i", 10 + (i % 7).toInt * 5))
+      .toDF("doc_id", "text", "n_chars")
+    val got = Analytics2.weightedSampleOf(docs, k = 20).select("doc_id")
+      .as[Long].collect().toSet
+    // brute force the same deterministic key
+    val brute = docs.select(col("doc_id"),
+        ((conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").cast("double") + 0.5) / 4294967296.0 / col("n_chars")).as("key"))
+      .orderBy(col("key"), col("doc_id")).limit(20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == brute)
+    val again = Analytics2.weightedSampleOf(docs, k = 20).select("doc_id")
+      .as[Long].collect().toSet
+    assert(got == again)
+  }
+
+  test("weighted sample: heavier docs are sampled more often") {
+    // 500 docs, half weight 1, half weight 100 — the heavy half must
+    // dominate any fixed-size sample under P(key<t) = min(1, t*w)
+    val docs = (1L to 500L).map(i => (i, "x", if (i <= 250) 1 else 100))
+      .toDF("doc_id", "text", "n_chars")
+    val picked = Analytics2.weightedSampleOf(docs, k = 50)
+      .select("doc_id").as[Long].collect()
+    val heavy = picked.count(_ > 250)
+    assert(heavy > 40, s"expected heavy docs to dominate, got $heavy/50")
+  }
+
+  test("zipf fit: an exact power-law corpus fits slope -1") {
+    // freq(rank) = 720/rank for ranks 1..6 — ln-ln exactly linear
+    val words = (1 to 6).flatMap { r => Seq.fill(720 / r)((1L, s"w$r")) }
+    val toks = words.toDF("doc_id", "word")
+    val (n, slope, _) = Analytics2.zipfFitOf(toks, topN = 6)
+      .as[(Long, Double, Double)].collect().head
+    assert(n == 6L && math.abs(slope - (-1.0)) < 1e-9)
+  }
+
+  test("gopher rules: each rule gates independently") {
+    val mk = (id: Long, text: String) => (id, text)
+    val good = (1 to 30).map(i => s"the quick brown fox${i}").mkString(" ") // 120 words, stopwords, alpha
+    val docs = Seq(
+      mk(1, good + " " + good),
+      mk(2, "short text only"),                       // too few words
+      mk(3, (1 to 60).map(_ => "####### #####").mkString(" ")), // symbol soup, no alpha
+      mk(4, (1 to 60).map(i => s"zz$i").mkString(" ")))         // no stopword hits
+      .toDF("doc_id", "text")
+    val got = QualityRules.gopherRulesOf(docs, minWords = 50)
+      .select("doc_id", "gopher_pass").as[(Long, Int)].collect().toMap
+    assert(got(1) == 1 && got(2) == 0 && got(3) == 0 && got(4) == 0)
+  }
+
+  test("c4 rules: sentence minimum and blacklist markers") {
+    val longSent = "this sentence has at least five words"
+    val docs = Seq(
+      (1L, s"$longSent. $longSent. $longSent."),      // 3 kept sentences → keep
+      (2L, s"$longSent. $longSent."),                 // only 2 → drop
+      (3L, s"$longSent. $longSent. $longSent. var x = {a}."), // brace → drop
+      (4L, s"$longSent. $longSent. enable JavaScript to view. $longSent.")) // js → drop
+      .toDF("doc_id", "text")
+    val got = QualityRules.c4RulesOf(docs)
+      .select("doc_id", "c4_keep").as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0))
+  }
+
+  test("threshold sweep: full grid, monotone non-increasing, anchored to dup pairs") {
+    val t = Tables(spark, TestSpark.sf)
+    val ths = Seq(0.3, 0.4, 0.5, 0.7, 0.9)
+    val got = Similarity.thresholdSweep(t, ths).as[(Double, Long)].collect().toList
+    assert(got.map(_._1) == ths) // every requested cut present, sorted
+    assert(got.sliding(2).forall { case List(a, b) => a._2 >= b._2; case _ => true })
+    // the 0.4 rung counts exactly the gated dup-pairs query's rows
+    val dupPairs = Similarity.embeddingDupPairsLsh(t, threshold = 0.4).count()
+    assert(got.toMap.apply(0.4) == dupPairs)
+  }
+
+  test("centroids: duplicated vector concentrates, antipodal pair cancels") {
+    val emb = Seq(
+      (1L, Array(3.0f, 4.0f), 0), (2L, Array(3.0f, 4.0f), 0),   // identical
+      (3L, Array(1.0f, 0.0f), 1), (4L, Array(-1.0f, 0.0f), 1))  // antipodal
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidsOf(emb)
+      .select("label", "n_vecs", "centroid_norm", "avg_vec_norm", "concentration")
+      .as[(Long, Long, Double, Double, Double)].collect().toList
+    assert(got == List((0L, 2L, 5.0, 5.0, 1.0), (1L, 2L, 0.0, 1.0, 0.0)))
+  }
+}
