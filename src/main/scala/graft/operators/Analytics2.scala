@@ -188,11 +188,19 @@ object Analytics2 {
     * selection and output are bit-identical. The production use is
     * quality-weighted corpus subsampling; weight here is doc length.
     */
+  /** The sequential-Poisson sample key u(id)/w — exposed so the
+    * streaming running-sample gate scores rows with the exact same
+    * expression (stream ≡ batch selection by construction).
+    */
+  def sampleKey(id: org.apache.spark.sql.Column, weight: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
+    (h.cast("double") + 0.5) / 4294967296.0 / weight
+  }
+
   def weightedSampleOf(documents: DataFrame, k: Int = 50): DataFrame = {
-    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
     documents
       .select(col("doc_id"), col("n_chars").as("weight"),
-        ((h.cast("double") + 0.5) / 4294967296.0 / col("n_chars")).as("key"))
+        sampleKey(col("doc_id"), col("n_chars")).as("key"))
       .orderBy(col("key"), col("doc_id"))
       .limit(k)
       .select(col("doc_id"), col("weight"), round(col("key") * 1e6, 6).as("key_ppm"))

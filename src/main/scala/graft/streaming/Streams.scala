@@ -650,6 +650,45 @@ object Streams {
       .select(col("hour"), col("event_type"), (col("i") + 1).cast("long").as("rank"),
         col("p.id").as("user_id"), col("p.score").cast("long").as("n"))
 
+  /** Streaming published-rule gate — the Gopher quality rules
+    * ([[graft.operators.QualityRules]]) applied to crawl batches as
+    * they land. Entirely STATELESS (pure column expressions, no
+    * aggregation, no watermark): each micro-batch filters
+    * independently, so the gate composes in front of any stateful
+    * stage ([[corpusIngestBounded]], [[nearDupIngest]]) without
+    * adding state of its own. Works identically on a batch DataFrame
+    * (the spec's parity twin).
+    */
+  def ruleGate(docs: DataFrame, minWords: Int = 50): DataFrame =
+    docs
+      .withColumn("gopher_pass",
+        graft.operators.QualityRules.gopherPassCol(col("text"), minWords))
+      .filter(col("gopher_pass") === 1)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+
+  /** Running weighted sample over an unbounded stream — the streaming
+    * form of [[graft.operators.Analytics2.weightedSampleOf]]: the
+    * deterministic sequential-Poisson key (u(id)/weight) is scored by
+    * the SAME column expression as the batch op, and the k smallest
+    * keys are held by the bounded-heap [[graft.functions
+    * .TopKPairsAggregate]] running as streaming state (score = −key,
+    * so the heap's top-k-desc IS k-smallest). State is exactly one
+    * ≤k-pair heap — a corpus-wide continuous sample at O(k) memory,
+    * which is the point: the batch op re-scans everything per refresh,
+    * this never re-reads a landed batch. Complete output mode (the
+    * sample is a living snapshot, not a delta). Stream ≡ batch
+    * selection by construction; the spec pins it.
+    */
+  def runningSample(docs: DataFrame, k: Int = 50): DataFrame =
+    docs
+      .select(col("doc_id"),
+        (-graft.operators.Analytics2.sampleKey(col("doc_id"), col("n_chars"))).as("negkey"))
+      .groupBy()
+      .agg(graft.functions.TopKPairsAggregate.topkPairs(col("negkey"), col("doc_id"), k).as("top"))
+      .select(posexplode(col("top")).as(Seq("i", "p")))
+      .select((col("i") + 1).cast("long").as("rank"), col("p.id").as("doc_id"),
+        round(-col("p.score") * 1e6, 6).as("key_ppm"))
+
   /** Drain a streaming query into an in-memory table (test/smoke
     * convenience): processes everything currently available, then stops.
     */

@@ -437,6 +437,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streaming rule gate passes exactly the batch Gopher survivors, stateless") {
+    val stream = Streams.documentsStream(spark, TestSpark.sf)
+    Streams.runToMemory(Streams.ruleGate(stream).select("doc_id"), "rulegate_out")
+    val got  = spark.table("rulegate_out").collect().map(_.getLong(0)).toSet
+    val docs = Tables(spark, TestSpark.sf).documents
+    val want = graft.operators.QualityRules.gopherRulesOf(docs)
+      .filter(org.apache.spark.sql.functions.col("gopher_pass") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty)
+    assert(got.size < docs.count()) // the gate actually discriminates
+  }
+
+  test("streaming running weighted sample equals the batch selection") {
+    val stream = Streams.documentsStream(spark, TestSpark.sf)
+    Streams.runToMemory(Streams.runningSample(stream, k = 20), "runsample_out",
+      mode = "complete")
+    val got = spark.table("runsample_out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = graft.operators.Analytics2.weightedSampleOf(
+        Tables(spark, TestSpark.sf).documents, k = 20)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.size == 20)
+  }
+
   test("compaction sizes the output file count from the plan estimate") {
     val docs = Tables(spark, TestSpark.sf).documents
     val out  = "target/compact_out"
