@@ -221,6 +221,102 @@ object Analytics2 {
        |SELECT doc_id, weight, round(key * 1e6, 6) AS key_ppm
        |FROM top ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------- correlation matrix
+
+  /** Pairwise Pearson correlations of lineitem's numeric measures in
+    * ONE aggregate pass (all kernels are declarative aggregates, so
+    * every pair's moments combine map-side in the same partial agg),
+    * `stack`-pivoted to long form. 4dp rounding absorbs the
+    * accumulation-order float noise, same as [[Relational2.qStats]].
+    */
+  def corrMatrixOf(lineitem: DataFrame): DataFrame = {
+    val vars = Seq("l_quantity" -> "qty", "l_extendedprice" -> "price",
+      "l_discount" -> "discount", "l_tax" -> "tax")
+    val pairs = for {
+      (a, i) <- vars.zipWithIndex; (b, j) <- vars.zipWithIndex if i < j
+    } yield (a, b)
+    val aggs = pairs.map { case ((ac, an), (bc, bn)) =>
+      round(corr(col(ac), col(bc)), 4).as(s"${an}_$bn")
+    }
+    val stackArgs = pairs
+      .map { case ((_, an), (_, bn)) => s"'$an', '$bn', ${an}_$bn" }
+      .mkString(", ")
+    lineitem
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${pairs.size}, $stackArgs) as (var_a, var_b, r)"))
+      .orderBy("var_a", "var_b")
+  }
+
+  def corrMatrix(t: Tables): DataFrame = corrMatrixOf(t.lineitem)
+
+  val corrMatrixSql: String =
+    """WITH m AS (
+      |  SELECT
+      |    round(corr(l_quantity, l_extendedprice), 4) AS qty_price,
+      |    round(corr(l_quantity, l_discount), 4) AS qty_discount,
+      |    round(corr(l_quantity, l_tax), 4) AS qty_tax,
+      |    round(corr(l_extendedprice, l_discount), 4) AS price_discount,
+      |    round(corr(l_extendedprice, l_tax), 4) AS price_tax,
+      |    round(corr(l_discount, l_tax), 4) AS discount_tax
+      |  FROM lineitem
+      |)
+      |SELECT var_a, var_b, r FROM (
+      |  SELECT 'qty' AS var_a, 'price' AS var_b, qty_price AS r FROM m
+      |  UNION ALL SELECT 'qty', 'discount', qty_discount FROM m
+      |  UNION ALL SELECT 'qty', 'tax', qty_tax FROM m
+      |  UNION ALL SELECT 'price', 'discount', price_discount FROM m
+      |  UNION ALL SELECT 'price', 'tax', price_tax FROM m
+      |  UNION ALL SELECT 'discount', 'tax', discount_tax FROM m
+      |) ORDER BY var_a, var_b""".stripMargin
+
+  // ------------------------------------------------- MAD outliers
+
+  /** Robust outlier report per event type: median, MAD (median
+    * absolute deviation), and the count beyond `k`·1.4826·MAD — the
+    * outlier rule that, unlike 3σ, a few extreme values cannot drag.
+    * Two grouped exact-percentile passes (groups are the bounded
+    * event-type set — the unbounded-group path is the GK sketch,
+    * gated at [[Relational2.qApproxPercentiles]]); the per-type
+    * medians ride a broadcast join back over the fact scan.
+    */
+  def madOutliersOf(events: DataFrame, k: Double = 3.0): DataFrame = {
+    val med = events.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val withDev = events.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = withDev.groupBy(col("event_type"))
+      .agg(first(col("med")).as("med"), expr("percentile(dev, 0.5)").as("mad"))
+    withDev.drop("med")
+      .join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(first(col("med")), 4).as("median_value"),
+        round(first(col("mad")), 4).as("mad"),
+        sum(when(col("dev") > lit(k) * lit(1.4826) * col("mad"), 1).otherwise(0))
+          .cast("long").as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  def madOutliers(t: Tables): DataFrame = madOutliersOf(t.events)
+
+  def madOutliersSql(k: Double = 3.0): String =
+    s"""WITH med AS (
+       |  SELECT event_type, quantile_cont(value, 0.5) AS med
+       |  FROM events GROUP BY 1
+       |), dev AS (
+       |  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS dev
+       |  FROM events e JOIN med m USING (event_type)
+       |), mad AS (
+       |  SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY 1
+       |)
+       |SELECT d.event_type, count(*) AS n,
+       |  round(min(d.med), 4) AS median_value,
+       |  round(min(a.mad), 4) AS mad,
+       |  CAST(sum(CASE WHEN d.dev > $k * 1.4826 * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_outliers
+       |FROM dev d JOIN mad a USING (event_type)
+       |GROUP BY 1 ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------- Zipf fit
 
   /** Zipf-law fit over the corpus vocabulary: OLS slope of ln(freq) on

@@ -138,6 +138,62 @@ class Analytics2Spec extends AnyFunSuite {
     assert(got.toMap.apply(0.4) == dupPairs)
   }
 
+  test("corr matrix: exact linear and anti-linear columns hit ±1") {
+    val li = (1 to 50).map { i =>
+      (i.toDouble, 2.0 * i, 100.0 - i, (i % 7).toDouble)
+    }.toDF("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val got = graft.operators.Analytics2.corrMatrixOf(li)
+      .as[(String, String, Double)].collect()
+      .map { case (a, b, r) => (a, b) -> r }.toMap
+    assert(got(("qty", "price")) == 1.0)     // y = 2x
+    assert(got(("qty", "discount")) == -1.0) // y = 100 - x
+    assert(math.abs(got(("qty", "tax"))) < 0.3) // near-independent
+  }
+
+  test("mad outliers: robust to the planted extreme value") {
+    // 9 values around 10 (median 10, MAD 1) + one wild 1000:
+    // |1000-10| = 990 > 3*1.4826*1 → exactly one outlier; the mean-based
+    // 3σ rule would move the center; the median doesn't budge.
+    val vals = Seq(8.0, 9.0, 9.0, 10.0, 10.0, 10.0, 11.0, 11.0, 12.0, 1000.0)
+    val ev = vals.map(v => ("click", v)).toDF("event_type", "value")
+    val (n, med, mad, out) = graft.operators.Analytics2.madOutliersOf(ev)
+      .select("n", "median_value", "mad", "n_outliers")
+      .as[(Long, Double, Double, Long)].collect().head
+    assert(n == 10L && med == 10.0 && mad == 1.0 && out == 1L)
+  }
+
+  test("lag features: prev/delta/rolling frames follow the (ts, event_id) order") {
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "view", 10.0),
+      (2L, 1L, "2024-01-01 10:00:30", "click", 20.0),
+      (3L, 1L, "2024-01-01 10:02:00", "purchase", 60.0),
+      (4L, 2L, "2024-01-01 11:00:00", "view", 5.0))
+      .toDF("event_id", "user_id", "s", "event_type", "value")
+      .select(col("event_id"), col("user_id"), col("s").cast("timestamp").as("ts"),
+        col("event_type"), col("value"))
+    val got = graft.operators.Features.lagFeaturesOf(ev)
+      .as[(Long, Long, String, Option[String], Option[Long], Double)].collect().toList
+    assert(got == List(
+      (1L, 1L, "view", None, None, 10.0),
+      (2L, 1L, "click", Some("view"), Some(30L), 15.0),
+      (3L, 1L, "purchase", Some("click"), Some(90L), 30.0),
+      (4L, 2L, "view", None, None, 5.0)))
+  }
+
+  test("markov transitions: rows normalize and count only within-user steps") {
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "a"), (2L, 1L, "2024-01-01 10:01:00", "b"),
+      (3L, 1L, "2024-01-01 10:02:00", "a"), (4L, 1L, "2024-01-01 10:03:00", "a"),
+      (5L, 2L, "2024-01-01 10:00:00", "b")) // user 2: single event, no transition
+      .toDF("event_id", "user_id", "s", "event_type")
+      .select(col("event_id"), col("user_id"), col("s").cast("timestamp").as("ts"),
+        col("event_type"))
+    val got = graft.operators.Features.markovTransitionsOf(ev)
+      .as[(String, String, Long, Double)].collect().toList
+    // a→b (1), b→a (1), a→a (1); row a: 2 transitions
+    assert(got == List(("a", "a", 1L, 0.5), ("a", "b", 1L, 0.5), ("b", "a", 1L, 1.0)))
+  }
+
   test("centroids: duplicated vector concentrates, antipodal pair cancels") {
     val emb = Seq(
       (1L, Array(3.0f, 4.0f), 0), (2L, Array(3.0f, 4.0f), 0),   // identical
