@@ -317,6 +317,34 @@ object Analytics2 {
        |FROM dev d JOIN mad a USING (event_type)
        |GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------- HLL cumulative rollup
+
+  /** Cumulative distinct users by day via REAGGREGABLE HLL sketches
+    * (Datasketches `hll_sketch_agg`/`hll_union_agg`): one sketch per
+    * day, the expanding union folded over the ≤|days| daily sketches.
+    * This is the production incremental-rollup shape that
+    * [[Analytics.runningDistinctOf]]'s exact form cannot give you: a
+    * day's sketch is built ONCE from that day's partition and every
+    * later cumulative point reuses it — backfilling a new day never
+    * re-reads history, and the same sketches roll up to week/month for
+    * free. No DuckDB twin (sketch bytes are engine-specific) →
+    * rows-only; the spec pins the estimate against the exact curve and
+    * the union against the one-shot whole-corpus sketch.
+    */
+  def hllCumulativeOf(events: DataFrame, lgK: Int = 12): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"))
+    daily
+      .join(daily.select(col("day").as("d2"), col("sk").as("sk2")), col("d2") <= col("day"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk2"), lit(false)))
+        .cast("long").as("est_cum_users"))
+      .orderBy("day")
+  }
+
+  def hllCumulative(t: Tables): DataFrame = hllCumulativeOf(t.events)
+
   // ------------------------------------------------------- Zipf fit
 
   /** Zipf-law fit over the corpus vocabulary: OLS slope of ln(freq) on

@@ -425,4 +425,65 @@ object Events {
        |FROM dense d JOIN stats s ON s.event_type = d.event_type
        |WHERE abs(d.n_events - s.mu) > $k * s.sd
        |ORDER BY d.hour, d.event_type""".stripMargin
+
+  // ------------------------------------------------- session stats
+
+  /** Session-level behavior profile: [[sessionize]]'s gap sessions
+    * re-derived with duration and a conversion flag, rolled up by
+    * converted/not — "do purchasing sessions look different" (longer?
+    * busier?), the first question asked of any session table. The
+    * per-session frame shares sessionize's one user_id shuffle; the
+    * rollup is 2 groups, so exact percentiles are safe (the
+    * unbounded-group path is the GK sketch).
+    */
+  def sessionStatsOf(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser  = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapSecs = gapMinutes * 60L
+    val sessions = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSecs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(unix_timestamp(col("ts"))) - min(unix_timestamp(col("ts"))))
+          .as("duration_s"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("converted"))
+    sessions
+      .groupBy(col("converted"))
+      .agg(count(lit(1)).as("n_sessions"),
+        round(avg(col("n_events")), 4).as("avg_events"),
+        round(avg(col("duration_s")), 4).as("avg_duration_s"),
+        round(expr("percentile(duration_s, 0.5)"), 4).as("p50_duration_s"))
+      .orderBy("converted")
+  }
+
+  def sessionStats(t: Tables, gapMinutes: Int = 30): DataFrame =
+    sessionStatsOf(t.events, gapMinutes)
+
+  def sessionStatsSql(gapMinutes: Int = 30): String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR date_diff('second', lag(ts) OVER w, ts) > ${gapMinutes * 60} THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), numbered AS (
+       |  SELECT user_id, event_type, ts,
+       |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |  FROM flagged
+       |), sessions AS (
+       |  SELECT user_id, session_id, count(*) AS n_events,
+       |    date_diff('second', min(ts), max(ts)) AS duration_s,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+       |  FROM numbered GROUP BY 1, 2
+       |)
+       |SELECT converted, count(*) AS n_sessions,
+       |  round(avg(n_events), 4) AS avg_events,
+       |  round(avg(duration_s), 4) AS avg_duration_s,
+       |  round(quantile_cont(duration_s, 0.5), 4) AS p50_duration_s
+       |FROM sessions GROUP BY 1 ORDER BY converted""".stripMargin
 }

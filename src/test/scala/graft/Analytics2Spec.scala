@@ -194,6 +194,47 @@ class Analytics2Spec extends AnyFunSuite {
     assert(got == List(("a", "a", 1L, 0.5), ("a", "b", 1L, 0.5), ("b", "a", 1L, 1.0)))
   }
 
+  test("session stats: converted sessions profiled separately, durations exact") {
+    // user 1: one session of 3 events over 90s with a purchase;
+    // user 2: one 2-event 60s session, no purchase; user 3: single-event session
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "view"), (2L, 1L, "2024-01-01 10:00:30", "click"),
+      (3L, 1L, "2024-01-01 10:01:30", "purchase"),
+      (4L, 2L, "2024-01-01 11:00:00", "view"), (5L, 2L, "2024-01-01 11:01:00", "click"),
+      (6L, 3L, "2024-01-01 12:00:00", "view"))
+      .toDF("event_id", "user_id", "s", "event_type")
+      .select(col("event_id"), col("user_id"), col("s").cast("timestamp").as("ts"),
+        col("event_type"))
+    val got = graft.operators.Events.sessionStatsOf(ev)
+      .as[(Int, Long, Double, Double, Double)].collect().toList
+    assert(got == List(
+      (0, 2L, 1.5, 30.0, 30.0),   // two non-converting sessions: 2ev/60s, 1ev/0s
+      (1, 1L, 3.0, 90.0, 90.0)))  // the purchase session
+  }
+
+  test("hll cumulative: monotone, matches the exact curve, union ≡ one-shot sketch") {
+    val t  = Tables(spark, TestSpark.sf)
+    val got = graft.operators.Analytics2.hllCumulativeOf(t.events)
+      .as[(java.sql.Date, Long)].collect().toList
+    assert(got.sliding(2).forall { case List(a, b) => a._2 <= b._2; case _ => true })
+    // exact cumulative distinct at each ACTIVE day (runningDistinct
+    // only emits days with new users — not the same row set)
+    val firstDays = t.events.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("first_day"))
+      .as[(Long, java.sql.Date)].collect().map(_._2)
+    got.foreach { case (d, est) =>
+      val ex = firstDays.count(!_.after(d)).toLong
+      assert(math.abs(est - ex) <= math.max(1L, (ex * 0.02).toLong),
+        s"day $d: est $est vs exact $ex")
+    }
+    // reaggregation loses nothing: the final union equals one sketch
+    // built over the whole corpus in a single pass
+    val oneShot = t.events
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).cast("long"))
+      .as[Long].collect().head
+    assert(got.last._2 == oneShot)
+  }
+
   test("centroids: duplicated vector concentrates, antipodal pair cancels") {
     val emb = Seq(
       (1L, Array(3.0f, 4.0f), 0), (2L, Array(3.0f, 4.0f), 0),   // identical
