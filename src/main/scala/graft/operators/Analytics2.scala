@@ -39,9 +39,11 @@ object Analytics2 {
         sum(col("yr") * col("cents")).as("sxy"),
         sum(col("yr") * col("yr")).as("sxx"))
       .select(col("priority"), col("n_years"),
-        round((col("n_years") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        // + 0.0 canonicalizes IEEE −0.0: a flat series fits slope
+        // exactly 0 and the engines disagree on zero's sign
+        (round((col("n_years") * col("sxy") - col("sx") * col("sy")).cast("double") /
           (col("n_years") * col("sxx") - col("sx") * col("sx")).cast("double") / 100, 4)
-          .as("slope_per_year"),
+          + lit(0.0)).as("slope_per_year"),
         round(col("sy").cast("double") / col("n_years") / 100, 2).as("avg_revenue"))
       .orderBy("priority")
   }
@@ -60,7 +62,7 @@ object Analytics2 {
       |)
       |SELECT priority, n_years,
       |  round(CAST(n_years * sxy - sx * sy AS DOUBLE)
-      |      / CAST(n_years * sxx - sx * sx AS DOUBLE) / 100, 4) AS slope_per_year,
+      |      / CAST(n_years * sxx - sx * sx AS DOUBLE) / 100, 4) + 0.0 AS slope_per_year,
       |  round(CAST(sy AS DOUBLE) / n_years / 100, 2) AS avg_revenue
       |FROM s ORDER BY priority""".stripMargin
 
@@ -374,8 +376,8 @@ object Analytics2 {
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
       .select(col("n_words"),
-        round((col("n_words") * col("sxy") - col("sx") * col("sy")) /
-          (col("n_words") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"),
+        (round((col("n_words") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_words") * col("sxx") - col("sx") * col("sx")), 4) + lit(0.0)).as("zipf_slope"),
         round((col("sy") - (col("n_words") * col("sxy") - col("sx") * col("sy")) /
           (col("n_words") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
           col("n_words"), 4).as("intercept"))
@@ -397,7 +399,7 @@ object Analytics2 {
        |  FROM pts
        |)
        |SELECT n_words,
-       |  round((n_words * sxy - sx * sy) / (n_words * sxx - sx * sx), 4) AS zipf_slope,
+       |  round((n_words * sxy - sx * sy) / (n_words * sxx - sx * sx), 4) + 0.0 AS zipf_slope,
        |  round((sy - (n_words * sxy - sx * sy) / (n_words * sxx - sx * sx) * sx)
        |    / n_words, 4) AS intercept
        |FROM s""".stripMargin

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Corpus-statistics operators for tokenizer/vocabulary design — the
+  * measurements run before committing to a vocab size or estimating
+  * how vocabulary scales to the full crawl. Companions to
+  * [[Analytics2.zipfFitOf]]'s frequency-law fit.
+  */
+object CorpusScience {
+
+  // ------------------------------------------------- vocab coverage
+
+  /** Token coverage of the top-k vocabulary for a ladder of k's — the
+    * vocab-sizing curve ("how much of the corpus do 1k word types
+    * cover?"). One word-frequency aggregate; the top-maxK slice is
+    * TakeOrdered; ranks within the ≤maxK slice come from a triangular
+    * join (bounded by maxK², never corpus-sized); each k's coverage is
+    * a conditional sum against the 1-row broadcast total. Adding a k
+    * costs one more grid row, not another corpus pass.
+    */
+  def vocabCoverageOf(tokens: DataFrame, ks: Seq[Int] = Seq(10, 100, 1000)): DataFrame = {
+    val maxK  = ks.max
+    val freqs = tokens.groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val total = freqs.agg(sum(col("freq")).as("total"),
+      count(lit(1)).as("vocab_size"))
+    val top = freqs.orderBy(col("freq").desc, col("word")).limit(maxK)
+    val ranked = top.as("a")
+      .join(top.select(col("freq").as("f2"), col("word").as("w2")).as("b"),
+        col("f2") > col("freq") || (col("f2") === col("freq") && col("w2") < col("word")),
+        "left")
+      .groupBy(col("word"), col("freq"))
+      .agg((count(col("w2")) + 1).as("rank"))
+    val grid = tokens.sparkSession.range(1)
+      .select(explode(array(ks.sorted.map(lit): _*)).as("k"))
+    grid.join(ranked, col("rank") <= col("k"))
+      .groupBy(col("k"))
+      .agg(sum(col("freq")).as("covered"))
+      .crossJoin(broadcast(total))
+      .select(col("k").cast("long").as("k"), col("vocab_size"),
+        round(col("covered").cast("double") / col("total"), 6).as("coverage"))
+      .orderBy("k")
+  }
+
+  def vocabCoverage(t: Tables): DataFrame = vocabCoverageOf(WordPipeline.tokens(t))
+
+  def vocabCoverageSql(ks: Seq[Int] = Seq(10, 100, 1000)): String =
+    s"""${WordPipeline.tokensCte}, freqs AS (
+       |  SELECT word, count(*) AS freq FROM toks GROUP BY 1
+       |), tot AS (SELECT sum(freq) AS total, count(*) AS vocab_size FROM freqs),
+       |ranked AS (
+       |  SELECT freq, row_number() OVER (ORDER BY freq DESC, word) AS rank
+       |  FROM freqs ORDER BY freq DESC, word LIMIT ${ks.max}
+       |)
+       |SELECT CAST(g.k AS BIGINT) AS k, t.vocab_size,
+       |  round(CAST(sum(r.freq) AS DOUBLE) / t.total, 6) AS coverage
+       |FROM (SELECT unnest(${ks.sorted.mkString("[", ",", "]")}) AS k) g
+       |JOIN ranked r ON r.rank <= g.k
+       |CROSS JOIN tot t
+       |GROUP BY 1, 2, t.total
+       |ORDER BY k""".stripMargin
+
+  // ------------------------------------------------------ Heaps' law
+
+  /** Heaps'-law fit V(N) ≈ K·N^β: vocabulary growth measured on a
+    * `buckets`-point curve over the corpus in doc_id order, β from a
+    * log-log OLS over those points. The curve is computed WITHOUT any
+    * expanding distinct: a word's first-seen bucket is one min
+    * aggregate, per-bucket news/token counts collapse to ≤`buckets`
+    * rows, and the cumulative sums are a triangular join over that
+    * grid — the [[Analytics.runningDistinctOf]] identity applied to
+    * vocabulary. β ≈ 0.4-0.6 for natural text; β drifting up flags
+    * vocabulary explosion (noise/IDs), down flags templating.
+    */
+  def heapsLawOf(tokens: DataFrame, buckets: Int = 20): DataFrame = {
+    val bounds = tokens.agg(max(col("doc_id")).as("max_id"))
+    val bucketed = tokens.crossJoin(broadcast(bounds))
+      // explicit floor: a bare double→int cast truncates in Spark but
+      // rounds in DuckDB — floor is the one shared semantics
+      .select(floor(col("doc_id") * buckets / (col("max_id") + 1)).cast("int").as("b"),
+        col("word"))
+    val tokensPer = bucketed.groupBy(col("b")).agg(count(lit(1)).as("toks"))
+    val newsPer = bucketed
+      .groupBy(col("word")).agg(min(col("b")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("news"))
+    val grid = tokensPer.join(newsPer, Seq("b"), "left")
+      .select(col("b"), col("toks"), coalesce(col("news"), lit(0L)).as("news"))
+    val cum = grid.as("a")
+      .join(grid.select(col("b").as("b2"), col("toks").as("t2"), col("news").as("n2")).as("x"),
+        col("b2") <= col("a.b"))
+      .groupBy(col("a.b").as("b"))
+      .agg(sum(col("t2")).as("cum_tokens"), sum(col("n2")).as("cum_vocab"))
+      .select(log(col("cum_tokens").cast("double")).as("x"),
+        log(col("cum_vocab").cast("double")).as("y"))
+    cum
+      .groupBy()
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("n_points"),
+        // + 0.0 canonicalizes IEEE −0.0 (a saturated vocabulary fits
+        // slope exactly 0; the engines disagree on the sign of zero)
+        (round((col("n_points") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_points") * col("sxx") - col("sx") * col("sx")), 4) + lit(0.0)).as("heaps_beta"),
+        round(exp((col("sy") - (col("n_points") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_points") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+          col("n_points")), 4).as("heaps_k"))
+  }
+
+  def heapsLaw(t: Tables): DataFrame = heapsLawOf(WordPipeline.tokens(t))
+
+  def heapsLawSql(buckets: Int = 20): String =
+    s"""${WordPipeline.tokensCte}, bounds AS (SELECT max(doc_id) AS max_id FROM toks),
+       |bucketed AS (
+       |  SELECT CAST(floor(doc_id * $buckets / (max_id + 1)) AS INT) AS b, word
+       |  FROM toks CROSS JOIN bounds
+       |), tokens_per AS (SELECT b, count(*) AS toks FROM bucketed GROUP BY 1),
+       |news_per AS (
+       |  SELECT b, count(*) AS news FROM (
+       |    SELECT word, min(b) AS b FROM bucketed GROUP BY 1) GROUP BY 1
+       |), grid AS (
+       |  SELECT t.b, t.toks, coalesce(n.news, 0) AS news
+       |  FROM tokens_per t LEFT JOIN news_per n USING (b)
+       |), cum AS (
+       |  SELECT ln(CAST(sum(toks) OVER w AS DOUBLE)) AS x,
+       |    ln(CAST(sum(news) OVER w AS DOUBLE)) AS y
+       |  FROM grid
+       |  WINDOW w AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |), s AS (
+       |  SELECT count(*) AS n_points, sum(x) AS sx, sum(y) AS sy,
+       |    sum(x * y) AS sxy, sum(x * x) AS sxx
+       |  FROM cum
+       |)
+       |SELECT n_points,
+       |  round((n_points * sxy - sx * sy) / (n_points * sxx - sx * sx), 4) + 0.0 AS heaps_beta,
+       |  round(exp((sy - (n_points * sxy - sx * sy) / (n_points * sxx - sx * sx) * sx)
+       |    / n_points), 4) AS heaps_k
+       |FROM s""".stripMargin
+}

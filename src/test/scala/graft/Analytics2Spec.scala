@@ -235,6 +235,38 @@ class Analytics2Spec extends AnyFunSuite {
     assert(got.last._2 == oneShot)
   }
 
+  test("vocab coverage: hand-built freqs cover exactly their share") {
+    // freqs: a=50, b=30, c=15, d=5 (total 100)
+    val toks = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(15)("c") ++
+      Seq.fill(5)("d")).zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "word")
+    val got = graft.operators.CorpusScience.vocabCoverageOf(toks, ks = Seq(1, 2, 4))
+      .select("k", "vocab_size", "coverage")
+      .as[(Long, Long, Double)].collect().toList
+    assert(got == List((1L, 4L, 0.5), (2L, 4L, 0.8), (4L, 4L, 1.0)))
+  }
+
+  test("heaps law: sublinear vocabulary growth fits beta < 1; repeated corpus flattens") {
+    // V(d) ≈ √d: a new word appears only at perfect-square doc ids,
+    // every doc also repeats 9 known words — tokens linear, vocab √
+    val rnd = new scala.util.Random(7)
+    val toks = (0 until 400).flatMap { d =>
+      val sq = math.sqrt(d).toInt
+      val newWord = if (sq * sq == d) Seq(s"w$d") else Seq.empty
+      val oldWords = (1 to 9).map { _ => val r = rnd.nextInt(sq + 1); s"w${r * r}" }
+      (newWord ++ oldWords).map(w => (d.toLong, w))
+    }.toDF("doc_id", "word")
+    val (n, beta, _) = graft.operators.CorpusScience.heapsLawOf(toks, buckets = 10)
+      .as[(Long, Double, Double)].collect().head
+    assert(n == 10L && beta > 0.2 && beta < 0.8, s"beta $beta")
+    // a corpus that stops inventing words: beta near 0
+    val flat = (0 until 400).flatMap(d => Seq(("a"), ("b"), ("c")).map(w => (d.toLong, w)))
+      .toDF("doc_id", "word")
+    val betaFlat = graft.operators.CorpusScience.heapsLawOf(flat, buckets = 10)
+      .select("heaps_beta").as[Double].collect().head
+    assert(betaFlat >= 0.0 && betaFlat < 0.05)
+  }
+
   test("centroids: duplicated vector concentrates, antipodal pair cancels") {
     val emb = Seq(
       (1L, Array(3.0f, 4.0f), 0), (2L, Array(3.0f, 4.0f), 0),   // identical
