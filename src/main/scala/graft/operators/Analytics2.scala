@@ -39,11 +39,13 @@ object Analytics2 {
         sum(col("yr") * col("cents")).as("sxy"),
         sum(col("yr") * col("yr")).as("sxx"))
       .select(col("priority"), col("n_years"),
-        // + 0.0 canonicalizes IEEE −0.0: a flat series fits slope
-        // exactly 0 and the engines disagree on zero's sign
-        (round((col("n_years") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (col("n_years") * col("sxx") - col("sx") * col("sx")).cast("double") / 100, 4)
-          + lit(0.0)).as("slope_per_year"),
+        // + 0.0 canonicalizes IEEE −0.0 (a flat series fits slope 0 and
+        // the engines disagree on zero's sign); the when-guard makes a
+        // single-year group read NULL instead of throwing under ANSI
+        when(col("n_years") * col("sxx") - col("sx") * col("sx") =!= 0,
+          round((col("n_years") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n_years") * col("sxx") - col("sx") * col("sx")).cast("double") / 100, 4)
+            + lit(0.0)).as("slope_per_year"),
         round(col("sy").cast("double") / col("n_years") / 100, 2).as("avg_revenue"))
       .orderBy("priority")
   }
@@ -61,8 +63,9 @@ object Analytics2 {
       |  FROM yearly GROUP BY 1
       |)
       |SELECT priority, n_years,
-      |  round(CAST(n_years * sxy - sx * sy AS DOUBLE)
-      |      / CAST(n_years * sxx - sx * sx AS DOUBLE) / 100, 4) + 0.0 AS slope_per_year,
+      |  CASE WHEN n_years * sxx - sx * sx <> 0 THEN
+      |    round(CAST(n_years * sxy - sx * sy AS DOUBLE)
+      |      / CAST(n_years * sxx - sx * sx AS DOUBLE) / 100, 4) + 0.0 END AS slope_per_year,
       |  round(CAST(sy AS DOUBLE) / n_years / 100, 2) AS avg_revenue
       |FROM s ORDER BY priority""".stripMargin
 
@@ -96,13 +99,17 @@ object Analytics2 {
         sum(when(col("variant") === 1, 1).otherwise(0)).as("n1"),
         sum(when(col("variant") === 1, col("purchased")).otherwise(0)).as("c1"))
       .select(col("n0"), col("c0"), col("n1"), col("c1"),
-        round(col("c0").cast("double") / col("n0"), 6).as("rate0"),
-        round(col("c1").cast("double") / col("n1"), 6).as("rate1"),
-        round(
-          (col("c1").cast("double") / col("n1") - col("c0").cast("double") / col("n0")) /
-            sqrt(((col("c0") + col("c1")).cast("double") / (col("n0") + col("n1"))) *
-              (lit(1.0) - (col("c0") + col("c1")).cast("double") / (col("n0") + col("n1"))) *
-              (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 4).as("z_score"))
+        when(col("n0") > 0, round(col("c0").cast("double") / col("n0"), 6)).as("rate0"),
+        when(col("n1") > 0, round(col("c1").cast("double") / col("n1"), 6)).as("rate1"),
+        // guard: an empty variant or a saturated pooled rate (p̂ ∈
+        // {0,1}) zeroes the denominator — NULL, not an ANSI /0 error
+        when(col("n0") > 0 && col("n1") > 0 &&
+            col("c0") + col("c1") > 0 && col("c0") + col("c1") < col("n0") + col("n1"),
+          round(
+            (col("c1").cast("double") / col("n1") - col("c0").cast("double") / col("n0")) /
+              sqrt(((col("c0") + col("c1")).cast("double") / (col("n0") + col("n1"))) *
+                (lit(1.0) - (col("c0") + col("c1")).cast("double") / (col("n0") + col("n1"))) *
+                (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 4)).as("z_score"))
   }
 
   def abTest(t: Tables): DataFrame = abTestOf(t.events)
@@ -126,12 +133,13 @@ object Analytics2 {
       |)
       |SELECT CAST(n0 AS BIGINT) AS n0, CAST(c0 AS BIGINT) AS c0,
       |  CAST(n1 AS BIGINT) AS n1, CAST(c1 AS BIGINT) AS c1,
-      |  round(CAST(c0 AS DOUBLE) / n0, 6) AS rate0,
-      |  round(CAST(c1 AS DOUBLE) / n1, 6) AS rate1,
-      |  round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
-      |    / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
-      |         * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
-      |         * (1.0 / n0 + 1.0 / n1)), 4) AS z_score
+      |  CASE WHEN n0 > 0 THEN round(CAST(c0 AS DOUBLE) / n0, 6) END AS rate0,
+      |  CASE WHEN n1 > 0 THEN round(CAST(c1 AS DOUBLE) / n1, 6) END AS rate1,
+      |  CASE WHEN n0 > 0 AND n1 > 0 AND c0 + c1 > 0 AND c0 + c1 < n0 + n1 THEN
+      |    round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+      |      / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+      |           * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+      |           * (1.0 / n0 + 1.0 / n1)), 4) END AS z_score
       |FROM s""".stripMargin
 
   // ----------------------------------------------------------- churn
@@ -201,6 +209,8 @@ object Analytics2 {
 
   def weightedSampleOf(documents: DataFrame, k: Int = 50): DataFrame = {
     documents
+      // weight ≤ 0 means "never sample" — and guards the ANSI /0
+      .filter(col("n_chars") > 0)
       .select(col("doc_id"), col("n_chars").as("weight"),
         sampleKey(col("doc_id"), col("n_chars")).as("key"))
       .orderBy(col("key"), col("doc_id"))
@@ -216,7 +226,7 @@ object Analytics2 {
        |  SELECT doc_id, n_chars AS weight,
        |    ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
        |      + 0.5) / 4294967296.0) / n_chars AS key
-       |  FROM documents
+       |  FROM documents WHERE n_chars > 0
        |), top AS (
        |  SELECT * FROM keyed ORDER BY key, doc_id LIMIT $k
        |)
@@ -376,11 +386,16 @@ object Analytics2 {
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
       .select(col("n_words"),
-        (round((col("n_words") * col("sxy") - col("sx") * col("sy")) /
-          (col("n_words") * col("sxx") - col("sx") * col("sx")), 4) + lit(0.0)).as("zipf_slope"),
-        round((col("sy") - (col("n_words") * col("sxy") - col("sx") * col("sy")) /
-          (col("n_words") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
-          col("n_words"), 4).as("intercept"))
+        // when-guard: a 1-word vocabulary has a degenerate fit → NULL,
+        // not an ANSI /0 error; + 0.0 canonicalizes −0.0
+        when(col("n_words") * col("sxx") - col("sx") * col("sx") =!= 0,
+          round((col("n_words") * col("sxy") - col("sx") * col("sy")) /
+            (col("n_words") * col("sxx") - col("sx") * col("sx")), 4) + lit(0.0))
+          .as("zipf_slope"),
+        when(col("n_words") * col("sxx") - col("sx") * col("sx") =!= 0,
+          round((col("sy") - (col("n_words") * col("sxy") - col("sx") * col("sy")) /
+            (col("n_words") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+            col("n_words"), 4)).as("intercept"))
   }
 
   def zipfFit(t: Tables): DataFrame = zipfFitOf(WordPipeline.tokens(t))
@@ -399,8 +414,10 @@ object Analytics2 {
        |  FROM pts
        |)
        |SELECT n_words,
-       |  round((n_words * sxy - sx * sy) / (n_words * sxx - sx * sx), 4) + 0.0 AS zipf_slope,
-       |  round((sy - (n_words * sxy - sx * sy) / (n_words * sxx - sx * sx) * sx)
-       |    / n_words, 4) AS intercept
+       |  CASE WHEN n_words * sxx - sx * sx <> 0 THEN
+       |    round((n_words * sxy - sx * sy) / (n_words * sxx - sx * sx), 4) + 0.0 END AS zipf_slope,
+       |  CASE WHEN n_words * sxx - sx * sx <> 0 THEN
+       |    round((sy - (n_words * sxy - sx * sy) / (n_words * sxx - sx * sx) * sx)
+       |      / n_words, 4) END AS intercept
        |FROM s""".stripMargin
 }

@@ -101,12 +101,16 @@ object CorpusScience {
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
       .select(col("n_points"),
         // + 0.0 canonicalizes IEEE −0.0 (a saturated vocabulary fits
-        // slope exactly 0; the engines disagree on the sign of zero)
-        (round((col("n_points") * col("sxy") - col("sx") * col("sy")) /
-          (col("n_points") * col("sxx") - col("sx") * col("sx")), 4) + lit(0.0)).as("heaps_beta"),
-        round(exp((col("sy") - (col("n_points") * col("sxy") - col("sx") * col("sy")) /
-          (col("n_points") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
-          col("n_points")), 4).as("heaps_k"))
+        // slope exactly 0; the engines disagree on the sign of zero);
+        // when-guard: a 1-point curve has no fit → NULL, not ANSI /0
+        when(col("n_points") * col("sxx") - col("sx") * col("sx") =!= 0,
+          round((col("n_points") * col("sxy") - col("sx") * col("sy")) /
+            (col("n_points") * col("sxx") - col("sx") * col("sx")), 4) + lit(0.0))
+          .as("heaps_beta"),
+        when(col("n_points") * col("sxx") - col("sx") * col("sx") =!= 0,
+          round(exp((col("sy") - (col("n_points") * col("sxy") - col("sx") * col("sy")) /
+            (col("n_points") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+            col("n_points")), 4)).as("heaps_k"))
   }
 
   def heapsLaw(t: Tables): DataFrame = heapsLawOf(WordPipeline.tokens(t))
@@ -134,8 +138,10 @@ object CorpusScience {
        |  FROM cum
        |)
        |SELECT n_points,
-       |  round((n_points * sxy - sx * sy) / (n_points * sxx - sx * sx), 4) + 0.0 AS heaps_beta,
-       |  round(exp((sy - (n_points * sxy - sx * sy) / (n_points * sxx - sx * sx) * sx)
-       |    / n_points), 4) AS heaps_k
+       |  CASE WHEN n_points * sxx - sx * sx <> 0 THEN
+       |    round((n_points * sxy - sx * sy) / (n_points * sxx - sx * sx), 4) + 0.0 END AS heaps_beta,
+       |  CASE WHEN n_points * sxx - sx * sx <> 0 THEN
+       |    round(exp((sy - (n_points * sxy - sx * sy) / (n_points * sxx - sx * sx) * sx)
+       |      / n_points), 4) END AS heaps_k
        |FROM s""".stripMargin
 }

@@ -27,13 +27,16 @@ object QualityRules {
   private def gopherFeats(text: Column): GopherFeats = {
     val w       = words(text)
     val nWords  = size(w).cast("long")
-    val meanLen = aggregate(w, lit(0L), (acc, x) => acc + length(x)).cast("double") / nWords
+    // ANSI sessions throw on /0 — an empty crawl doc must FAIL the
+    // gate (n_words bound), not kill the job; ratios read 0 for it
+    val denom   = greatest(nWords, lit(1L))
+    val meanLen = aggregate(w, lit(0L), (acc, x) => acc + length(x)).cast("double") / denom
     val hashes  = length(text) - length(regexp_replace(text, "#", ""))
     val dots    = (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
     val stops   = array(TextAnalysis.stopList("en").map(lit): _*)
     GopherFeats(nWords, meanLen,
-      (hashes + dots).cast("double") / nWords,
-      size(filter(w, x => x.rlike("[a-z]"))).cast("double") / nWords,
+      (hashes + dots).cast("double") / denom,
+      size(filter(w, x => x.rlike("[a-z]"))).cast("double") / denom,
       size(filter(w, x => array_contains(stops, x))).cast("long"))
   }
 
@@ -80,11 +83,11 @@ object QualityRules {
        |), g AS (
        |  SELECT doc_id,
        |    CAST(len(w) AS BIGINT) AS n_words,
-       |    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) AS mean_len,
+       |    CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS DOUBLE) / greatest(len(w), 1) AS mean_len,
        |    CAST((length(text) - length(regexp_replace(text, '#', '', 'g')))
        |       + (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3
-       |       AS DOUBLE) / len(w) AS symbol_r,
-       |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(w) AS alpha_r,
+       |       AS DOUBLE) / greatest(len(w), 1) AS symbol_r,
+       |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / greatest(len(w), 1) AS alpha_r,
        |    CAST(len(list_filter(w, x -> list_contains([${TextAnalysis.stopListSql("en")}], x)))
        |       AS BIGINT) AS stop_hits
        |  FROM f

@@ -804,8 +804,11 @@ object Similarity {
         round(col("cnorm"), 6).as("centroid_norm"),
         round(col("avg_norm"), 6).as("avg_vec_norm"),
         // near-0 centroid of near-unit vectors = isotropic cluster; the
-        // ratio is the standard mean-resultant-length concentration stat
-        round(col("cnorm") / col("avg_norm"), 6).as("concentration"))
+        // ratio is the standard mean-resultant-length concentration
+        // stat. when-guard: an all-zero-vector label reads NULL rather
+        // than throwing under ANSI
+        when(col("avg_norm") =!= 0,
+          round(col("cnorm") / col("avg_norm"), 6)).as("concentration"))
       .orderBy("label")
   }
 
@@ -829,7 +832,7 @@ object Similarity {
       |SELECT l.label, l.n_vecs,
       |  round(cn.cnorm, 6) AS centroid_norm,
       |  round(l.avg_norm, 6) AS avg_vec_norm,
-      |  round(cn.cnorm / l.avg_norm, 6) AS concentration
+      |  CASE WHEN l.avg_norm <> 0 THEN round(cn.cnorm / l.avg_norm, 6) END AS concentration
       |FROM per_label l JOIN cn USING (label)
       |ORDER BY label""".stripMargin
 }

@@ -73,7 +73,9 @@ object TextAnalysis {
     * it alongside the individual features.
     */
   def qualityCol(text: Column): Column = {
-    val nChars = length(text)
+    // greatest(nChars, 1): an empty crawl doc scores low, it doesn't
+    // throw the ANSI /0 (nToks is ≥ 1 by split semantics)
+    val nChars = greatest(length(text), lit(1))
     val nToks  = size(split(trim(text), "\\s+"))
     val punct  = length(regexp_replace(text, "[^.,;:!?]", ""))
     val stops  = stopHits(text, "en")
@@ -92,16 +94,18 @@ object TextAnalysis {
     val nToks   = size(split(trim(text), "\\s+"))
     val punct   = length(regexp_replace(text, "[^.,;:!?]", ""))
     val stops   = stopHits(text, "en")
+    // greatest(·,1) on the char denominator: empty docs score, not throw
+    val charDen = greatest(nChars, lit(1))
     t.documents.select(
       col("doc_id"),
       nChars.cast("long").as("n_chars_text"),
       nToks.cast("long").as("n_tokens"),
       round(nChars.cast("double") / nToks, 6).as("mean_tok_len"),
-      round(punct.cast("double") / nChars, 6).as("punct_ratio"),
+      round(punct.cast("double") / charDen, 6).as("punct_ratio"),
       round(stops.cast("double") / nToks, 6).as("stopword_ratio"),
       round(
         least(nToks.cast("double") / 100, lit(1.0)) * 0.5 +
-          (lit(1.0) - punct.cast("double") / nChars) * 0.25 +
+          (lit(1.0) - punct.cast("double") / charDen) * 0.25 +
           least(stops.cast("double") / nToks * 5, lit(1.0)) * 0.25, 6).as("quality"))
       .orderBy("doc_id")
   }
@@ -118,10 +122,10 @@ object TextAnalysis {
        |)
        |SELECT doc_id, n_chars_text, n_tokens,
        |  round(CAST(n_chars_text AS DOUBLE) / n_tokens, 6) AS mean_tok_len,
-       |  round(CAST(punct AS DOUBLE) / n_chars_text, 6) AS punct_ratio,
+       |  round(CAST(punct AS DOUBLE) / greatest(n_chars_text, 1), 6) AS punct_ratio,
        |  round(CAST(stops AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
        |  round(least(CAST(n_tokens AS DOUBLE) / 100, 1.0) * 0.5 +
-       |        (1.0 - CAST(punct AS DOUBLE) / n_chars_text) * 0.25 +
+       |        (1.0 - CAST(punct AS DOUBLE) / greatest(n_chars_text, 1)) * 0.25 +
        |        least(CAST(stops AS DOUBLE) / n_tokens * 5, 1.0) * 0.25, 6) AS quality
        |FROM f ORDER BY doc_id""".stripMargin
   }

@@ -240,4 +240,67 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(g.map(_.getString(1)).toSet == Set("click", "view"))
     assert(g.forall(_.getLong(2) == 1L))
   }
+
+  // ---- ANSI /0 hardening: degenerate inputs must degrade, not throw
+
+  test("gopher/c4 rules score empty and whitespace-only docs as failures") {
+    import spark.implicits._
+    val g = graft.operators.QualityRules.gopherRulesOf(docs, minWords = 1)
+      .select("doc_id", "gopher_pass").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(g(1L) == 0 && g(2L) == 0) // empty / whitespace fail, no crash
+    val c = graft.operators.QualityRules.c4RulesOf(docs)
+      .select("doc_id", "c4_keep").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(c(1L) == 0 && c(2L) == 0)
+  }
+
+  test("qualityScore handles the empty doc without an ANSI division error") {
+    val q = graft.operators.TextAnalysis.qualityScore(
+      graft.sources.Tables(spark, TestSpark.sf)) // smoke: plain corpus path
+    assert(q.count() > 0)
+    import spark.implicits._
+    val empty = graft.operators.QualityRules.gopherRulesOf(docs).count() // shares words()
+    assert(empty == 6)
+    val scored = docs.select(col("doc_id"),
+      graft.operators.TextAnalysis.qualityCol(col("text")).as("q")).collect()
+    assert(scored.length == 6) // includes doc 1 ("") and doc 2 ("   ")
+  }
+
+  test("trend/zipf/heaps fits read NULL on degenerate (single-point) input") {
+    import spark.implicits._
+    val oneYear = Seq(("A", "2024-01-01", 10.0), ("A", "2024-06-01", 20.0))
+      .toDF("o_orderpriority", "o_orderdate", "o_totalprice")
+    val tr = graft.operators.Analytics2.trendOf(oneYear).collect().head
+    assert(tr.isNullAt(tr.fieldIndex("slope_per_year")))
+    val oneWord = Seq((1L, "solo"), (2L, "solo")).toDF("doc_id", "word")
+    val zf = graft.operators.Analytics2.zipfFitOf(oneWord).collect().head
+    assert(zf.isNullAt(zf.fieldIndex("zipf_slope")))
+    val hl = graft.operators.CorpusScience.heapsLawOf(oneWord, buckets = 1).collect().head
+    assert(hl.isNullAt(hl.fieldIndex("heaps_beta")))
+  }
+
+  test("ab test: saturated conversion yields NULL z, not a division error") {
+    import spark.implicits._
+    val ev = Seq((0L, "view", 0.0), (0L, "purchase", 99.0),
+      (1L, "view", 0.0), (1L, "purchase", 99.0))
+      .toDF("user_id", "event_type", "value")
+    val r = graft.operators.Analytics2.abTestOf(ev, minValue = 90.0).collect().head
+    assert(r.isNullAt(r.fieldIndex("z_score"))) // p̂ = 1 → no test statistic
+    val empty = graft.operators.Analytics2.abTestOf(
+      ev.filter(col("user_id") === 0L), minValue = 90.0).collect().head
+    assert(empty.isNullAt(empty.fieldIndex("rate1"))) // variant 1 empty
+  }
+
+  test("weighted sample drops non-positive weights; centroids tolerate a zero vector") {
+    import spark.implicits._
+    val d = Seq((1L, "x", 0L), (2L, "y", 10L), (3L, "z", -5L))
+      .toDF("doc_id", "text", "n_chars")
+    val picked = graft.operators.Analytics2.weightedSampleOf(d, k = 5)
+      .select("doc_id").as[Long].collect().toList
+    assert(picked == List(2L))
+    val emb = Seq((1L, Array(0.0f, 0.0f), 7)).toDF("vec_id", "embedding", "label")
+    val c = graft.operators.Similarity.centroidsOf(emb).collect().head
+    assert(c.isNullAt(c.fieldIndex("concentration")))
+  }
 }
