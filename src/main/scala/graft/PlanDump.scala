@@ -102,7 +102,25 @@ object PlanDump {
       "q_topk_native (TopKPairsAggregate: bounded-heap grouped top-k, NO WindowExec)" ->
         Relational2.qTopKNative(t),
       "q_expectations (four constraints in ONE map-side-combined aggregate pass)" ->
-        Incremental.expectations(t))
+        Incremental.expectations(t),
+      "q_corr_matrix (all 6 correlation kernels in ONE partial agg; stack pivots the 1-row result)" ->
+        Analytics2.corrMatrix(t),
+      "q_mad_outliers (two bounded-group percentile passes; medians broadcast back over the fact scan)" ->
+        Analytics2.madOutliers(t),
+      "q_lag_features (one user_id exchange serves all three windows — lag, delta, rolling)" ->
+        Features.lagFeatures(t),
+      "quality_gopher_rules (per-doc higher-order array funcs; no shuffle before the output sort)" ->
+        QualityRules.gopherRules(t),
+      "q_weighted_sample (deterministic u/w key; TakeOrdered, no global sort)" ->
+        Analytics2.weightedSample(t),
+      "embed_threshold_sweep (LSH candidate pairs scored once; sweep = explode over <=5 cuts)" ->
+        Similarity.thresholdSweep(t),
+      "q_vocab_coverage (one freq agg; TakeOrdered top-maxK; triangular rank join on <=maxK rows)" ->
+        CorpusScience.vocabCoverage(t),
+      "q_heaps_law (first-seen-bucket min agg; cumulative sums on the <=buckets grid — no expanding distinct)" ->
+        CorpusScience.heapsLaw(t),
+      "q_hll_cumulative (reaggregable daily sketches; expanding union over the <=days grid)" ->
+        Analytics2.hllCumulative(t))
     val sb = new StringBuilder
     sb.append("# Plan snapshots (round 9)\n\nGenerated by `graft.PlanDump` at sf0.001; ")
     sb.append("`PlanAuditSpec` asserts these shapes stay true.\n")
