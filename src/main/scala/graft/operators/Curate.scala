@@ -436,4 +436,38 @@ object Curate {
        |WHERE qual.quality >= $minQuality
        |ORDER BY doc_id""".stripMargin
   }
+
+  // ------------------------------------------------- source overlap
+
+  /** Cross-source near-duplicate matrix: MinHash-LSH candidate pairs
+    * rolled up by the (source, source) they straddle, symmetric via
+    * least/greatest orientation. The report that locates WHERE
+    * duplication comes from — a hot off-diagonal cell means two crawls
+    * mirror each other (dedup one against the other); a hot diagonal
+    * means a source self-duplicates (templating). Only id pairs join
+    * the doc→source map; the matrix is ≤|sources|². The DuckDB oracle
+    * wraps the same gated pairs SQL, so the whole path is hash-checked.
+    */
+  def sourceOverlap(t: Tables): DataFrame = {
+    val src = t.documents.select(col("doc_id"), col("source"))
+    Dedup.minhashLshPairs(t)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .groupBy(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src_a", "src_b")
+  }
+
+  def sourceOverlapSql(): String =
+    s"""WITH lsh_pairs AS (
+       |  SELECT doc_a, doc_b FROM (${Dedup.minhashLshPairsSql()})
+       |)
+       |SELECT least(da.source, db.source) AS src_a,
+       |  greatest(da.source, db.source) AS src_b,
+       |  count(*) AS n_pairs
+       |FROM lsh_pairs p
+       |JOIN documents da ON da.doc_id = p.doc_a
+       |JOIN documents db ON db.doc_id = p.doc_b
+       |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
 }

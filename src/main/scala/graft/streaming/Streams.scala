@@ -650,6 +650,71 @@ object Streams {
       .select(col("hour"), col("event_type"), (col("i") + 1).cast("long").as("rank"),
         col("p.id").as("user_id"), col("p.score").cast("long").as("n"))
 
+  final case class SeqEv(user_id: Long, tsMicros: Long, event_id: Long, event_type: String)
+  final case class LastEv(tsMicros: Long, event_id: Long, event_type: String)
+  final case class Transition(user_id: Long, src: String, dst: String)
+
+  /** One sequential transition sweep for one user: consume events in
+    * (ts, event_id) order against a last-event state, emitting one
+    * (src → dst) pair per step. Events at or before the state's
+    * position are dropped — the replay-order contract every stateful
+    * gate here shares ([[sessionize]], [[closeHours]]). Shared
+    * verbatim by the streaming gate and its batch twin.
+    */
+  private def transitionSweep(user: Long, evs: Iterator[SeqEv],
+      prior: Option[LastEv]): (Seq[Transition], Option[LastEv]) = {
+    val sorted = evs.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+    var last = prior
+    val out = Seq.newBuilder[Transition]
+    sorted.foreach { e =>
+      if (last.forall(l => l.tsMicros < e.tsMicros ||
+          (l.tsMicros == e.tsMicros && l.event_id < e.event_id))) {
+        last.foreach(l => out += Transition(user, l.event_type, e.event_type))
+        last = Some(LastEv(e.tsMicros, e.event_id, e.event_type))
+      }
+    }
+    (out.result(), last)
+  }
+
+  /** Incremental Markov transitions — the streaming form of
+    * [[graft.operators.Features.markovTransitionsOf]]: per-user state
+    * is exactly ONE last-event record however long the stream runs,
+    * each micro-batch emits only its NEW (src → dst) steps (append
+    * mode), and the |types|² matrix is a stateless downstream count —
+    * so the behavioral model updates continuously without ever
+    * re-reading the event log. Batch ≡ stream by shared sweep.
+    */
+  def markovGate(spark: SparkSession, events: DataFrame): Dataset[Transition] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"),
+        col("event_id"), col("event_type"))
+      .as[SeqEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEv, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[SeqEv], state: GroupState[LastEv]) =>
+          val (out, st) = transitionSweep(user, evs, state.getOption)
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Batch twin of [[markovGate]] — the identical sweep without state
+    * carry-over (one group pass = the whole history).
+    */
+  def markovGateBatch(spark: SparkSession, events: DataFrame): Dataset[Transition] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"),
+        col("event_id"), col("event_type"))
+      .as[SeqEv]
+      .groupByKey(_.user_id)
+      .flatMapGroups { (user: Long, evs: Iterator[SeqEv]) =>
+        transitionSweep(user, evs, None)._1.iterator
+      }
+  }
+
   /** Streaming published-rule gate — the Gopher quality rules
     * ([[graft.operators.QualityRules]]) applied to crawl batches as
     * they land. Entirely STATELESS (pure column expressions, no

@@ -437,6 +437,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("markov gate: transitions accumulate across batches to the batch matrix") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val ev = mem.toDF().toDF("user_id", "sec", "event_id", "event_type")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    // the a→b step CROSSES the batch boundary for user 1 — it can only
+    // be emitted if batch 1's last-event state survived
+    val batch1 = Seq((1L, 100L, 1L, "a"), (2L, 100L, 2L, "x"))
+    val batch2 = Seq((1L, 200L, 3L, "b"), (1L, 300L, 4L, "a"), (2L, 250L, 5L, "y"))
+    val q = Streams.markovGate(spark, ev).toDF()
+      .writeStream.outputMode("append").format("memory").queryName("markov_out").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("markov_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val all = (batch1 ++ batch2).toDF("user_id", "sec", "event_id", "event_type")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val want = Streams.markovGateBatch(spark, all).collect()
+      .map(t => (t.user_id, t.src, t.dst)).toSet
+    assert(got == want && got == Set((1L, "a", "b"), (1L, "b", "a"), (2L, "x", "y")))
+    // counted matrix equals the gated batch operator's counts
+    val grid = spark.table("markov_out").groupBy("src", "dst").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batchGrid = graft.operators.Features.markovTransitionsOf(all).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(grid == batchGrid)
+  }
+
   test("streaming rule gate passes exactly the batch Gopher survivors, stateless") {
     val stream = Streams.documentsStream(spark, TestSpark.sf)
     Streams.runToMemory(Streams.ruleGate(stream).select("doc_id"), "rulegate_out")
