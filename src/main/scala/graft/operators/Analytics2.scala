@@ -329,6 +329,49 @@ object Analytics2 {
        |FROM dev d JOIN mad a USING (event_type)
        |GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------- per-group sampling
+
+  /** Stratified weighted sampling as ONE aggregate: per source, the k
+    * smallest sequential-Poisson keys held by the bounded-heap
+    * [[graft.functions.TopKPairsAggregate]] (score = −key) — the
+    * per-group form of [[weightedSampleOf]] with NO window and NO
+    * per-group sort: state is ≤k pairs per group, partials merge
+    * map-side, so a 10⁶-stratum corpus samples in a single
+    * shuffle-by-source of heap buffers. The window form
+    * (row_number over key) sorts every group member; this doesn't —
+    * that is the 100 TB difference, same as [[Relational2.qTopKNative]].
+    */
+  def groupSampleOf(documents: DataFrame, k: Int = 5): DataFrame =
+    documents
+      .filter(col("n_chars") > 0)
+      .select(col("source"), col("doc_id"),
+        (-sampleKey(col("doc_id"), col("n_chars"))).as("negkey"))
+      .groupBy(col("source"))
+      .agg(graft.functions.TopKPairsAggregate
+        .topkPairs(col("negkey"), col("doc_id"), k).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("source"), (col("i") + 1).cast("long").as("rank"),
+        col("p.id").as("doc_id"), round(-col("p.score") * 1e6, 6).as("key_ppm"))
+      .orderBy("source", "rank")
+
+  def groupSample(t: Tables): DataFrame = groupSampleOf(t.documents)
+
+  def groupSampleSql(k: Int = 5): String =
+    s"""WITH keyed AS (
+       |  SELECT source, doc_id,
+       |    ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |      + 0.5) / 4294967296.0) / n_chars AS key
+       |  FROM documents WHERE n_chars > 0
+       |), ranked AS (
+       |  SELECT source, doc_id, key,
+       |    row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rank
+       |  FROM keyed
+       |)
+       |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id,
+       |  round(key * 1e6, 6) AS key_ppm
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY source, rank""".stripMargin
+
   // ------------------------------------------- HLL cumulative rollup
 
   /** Cumulative distinct users by day via REAGGREGABLE HLL sketches

@@ -91,6 +91,24 @@ class Analytics2Spec extends AnyFunSuite {
     assert(heavy > 40, s"expected heavy docs to dominate, got $heavy/50")
   }
 
+  test("group sample: per-stratum selection equals the window form, heap-ordered") {
+    val docs = (1L to 300L).map(i => (i, s"src${i % 3}", "x", 10 + (i % 11).toInt))
+      .toDF("doc_id", "source", "text", "n_chars")
+    val got = graft.operators.Analytics2.groupSampleOf(docs, k = 4)
+      .select("source", "rank", "doc_id")
+      .as[(String, Long, Long)].collect().toList
+    // brute: per source, 4 smallest (key, doc_id)
+    val keyed = docs.select(col("source"), col("doc_id"),
+        graft.operators.Analytics2.sampleKey(col("doc_id"), col("n_chars")).as("key"))
+      .as[(String, Long, Double)].collect()
+    val want = keyed.groupBy(_._1).toList.flatMap { case (src, rows) =>
+      rows.sortBy(r => (r._3, r._2)).take(4).zipWithIndex
+        .map { case (r, i) => (src, i + 1L, r._2) }
+    }.sorted
+    assert(got == want)
+    assert(got.count(_._1 == "src0") == 4 && got.map(_._1).distinct.size == 3)
+  }
+
   test("zipf fit: an exact power-law corpus fits slope -1") {
     // freq(rank) = 720/rank for ranks 1..6 — ln-ln exactly linear
     val words = (1 to 6).flatMap { r => Seq.fill(720 / r)((1L, s"w$r")) }
