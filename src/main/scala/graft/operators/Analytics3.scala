@@ -1,0 +1,326 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Third tranche of warehouse-statistics shapes: Benford first-digit
+  * conformance, a chi-square independence test, dense-series
+  * autocorrelation, population-stability (PSI) drift per source, and a
+  * Gini concentration coefficient. The reference's closest surface is
+  * its per-corpus aggregate report (v2/main.py:200-226); these are the
+  * data-quality / drift screens a training-data pipeline runs over the
+  * same aggregates. Scale discipline as [[Analytics2]]: every operator
+  * collapses the fact table to an enum- or grid-sized aggregate before
+  * any join; sums that feed a statistic stay exact (LONG or
+  * DECIMAL(38,0)) until the final division; non-equi joins only ever
+  * touch value tables bounded by distinct small-int counts.
+  */
+object Analytics3 {
+
+  // --------------------------------------------------------- Benford
+
+  /** First-significant-digit distribution of order totals vs Benford's
+    * law — the classic synthetic-data / fraud screen. The digit is
+    * extracted EXACTLY: price → integer cents (`round(p*100)` as LONG)
+    * → first character of its decimal representation, so no
+    * `floor(log10(x))` float boundary can disagree across engines.
+    * One map-side-combined ≤9-group aggregate; the 1-row total joins
+    * back by broadcast; digits with zero support still appear (dense
+    * 1-9 grid via `sequence`). Expected rate log10(1+1/d) and the
+    * per-digit chi-square contribution (n − Np)²/(Np) are doubles only
+    * in the final expression, rounded well above ulp jitter.
+    */
+  def benfordOf(orders: DataFrame): DataFrame = {
+    val counts = orders
+      .select(substring(round(col("o_totalprice") * 100).cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .filter(col("digit").between(1, 9))
+      .groupBy("digit").agg(count(lit(1)).as("n_orders"))
+    val total = counts.agg(sum(col("n_orders")).as("n_total"))
+    val grid = counts.sparkSession.range(1, 10).select(col("id").as("digit"))
+    grid.join(counts, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n_orders"),
+        round(col("n_orders").cast("double") / col("n_total"), 6).as("obs_rate"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("benford_rate"),
+        round(pow(col("n_orders").cast("double") -
+            col("n_total") * log10(lit(1.0) + lit(1.0) / col("digit")), 2) /
+          (col("n_total") * log10(lit(1.0) + lit(1.0) / col("digit"))), 4).as("chi2_part"))
+      .orderBy("digit")
+  }
+
+  def benford(t: Tables): DataFrame = benfordOf(t.orders)
+
+  val benfordSql: String =
+    """WITH counts AS (
+      |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+      |    count(*) AS n_orders
+      |  FROM orders
+      |  WHERE CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) BETWEEN 1 AND 9
+      |  GROUP BY 1
+      |), total AS (SELECT sum(n_orders) AS n_total FROM counts),
+      |grid AS (SELECT unnest(generate_series(1, 9)) AS digit)
+      |SELECT g.digit, coalesce(c.n_orders, 0) AS n_orders,
+      |  round(CAST(coalesce(c.n_orders, 0) AS DOUBLE) / n_total, 6) AS obs_rate,
+      |  round(log10(1.0 + 1.0 / g.digit), 6) AS benford_rate,
+      |  round(pow(CAST(coalesce(c.n_orders, 0) AS DOUBLE)
+      |      - n_total * log10(1.0 + 1.0 / g.digit), 2)
+      |    / (n_total * log10(1.0 + 1.0 / g.digit)), 4) AS chi2_part
+      |FROM grid g LEFT JOIN counts c ON c.digit = g.digit CROSS JOIN total
+      |ORDER BY 1""".stripMargin
+
+  // ------------------------------------------- chi-square independence
+
+  /** Chi-square test of independence between event type and day of
+    * week — "does behavior depend on the weekday". Uses the identity
+    * χ² = N·Σ_cells O²/(R·C) − N, which needs only OBSERVED cells (a
+    * zero cell contributes nothing to the sum), so the dense expected
+    * grid never materializes. The contingency table collapses at the
+    * scan (one ≤|types|×7-group map-side-combined aggregate); margins
+    * and N are re-aggregates of that tiny grid, joined back by
+    * broadcast. Counts stay LONG; doubles enter in the per-cell ratio
+    * O²/(R·C) whose ~35-term sum is ulp-safe at the 4-decimal round.
+    */
+  def chiSquareOf(events: DataFrame): DataFrame = {
+    val cells = events
+      .groupBy(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"))
+      .agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy("event_type").agg(sum(col("o")).as("r"))
+    val colTot = cells.groupBy("dow").agg(sum(col("o")).as("c"))
+    val n = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("event_type")).as("n_types"),
+      countDistinct(col("dow")).as("n_dows"))
+    cells
+      .join(broadcast(rowTot), "event_type")
+      .join(broadcast(colTot), "dow")
+      .agg(sum((col("o") * col("o")).cast("double") / (col("r") * col("c"))).as("s"))
+      .crossJoin(broadcast(n))
+      .select(col("n"), col("n_types"), col("n_dows"),
+        ((col("n_types") - 1) * (col("n_dows") - 1)).as("dof"),
+        round(col("n") * col("s") - col("n"), 4).as("chi2"))
+  }
+
+  def chiSquare(t: Tables): DataFrame = chiSquareOf(t.events)
+
+  val chiSquareSql: String =
+    """WITH cells AS (
+      |  SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow, count(*) AS o
+      |  FROM events GROUP BY 1, 2
+      |), rt AS (SELECT event_type, sum(o) AS r FROM cells GROUP BY 1),
+      |ct AS (SELECT dow, sum(o) AS c FROM cells GROUP BY 1),
+      |n AS (SELECT sum(o) AS n, count(DISTINCT event_type) AS n_types,
+      |        count(DISTINCT dow) AS n_dows FROM cells),
+      |s AS (
+      |  SELECT sum(CAST(cells.o * cells.o AS DOUBLE) / (rt.r * ct.c)) AS s
+      |  FROM cells JOIN rt USING (event_type) JOIN ct USING (dow)
+      |)
+      |SELECT CAST(n.n AS BIGINT) AS n, n.n_types, n.n_dows,
+      |  CAST((n.n_types - 1) * (n.n_dows - 1) AS BIGINT) AS dof,
+      |  round(n.n * s.s - n.n, 4) AS chi2
+      |FROM s CROSS JOIN n""".stripMargin
+
+  // --------------------------------------------------- autocorrelation
+
+  /** Lag-k autocorrelation of the dense hourly event series, per event
+    * type — the "is traffic periodic / self-similar" screen behind
+    * capacity planning and anomaly thresholds. Runs on the SAME
+    * gap-filled grid as `q_events_gapfill` ([[Events.denseHourlyOf]]):
+    * an hour with no events is a 0 in the series, not a missing row —
+    * skipping gaps inflates r. The grid is span×|types| rows however
+    * big the corpus is, so the lag self-join (on hour+k within type)
+    * and the stats aggregate are grid-sized. Estimator:
+    * r_k = Σ(x_t−μ)(x_{t+k}−μ) / Σ(x_t−μ)², expanded so every sum
+    * (Σx_t·x_{t+k}, head/tail sums, Σx, Σx²) is an exact LONG; μ and
+    * the division are the only doubles. A constant series (zero
+    * variance) reads NULL, not an ANSI /0 error.
+    */
+  def autocorrOf(events: DataFrame, maxLag: Int = 3): DataFrame = {
+    val dense = Events.denseHourlyOf(events)
+    val stats = dense.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_events")).as("sx"),
+        sum(col("n_events") * col("n_events")).as("sxx"))
+    val perLag = (1 to maxLag).map { k =>
+      dense.as("a")
+        .join(dense.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("b.hour") === col("a.hour") + expr(s"INTERVAL $k HOUR"))
+        .groupBy(col("a.event_type").as("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("a.n_events") * col("b.n_events")).as("p"),
+          sum(col("a.n_events")).as("sh"),
+          sum(col("b.n_events")).as("st"))
+        .withColumn("lag", lit(k.toLong))
+    }.reduce(_ unionByName _)
+    perLag.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        when(col("sxx").cast("double") - col("sx").cast("double") * col("sx") / col("n") =!= 0.0,
+          round(
+            (col("p").cast("double")
+              - (col("sx").cast("double") / col("n")) * (col("sh") + col("st"))
+              + col("n_pairs") * pow(col("sx").cast("double") / col("n"), 2)) /
+            (col("sxx").cast("double") - col("sx").cast("double") * col("sx") / col("n")),
+            4) + lit(0.0)).as("r"))
+      .orderBy("event_type", "lag")
+  }
+
+  def autocorr(t: Tables): DataFrame = autocorrOf(t.events)
+
+  def autocorrSql(maxLag: Int = 3): String = {
+    val lagSelects = (1 to maxLag).map { k =>
+      s"""  SELECT a.event_type, CAST($k AS BIGINT) AS lag, count(*) AS n_pairs,
+         |    sum(a.n_events * b.n_events) AS p, sum(a.n_events) AS sh, sum(b.n_events) AS st
+         |  FROM dense a JOIN dense b
+         |    ON b.event_type = a.event_type AND b.hour = a.hour + INTERVAL $k HOUR
+         |  GROUP BY 1""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""${Events.denseCte},
+       |stats AS (
+       |  SELECT event_type, count(*) AS n, sum(n_events) AS sx,
+       |    sum(n_events * n_events) AS sxx
+       |  FROM dense GROUP BY 1
+       |), lags AS (
+       |$lagSelects
+       |)
+       |SELECT l.event_type, l.lag, l.n_pairs,
+       |  CASE WHEN CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n <> 0.0 THEN
+       |    round((CAST(p AS DOUBLE) - (CAST(sx AS DOUBLE) / n) * (sh + st)
+       |        + n_pairs * pow(CAST(sx AS DOUBLE) / n, 2))
+       |      / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n), 4) + 0.0
+       |  END AS r
+       |FROM lags l JOIN stats USING (event_type)
+       |ORDER BY event_type, lag""".stripMargin
+  }
+
+  // ------------------------------------------------------- PSI drift
+
+  /** Population Stability Index of the document-length distribution,
+    * per source vs the whole corpus — the standard "has this feed
+    * drifted from the mix" monitor. Lengths bucket into fixed edges at
+    * the scan (a CASE chain over `n_chars`, no quantile pass), so the
+    * whole operator is one ≤|sources|×|bins| map-side-combined
+    * aggregate plus re-aggregates of that grid. Empty (source, bin)
+    * cells are materialized (source list × literal bin list) and every
+    * cell gets add-one smoothing — PSI's log is undefined on zero
+    * support, and the +1 is the documented convention, applied
+    * identically to both engines. Counts stay LONG; the ≤|bins|-term
+    * PSI sum is the only double arithmetic.
+    */
+  def psiDriftOf(docs: DataFrame, edges: Seq[Int] = Seq(150, 250, 350, 450)): DataFrame = {
+    val bin = edges.zipWithIndex.foldRight(lit(edges.size.toLong): org.apache.spark.sql.Column) {
+      case ((edge, i), acc) => when(col("n_chars") < edge, i.toLong).otherwise(acc)
+    }
+    val counts = docs.select(col("source"), bin.as("bin"))
+      .groupBy("source", "bin").agg(count(lit(1)).as("n"))
+    val nBins = edges.size + 1
+    val grid = counts.select(col("source")).distinct()
+      .crossJoin(counts.sparkSession.range(0, nBins).select(col("id").as("bin")))
+    val dense = grid.join(counts, Seq("source", "bin"), "left")
+      .select(col("source"), col("bin"), (coalesce(col("n"), lit(0L)) + 1).as("n"))
+    val srcTot = dense.groupBy("source").agg(sum(col("n")).as("s_tot"))
+    val allTot = dense.groupBy("bin").agg(sum(col("n")).as("b_all"))
+    val corpusTot = dense.agg(sum(col("n")).as("n_all"))
+    dense
+      .join(broadcast(srcTot), "source")
+      .join(broadcast(allTot), "bin")
+      .crossJoin(broadcast(corpusTot))
+      .groupBy(col("source"), (col("s_tot") - nBins).as("n_docs"))
+      .agg(round(sum(
+        (col("n").cast("double") / col("s_tot") - col("b_all").cast("double") / col("n_all")) *
+          (log(col("n").cast("double") / col("s_tot")) -
+            log(col("b_all").cast("double") / col("n_all")))).as("psi"), 6).as("psi"))
+      .orderBy("source")
+  }
+
+  def psiDrift(t: Tables): DataFrame = psiDriftOf(t.documents)
+
+  def psiDriftSql(edges: Seq[Int] = Seq(150, 250, 350, 450)): String = {
+    val nBins = edges.size + 1
+    val caseChain = edges.zipWithIndex
+      .map { case (e, i) => s"WHEN n_chars < $e THEN $i" }
+      .mkString(" ")
+    s"""WITH binned AS (
+       |  SELECT source, CAST(CASE $caseChain ELSE ${edges.size} END AS BIGINT) AS bin
+       |  FROM documents
+       |), counts AS (
+       |  SELECT source, bin, count(*) AS n FROM binned GROUP BY 1, 2
+       |), grid AS (
+       |  SELECT s.source, b.bin
+       |  FROM (SELECT DISTINCT source FROM counts) s
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${nBins - 1})) AS bin) b
+       |), dense AS (
+       |  SELECT g.source, g.bin, coalesce(c.n, 0) + 1 AS n
+       |  FROM grid g LEFT JOIN counts c ON c.source = g.source AND c.bin = g.bin
+       |), st AS (SELECT source, sum(n) AS s_tot FROM dense GROUP BY 1),
+       |bt AS (SELECT bin, sum(n) AS b_all FROM dense GROUP BY 1),
+       |ct AS (SELECT sum(n) AS n_all FROM dense)
+       |SELECT d.source, CAST(st.s_tot - $nBins AS BIGINT) AS n_docs,
+       |  round(sum(
+       |    (CAST(d.n AS DOUBLE) / st.s_tot - CAST(bt.b_all AS DOUBLE) / ct.n_all)
+       |    * (ln(CAST(d.n AS DOUBLE) / st.s_tot) - ln(CAST(bt.b_all AS DOUBLE) / ct.n_all))
+       |  ), 6) AS psi
+       |FROM dense d JOIN st USING (source) JOIN bt USING (bin) CROSS JOIN ct
+       |GROUP BY 1, 2 ORDER BY source""".stripMargin
+  }
+
+  // ------------------------------------------------------------ Gini
+
+  /** Gini coefficient of per-user event counts — "how concentrated is
+    * activity" (0 = everyone equal, →1 = one user owns the corpus).
+    * Uses the grouped-data rank identity: with distinct activity
+    * levels v ascending, frequency f and C = users strictly below,
+    * 2·Σᵢ i·xᵢ = Σ_v v·(2·f·C + f·(f+1)), so the corpus collapses to a
+    * user aggregate, then a VALUE table keyed by distinct count — its
+    * size is bounded by distinct small-int activity levels, not users.
+    * The strictly-below cumulative is a triangular self-join on that
+    * tiny table (same policy as the Zipf/Heaps fits: no global
+    * window). Products ride DECIMAL(12,0)→DECIMAL(38,0), exact to
+    * ~1e38 (DuckDB's HUGEINT sums match), so the statistic is
+    * bit-stable under any partitioning; the only double is the final
+    * G = 2ΣIX/(n·S) − (n+1)/n.
+    */
+  def giniOf(events: DataFrame): DataFrame = {
+    val perUser = events.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val vt = perUser.groupBy(col("cnt").as("v")).agg(count(lit(1)).as("f"))
+    val cum = vt.as("a")
+      .join(vt.as("b"), col("b.v") < col("a.v"), "left")
+      .groupBy(col("a.v").as("v"), col("a.f").as("f"))
+      .agg(coalesce(sum(col("b.f")), lit(0L)).as("cb"))
+    cum
+      .agg(
+        sum(col("f")).as("n_users"),
+        sum(col("v").cast("decimal(12,0)") * col("f").cast("decimal(12,0)")).as("total_events"),
+        sum(col("v").cast("decimal(12,0)") *
+          (lit(2).cast("decimal(12,0)") * col("f").cast("decimal(12,0)") * col("cb").cast("decimal(12,0)") +
+            col("f").cast("decimal(12,0)") * (col("f") + 1).cast("decimal(12,0)"))).as("twoix"))
+      .select(col("n_users"),
+        col("total_events").cast("long").as("total_events"),
+        when(col("n_users") > 0 && col("total_events") > 0,
+          round(col("twoix").cast("double") /
+              (col("n_users").cast("double") * col("total_events").cast("double")) -
+            (col("n_users") + 1).cast("double") / col("n_users"), 6) + lit(0.0)).as("gini"))
+  }
+
+  def gini(t: Tables): DataFrame = giniOf(t.events)
+
+  val giniSql: String =
+    """WITH per_user AS (
+      |  SELECT user_id, count(*) AS cnt FROM events GROUP BY 1
+      |), vt AS (
+      |  SELECT cnt AS v, count(*) AS f FROM per_user GROUP BY 1
+      |), cum AS (
+      |  SELECT a.v, a.f, coalesce(sum(b.f), 0) AS cb
+      |  FROM vt a LEFT JOIN vt b ON b.v < a.v
+      |  GROUP BY 1, 2
+      |)
+      |SELECT CAST(sum(f) AS BIGINT) AS n_users,
+      |  CAST(sum(v * f) AS BIGINT) AS total_events,
+      |  CASE WHEN sum(f) > 0 AND sum(v * f) > 0 THEN
+      |    round(CAST(sum(v * (2 * f * cb + f * (f + 1))) AS DOUBLE)
+      |        / (CAST(sum(f) AS DOUBLE) * CAST(sum(v * f) AS DOUBLE))
+      |      - CAST(sum(f) + 1 AS DOUBLE) / sum(f), 6) + 0.0
+      |  END AS gini
+      |FROM cum""".stripMargin
+}

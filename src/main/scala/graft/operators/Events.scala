@@ -204,7 +204,7 @@ object Events {
     * reference reads a byte it doesn't need, and nothing corpus-sized
     * ever shuffles (plan-asserted).
     */
-  private def denseHourlyOf(events: DataFrame): DataFrame = {
+  private[operators] def denseHourlyOf(events: DataFrame): DataFrame = {
     val hourly = events
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
@@ -230,7 +230,7 @@ object Events {
 
   // one dense-series CTE shared by the gapfill and anomaly oracles
   // (the tokensCte pattern): a fix to the grid applies to both gates
-  private val denseCte =
+  private[operators] val denseCte =
     """WITH hourly AS (
       |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events
       |  FROM events GROUP BY 1, 2
