@@ -208,17 +208,46 @@ object Analytics3 {
     * identically to both engines. Counts stay LONG; the ≤|bins|-term
     * PSI sum is the only double arithmetic.
     */
-  def psiDriftOf(docs: DataFrame, edges: Seq[Int] = Seq(150, 250, 350, 450)): DataFrame = {
-    val bin = edges.zipWithIndex.foldRight(lit(edges.size.toLong): org.apache.spark.sql.Column) {
+  /** Shared length-to-bin CASE chain — the SAME expression bins the
+    * batch PSI, the baseline, and the streaming gate's scan, so the
+    * three can never disagree on bucket geometry.
+    */
+  private[graft] def psiBinCol(edges: Seq[Int]): org.apache.spark.sql.Column =
+    edges.zipWithIndex.foldRight(lit(edges.size.toLong): org.apache.spark.sql.Column) {
       case ((edge, i), acc) => when(col("n_chars") < edge, i.toLong).otherwise(acc)
     }
-    val counts = docs.select(col("source"), bin.as("bin"))
+
+  /** Dense smoothed (source, bin, n) grid — empty cells materialized,
+    * add-one applied — the common substrate of [[psiDriftOf]] and
+    * [[psiBaselineRates]].
+    */
+  private def psiDenseSmoothed(docs: DataFrame, edges: Seq[Int]): DataFrame = {
+    val counts = docs.select(col("source"), psiBinCol(edges).as("bin"))
       .groupBy("source", "bin").agg(count(lit(1)).as("n"))
-    val nBins = edges.size + 1
     val grid = counts.select(col("source")).distinct()
-      .crossJoin(counts.sparkSession.range(0, nBins).select(col("id").as("bin")))
-    val dense = grid.join(counts, Seq("source", "bin"), "left")
+      .crossJoin(counts.sparkSession.range(0, edges.size + 1).select(col("id").as("bin")))
+    grid.join(counts, Seq("source", "bin"), "left")
       .select(col("source"), col("bin"), (coalesce(col("n"), lit(0L)) + 1).as("n"))
+  }
+
+  /** Pooled smoothed per-bin rates of a REFERENCE corpus, collected to
+    * a plain array (≤|bins| rows — the inlined-hyperplanes policy: an
+    * enum-sized model parameter, not data). This is what a deployed
+    * drift monitor broadcasts; the streaming gate scores live traffic
+    * against it with zero joins.
+    */
+  def psiBaselineRates(docs: DataFrame, edges: Seq[Int] = Seq(150, 250, 350, 450)): Array[Double] = {
+    val byBin = psiDenseSmoothed(docs, edges)
+      .groupBy("bin").agg(sum(col("n")).as("b_all"))
+      .orderBy("bin")
+      .collect().map(r => r.getLong(1))
+    val nAll = byBin.sum.toDouble
+    byBin.map(_ / nAll)
+  }
+
+  def psiDriftOf(docs: DataFrame, edges: Seq[Int] = Seq(150, 250, 350, 450)): DataFrame = {
+    val nBins = edges.size + 1
+    val dense = psiDenseSmoothed(docs, edges)
     val srcTot = dense.groupBy("source").agg(sum(col("n")).as("s_tot"))
     val allTot = dense.groupBy("bin").agg(sum(col("n")).as("b_all"))
     val corpusTot = dense.agg(sum(col("n")).as("n_all"))

@@ -144,4 +144,69 @@ object CorpusScience {
        |    round(exp((sy - (n_points * sxy - sx * sy) / (n_points * sxx - sx * sx) * sx)
        |      / n_points), 4) END AS heaps_k
        |FROM s""".stripMargin
+
+  // ------------------------------------------------------ skip-grams
+
+  /** Skip-gram (center, context) pair counts within a ±`window` token
+    * distance — the training-pair extraction behind word2vec/GloVe
+    * embeddings. Positions are indices over the NORMALIZED token
+    * sequence (empties dropped, then re-ranked per doc — a per-doc
+    * window, never global), so the pair geometry is identical on both
+    * engines whatever the raw whitespace looked like. Pair generation
+    * is an EQUI-join: each position joins (doc_id, pos+δ) for
+    * δ ∈ 1..window via a literal offset explode — w× the token count,
+    * the honest cost of skip-gram extraction, with no per-doc
+    * quadratic blowup and nothing non-equi anywhere. Both directions
+    * of each co-occurrence are emitted (forward pairs + their
+    * mirrors), matching the symmetric-context convention. Output is
+    * the top-`topK` pairs by count with full tie-breaks — TakeOrdered,
+    * no global window.
+    */
+  def skipgramsOf(docs: DataFrame, window: Int = 2, topK: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\\s+")).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"), lower(trim(col("w"))).as("word"))
+      .filter(col("word") =!= "")
+      .withColumn("npos", row_number().over(byDoc).cast("long"))
+      .select("doc_id", "npos", "word")
+    val offsets = (1 to window).map(lit(_))
+    val fwd = toks.as("a")
+      .withColumn("d", explode(array(offsets: _*)))
+      .join(toks.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.npos") === col("a.npos") + col("d"))
+      .select(col("a.word").as("center"), col("b.word").as("context"))
+    fwd.unionByName(fwd.select(col("context").as("center"), col("center").as("context")))
+      .groupBy("center", "context").agg(count(lit(1)).as("pairs"))
+      .orderBy(col("pairs").desc, col("center"), col("context"))
+      .limit(topK)
+  }
+
+  def skipgrams(t: Tables): DataFrame = skipgramsOf(t.documents)
+
+  def skipgramsSql(window: Int = 2, topK: Int = 50): String =
+    s"""WITH raw AS (
+       |  SELECT doc_id, unnest(arr) AS w, generate_subscripts(arr, 1) AS pos
+       |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr FROM documents)
+       |), toks AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS npos,
+       |    lower(trim(w)) AS word
+       |  FROM raw WHERE lower(trim(w)) <> ''
+       |), fwd AS (
+       |  SELECT a.word AS center, b.word AS context
+       |  FROM toks a JOIN toks b
+       |    ON b.doc_id = a.doc_id
+       |   AND b.npos BETWEEN a.npos + 1 AND a.npos + $window
+       |), sym AS (
+       |  SELECT center, context FROM fwd
+       |  UNION ALL
+       |  SELECT context AS center, center AS context FROM fwd
+       |)
+       |SELECT center, context, count(*) AS pairs
+       |FROM sym GROUP BY 1, 2
+       |ORDER BY pairs DESC, center, context
+       |LIMIT $topK""".stripMargin
 }

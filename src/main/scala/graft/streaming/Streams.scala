@@ -754,6 +754,84 @@ object Streams {
       .select((col("i") + 1).cast("long").as("rank"), col("p.id").as("doc_id"),
         round(-col("p.score") * 1e6, 6).as("key_ppm"))
 
+  final case class BinDoc(source: String, bin: Int)
+  final case class PsiState(counts: Seq[Long])
+  final case class PsiRow(source: String, n_docs: Long, psi: Double)
+
+  /** One PSI evaluation from raw per-bin counts against fixed baseline
+    * rates — add-one smoothing, ln-ratio sum, 6-decimal round — shared
+    * verbatim by the streaming gate and its batch twin so "backfill ≡
+    * live" is true by construction.
+    */
+  private def psiSweep(source: String, counts: Array[Long],
+      rates: Array[Double]): PsiRow = {
+    val nDocs = counts.sum
+    val sTot = (nDocs + counts.length).toDouble
+    var psi = 0.0
+    var b = 0
+    while (b < counts.length) {
+      val p = (counts(b) + 1) / sTot
+      psi += (p - rates(b)) * math.log(p / rates(b))
+      b += 1
+    }
+    PsiRow(source, nDocs, math.rint(psi * 1e6) / 1e6)
+  }
+
+  /** Streaming drift monitor — the online form of
+    * [[graft.operators.Analytics3.psiDriftOf]]: Population Stability
+    * Index of each source's incoming document-length distribution
+    * against a FIXED reference corpus. The baseline is
+    * [[graft.operators.Analytics3.psiBaselineRates]] — ≤|bins| doubles,
+    * an enum-sized model parameter inlined at plan construction (the
+    * hyperplane policy), so scoring needs zero joins. Documents bin at
+    * the scan with the SAME CASE chain as the batch op; state is one
+    * |bins|-long count vector per source — fixed size however much
+    * traffic lands, the 100 TB/day shape — and each micro-batch
+    * re-emits that source's updated PSI (update mode: the monitor is a
+    * living snapshot per feed). Works identically on a batch DataFrame
+    * ([[psiGateBatch]]).
+    */
+  def psiGate(spark: SparkSession, docs: DataFrame, baselineRates: Array[Double],
+      edges: Seq[Int] = Seq(150, 250, 350, 450)): Dataset[PsiRow] = {
+    import spark.implicits._
+    val nBins = edges.size + 1
+    require(baselineRates.length == nBins,
+      s"baselineRates has ${baselineRates.length} bins, edges imply $nBins")
+    docs
+      .select(col("source"),
+        graft.operators.Analytics3.psiBinCol(edges).cast("int").as("bin"))
+      .as[BinDoc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[PsiState, PsiRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (source: String, ds: Iterator[BinDoc], state: GroupState[PsiState]) =>
+          val counts = state.getOption.map(_.counts.toArray)
+            .getOrElse(Array.fill(nBins)(0L))
+          ds.foreach(d => counts(d.bin) += 1)
+          state.update(PsiState(counts.toSeq))
+          Iterator.single(psiSweep(source, counts, baselineRates))
+      }
+  }
+
+  /** Batch twin of [[psiGate]]: one sweep per source over the full
+    * history — same binning, same smoothing, same rounding.
+    */
+  def psiGateBatch(spark: SparkSession, docs: DataFrame, baselineRates: Array[Double],
+      edges: Seq[Int] = Seq(150, 250, 350, 450)): Dataset[PsiRow] = {
+    import spark.implicits._
+    val nBins = edges.size + 1
+    docs
+      .select(col("source"),
+        graft.operators.Analytics3.psiBinCol(edges).cast("int").as("bin"))
+      .as[BinDoc]
+      .groupByKey(_.source)
+      .mapGroups { (source, ds) =>
+        val counts = Array.fill(nBins)(0L)
+        ds.foreach(d => counts(d.bin) += 1)
+        psiSweep(source, counts, baselineRates)
+      }
+  }
+
   /** Drain a streaming query into an in-memory table (test/smoke
     * convenience): processes everything currently available, then stops.
     */

@@ -550,6 +550,53 @@ class StreamingSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"), min("rank").as("lo"), max("rank").as("hi"))
     assert(byKey.filter(col("n") > 5 || col("lo") =!= 1 || col("hi") =!= col("n")).count() == 0)
   }
+
+  test("psi gate: cross-batch drift state ≡ batch twin; agrees with Analytics3.psiDriftOf") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // steady feed (lengths around the corpus median) and a drifted feed
+    // (everything in the long tail), split across two micro-batches so
+    // the count vector must survive the batch boundary.
+    val steady = (1 to 30).map(i => ("steady", 250 + (i % 50)))
+    val drifted = (1 to 30).map(i => ("drifted", 480 + (i % 20)))
+    val all = steady ++ drifted
+    val (batch1, batch2) = all.splitAt(25)
+    val docsDf = all.toDF("source", "n_chars")
+    val baseline = graft.operators.Analytics3.psiBaselineRates(docsDf)
+    val mem = MemoryStream[(String, Int)]
+    val q = Streams.psiGate(spark, mem.toDF().toDF("source", "n_chars"), baseline)
+      .toDF().writeStream.outputMode("update").format("memory")
+      .queryName("psi_out").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // update mode re-emits per batch; the final snapshot is the row
+    // with that source's max n_docs (monotone counter)
+    val got = spark.table("psi_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (_, rows) => rows.maxBy(_._2) }.toSet
+    val want = Streams.psiGateBatch(spark, docsDf, baseline)
+      .collect().map(p => (p.source, p.n_docs, p.psi)).toSet
+    assert(got == want, s"stream $got != batch $want")
+    // semantic cross-check vs the gated batch query (independent plan;
+    // HALF_UP vs rint can differ in the last rounded digit)
+    val batchPsi = graft.operators.Analytics3.psiDriftOf(docsDf)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    got.foreach { case (src, _, psi) =>
+      assert(math.abs(psi - batchPsi(src)) <= 1e-6, s"$src: $psi vs ${batchPsi(src)}")
+    }
+    // directional check against an INDEPENDENT reference corpus (the
+    // production shape — baseline from history, feeds scored live):
+    // a feed matching the reference reads near 0, the drifted one high
+    val ref = (1 to 60).map(i => ("hist", 250 + (i % 50))).toDF("source", "n_chars")
+    val refRates = graft.operators.Analytics3.psiBaselineRates(ref)
+    val scored = Streams.psiGateBatch(spark, docsDf, refRates)
+      .collect().map(p => p.source -> p.psi).toMap
+    assert(scored("drifted") > scored("steady") + 0.5,
+      s"drifted feed must read far higher PSI vs reference: $scored")
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
