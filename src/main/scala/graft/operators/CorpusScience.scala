@@ -162,7 +162,11 @@ object CorpusScience {
     * the top-`topK` pairs by count with full tie-breaks — TakeOrdered,
     * no global window.
     */
-  def skipgramsOf(docs: DataFrame, window: Int = 2, topK: Int = 50): DataFrame = {
+  /** Symmetric (center, context) pair stream — the substrate shared by
+    * [[skipgramsOf]] (raw pair counts) and [[skipgramPmiOf]]
+    * (association scores).
+    */
+  private def skipgramPairsOf(docs: DataFrame, window: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val toks = docs
@@ -179,14 +183,19 @@ object CorpusScience {
           col("b.npos") === col("a.npos") + col("d"))
       .select(col("a.word").as("center"), col("b.word").as("context"))
     fwd.unionByName(fwd.select(col("context").as("center"), col("center").as("context")))
+  }
+
+  def skipgramsOf(docs: DataFrame, window: Int = 2, topK: Int = 50): DataFrame =
+    skipgramPairsOf(docs, window)
       .groupBy("center", "context").agg(count(lit(1)).as("pairs"))
       .orderBy(col("pairs").desc, col("center"), col("context"))
       .limit(topK)
-  }
 
   def skipgrams(t: Tables): DataFrame = skipgramsOf(t.documents)
 
-  def skipgramsSql(window: Int = 2, topK: Int = 50): String =
+  // symmetric skip-gram pair CTE shared by the raw-count and PMI
+  // oracles (tokensCte pattern: a fix to pair geometry hits both gates)
+  private def skipgramCte(window: Int): String =
     s"""WITH raw AS (
        |  SELECT doc_id, unnest(arr) AS w, generate_subscripts(arr, 1) AS pos
        |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr FROM documents)
@@ -204,9 +213,57 @@ object CorpusScience {
        |  SELECT center, context FROM fwd
        |  UNION ALL
        |  SELECT context AS center, center AS context FROM fwd
-       |)
+       |)""".stripMargin
+
+  def skipgramsSql(window: Int = 2, topK: Int = 50): String =
+    s"""${skipgramCte(window)}
        |SELECT center, context, count(*) AS pairs
        |FROM sym GROUP BY 1, 2
        |ORDER BY pairs DESC, center, context
+       |LIMIT $topK""".stripMargin
+
+  /** Windowed-co-occurrence PMI — the association score GloVe/word2vec
+    * factorize: pmi(c,x) = ln( (n(c,x)/M) / ((m(c)/M)(m(x)/M)) ) over
+    * the symmetric skip-gram pair multiset, support ≥ `minCount`.
+    * Generalizes `bigram_pmi` from adjacency to a ±window. Everything
+    * derives from ONE pair-count aggregate: marginals are a re-agg of
+    * the (vocab²-sparse) count table — by symmetry the center marginal
+    * serves both sides — M is a 1-row broadcast, and only counts
+    * surviving minCount join the (vocab-sized, AQE-broadcast) marginal
+    * table. Top-k by PMI is TakeOrdered with full tie-breaks.
+    */
+  def skipgramPmiOf(docs: DataFrame, window: Int = 2, minCount: Int = 5,
+      topK: Int = 50): DataFrame = {
+    val counts = skipgramPairsOf(docs, window)
+      .groupBy("center", "context").agg(count(lit(1)).as("n"))
+    val marg = counts.groupBy(col("center").as("w")).agg(sum(col("n")).as("m"))
+    val total = marg.agg(sum(col("m")).as("mm"))
+    counts.filter(col("n") >= minCount)
+      .join(marg.select(col("w").as("center"), col("m").as("mc")), "center")
+      .join(marg.select(col("w").as("context"), col("m").as("mx")), "context")
+      .crossJoin(broadcast(total))
+      .select(col("center"), col("context"), col("n").as("pairs"),
+        round(log((col("n").cast("double") * col("mm")) /
+          (col("mc").cast("double") * col("mx"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("center"), col("context"))
+      .limit(topK)
+  }
+
+  def skipgramPmi(t: Tables): DataFrame = skipgramPmiOf(t.documents)
+
+  def skipgramPmiSql(window: Int = 2, minCount: Int = 5, topK: Int = 50): String =
+    s"""${skipgramCte(window)}, counts AS (
+       |  SELECT center, context, count(*) AS n FROM sym GROUP BY 1, 2
+       |), marg AS (
+       |  SELECT center AS w, sum(n) AS m FROM counts GROUP BY 1
+       |), total AS (SELECT sum(m) AS mm FROM marg)
+       |SELECT c.center, c.context, c.n AS pairs,
+       |  round(ln((CAST(c.n AS DOUBLE) * t.mm) / (CAST(mc.m AS DOUBLE) * mx.m)), 6) AS pmi
+       |FROM counts c
+       |JOIN marg mc ON mc.w = c.center
+       |JOIN marg mx ON mx.w = c.context
+       |CROSS JOIN total t
+       |WHERE c.n >= $minCount
+       |ORDER BY pmi DESC, c.center, c.context
        |LIMIT $topK""".stripMargin
 }

@@ -295,4 +295,37 @@ class Analytics2Spec extends AnyFunSuite {
       .as[(Long, Long, Double, Double, Double)].collect().toList
     assert(got == List((0L, 2L, 5.0, 5.0, 1.0), (1L, 2L, 0.0, 1.0, 0.0)))
   }
+
+  test("skipgrams: window geometry exact, empties re-ranked, both directions emitted") {
+    // "a  b c" (double space) + "c a": window 2 pairs (directed, fwd):
+    // doc1: (a,b) d1, (a,c) d2, (b,c) d1; doc2: (c,a) d1
+    // symmetric counts: a-b:1, b-a:1, a-c:2 (fwd a→c + mirror of c→a),
+    // c-a:2, b-c:1, c-b:1
+    val docs = Seq((1L, "a  b c"), (2L, "c a")).toDF("doc_id", "text")
+    val got = graft.operators.CorpusScience.skipgramsOf(docs, window = 2, topK = 10)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("a", "c", 2L), ("c", "a", 2L), ("a", "b", 1L),
+      ("b", "a", 1L), ("b", "c", 1L), ("c", "b", 1L)), s"got $got")
+    // window 1 drops the distance-2 (a,c) pair from doc1 only
+    val w1 = graft.operators.CorpusScience.skipgramsOf(docs, window = 1, topK = 10)
+      .as[(String, String, Long)].collect().toSet
+    assert(w1 == Set(("a", "b", 1L), ("b", "a", 1L), ("b", "c", 1L),
+      ("c", "b", 1L), ("a", "c", 1L), ("c", "a", 1L)), s"got $w1")
+  }
+
+  test("skipgram pmi: associated pair scores above independent pair") {
+    // x and y ALWAYS co-occur; z pairs with everything uniformly →
+    // pmi(x,y) > pmi(x,z). Repeat docs to clear minCount.
+    val docs = (0 until 10).flatMap(i =>
+      Seq((i * 2L, "x y"), (i * 2L + 1, s"z w$i"))).toDF("doc_id", "text")
+    val got = graft.operators.CorpusScience.skipgramPmiOf(docs, window = 2,
+        minCount = 5, topK = 10)
+      .as[(String, String, Long, Double)].collect()
+    val byPair = got.map(r => (r._1, r._2) -> r._4).toMap
+    // only x-y survives minCount=5 (20 symmetric pairs); z-w_i all 2
+    assert(byPair.keySet == Set(("x", "y"), ("y", "x")), s"got $byPair")
+    // pmi(x,y) = ln( (10/40) / ((10/40)(10/40)) ) = ln 4
+    assert(byPair(("x", "y")) == math.rint(math.log(4.0) * 1e6) / 1e6)
+    assert(byPair(("x", "y")) == byPair(("y", "x")))
+  }
 }
