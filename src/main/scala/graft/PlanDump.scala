@@ -120,7 +120,21 @@ object PlanDump {
       "q_heaps_law (first-seen-bucket min agg; cumulative sums on the <=buckets grid — no expanding distinct)" ->
         CorpusScience.heapsLaw(t),
       "q_hll_cumulative (reaggregable daily sketches; expanding union over the <=days grid)" ->
-        Analytics2.hllCumulative(t))
+        Analytics2.hllCumulative(t),
+      "q_benford (exact cents-string digit; <=9-group agg + dense grid; 1-row total broadcast)" ->
+        Analytics3.benford(t),
+      "q_chi_square (observed-cells identity; margins = broadcast re-aggs of the tiny grid)" ->
+        Analytics3.chiSquare(t),
+      "q_autocorr (dense gapfill grid reused; lag self-join + stats grid-sized whatever the corpus)" ->
+        Analytics3.autocorr(t),
+      "q_psi_drift (CASE bins at the scan; one sources-x-bins agg; smoothing on the dense grid)" ->
+        Analytics3.psiDrift(t),
+      "q_gini (user agg -> distinct-count value table; triangular cumulative; DECIMAL(38,0) products)" ->
+        Analytics3.gini(t),
+      "q_skipgrams (per-doc position re-rank; equi-join on (doc,pos+offset) via literal offset explode)" ->
+        CorpusScience.skipgrams(t),
+      "q_skipgram_pmi (one pair-count agg; marginals re-agg the sparse counts; minCount survivors join)" ->
+        CorpusScience.skipgramPmi(t))
     val sb = new StringBuilder
     sb.append("# Plan snapshots (round 9)\n\nGenerated by `graft.PlanDump` at sf0.001; ")
     sb.append("`PlanAuditSpec` asserts these shapes stay true.\n")

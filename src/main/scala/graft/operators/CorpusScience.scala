@@ -162,11 +162,16 @@ object CorpusScience {
     * the top-`topK` pairs by count with full tie-breaks — TakeOrdered,
     * no global window.
     */
-  /** Symmetric (center, context) pair stream — the substrate shared by
-    * [[skipgramsOf]] (raw pair counts) and [[skipgramPmiOf]]
-    * (association scores).
+  /** Symmetric (center, context, n) pair COUNTS — the substrate shared
+    * by [[skipgramsOf]] (raw counts) and [[skipgramPmiOf]] (association
+    * scores). The corpus-pair join runs ONCE, forward-only; symmetry is
+    * applied by mirroring the already-aggregated sparse count table
+    * (sym(c,x) = fwd(c,x) + fwd(x,c)) — a vocab²-sparse re-agg instead
+    * of a second corpus-token pass (the naive both-directions union
+    * plans the scan + per-doc window + join TWICE; plan-snapshot
+    * verified).
     */
-  private def skipgramPairsOf(docs: DataFrame, window: Int): DataFrame = {
+  private def skipgramCountsOf(docs: DataFrame, window: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val toks = docs
@@ -176,18 +181,22 @@ object CorpusScience {
       .withColumn("npos", row_number().over(byDoc).cast("long"))
       .select("doc_id", "npos", "word")
     val offsets = (1 to window).map(lit(_))
-    val fwd = toks.as("a")
+    val fwdCounts = toks.as("a")
       .withColumn("d", explode(array(offsets: _*)))
       .join(toks.as("b"),
         col("a.doc_id") === col("b.doc_id") &&
           col("b.npos") === col("a.npos") + col("d"))
       .select(col("a.word").as("center"), col("b.word").as("context"))
-    fwd.unionByName(fwd.select(col("context").as("center"), col("center").as("context")))
+      .groupBy("center", "context").agg(count(lit(1)).as("n"))
+    fwdCounts
+      .unionByName(fwdCounts.select(col("context").as("center"),
+        col("center").as("context"), col("n")))
+      .groupBy("center", "context").agg(sum(col("n")).as("n"))
   }
 
   def skipgramsOf(docs: DataFrame, window: Int = 2, topK: Int = 50): DataFrame =
-    skipgramPairsOf(docs, window)
-      .groupBy("center", "context").agg(count(lit(1)).as("pairs"))
+    skipgramCountsOf(docs, window)
+      .select(col("center"), col("context"), col("n").as("pairs"))
       .orderBy(col("pairs").desc, col("center"), col("context"))
       .limit(topK)
 
@@ -234,8 +243,7 @@ object CorpusScience {
     */
   def skipgramPmiOf(docs: DataFrame, window: Int = 2, minCount: Int = 5,
       topK: Int = 50): DataFrame = {
-    val counts = skipgramPairsOf(docs, window)
-      .groupBy("center", "context").agg(count(lit(1)).as("n"))
+    val counts = skipgramCountsOf(docs, window)
     val marg = counts.groupBy(col("center").as("w")).agg(sum(col("n")).as("m"))
     val total = marg.agg(sum(col("m")).as("mm"))
     counts.filter(col("n") >= minCount)

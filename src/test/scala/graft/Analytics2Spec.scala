@@ -311,6 +311,15 @@ class Analytics2Spec extends AnyFunSuite {
       .as[(String, String, Long)].collect().toSet
     assert(w1 == Set(("a", "b", 1L), ("b", "a", 1L), ("b", "c", 1L),
       ("c", "b", 1L), ("a", "c", 1L), ("c", "a", 1L)), s"got $w1")
+    // the mirror branch must NOT re-run the corpus-pair join: its
+    // mid-aggregate exchange is canonically identical to the forward
+    // branch's, so AQE stage reuse serves it from cache
+    val df = graft.operators.CorpusScience.skipgramsOf(docs, window = 2, topK = 10)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange") || executed.contains("StageReuse") ||
+      executed.contains("ReusedQueryStage"),
+      s"expected exchange reuse for the mirror branch:\n${executed.take(2000)}")
   }
 
   test("skipgram pmi: associated pair scores above independent pair") {
