@@ -286,7 +286,12 @@ object Bench {
     // scheme, so the repeated-set workload scales with the corpus) and
     // q_pagerank (disjoint replica components — see replicate()) join
     // the ×10 rung for their first scaling evidence.
-    val x10Only = Seq("dedup_fuzzy", "dedup_clusters", "dedup_substring", "q_pagerank")
+    // r9: q_skipgrams joins the ×10 rung — its w× corpus-token pair
+    // intermediate is the one new-op cost where linearity is worth
+    // proving (the other r9 additions aggregate to enum/grid-sized
+    // tables before any join).
+    val x10Only = Seq("dedup_fuzzy", "dedup_clusters", "dedup_substring", "q_pagerank",
+      "q_skipgrams")
     def rung(tag: String, factor: Int, extra: Seq[String], reps: Int): Unit = {
       // _v6: ×10 replicas now include the graph tables (q_pagerank input)
       val dir = s"target/bench_sfx${factor}_${new java.io.File(sfDir).getName}_v6"
