@@ -294,6 +294,90 @@ object Analytics3 {
        |GROUP BY 1, 2 ORDER BY source""".stripMargin
   }
 
+  // -------------------------------------------------------- KS drift
+
+  /** Kolmogorov–Smirnov-style drift per source: the sup-distance
+    * max_b |CDF_src(b) − CDF_corpus(b)| over the shared bin edges —
+    * PSI's companion (sup of CDF gaps vs sum of density ratios; KS
+    * sees a shifted mode PSI's log-sum can understate, and needs no
+    * smoothing since it never divides by a bin). Exact KS on raw
+    * values needs the global order statistic; on the binned
+    * distribution it is exact for the binned data and grid-sized —
+    * the 100 TB trade, same bins as [[psiDriftOf]] so the two
+    * monitors can never disagree on geometry. Cumulatives are
+    * triangular joins on the ≤|sources|×|bins| dense grid; counts
+    * stay LONG to the final division.
+    */
+  def ksDriftOf(docs: DataFrame, edges: Seq[Int] = Seq(150, 250, 350, 450)): DataFrame = {
+    val counts = docs.select(col("source"), psiBinCol(edges).as("bin"))
+      .groupBy("source", "bin").agg(count(lit(1)).as("n"))
+    val srcTot = counts.groupBy("source").agg(sum(col("n")).as("s_tot"))
+    val allByBin = counts.groupBy("bin").agg(sum(col("n")).as("n_all"))
+    val allTot = allByBin.agg(sum(col("n_all")).as("tot"))
+    // dense grid so a source's missing bin still contributes its CDF row
+    val grid = counts.select(col("source")).distinct()
+      .crossJoin(counts.sparkSession.range(0, edges.size + 1).select(col("id").as("bin")))
+    val dense = grid.join(counts, Seq("source", "bin"), "left")
+      .select(col("source"), col("bin"), coalesce(col("n"), lit(0L)).as("n"))
+    val srcCum = dense.as("a")
+      .join(dense.select(col("source").as("s2"), col("bin").as("b2"), col("n").as("n2")).as("b"),
+        col("s2") === col("a.source") && col("b2") <= col("a.bin"))
+      .groupBy(col("a.source").as("source"), col("a.bin").as("bin"))
+      .agg(sum(col("n2")).as("cum_n"))
+    val allCum = allByBin.as("a")
+      .join(allByBin.select(col("bin").as("b2"), col("n_all").as("n2")).as("b"),
+        col("b2") <= col("a.bin"))
+      .groupBy(col("a.bin").as("bin"))
+      .agg(sum(col("n2")).as("cum_all"))
+    srcCum
+      .join(broadcast(srcTot), "source")
+      .join(broadcast(allCum), "bin")
+      .crossJoin(broadcast(allTot))
+      .groupBy(col("source"), col("s_tot").as("n_docs"))
+      .agg(round(max(abs(col("cum_n").cast("double") / col("s_tot") -
+        col("cum_all").cast("double") / col("tot"))), 6).as("ks"))
+      .orderBy("source")
+  }
+
+  def ksDrift(t: Tables): DataFrame = ksDriftOf(t.documents)
+
+  def ksDriftSql(edges: Seq[Int] = Seq(150, 250, 350, 450)): String = {
+    val nBins = edges.size + 1
+    val caseChain = edges.zipWithIndex
+      .map { case (e, i) => s"WHEN n_chars < $e THEN $i" }
+      .mkString(" ")
+    s"""WITH binned AS (
+       |  SELECT source, CAST(CASE $caseChain ELSE ${edges.size} END AS BIGINT) AS bin
+       |  FROM documents
+       |), counts AS (
+       |  SELECT source, bin, count(*) AS n FROM binned GROUP BY 1, 2
+       |), st AS (SELECT source, sum(n) AS s_tot FROM counts GROUP BY 1),
+       |ab AS (SELECT bin, sum(n) AS n_all FROM counts GROUP BY 1),
+       |at AS (SELECT sum(n_all) AS tot FROM ab),
+       |grid AS (
+       |  SELECT s.source, b.bin
+       |  FROM (SELECT DISTINCT source FROM counts) s
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${nBins - 1})) AS bin) b
+       |), dense AS (
+       |  SELECT g.source, g.bin, coalesce(c.n, 0) AS n
+       |  FROM grid g LEFT JOIN counts c ON c.source = g.source AND c.bin = g.bin
+       |), src_cum AS (
+       |  SELECT a.source, a.bin, sum(b.n) AS cum_n
+       |  FROM dense a JOIN dense b ON b.source = a.source AND b.bin <= a.bin
+       |  GROUP BY 1, 2
+       |), all_cum AS (
+       |  SELECT a.bin, sum(b.n_all) AS cum_all
+       |  FROM ab a JOIN ab b ON b.bin <= a.bin
+       |  GROUP BY 1
+       |)
+       |SELECT sc.source, CAST(st.s_tot AS BIGINT) AS n_docs,
+       |  round(max(abs(CAST(sc.cum_n AS DOUBLE) / st.s_tot
+       |    - CAST(ac.cum_all AS DOUBLE) / at.tot)), 6) AS ks
+       |FROM src_cum sc
+       |JOIN st USING (source) JOIN all_cum ac USING (bin) CROSS JOIN at
+       |GROUP BY 1, 2 ORDER BY source""".stripMargin
+  }
+
   // ------------------------------------------------------------ Gini
 
   /** Gini coefficient of per-user event counts — "how concentrated is

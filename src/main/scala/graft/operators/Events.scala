@@ -123,6 +123,53 @@ object Events {
       |  ON b.user_id = a.user_id AND b.week = a.week + INTERVAL 7 DAY
       |GROUP BY a.week ORDER BY week""".stripMargin
 
+  /** Cohort retention triangle — the full (signup week × weeks-since)
+    * matrix behind every retention heatmap, generalizing [[retention]]
+    * from one-step week→week+1 to all horizons. Cohort = each user's
+    * first active week (one min aggregate); activity collapses to the
+    * distinct (user, week) grid; the cohort join is equi on user_id;
+    * cells and cohort sizes are ≤|weeks|²-row aggregates with the size
+    * table broadcast back. Exact integer counts; the rate is the only
+    * double, rounded well above ulp.
+    */
+  def cohortMatrix(t: Tables): DataFrame = cohortMatrixOf(t.events)
+
+  def cohortMatrixOf(events: DataFrame): DataFrame = {
+    val weeks = events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    val first = weeks.groupBy("user_id").agg(min(col("week")).as("cohort"))
+    val sizes = first.groupBy("cohort").agg(count(lit(1)).as("cohort_users"))
+    weeks.join(first, "user_id")
+      .select(col("cohort"),
+        expr("datediff(week, cohort) div 7").as("weeks_since"))
+      .groupBy("cohort", "weeks_since").agg(count(lit(1)).as("active_users"))
+      .join(broadcast(sizes), "cohort")
+      .select(col("cohort"), col("weeks_since"), col("cohort_users"),
+        col("active_users"),
+        round(col("active_users").cast("double") / col("cohort_users"), 6).as("rate"))
+      .orderBy("cohort", "weeks_since")
+  }
+
+  val cohortMatrixSql: String =
+    """WITH weeks AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+      |), first AS (
+      |  SELECT user_id, min(week) AS cohort FROM weeks GROUP BY 1
+      |), sizes AS (
+      |  SELECT cohort, count(*) AS cohort_users FROM first GROUP BY 1
+      |), cells AS (
+      |  SELECT f.cohort, date_diff('day', f.cohort, w.week) // 7 AS weeks_since,
+      |    count(*) AS active_users
+      |  FROM weeks w JOIN first f USING (user_id)
+      |  GROUP BY 1, 2
+      |)
+      |SELECT c.cohort, CAST(c.weeks_since AS BIGINT) AS weeks_since,
+      |  s.cohort_users, c.active_users,
+      |  round(CAST(c.active_users AS DOUBLE) / s.cohort_users, 6) AS rate
+      |FROM cells c JOIN sizes s USING (cohort)
+      |ORDER BY cohort, weeks_since""".stripMargin
+
   /** JSON property extraction from the props column. */
   def jsonExtract(t: Tables): DataFrame =
     t.events

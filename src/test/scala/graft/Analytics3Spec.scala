@@ -106,6 +106,38 @@ class Analytics3Spec extends AnyFunSuite {
     assert(sk == ((4L, 10L, 0.25)))
   }
 
+  test("ks drift: pool-matching source reads 0, extreme sources read the CDF gap") {
+    // A all in bin0, B all in bin4, C split — pooled is 50/50 across
+    // bins 0 and 4, so CDF gaps are exactly 0.5, 0.5, 0.0
+    val docs = ((1 to 10).map(_ => ("A", 100)) ++ (1 to 10).map(_ => ("B", 500)) ++
+      ((1 to 5).map(_ => ("C", 100)) ++ (1 to 5).map(_ => ("C", 500))))
+      .toDF("source", "n_chars")
+    val got = graft.operators.Analytics3.ksDriftOf(docs)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map("A" -> ((10L, 0.5)), "B" -> ((10L, 0.5)), "C" -> ((10L, 0.0))))
+  }
+
+  test("cohort matrix: hand-built cohorts hit exact cells and rates") {
+    // 2024-01-01/08/15 are Mondays. u1 signs up w0 and stays active;
+    // u2 signs up w0 then churns; u3 signs up w1 and stays.
+    val ev = Seq(
+      (1L, "2024-01-02"), (1L, "2024-01-09"), (1L, "2024-01-16"),
+      (2L, "2024-01-03"),
+      (3L, "2024-01-10"), (3L, "2024-01-17"))
+      .toDF("user_id", "d")
+      .select(col("user_id"), to_timestamp(col("d")).as("ts"))
+    val got = graft.operators.Events.cohortMatrixOf(ev)
+      .select("weeks_since", "cohort_users", "active_users", "rate", "cohort")
+      .as[(Long, Long, Long, Double, java.sql.Timestamp)].collect()
+      .map(r => (r._5.toString.take(10), r._1) -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      ("2024-01-01", 0L) -> ((2L, 2L, 1.0)),
+      ("2024-01-01", 1L) -> ((2L, 1L, 0.5)),
+      ("2024-01-01", 2L) -> ((2L, 1L, 0.5)),
+      ("2024-01-08", 0L) -> ((1L, 1L, 1.0)),
+      ("2024-01-08", 1L) -> ((1L, 1L, 1.0))), s"got $got")
+  }
+
   test("gini: tied counts collapse in the value table but rank like the flat form") {
     // x = 1,1,4: Σi·x = 1+2+12 = 15 → G = 30/(3·6) − 4/3 = 0.3333
     val e = Seq.fill(1)((0L, "e")) ++ Seq.fill(1)((1L, "e")) ++ Seq.fill(4)((2L, "e"))
