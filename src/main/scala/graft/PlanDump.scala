@@ -134,7 +134,11 @@ object PlanDump {
       "q_skipgrams (per-doc position re-rank; equi-join on (doc,pos+offset) via literal offset explode)" ->
         CorpusScience.skipgrams(t),
       "q_skipgram_pmi (one pair-count agg; marginals re-agg the sparse counts; minCount survivors join)" ->
-        CorpusScience.skipgramPmi(t))
+        CorpusScience.skipgramPmi(t),
+      "q_ks_drift (shared PSI bins; triangular cumulatives on the sources-x-bins grid; max-abs in one agg)" ->
+        Analytics3.ksDrift(t),
+      "q_cohort_matrix (min-agg cohort per user; distinct (user,week) grid; broadcast cohort sizes)" ->
+        Events.cohortMatrix(t))
     val sb = new StringBuilder
     sb.append("# Plan snapshots (round 9)\n\nGenerated by `graft.PlanDump` at sf0.001; ")
     sb.append("`PlanAuditSpec` asserts these shapes stay true.\n")
