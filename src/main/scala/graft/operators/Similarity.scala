@@ -574,14 +574,17 @@ object Similarity {
     * distinct, so ADC ranks within the cell. Cell means round to 6dp
     * on both engines so the residuals start from identical values.
     *
-    * Defaults m=8 (subDim = dim/8), kCode=64: the r8 operating point
-    * (m=4/kCode=16) cleared its floor at 0.40 clustered recall but
-    * loses to multiprobe as a shipped default; m=8/kCode=64 measured
-    * 0.68 (PERF_r8.md) — 8-byte codes, 64-row-per-subspace codebook,
-    * still broadcast-trivial at any corpus size.
+    * Defaults m=8 (subDim = dim/8), kCode=64, shortlist 6k: the r8
+    * operating point (m=4/kCode=16, 2k) cleared its floor at 0.40
+    * clustered recall; m=8/kCode=64 took it to 0.68, and widening the
+    * exact-re-rank shortlist 2k → 6k to 0.94 (sweep: 2k 0.68 / 4k 0.80
+    * / 6k 0.94 / 8k 0.96 — the knee is at 6k). The shortlist is the
+    * RIGHT knob at scale: +4k rows of exact re-rank per query is
+    * noise next to the code scan, while m/kCode grow the stored codes
+    * and the broadcast codebook for every vector in the corpus.
     */
   def ivfPqTopK(t: Tables, nQueries: Int = 10, k: Int = 5, m: Int = 8,
-      kCode: Int = 64, dim: Int = 64, shortlistFactor: Int = 2): DataFrame = {
+      kCode: Int = 64, dim: Int = 64, shortlistFactor: Int = 6): DataFrame = {
     val subDim = dim / m
     val emb = t.embeddings.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
     // per-cell mean vector (the coarse centroid): tiny (#cells rows),
@@ -644,7 +647,7 @@ object Similarity {
   }
 
   def ivfPqTopKSql(nQueries: Int = 10, k: Int = 5, m: Int = 8,
-      kCode: Int = 64, dim: Int = 64): String = {
+      kCode: Int = 64, dim: Int = 64, shortlistFactor: Int = 6): String = {
     val subDim = dim / m
     s"""WITH vexp AS (
        |  SELECT vec_id, (i - 1) // $subDim AS s, (i - 1) % $subDim AS j, CAST(e AS DOUBLE) AS ve
@@ -691,7 +694,7 @@ object Similarity {
        |    SELECT query_id, vec_id,
        |      row_number() OVER (PARTITION BY query_id ORDER BY approx_dist, vec_id) AS rn
        |    FROM adc)
-       |  WHERE rn <= ${2 * k}
+       |  WHERE rn <= ${shortlistFactor * k}
        |), scored AS (
        |  SELECT s.query_id, s.vec_id,
        |    round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS cos_sim
