@@ -231,6 +231,51 @@ object CorpusScience {
        |ORDER BY pairs DESC, center, context
        |LIMIT $topK""".stripMargin
 
+  /** Negative-sampling table — the third piece of the word2vec
+    * training-data story next to [[skipgramsOf]] (positive pairs) and
+    * PMI: the unigram^0.75 distribution (Mikolov et al. 2013) as
+    * cumulative [cum_lo, cum_hi) ranges over [0,1], so a sampler draws
+    * a uniform and binary-searches the range — no alias table, no
+    * driver state. One frequency aggregate; the top-N slice is
+    * TakeOrdered; the cumulative is a triangular join over the ≤N-row
+    * slice (vocabCoverage policy: never a global window). The ^0.75
+    * damping is the published trade — frequent words are downsampled
+    * as negatives without vanishing.
+    */
+  def negSamplingOf(tokens: DataFrame, topN: Int = 100, power: Double = 0.75): DataFrame = {
+    val top = tokens.groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(topN)
+    val total = top.agg(sum(pow(col("freq"), power)).as("tot"))
+    top.as("a")
+      .join(top.select(col("freq").as("f2"), col("word").as("w2")).as("b"),
+        col("f2") > col("freq") || (col("f2") === col("freq") && col("w2") <= col("word")))
+      .groupBy(col("word"), col("freq"))
+      .agg(sum(pow(col("f2"), power)).as("cumw"))
+      .crossJoin(broadcast(total))
+      .select(col("word"), col("freq"),
+        round(pow(col("freq"), power) / col("tot"), 6).as("p"),
+        round((col("cumw") - pow(col("freq"), power)) / col("tot"), 6).as("cum_lo"),
+        round(col("cumw") / col("tot"), 6).as("cum_hi"))
+      .orderBy("cum_hi")
+  }
+
+  def negSampling(t: Tables): DataFrame = negSamplingOf(WordPipeline.tokens(t))
+
+  def negSamplingSql(topN: Int = 100, power: Double = 0.75): String =
+    s"""${WordPipeline.tokensCte}, freqs AS (
+       |  SELECT word, count(*) AS freq FROM toks GROUP BY 1
+       |  ORDER BY freq DESC, word LIMIT $topN
+       |), tot AS (SELECT sum(pow(freq, $power)) AS tot FROM freqs)
+       |SELECT a.word, a.freq,
+       |  round(pow(a.freq, $power) / t.tot, 6) AS p,
+       |  round((sum(pow(b.freq, $power)) - pow(a.freq, $power)) / t.tot, 6) AS cum_lo,
+       |  round(sum(pow(b.freq, $power)) / t.tot, 6) AS cum_hi
+       |FROM freqs a
+       |JOIN freqs b ON b.freq > a.freq OR (b.freq = a.freq AND b.word <= a.word)
+       |CROSS JOIN tot t
+       |GROUP BY a.word, a.freq, t.tot
+       |ORDER BY cum_hi""".stripMargin
+
   /** Windowed-co-occurrence PMI — the association score GloVe/word2vec
     * factorize: pmi(c,x) = ln( (n(c,x)/M) / ((m(c)/M)(m(x)/M)) ) over
     * the symmetric skip-gram pair multiset, support ≥ `minCount`.

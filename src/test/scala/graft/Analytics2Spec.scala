@@ -322,6 +322,28 @@ class Analytics2Spec extends AnyFunSuite {
       s"expected exchange reuse for the mirror branch:\n${executed.take(2000)}")
   }
 
+  test("neg sampling: ^0.75 damping, contiguous ranges partitioning [0,1]") {
+    // freqs a=16, b=1: raw shares 16/17 vs 1/17; damped 16^.75=8 vs 1
+    // → p = 8/9, 1/9 — the published downsampling of frequent words
+    val toks = (Seq.fill(16)("a") ++ Seq("b")).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "word")
+    val got = graft.operators.CorpusScience.negSamplingOf(toks)
+      .as[(String, Long, Double, Double, Double)].collect().toList
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got == List(
+      ("a", 16L, r6(8.0 / 9), 0.0, r6(8.0 / 9)),
+      ("b", 1L, r6(1.0 / 9), r6(8.0 / 9), 1.0)), s"got $got")
+    // ranges are contiguous and end exactly at 1.0 on a wider corpus
+    val many = (1 to 40).flatMap(i => Seq.fill(i)(s"w$i")).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "word")
+    val rows = graft.operators.CorpusScience.negSamplingOf(many, topN = 10)
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(rows.length == 10 && rows.last._5 == 1.0)
+    rows.sliding(2).foreach { case Array(x, y) =>
+      assert(math.abs(x._5 - y._4) < 2e-6, s"gap between ${x._1} and ${y._1}")
+    }
+  }
+
   test("skipgram pmi: associated pair scores above independent pair") {
     // x and y ALWAYS co-occur; z pairs with everything uniformly →
     // pmi(x,y) > pmi(x,z). Repeat docs to clear minCount.
