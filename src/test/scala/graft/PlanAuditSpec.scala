@@ -345,6 +345,26 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("no gated query plans a CartesianProduct") {
+    // CartesianProductExec materializes |L|×|R| with NO join keys and
+    // no broadcast bound — at corpus scale it's not slow, it's dead.
+    // The deliberate non-equi joins in the suite (triangular
+    // cumulatives, 1-row bounds crossJoins) all plan as
+    // BroadcastNestedLoopJoin with an enum/grid-sized or 1-row build
+    // side; if one of them ever degrades to CartesianProduct, a
+    // rewrite lost its broadcast and this gate catches it.
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for ((name, fn) <- SparkEntry.queries) {
+        val offenders = fn(spark, TestSpark.sf).queryExecution.executedPlan.collect {
+          case c: CartesianProductExec => c.nodeName
+        }
+        assert(offenders.isEmpty, s"$name plans a CartesianProduct")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("gapfill/anomaly: every events scan column-pruned; anomaly's dup subtrees exchange-reuse") {
     def scans(p: String): Int = p.sliding("Scan parquet".length).count(_ == "Scan parquet")
     // every ReadSchema over events must be a subset of {ts, event_type}
