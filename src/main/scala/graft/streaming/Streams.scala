@@ -832,6 +832,75 @@ object Streams {
       }
   }
 
+  final case class DigitRow(digit: Int)
+  final case class BenfordState(counts: Seq[Long])
+  final case class BenfordRow(n: Long, chi2: Double)
+
+  /** One Benford evaluation from per-digit counts: χ² against the
+    * log10(1+1/d) expectation, 4-decimal round — shared verbatim by
+    * the streaming gate and its batch twin.
+    */
+  private def benfordSweep(counts: Array[Long]): BenfordRow = {
+    val n = counts.sum.toDouble
+    var chi2 = 0.0
+    var d = 1
+    while (d <= 9) {
+      val p = math.log10(1.0 + 1.0 / d)
+      val e = n * p
+      if (e > 0) { val diff = counts(d - 1) - e; chi2 += diff * diff / e }
+      d += 1
+    }
+    BenfordRow(counts.sum, math.rint(chi2 * 1e4) / 1e4)
+  }
+
+  /** Streaming Benford monitor — the online form of
+    * [[graft.operators.Analytics3.benfordOf]]'s conformance screen: a
+    * running χ² of the first-digit distribution of incoming amounts
+    * against Benford's law, re-emitted per micro-batch (update mode —
+    * the monitor is a living snapshot). The digit is extracted with
+    * the SAME exact integer-cents path as the batch op (no
+    * floor(log10) float boundary); state is ONE 9-long count vector
+    * for the whole stream — fixed size at any volume, the
+    * fraud-screen shape a payments pipeline runs against live traffic.
+    * Works identically on a batch DataFrame ([[benfordGateBatch]]).
+    */
+  def benfordGate(spark: SparkSession, amounts: DataFrame,
+      amountCol: String = "o_totalprice"): Dataset[BenfordRow] = {
+    import spark.implicits._
+    digits(amounts, amountCol)
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[BenfordState, BenfordRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: Int, ds: Iterator[DigitRow], state: GroupState[BenfordState]) =>
+          val counts = state.getOption.map(_.counts.toArray).getOrElse(Array.fill(9)(0L))
+          ds.foreach(r => counts(r.digit - 1) += 1)
+          state.update(BenfordState(counts.toSeq))
+          Iterator.single(benfordSweep(counts))
+      }
+  }
+
+  /** Batch twin of [[benfordGate]]: the digit counts collapse in a
+    * distributed ≤9-group aggregate (collecting 9 rows, never the
+    * stream), then the same sweep.
+    */
+  def benfordGateBatch(spark: SparkSession, amounts: DataFrame,
+      amountCol: String = "o_totalprice"): Dataset[BenfordRow] = {
+    import spark.implicits._
+    val counts = Array.fill(9)(0L)
+    digits(amounts, amountCol).groupBy("digit").agg(count(lit(1)).as("n"))
+      .collect().foreach(r => counts(r.getInt(0) - 1) = r.getLong(1))
+    spark.createDataset(Seq(benfordSweep(counts)))
+  }
+
+  private def digits(amounts: DataFrame, amountCol: String) = {
+    import amounts.sparkSession.implicits._
+    amounts
+      .select(substring(round(col(amountCol) * 100).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .filter(col("digit").between(1, 9))
+      .as[DigitRow]
+  }
+
   /** Drain a streaming query into an in-memory table (test/smoke
     * convenience): processes everything currently available, then stops.
     */

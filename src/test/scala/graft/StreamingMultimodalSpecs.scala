@@ -597,6 +597,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(scored("drifted") > scored("steady") + 0.5,
       s"drifted feed must read far higher PSI vs reference: $scored")
   }
+
+  test("benford gate: cross-batch digit state ≡ batch twin; planted non-conforming feed flags") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // rough-Benford amounts (many leading 1s/2s) then a batch of flat
+    // 9xx.xx amounts — χ² must rise once the non-conforming batch lands,
+    // and the final state must equal the batch twin over the full log.
+    val conforming = (1 to 30).map(i => 100.0 + i) ++ (1 to 15).map(i => 200.0 + i) ++
+      (1 to 8).map(i => 300.0 + i) ++ (1 to 5).map(i => 400.0 + i)
+    val flat = (1 to 40).map(i => 900.0 + i % 50)
+    val mem = MemoryStream[Double]
+    val q = Streams.benfordGate(spark, mem.toDF().toDF("o_totalprice"))
+      .toDF().writeStream.outputMode("update").format("memory")
+      .queryName("benford_out").start()
+    try {
+      mem.addData(conforming: _*); q.processAllAvailable()
+      mem.addData(flat: _*); q.processAllAvailable()
+    } finally q.stop()
+    val snaps = spark.table("benford_out").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(snaps.length == 2 && snaps(0)._1 == conforming.size.toLong &&
+      snaps(1)._1 == (conforming.size + flat.size).toLong, s"got ${snaps.toList}")
+    assert(snaps(1)._2 > snaps(0)._2 + 50,
+      s"flat-900s batch must spike chi2: ${snaps.toList}")
+    val want = Streams.benfordGateBatch(spark,
+      (conforming ++ flat).toDF("o_totalprice")).collect().head
+    assert((snaps(1)._1, snaps(1)._2) == ((want.n, want.chi2)),
+      s"final snapshot ${snaps(1)} != batch twin $want")
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
