@@ -303,4 +303,37 @@ class EdgeCaseSpec extends AnyFunSuite {
     val c = graft.operators.Similarity.centroidsOf(emb).collect().head
     assert(c.isNullAt(c.fieldIndex("concentration")))
   }
+
+  test("statistics tranche degrades on degenerate input: no ANSI errors, no crashes") {
+    import graft.operators.{Analytics3, CorpusScience, Events}
+    val noOrders = Seq.empty[Double].toDF("o_totalprice")
+    // empty input: the dense 1-9 grid still materializes; rates NULL
+    // (0/NULL total), never an ANSI /0 error
+    val b = Analytics3.benfordOf(noOrders).collect()
+    assert(b.length == 9 && b.forall(r => r.getLong(1) == 0L && r.isNullAt(2)))
+    // single event type: dof 0 and χ² exactly 0 (rank-1 by construction)
+    val oneType = Seq.fill(10)(("x", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("event_type", "ts")
+    val chi = Analytics3.chiSquareOf(oneType).collect().head
+    assert(chi.getLong(3) == 0L && chi.getDouble(4) == 0.0)
+    // empty events: autocorr/gini/psi/ks produce empty or NULL rows, no throw
+    val noEvents = Seq.empty[(java.sql.Timestamp, String, Long)]
+      .toDF("ts", "event_type", "user_id")
+    assert(Analytics3.autocorrOf(noEvents).collect().isEmpty)
+    val g = Analytics3.giniOf(noEvents).collect().head
+    assert(g.isNullAt(g.fieldIndex("gini")))
+    val noDocs = Seq.empty[(String, Int)].toDF("source", "n_chars")
+    assert(Analytics3.psiDriftOf(noDocs).collect().isEmpty)
+    assert(Analytics3.ksDriftOf(noDocs).collect().isEmpty)
+    // single event: a one-cell cohort matrix at rate 1.0
+    val one = Seq((1L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00")))
+      .toDF("user_id", "ts")
+    val cm = Events.cohortMatrixOf(one).collect()
+    assert(cm.length == 1 && cm.head.getDouble(4) == 1.0)
+    // one-word docs: no skip-gram pairs, empty sampling table — not a crash
+    val shorts = Seq((0L, "one"), (1L, "")).toDF("doc_id", "text")
+    assert(CorpusScience.skipgramsOf(shorts).collect().isEmpty)
+    assert(CorpusScience.negSamplingOf(
+      Seq.empty[(Long, String)].toDF("doc_id", "word")).collect().isEmpty)
+  }
 }
