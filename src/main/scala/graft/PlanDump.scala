@@ -138,7 +138,9 @@ object PlanDump {
       "q_ks_drift (shared PSI bins; triangular cumulatives on the sources-x-bins grid; max-abs in one agg)" ->
         Analytics3.ksDrift(t),
       "q_cohort_matrix (min-agg cohort per user; distinct (user,week) grid; broadcast cohort sizes)" ->
-        Events.cohortMatrix(t))
+        Events.cohortMatrix(t),
+      "q_neg_sampling (one freq agg; TakeOrdered top-N; triangular cumulative on the <=N slice)" ->
+        CorpusScience.negSampling(t))
     val sb = new StringBuilder
     sb.append("# Plan snapshots (round 9)\n\nGenerated by `graft.PlanDump` at sf0.001; ")
     sb.append("`PlanAuditSpec` asserts these shapes stay true.\n")
