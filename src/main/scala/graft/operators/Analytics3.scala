@@ -32,8 +32,12 @@ object Analytics3 {
     * in the final expression, rounded well above ulp jitter.
     */
   def benfordOf(orders: DataFrame): DataFrame = {
+    // abs BEFORE the string split: a negative amount (refund) would
+    // otherwise put "-" in position 1 and the cast back to long throws
+    // under ANSI before the 1-9 filter can drop the row. Benford runs
+    // on magnitudes; zero amounts yield digit 0 and fall to the filter.
     val counts = orders
-      .select(substring(round(col("o_totalprice") * 100).cast("long").cast("string"), 1, 1)
+      .select(substring(abs(round(col("o_totalprice") * 100).cast("long")).cast("string"), 1, 1)
         .cast("long").as("digit"))
       .filter(col("digit").between(1, 9))
       .groupBy("digit").agg(count(lit(1)).as("n_orders"))
@@ -55,10 +59,10 @@ object Analytics3 {
 
   val benfordSql: String =
     """WITH counts AS (
-      |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+      |  SELECT CAST(substr(CAST(abs(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
       |    count(*) AS n_orders
       |  FROM orders
-      |  WHERE CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) BETWEEN 1 AND 9
+      |  WHERE CAST(substr(CAST(abs(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR), 1, 1) AS BIGINT) BETWEEN 1 AND 9
       |  GROUP BY 1
       |), total AS (SELECT sum(n_orders) AS n_total FROM counts),
       |grid AS (SELECT unnest(generate_series(1, 9)) AS digit)
@@ -92,13 +96,21 @@ object Analytics3 {
     val n = cells.agg(sum(col("o")).as("n"),
       countDistinct(col("event_type")).as("n_types"),
       countDistinct(col("dow")).as("n_dows"))
+    // the double cast happens BEFORE the products: o*o and r*c as LONG
+    // overflow (ANSI throw) once a cell passes ~3e9 events — exactly
+    // the 100 TB shape this doc targets — while DuckDB's HUGEINT
+    // margins would survive and the engines would diverge
     cells
       .join(broadcast(rowTot), "event_type")
       .join(broadcast(colTot), "dow")
-      .agg(sum((col("o") * col("o")).cast("double") / (col("r") * col("c"))).as("s"))
+      .agg(sum(col("o").cast("double") * col("o") /
+        (col("r").cast("double") * col("c"))).as("s"))
       .crossJoin(broadcast(n))
       .select(col("n"), col("n_types"), col("n_dows"),
-        ((col("n_types") - 1) * (col("n_dows") - 1)).as("dof"),
+        // empty input has countDistinct 0 on both axes; (-1)*(-1) would
+        // read dof = 1 for a test that never ran — degrade to NULL
+        when(col("n_types") > 0 && col("n_dows") > 0,
+          (col("n_types") - 1) * (col("n_dows") - 1)).as("dof"),
         round(col("n") * col("s") - col("n"), 4).as("chi2"))
   }
 
@@ -113,11 +125,12 @@ object Analytics3 {
       |n AS (SELECT sum(o) AS n, count(DISTINCT event_type) AS n_types,
       |        count(DISTINCT dow) AS n_dows FROM cells),
       |s AS (
-      |  SELECT sum(CAST(cells.o * cells.o AS DOUBLE) / (rt.r * ct.c)) AS s
+      |  SELECT sum(CAST(cells.o AS DOUBLE) * cells.o / (CAST(rt.r AS DOUBLE) * ct.c)) AS s
       |  FROM cells JOIN rt USING (event_type) JOIN ct USING (dow)
       |)
       |SELECT CAST(n.n AS BIGINT) AS n, n.n_types, n.n_dows,
-      |  CAST((n.n_types - 1) * (n.n_dows - 1) AS BIGINT) AS dof,
+      |  CASE WHEN n.n_types > 0 AND n.n_dows > 0
+      |    THEN CAST((n.n_types - 1) * (n.n_dows - 1) AS BIGINT) END AS dof,
       |  round(n.n * s.s - n.n, 4) AS chi2
       |FROM s CROSS JOIN n""".stripMargin
 
@@ -131,17 +144,23 @@ object Analytics3 {
     * skipping gaps inflates r. The grid is span×|types| rows however
     * big the corpus is, so the lag self-join (on hour+k within type)
     * and the stats aggregate are grid-sized. Estimator:
-    * r_k = Σ(x_t−μ)(x_{t+k}−μ) / Σ(x_t−μ)², expanded so every sum
-    * (Σx_t·x_{t+k}, head/tail sums, Σx, Σx²) is an exact LONG; μ and
-    * the division are the only doubles. A constant series (zero
-    * variance) reads NULL, not an ANSI /0 error.
+    * r_k = Σ(x_t−μ)(x_{t+k}−μ) / Σ(x_t−μ)², expanded so every sum is
+    * exact — LONG for plain counts (Σx, head/tail sums), DECIMAL(38,0)
+    * for the products Σx_t·x_{t+k} and Σx² (the [[giniOf]] policy:
+    * LONG products overflow at sustained ~4e9 events/hour); μ and the
+    * division are the only doubles. A constant series (zero variance)
+    * reads NULL, not an ANSI /0 error.
     */
   def autocorrOf(events: DataFrame, maxLag: Int = 3): DataFrame = {
+    // products of hourly counts ride DECIMAL (the giniOf policy): at
+    // sustained ~4e9 events/hour a LONG n·n or a year-long sum of
+    // products overflows (ANSI throw) where DuckDB's HUGEINT doesn't
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,0)")
     val dense = Events.denseHourlyOf(events)
     val stats = dense.groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum(col("n_events")).as("sx"),
-        sum(col("n_events") * col("n_events")).as("sxx"))
+        sum(dec(col("n_events")) * dec(col("n_events"))).as("sxx"))
     val perLag = (1 to maxLag).map { k =>
       dense.as("a")
         .join(dense.as("b"),
@@ -149,7 +168,8 @@ object Analytics3 {
             col("b.hour") === col("a.hour") + expr(s"INTERVAL $k HOUR"))
         .groupBy(col("a.event_type").as("event_type"))
         .agg(count(lit(1)).as("n_pairs"),
-          sum(col("a.n_events") * col("b.n_events")).as("p"),
+          sum(col("a.n_events").cast("decimal(18,0)") *
+            col("b.n_events").cast("decimal(18,0)")).as("p"),
           sum(col("a.n_events")).as("sh"),
           sum(col("b.n_events")).as("st"))
         .withColumn("lag", lit(k.toLong))
@@ -208,6 +228,22 @@ object Analytics3 {
     * identically to both engines. Counts stay LONG; the ≤|bins|-term
     * PSI sum is the only double arithmetic.
     */
+  /** THE drift-monitor bin edges: every signature that bins doc
+    * lengths (batch PSI, KS, the baseline, the streaming gate, both
+    * SQL oracles) defaults to this ONE value — retuning the bins is a
+    * one-line change that moves all seven surfaces together, which is
+    * what makes the "PSI and KS can never disagree on geometry" claim
+    * true by construction rather than by copy-paste discipline.
+    */
+  val psiDefaultEdges: Seq[Int] = Seq(150, 250, 350, 450)
+
+  /** The oracle-side twin of [[psiBinCol]] (one CASE-chain builder,
+    * not one per SQL string). */
+  private def psiBinCaseSql(edges: Seq[Int]): String =
+    "CAST(CASE " + edges.zipWithIndex
+      .map { case (e, i) => s"WHEN n_chars < $e THEN $i" }
+      .mkString(" ") + s" ELSE ${edges.size} END AS BIGINT)"
+
   /** Shared length-to-bin CASE chain — the SAME expression bins the
     * batch PSI, the baseline, and the streaming gate's scan, so the
     * three can never disagree on bucket geometry.
@@ -236,7 +272,7 @@ object Analytics3 {
     * drift monitor broadcasts; the streaming gate scores live traffic
     * against it with zero joins.
     */
-  def psiBaselineRates(docs: DataFrame, edges: Seq[Int] = Seq(150, 250, 350, 450)): Array[Double] = {
+  def psiBaselineRates(docs: DataFrame, edges: Seq[Int] = psiDefaultEdges): Array[Double] = {
     val byBin = psiDenseSmoothed(docs, edges)
       .groupBy("bin").agg(sum(col("n")).as("b_all"))
       .orderBy("bin")
@@ -245,7 +281,7 @@ object Analytics3 {
     byBin.map(_ / nAll)
   }
 
-  def psiDriftOf(docs: DataFrame, edges: Seq[Int] = Seq(150, 250, 350, 450)): DataFrame = {
+  def psiDriftOf(docs: DataFrame, edges: Seq[Int] = psiDefaultEdges): DataFrame = {
     val nBins = edges.size + 1
     val dense = psiDenseSmoothed(docs, edges)
     val srcTot = dense.groupBy("source").agg(sum(col("n")).as("s_tot"))
@@ -265,13 +301,10 @@ object Analytics3 {
 
   def psiDrift(t: Tables): DataFrame = psiDriftOf(t.documents)
 
-  def psiDriftSql(edges: Seq[Int] = Seq(150, 250, 350, 450)): String = {
+  def psiDriftSql(edges: Seq[Int] = psiDefaultEdges): String = {
     val nBins = edges.size + 1
-    val caseChain = edges.zipWithIndex
-      .map { case (e, i) => s"WHEN n_chars < $e THEN $i" }
-      .mkString(" ")
     s"""WITH binned AS (
-       |  SELECT source, CAST(CASE $caseChain ELSE ${edges.size} END AS BIGINT) AS bin
+       |  SELECT source, ${psiBinCaseSql(edges)} AS bin
        |  FROM documents
        |), counts AS (
        |  SELECT source, bin, count(*) AS n FROM binned GROUP BY 1, 2
@@ -308,7 +341,7 @@ object Analytics3 {
     * triangular joins on the ≤|sources|×|bins| dense grid; counts
     * stay LONG to the final division.
     */
-  def ksDriftOf(docs: DataFrame, edges: Seq[Int] = Seq(150, 250, 350, 450)): DataFrame = {
+  def ksDriftOf(docs: DataFrame, edges: Seq[Int] = psiDefaultEdges): DataFrame = {
     val counts = docs.select(col("source"), psiBinCol(edges).as("bin"))
       .groupBy("source", "bin").agg(count(lit(1)).as("n"))
     val srcTot = counts.groupBy("source").agg(sum(col("n")).as("s_tot"))
@@ -341,13 +374,10 @@ object Analytics3 {
 
   def ksDrift(t: Tables): DataFrame = ksDriftOf(t.documents)
 
-  def ksDriftSql(edges: Seq[Int] = Seq(150, 250, 350, 450)): String = {
+  def ksDriftSql(edges: Seq[Int] = psiDefaultEdges): String = {
     val nBins = edges.size + 1
-    val caseChain = edges.zipWithIndex
-      .map { case (e, i) => s"WHEN n_chars < $e THEN $i" }
-      .mkString(" ")
     s"""WITH binned AS (
-       |  SELECT source, CAST(CASE $caseChain ELSE ${edges.size} END AS BIGINT) AS bin
+       |  SELECT source, ${psiBinCaseSql(edges)} AS bin
        |  FROM documents
        |), counts AS (
        |  SELECT source, bin, count(*) AS n FROM binned GROUP BY 1, 2

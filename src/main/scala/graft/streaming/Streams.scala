@@ -792,7 +792,7 @@ object Streams {
     * ([[psiGateBatch]]).
     */
   def psiGate(spark: SparkSession, docs: DataFrame, baselineRates: Array[Double],
-      edges: Seq[Int] = Seq(150, 250, 350, 450)): Dataset[PsiRow] = {
+      edges: Seq[Int] = graft.operators.Analytics3.psiDefaultEdges): Dataset[PsiRow] = {
     import spark.implicits._
     val nBins = edges.size + 1
     require(baselineRates.length == nBins,
@@ -817,7 +817,7 @@ object Streams {
     * history — same binning, same smoothing, same rounding.
     */
   def psiGateBatch(spark: SparkSession, docs: DataFrame, baselineRates: Array[Double],
-      edges: Seq[Int] = Seq(150, 250, 350, 450)): Dataset[PsiRow] = {
+      edges: Seq[Int] = graft.operators.Analytics3.psiDefaultEdges): Dataset[PsiRow] = {
     import spark.implicits._
     val nBins = edges.size + 1
     docs
@@ -894,8 +894,11 @@ object Streams {
 
   private def digits(amounts: DataFrame, amountCol: String) = {
     import amounts.sparkSession.implicits._
+    // abs BEFORE the string split: a refund's "-" in position 1 would
+    // throw on the ANSI cast and kill the streaming query (same fix as
+    // the batch op). Benford runs on magnitudes.
     amounts
-      .select(substring(round(col(amountCol) * 100).cast("long").cast("string"), 1, 1)
+      .select(substring(abs(round(col(amountCol) * 100).cast("long")).cast("string"), 1, 1)
         .cast("int").as("digit"))
       .filter(col("digit").between(1, 9))
       .as[DigitRow]

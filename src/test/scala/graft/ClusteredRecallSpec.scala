@@ -80,12 +80,11 @@ class ClusteredRecallSpec extends AnyFunSuite {
   test("ivf_pq residual quantization keeps recall >= 0.9 (raw-vector PQ collapses to ~0.08)") {
     // floor re-pinned for the r9 production defaults (m=8/kCode=64,
     // shortlist 6k → measured 0.94; 2k sat at 0.68, m=4/kCode=16 at
-    // 0.40). The sweep documents the operating curve so the next
-    // default change is informed, not guessed.
+    // 0.40). The shortlist operating curve (2k 0.68 / 4k 0.80 / 6k
+    // 0.94 / 8k 0.96) lives in PERF_r9.md — measured once, not
+    // re-executed on every CI run of the suite's priciest ANN op.
     val r = recall(Similarity.ivfPqTopK(t))
-    info(f"ivf_pq clustered recall: $r%.2f (shortlist sweep: " +
-      Seq(2, 4, 8).map(f => f -> recall(Similarity.ivfPqTopK(t, shortlistFactor = f)))
-        .map { case (f, rr) => f"x$f=$rr%.2f" }.mkString(" ") + ")")
+    info(f"ivf_pq clustered recall: $r%.2f")
     assert(r >= 0.9, s"ivf_pq recall $r < 0.9 — residuals, defaults, or shortlist regressed?")
   }
 }

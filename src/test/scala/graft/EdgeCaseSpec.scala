@@ -311,6 +311,19 @@ class EdgeCaseSpec extends AnyFunSuite {
     // (0/NULL total), never an ANSI /0 error
     val b = Analytics3.benfordOf(noOrders).collect()
     assert(b.length == 9 && b.forall(r => r.getLong(1) == 0L && r.isNullAt(2)))
+    // a refund (negative amount) must count by magnitude, not throw on
+    // the ANSI cast of "-" — the fraud screen runs on live payment
+    // streams where refunds are routine
+    val withRefund = Seq(100.0, -42.50, 955.0).toDF("o_totalprice")
+    val rb = Analytics3.benfordOf(withRefund).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rb(1L) == 1L && rb(4L) == 1L && rb(9L) == 1L)
+    val gate = graft.streaming.Streams.benfordGateBatch(spark, withRefund).collect().head
+    assert(gate.n == 3L)
+    // empty events: dof must be NULL, not (-1)*(-1) = 1
+    val chiEmpty = Analytics3.chiSquareOf(
+      Seq.empty[(String, java.sql.Timestamp)].toDF("event_type", "ts")).collect().head
+    assert(chiEmpty.isNullAt(chiEmpty.fieldIndex("dof")))
     // single event type: dof 0 and χ² exactly 0 (rank-1 by construction)
     val oneType = Seq.fill(10)(("x", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
       .toDF("event_type", "ts")
