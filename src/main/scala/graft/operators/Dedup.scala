@@ -292,7 +292,17 @@ object Dedup {
     * every step.
     */
   def clusterSizeStats(t: Tables, n: Int = 3, threshold: Double = 0.6): DataFrame =
-    nearDupClustersQuery(t, n, threshold)
+    clusterSizeStatsOf(nearDupClustersQuery(t, n, threshold))
+
+  /** The production entry point the gated query's doc-comment points
+    * at: size-histogram over an ALREADY-COMPUTED (persisted) clusters
+    * table — two tiny aggregates, no re-run of the iterative
+    * connected-components pass. The gated `dedup_cluster_stats`
+    * composes the full pipeline so the oracle can replay it; a
+    * pipeline that has written `dedup_clusters` output calls this.
+    */
+  def clusterSizeStatsOf(clusters: DataFrame): DataFrame =
+    clusters
       .groupBy(col("label"))
       .agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size"))
