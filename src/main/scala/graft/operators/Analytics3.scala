@@ -145,16 +145,22 @@ object Analytics3 {
     * big the corpus is, so the lag self-join (on hour+k within type)
     * and the stats aggregate are grid-sized. Estimator:
     * r_k = Σ(x_t−μ)(x_{t+k}−μ) / Σ(x_t−μ)², expanded so every sum is
-    * exact — LONG for plain counts (Σx, head/tail sums), DECIMAL(38,0)
-    * for the products Σx_t·x_{t+k} and Σx² (the [[giniOf]] policy:
+    * exact — LONG for plain counts (Σx, head/tail sums), DECIMAL for
+    * the products Σx_t·x_{t+k} and Σx²: operands cast to
+    * DECIMAL(18,0), so each product is DECIMAL(37,0) and the sums
+    * accumulate at DECIMAL(38,0) max width (the [[giniOf]] policy:
     * LONG products overflow at sustained ~4e9 events/hour); μ and the
-    * division are the only doubles. A constant series (zero variance)
-    * reads NULL, not an ANSI /0 error.
+    * division are the only doubles. The oracle mirrors the same
+    * overflow point by riding its product sums on HUGEINT — a plain
+    * BIGINT product there would overflow BEFORE Spark's decimal path,
+    * the exact engine divergence the [[chiSquare]] comment warns
+    * about. A constant series (zero variance) reads NULL, not an ANSI
+    * /0 error.
     */
   def autocorrOf(events: DataFrame, maxLag: Int = 3): DataFrame = {
     // products of hourly counts ride DECIMAL (the giniOf policy): at
     // sustained ~4e9 events/hour a LONG n·n or a year-long sum of
-    // products overflows (ANSI throw) where DuckDB's HUGEINT doesn't
+    // products overflows (ANSI throw) where the oracle's HUGEINT doesn't
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,0)")
     val dense = Events.denseHourlyOf(events)
     val stats = dense.groupBy("event_type")
@@ -191,7 +197,8 @@ object Analytics3 {
   def autocorrSql(maxLag: Int = 3): String = {
     val lagSelects = (1 to maxLag).map { k =>
       s"""  SELECT a.event_type, CAST($k AS BIGINT) AS lag, count(*) AS n_pairs,
-         |    sum(a.n_events * b.n_events) AS p, sum(a.n_events) AS sh, sum(b.n_events) AS st
+         |    sum(CAST(a.n_events AS HUGEINT) * b.n_events) AS p,
+         |    sum(a.n_events) AS sh, sum(b.n_events) AS st
          |  FROM dense a JOIN dense b
          |    ON b.event_type = a.event_type AND b.hour = a.hour + INTERVAL $k HOUR
          |  GROUP BY 1""".stripMargin
@@ -199,7 +206,7 @@ object Analytics3 {
     s"""${Events.denseCte},
        |stats AS (
        |  SELECT event_type, count(*) AS n, sum(n_events) AS sx,
-       |    sum(n_events * n_events) AS sxx
+       |    sum(CAST(n_events AS HUGEINT) * n_events) AS sxx
        |  FROM dense GROUP BY 1
        |), lags AS (
        |$lagSelects

@@ -241,12 +241,21 @@ object CorpusScience {
     * slice (vocabCoverage policy: never a global window). The ^0.75
     * damping is the published trade — frequent words are downsampled
     * as negatives without vanishing.
+    *
+    * Only `cum_hi` is rounded; each word's `cum_lo` IS its
+    * predecessor's rounded `cum_hi` (fetched by a second ≤N-row
+    * triangular join, first word coalesces to 0.0). Rounding the two
+    * bounds independently leaves ~1e-6 float gaps/overlaps at range
+    * boundaries — a sampler binary-searching [cum_lo, cum_hi) could
+    * land in a dead zone or double-cover a boundary; deriving lo from
+    * the neighbor's rounded hi partitions [0,1] exactly by
+    * construction.
     */
   def negSamplingOf(tokens: DataFrame, topN: Int = 100, power: Double = 0.75): DataFrame = {
     val top = tokens.groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("word")).limit(topN)
     val total = top.agg(sum(pow(col("freq"), power)).as("tot"))
-    top.as("a")
+    val hi = top.as("a")
       .join(top.select(col("freq").as("f2"), col("word").as("w2")).as("b"),
         col("f2") > col("freq") || (col("f2") === col("freq") && col("w2") <= col("word")))
       .groupBy(col("word"), col("freq"))
@@ -254,8 +263,18 @@ object CorpusScience {
       .crossJoin(broadcast(total))
       .select(col("word"), col("freq"),
         round(pow(col("freq"), power) / col("tot"), 6).as("p"),
-        round((col("cumw") - pow(col("freq"), power)) / col("tot"), 6).as("cum_lo"),
         round(col("cumw") / col("tot"), 6).as("cum_hi"))
+    // cum_hi is monotone in (freq desc, word) order, so the strict
+    // predecessor's bound is max(cum_hi) over strictly-earlier rows
+    hi.as("x")
+      .join(hi.select(col("freq").as("pf"), col("word").as("pw"),
+        col("cum_hi").as("ph")).as("y"),
+        col("pf") > col("x.freq") ||
+          (col("pf") === col("x.freq") && col("pw") < col("x.word")), "left")
+      .groupBy(col("x.word").as("word"), col("x.freq").as("freq"),
+        col("x.p").as("p"), col("x.cum_hi").as("cum_hi"))
+      .agg(coalesce(max(col("ph")), lit(0.0)).as("cum_lo"))
+      .select(col("word"), col("freq"), col("p"), col("cum_lo"), col("cum_hi"))
       .orderBy("cum_hi")
   }
 
@@ -265,16 +284,22 @@ object CorpusScience {
     s"""${WordPipeline.tokensCte}, freqs AS (
        |  SELECT word, count(*) AS freq FROM toks GROUP BY 1
        |  ORDER BY freq DESC, word LIMIT $topN
-       |), tot AS (SELECT sum(pow(freq, $power)) AS tot FROM freqs)
-       |SELECT a.word, a.freq,
-       |  round(pow(a.freq, $power) / t.tot, 6) AS p,
-       |  round((sum(pow(b.freq, $power)) - pow(a.freq, $power)) / t.tot, 6) AS cum_lo,
-       |  round(sum(pow(b.freq, $power)) / t.tot, 6) AS cum_hi
-       |FROM freqs a
-       |JOIN freqs b ON b.freq > a.freq OR (b.freq = a.freq AND b.word <= a.word)
-       |CROSS JOIN tot t
-       |GROUP BY a.word, a.freq, t.tot
-       |ORDER BY cum_hi""".stripMargin
+       |), tot AS (SELECT sum(pow(freq, $power)) AS tot FROM freqs),
+       |hi AS (
+       |  SELECT a.word, a.freq,
+       |    round(pow(a.freq, $power) / t.tot, 6) AS p,
+       |    round(sum(pow(b.freq, $power)) / t.tot, 6) AS cum_hi
+       |  FROM freqs a
+       |  JOIN freqs b ON b.freq > a.freq OR (b.freq = a.freq AND b.word <= a.word)
+       |  CROSS JOIN tot t
+       |  GROUP BY a.word, a.freq, t.tot
+       |)
+       |SELECT x.word, x.freq, x.p,
+       |  coalesce(max(y.cum_hi), 0.0) AS cum_lo, x.cum_hi
+       |FROM hi x
+       |LEFT JOIN hi y ON y.freq > x.freq OR (y.freq = x.freq AND y.word < x.word)
+       |GROUP BY x.word, x.freq, x.p, x.cum_hi
+       |ORDER BY x.cum_hi""".stripMargin
 
   /** Windowed-co-occurrence PMI — the association score GloVe/word2vec
     * factorize: pmi(c,x) = ln( (n(c,x)/M) / ((m(c)/M)(m(x)/M)) ) over

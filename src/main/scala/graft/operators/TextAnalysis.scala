@@ -34,16 +34,43 @@ object TextAnalysis {
 
   /** Charset + stopword-vote language ID with a deterministic
     * tie-break order (zh/ar charsets first, then en>fr>es>de).
+    *
+    * Single-pass scoring: the text is tokenized ONCE and one
+    * `aggregate` fold accumulates all four languages' stop-hit counts
+    * as a 4-vector — one broadcast-literal map lookup per token (the
+    * stop lists overlap: fr/es share "un", so the map value is a
+    * membership VECTOR, not a single language tag). The naive form —
+    * four independent `size(filter(toks, array_contains(...)))`
+    * passes — re-tokenizes and re-scans the token array per language;
+    * at 100 TB that 4× constant (and its growth with every added
+    * language) is the whole cost of the operator, since this is a
+    * map-side-only scan. Counts are identical to per-language
+    * membership counting, so the hash gate is unchanged.
     */
+  private val langOrder = Seq("en", "fr", "es", "de")
   def langIdCol(text: Column): Column = {
-    val en = stopHits(text, "en"); val fr = stopHits(text, "fr")
-    val es = stopHits(text, "es"); val de = stopHits(text, "de")
+    val vecs: Map[String, Seq[Int]] = stop.values.flatten.toSeq.distinct.map { w =>
+      w -> langOrder.map(l => if (stop(l).contains(w)) 1 else 0)
+    }.toMap
+    val m = map(vecs.toSeq.sortBy(_._1).flatMap { case (w, v) =>
+      Seq(lit(w), array(v.map(lit): _*))
+    }: _*)
+    val zero = array(langOrder.map(_ => lit(0)): _*)
+    val hits = aggregate(toks(text), zero,
+      (acc, w) => zip_with(acc, coalesce(element_at(m, w), zero), (x, y) => x + y))
+    // The original cascade (en wins if ≥ all, else fr if ≥ es,de, …)
+    // is exactly "first index achieving the max" in en>fr>es>de
+    // order. Binding `hits` through a 1-element transform lambda makes
+    // the fold evaluate ONCE — naming it in each CASE branch would
+    // re-run the whole aggregate per comparison (higher-order
+    // functions sit outside codegen's subexpression elimination).
+    val langLits = array(langOrder.map(lit): _*)
+    val vote = element_at(
+      transform(array(hits), h =>
+        element_at(langLits, array_position(h, array_max(h)).cast("int"))), 1)
     when(text.rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
       .when(text.rlike("[\\x{0600}-\\x{06ff}]"), "ar")
-      .when(en >= fr && en >= es && en >= de, "en")
-      .when(fr >= es && fr >= de, "fr")
-      .when(es >= de, "es")
-      .otherwise("de")
+      .otherwise(vote)
   }
 
   def langId(t: Tables): DataFrame =

@@ -820,6 +820,12 @@ object Streams {
       edges: Seq[Int] = graft.operators.Analytics3.psiDefaultEdges): Dataset[PsiRow] = {
     import spark.implicits._
     val nBins = edges.size + 1
+    // Same shape guard as [[psiGate]]: a short baseline would throw
+    // ArrayIndexOutOfBounds inside the mapGroups task, a long one
+    // would silently ignore trailing rates and report a wrong PSI —
+    // fail at plan time with the actual vs implied bin counts instead.
+    require(baselineRates.length == nBins,
+      s"baselineRates has ${baselineRates.length} bins, edges imply $nBins")
     docs
       .select(col("source"),
         graft.operators.Analytics3.psiBinCol(edges).cast("int").as("bin"))
@@ -833,6 +839,7 @@ object Streams {
   }
 
   final case class DigitRow(digit: Int)
+  final case class DigitCount(digit: Int, cnt: Long)
   final case class BenfordState(counts: Seq[Long])
   final case class BenfordRow(n: Long, chi2: Double)
 
@@ -867,13 +874,26 @@ object Streams {
   def benfordGate(spark: SparkSession, amounts: DataFrame,
       amountCol: String = "o_totalprice"): Dataset[BenfordRow] = {
     import spark.implicits._
+    // Per-partition STATELESS combine before the single stateful key:
+    // each partition of the micro-batch collapses to ≤9 (digit, cnt)
+    // rows, so the one-key shuffle carries ≤9×partitions rows and the
+    // single stateful task folds counts, never iterating raw traffic —
+    // without this the global key serializes every payment through one
+    // core even though state is fixed-size. (A groupBy(digit) agg here
+    // would be a second STATEFUL operator — cumulative, not per-batch —
+    // so the combine must be the stateless mapPartitions form.)
     digits(amounts, amountCol)
+      .mapPartitions { it =>
+        val c = Array.fill(9)(0L)
+        it.foreach(r => c(r.digit - 1) += 1)
+        (1 to 9).iterator.filter(d => c(d - 1) > 0).map(d => DigitCount(d, c(d - 1)))
+      }
       .groupByKey(_ => 0)
       .flatMapGroupsWithState[BenfordState, BenfordRow](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (_: Int, ds: Iterator[DigitRow], state: GroupState[BenfordState]) =>
+        (_: Int, ds: Iterator[DigitCount], state: GroupState[BenfordState]) =>
           val counts = state.getOption.map(_.counts.toArray).getOrElse(Array.fill(9)(0L))
-          ds.foreach(r => counts(r.digit - 1) += 1)
+          ds.foreach(r => counts(r.digit - 1) += r.cnt)
           state.update(BenfordState(counts.toSeq))
           Iterator.single(benfordSweep(counts))
       }

@@ -313,13 +313,23 @@ class Analytics2Spec extends AnyFunSuite {
       ("c", "b", 1L), ("a", "c", 1L), ("c", "a", 1L)), s"got $w1")
     // the mirror branch must NOT re-run the corpus-pair join: its
     // mid-aggregate exchange is canonically identical to the forward
-    // branch's, so AQE stage reuse serves it from cache
-    val df = graft.operators.CorpusScience.skipgramsOf(docs, window = 2, topK = 10)
-    df.collect()
-    val executed = df.queryExecution.executedPlan.toString
-    assert(executed.contains("ReusedExchange") || executed.contains("StageReuse") ||
-      executed.contains("ReusedQueryStage"),
-      s"expected exchange reuse for the mirror branch:\n${executed.take(2000)}")
+    // branch's, so exchange reuse serves it from cache. Assert on the
+    // typed ReusedExchangeExec node (the PlanAuditSpec style), not a
+    // plan-string substring, and pin the conf the guarantee rides on:
+    // with AQE off, ReuseExchange is the deterministic physical rule
+    // that dedups canonically-equal exchanges (AQE expresses the same
+    // reuse as stage reuse, a runtime heuristic this spec is not
+    // pinning).
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.operators.CorpusScience.skipgramsOf(docs, window = 2, topK = 10)
+      val reused = df.queryExecution.executedPlan.collect {
+        case r: ReusedExchangeExec => r
+      }
+      assert(reused.nonEmpty,
+        s"expected a ReusedExchangeExec for the mirror branch:\n${df.queryExecution.executedPlan.toString.take(2000)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("neg sampling: ^0.75 damping, contiguous ranges partitioning [0,1]") {
@@ -339,8 +349,12 @@ class Analytics2Spec extends AnyFunSuite {
     val rows = graft.operators.CorpusScience.negSamplingOf(many, topN = 10)
       .as[(String, Long, Double, Double, Double)].collect()
     assert(rows.length == 10 && rows.last._5 == 1.0)
+    // EXACT contiguity: cum_lo is the predecessor's rounded cum_hi by
+    // construction now, so the ranges partition [0,1] with no 1e-6
+    // float gaps for a binary-searching sampler to fall into
+    assert(rows.head._4 == 0.0)
     rows.sliding(2).foreach { case Array(x, y) =>
-      assert(math.abs(x._5 - y._4) < 2e-6, s"gap between ${x._1} and ${y._1}")
+      assert(x._5 == y._4, s"gap between ${x._1} and ${y._1}: ${x._5} vs ${y._4}")
     }
   }
 

@@ -185,7 +185,7 @@ class SimilaritySpec extends AnyFunSuite {
       val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       got.intersect(exact).size.toDouble / exact.size
     }
-    val single = recallOf(Similarity.annLshTopK(t, 10, 5, bits = 4))
+    val single = recallOf(Similarity.annLshSingleProbe(t, 10, 5, bits = 4))
     val multi  = recallOf(Similarity.annLshMultiProbe(t, 10, 5, bits = 4, probeRadius = 1))
     assert(multi >= single, s"multi $multi < single $single")
     assert(multi >= 0.3, s"multi-probe recall $multi")
