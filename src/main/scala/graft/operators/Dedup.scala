@@ -641,10 +641,30 @@ object Dedup {
     * k-fold work happens column-wise, never as extra rows.
     */
   def minhashWide(t: Tables, k: Int = 16, n: Int = 3): DataFrame =
-    shingleBases(t, n)
+    minhashWideOf(t.documents, k, n)
+
+  /** [[minhashWide]] over an explicit `(doc_id, text)` frame — the
+    * form the persistent-index build/probe path consumes.
+    */
+  def minhashWideOf(docs: DataFrame, k: Int = 16, n: Int = 3): DataFrame =
+    shinglesOf(docs, n).withColumn("base", col("shingle_hash") % 4294967296L)
       .groupBy("doc_id")
       .agg(min(seedHash(col("base"), 0)).as("m0"),
         (1 until k).map(i => min(seedHash(col("base"), i)).as(s"m$i")): _*)
+
+  /** One band key per (doc, band) from a wide signature: md5 over that
+    * band's minhash slice. Shared by the in-memory pair join and the
+    * persistent index build/probe, so an indexed corpus and a live
+    * computation can never disagree on bucket identity.
+    */
+  private def bandKeysOfSig(sig: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
+    val bands = k / rowsPerBand
+    sig.select(col("doc_id"), posexplode(array(
+      (0 until bands).map { b =>
+        md5(concat_ws(",",
+          (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i").cast("string")): _*))
+      }: _*)).as(Seq("band", "band_key")))
+  }
 
   /** MinHash signatures in long form: (doc_id, seed, minhash) —
     * unpivoted from the wide aggregate (k rows per doc AFTER the
@@ -691,14 +711,9 @@ object Dedup {
     */
   def minhashLshPairs(t: Tables, k: Int = 16, n: Int = 3,
       rowsPerBand: Int = 2, estThreshold: Double = 0.5): DataFrame = {
-    val bands = k / rowsPerBand
     val sig   = minhashWide(t, k, n).cache()
     // One band key per (doc, band): md5 over that band's minhash slice.
-    val bandKeys = sig.select(col("doc_id"), posexplode(array(
-      (0 until bands).map { b =>
-        md5(concat_ws(",",
-          (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i").cast("string")): _*))
-      }: _*)).as(Seq("band", "band_key")))
+    val bandKeys = bandKeysOfSig(sig, k, rowsPerBand)
     val cands = bandKeys.as("a")
       .join(bandKeys.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
@@ -717,6 +732,133 @@ object Dedup {
         round(matches.cast("double") / k, 6).as("est_jaccard"))
       .filter(col("est_jaccard") >= estThreshold)
       .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- Persistent MinHash-LSH index (batch write-once / probe-many) ----
+
+  /** Build the on-disk MinHash-LSH index for a corpus: `bands/`
+    * ((corpus_doc, band, band_key) — the bucket table candidates join
+    * against) and `sigs/` (the wide signatures — what the probe's
+    * est-Jaccard re-rank reads). This is the daily-ingest shape at
+    * 100 TB: signatures and band keys for the accumulated corpus are
+    * computed ONCE here, and every subsequent probe batch joins
+    * against the artifact instead of re-shingling the whole corpus
+    * the way each [[minhashLshPairs]] run does. Both tables carry only
+    * fixed-width digests (never text), and `bands/` is written
+    * bucketed-by-nothing deliberately: the probe join key is
+    * (band, band_key), which parquet row-group stats already prune
+    * poorly for random digests, so the cheap-and-uniform layout is a
+    * plain partition spread (the band id inside the join key spreads
+    * bucket skew across the shuffle exactly as in the in-memory form).
+    * Batch twin of the streaming [[graft.streaming.Streams.buildBandIndex]]
+    * seed, with the signature table added so probes can re-rank
+    * without touching the corpus.
+    */
+  def minhashIndexBuild(docs: DataFrame, indexDir: String, k: Int = 16,
+      n: Int = 3, rowsPerBand: Int = 2): Unit = {
+    val sig = minhashWideOf(docs, k, n).persist()
+    try {
+      bandKeysOfSig(sig, k, rowsPerBand)
+        .withColumnRenamed("doc_id", "corpus_doc")
+        .write.mode("overwrite").parquet(s"$indexDir/bands")
+      sig.withColumnRenamed("doc_id", "corpus_doc")
+        .write.mode("overwrite").parquet(s"$indexDir/sigs")
+    } finally { sig.unpersist(blocking = false); () }
+  }
+
+  /** Probe a batch of documents against a persisted
+    * [[minhashIndexBuild]] artifact: near-dup candidates are the
+    * (probe, corpus) pairs sharing any band bucket, est-Jaccard is the
+    * agreeing-position fraction between the probe's freshly computed
+    * signature and the INDEXED signature — the corpus is never
+    * re-shingled. Emits (doc_a, doc_b) with doc_a < doc_b so that
+    * probing a corpus against its own index reproduces
+    * [[minhashLshPairs]] bit-for-bit (each pair is found from both
+    * ends; the ordered distinct collapses them) — that equivalence is
+    * the correctness oracle for the whole artifact path. Scale shape:
+    * probe-side shingling is proportional to the BATCH, the index scan
+    * is a column-pruned parquet read of digests, and the candidate
+    * join carries (band, band_key) digest keys with AQE skew handling,
+    * identical to the in-memory form.
+    */
+  def minhashIndexProbe(probeDocs: DataFrame, indexDir: String, k: Int = 16,
+      n: Int = 3, rowsPerBand: Int = 2, estThreshold: Double = 0.5): DataFrame = {
+    val spark = probeDocs.sparkSession
+    val sig = minhashWideOf(probeDocs, k, n).cache()
+    val probeKeys = bandKeysOfSig(sig, k, rowsPerBand)
+    val idxBands = spark.read.parquet(s"$indexDir/bands")
+    val idxSigs  = spark.read.parquet(s"$indexDir/sigs")
+    // sig lookup keys stay DIRECTED (probe side → in-memory sig,
+    // corpus side → artifact sig); the pair is ordered only at emit.
+    // Ordering before the sig joins would look doc_a up in the probe
+    // sigs, which fails whenever the corpus doc has the smaller id.
+    val cands = probeKeys
+      .join(idxBands, Seq("band", "band_key"))
+      .filter(col("doc_id") =!= col("corpus_doc"))
+      .select(col("doc_id").as("probe_doc"), col("corpus_doc"))
+      .distinct()
+    val matches = (0 until k)
+      .map(i => when(col(s"sa.m$i") === col(s"sb.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cands
+      .join(sig.as("sa"), col("probe_doc") === col("sa.doc_id"))
+      .join(idxSigs.withColumnRenamed("corpus_doc", "sig_doc").as("sb"),
+        col("corpus_doc") === col("sig_doc"))
+      .select(least(col("probe_doc"), col("corpus_doc")).as("doc_a"),
+        greatest(col("probe_doc"), col("corpus_doc")).as("doc_b"),
+        round(matches.cast("double") / k, 6).as("est_jaccard"))
+      .filter(col("est_jaccard") >= estThreshold)
+      // self-probe finds each pair from both ends with the SAME est
+      // (position agreement is symmetric) — the ordered distinct
+      // collapses them to the in-memory form's one row
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Gated replay of the artifact path: build the index for the
+    * corpus, then probe the corpus against it — by the ordered-pair
+    * collapse in [[minhashIndexProbe]] this must equal
+    * [[minhashLshPairs]], so the DuckDB oracle is the SAME SQL. (The
+    * production path builds once and probes many; the gated form
+    * rebuilds so the oracle replays the whole chain — the
+    * dedup_cluster_stats precedent.) The probe side joins `sa` from
+    * its own in-memory signatures and `sb` from the parquet artifact,
+    * so a build/probe signature mismatch cannot hash-match.
+    */
+  def minhashIndexRoundTrip(t: Tables, k: Int = 16, n: Int = 3,
+      rowsPerBand: Int = 2, estThreshold: Double = 0.5): DataFrame = {
+    val dir = s"target/graft-lsh-index-${math.abs(t.dir.hashCode)}"
+    minhashIndexBuild(t.documents, dir, k, n, rowsPerBand)
+    minhashIndexProbe(t.documents, dir, k, n, rowsPerBand, estThreshold)
+  }
+
+  /** Gated dump of the index's band table (the build half of the
+    * artifact on its own): one (corpus_doc, band, band_key) row per
+    * band per document, ordered. Oracle: the bands CTE of
+    * [[minhashLshPairsSql]].
+    */
+  def minhashIndexBands(t: Tables, k: Int = 16, n: Int = 3,
+      rowsPerBand: Int = 2): DataFrame = {
+    val dir = s"target/graft-lsh-index-${math.abs(t.dir.hashCode)}-bands"
+    minhashIndexBuild(t.documents, dir, k, n, rowsPerBand)
+    t.spark.read.parquet(s"$dir/bands")
+      .select(col("corpus_doc"), col("band").cast("long").as("band"), col("band_key"))
+      .orderBy("corpus_doc", "band")
+  }
+
+  def minhashIndexBandsSql(k: Int = 16, n: Int = 3, rowsPerBand: Int = 2): String = {
+    val bands    = k / rowsPerBand
+    val sigCols  = (0 until k).map(i => s"min(${seedHashSql("base", i)}) AS m$i").mkString(", ")
+    val bandRows = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id AS corpus_doc, CAST($b AS BIGINT) AS band, md5($cols) AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""${shinglesCteSql(n)}, sig AS (
+       |  SELECT doc_id, $sigCols FROM based GROUP BY doc_id
+       |)
+       |$bandRows
+       |ORDER BY corpus_doc, band""".stripMargin
   }
 
   /** Per-ROW LSH band keys — the whole shingle → minhash → band chain

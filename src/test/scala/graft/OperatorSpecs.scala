@@ -144,6 +144,34 @@ class DedupSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("persistent lsh index: self-probe == in-memory pairs; incremental probe catches planted near-dup, passes novel doc") {
+    import spark.implicits._
+    // 1. Round-trip equivalence (the artifact-path oracle): probing a
+    //    corpus against its own index reproduces the in-memory join.
+    val mem = Dedup.minhashLshPairs(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val rt = Dedup.minhashIndexRoundTrip(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rt == mem, s"round-trip != in-memory: only-rt=${rt -- mem} only-mem=${mem -- rt}")
+    // 2. The PRODUCTION shape — write once, probe a later batch: the
+    //    probe never re-shingles the corpus, yet a near-copy of an
+    //    indexed doc is caught and a novel doc sails through.
+    val corpus = (1L to 30L)
+      .map(i => (i, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
+    Dedup.minhashIndexBuild(corpus, dir)
+    val batch = Seq(
+      (1001L, "alpha7 beta7 gamma7 delta7 epsilon7 zeta7 eta7 CHANGED"), // near-dup of doc 7
+      (1002L, "omega nu xi omicron pi rho sigma tau upsilon phi")        // novel
+    ).toDF("doc_id", "text")
+    val hits = Dedup.minhashIndexProbe(batch, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.contains((7L, 1001L)), s"planted near-dup of indexed doc 7 not caught: $hits")
+    assert(!hits.exists { case (a, b) => a == 1002L || b == 1002L },
+      s"novel doc produced spurious pairs: $hits")
+  }
+
   test("simhash is stable and near-dups have small hamming distance") {
     val sims = Dedup.simhash(t).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // near-dup pairs by jaccard should be close in simhash space
