@@ -66,6 +66,7 @@ object Bpe {
       // materialize the new table before releasing its parent
       syms.count()
       prev.unpersist(blocking = false)
+      syms = cutLineage(syms, i, merges)
     }
     syms.unpersist(blocking = false)
     import spark.implicits._
@@ -74,7 +75,11 @@ object Bpe {
 
   /** DuckDB twin: the same `merges` rounds unrolled as CTEs (the
     * pageRank oracle pattern) — pair counts from the previous round's
-    * symbol table, 1-row argmax, literal replace fold-back.
+    * symbol table, 1-row argmax, literal replace fold-back. The w/b
+    * CTEs are MATERIALIZED: each is referenced twice (by the next
+    * round's pair count AND rewrite), so default inlining would expand
+    * the plan 2^merges-fold — at 16 merges that's 65536 scans of the
+    * documents file ("Too many open files"), not a slow query.
     */
   def bpeTrainSql(merges: Int = 8): String = {
     val base =
@@ -83,7 +88,7 @@ object Bpe {
         |  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents)
         |  WHERE lower(trim(w)) <> ''
         |), words AS (SELECT word, count(*) AS freq FROM toks GROUP BY word),
-        |w0 AS (
+        |w0 AS MATERIALIZED (
         |  SELECT word, freq, ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS sym
         |  FROM words
         |)""".stripMargin
@@ -94,9 +99,9 @@ object Bpe {
          |    unnest(range(1, len(s))) r(j)
          |  WHERE len(s) >= 2
          |  GROUP BY 1, 2
-         |), b$i AS (
+         |), b$i AS MATERIALIZED (
          |  SELECT a, b, f FROM p$i ORDER BY f DESC, a, b LIMIT 1
-         |), w$i AS (
+         |), w$i AS MATERIALIZED (
          |  SELECT word, freq,
          |    replace(sym, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS sym
          |  FROM w${i - 1} CROSS JOIN b$i
@@ -116,6 +121,122 @@ object Bpe {
   val defaultMerges: Seq[(String, String)] = Seq(
     ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
     ("e", "r"), ("o", "n"), ("r", "e"), ("o", "r"))
+
+  /** Lineage cut every 5 merge rounds (the pageRankOf cadence): each
+    * round nests the previous round's plan, so past ~20 rounds plan
+    * analysis — and even rendering the AQE explain string — grows
+    * without bound (a 24-merge run OOMed on the PLAN TEXT, not the
+    * data). Reliable checkpoint when a dir is configured; local
+    * otherwise. Skipped on the final round — the caller's action
+    * materializes it anyway.
+    */
+  private def cutLineage(syms: DataFrame, round: Int, last: Int): DataFrame =
+    if (round % 5 == 0 && round < last) {
+      val prev = syms
+      val cut =
+        if (syms.sparkSession.sparkContext.getCheckpointDir.isDefined) syms.checkpoint()
+        else syms.localCheckpoint()
+      prev.unpersist(blocking = false)
+      cut
+    } else syms
+
+  /** [[bpeTrain]] with per-round merge BATCHING — the change that
+    * makes production merge counts (~32k) feasible: the sequential
+    * trainer pays one driver round (plan + vocab aggregate) PER merge,
+    * so its wall-clock is linear in `merges` with a multi-second
+    * constant; this form selects a PREFIX of compatible merges from
+    * one pair-count pass and applies them together, cutting driver
+    * rounds to ~merges/batch while producing the IDENTICAL merge
+    * table.
+    *
+    * Identical-by-construction, not by heuristic. From one sorted
+    * (freq desc, then lexicographic — the sequential tie-break) top-C
+    * candidate collect (O(C) rows to the driver, the pplBuckets
+    * bound), accept candidates in order while:
+    *   1. symbol-DISJOINT from every already-accepted pair — disjoint
+    *      merges cannot create/destroy each other's adjacencies, so
+    *      applying them together equals applying them in rank order;
+    *   2. the acceptance stops at the first CONFLICT (a candidate
+    *      sharing a symbol with an accepted pair): after the accepted
+    *      merges run, that pair's count may have changed and any NEW
+    *      pair (·,ab)/(ab,·) is bounded by some old conflicting
+    *      pair's count — so the sequential argmax could differ from
+    *      this round's list from that frequency on;
+    *   3. accepted pairs are then truncated to frequencies STRICTLY
+    *      above max(first-conflict freq, truncation floor fC): a new
+    *      or reduced pair can tie at that frequency and win the
+    *      sequential lexicographic tie-break, so equal-frequency
+    *      tails are left for the next round (fC = the C-th candidate's
+    *      freq — unseen pairs below the collected list are ≤ fC, and
+    *      new pairs they bound likewise).
+    *   Fallback: if the filter empties the batch, the head alone is
+    *   accepted — it is the exact global argmax under the full
+    *   ORDER BY, so progress is guaranteed and still sequential-equal.
+    *
+    * A planted-corpus spec pins batched ≡ sequential merge-for-merge,
+    * including an adversarial corpus engineered to force conflicts
+    * and equal-frequency ties every round.
+    */
+  def bpeTrainBatched(t: Tables, merges: Int = 64, maxBatch: Int = 16): DataFrame =
+    bpeTrainBatchedWithRounds(t, merges, maxBatch)._1
+
+  def bpeTrainBatchedWithRounds(t: Tables, merges: Int = 64, maxBatch: Int = 16)
+      : (DataFrame, Int) = {
+    val spark = t.spark
+    val words = WordPipeline.tokens(t)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var syms = words.select(col("word"), col("freq"),
+      concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("sym"))
+      .cache()
+    val out = Seq.newBuilder[(Long, String, String, Long)]
+    var done = 0
+    var rounds = 0
+    val candC = math.max(64, maxBatch * 8)
+    while (done < merges) {
+      val cands = syms
+        .select(col("freq"), split(trim(col("sym")), " ").as("s"))
+        .filter(size(col("s")) >= 2)
+        .select(col("freq"), explode(
+          expr("transform(sequence(0, size(s) - 2), j -> struct(s[j] AS a, s[j + 1] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("f"))
+        .orderBy(col("f").desc, col("a"), col("b"))
+        .limit(candC)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      rounds += 1
+      if (cands.isEmpty) { done = merges } // vocabulary fully merged
+      else {
+        val truncFloor = if (cands.length == candC) cands.last._3 else -1L
+        val used = scala.collection.mutable.Set.empty[String]
+        val acc = Seq.newBuilder[(String, String, Long)]
+        var conflictF = -1L
+        var stopped = false
+        for (c @ (a, b, f) <- cands if !stopped) {
+          if (used(a) || used(b)) { conflictF = f; stopped = true }
+          else { acc += c; used += a; used += b }
+        }
+        val ceiling = math.max(conflictF, truncFloor)
+        val safe0 = acc.result().filter(_._3 > ceiling)
+        val safe = (if (safe0.isEmpty) cands.take(1).toSeq else safe0)
+          .take(merges - done).take(maxBatch)
+        val prev = syms
+        syms = safe.foldLeft(syms) { case (df, (a, b, _)) =>
+          df.withColumn("sym",
+            replace(col("sym"),
+              concat(lit(" "), lit(a), lit(" "), lit(b), lit(" ")),
+              concat(lit(" "), lit(a + b), lit(" "))))
+        }.cache()
+        syms.count()
+        prev.unpersist(blocking = false)
+        syms = cutLineage(syms, rounds, Int.MaxValue)
+        safe.foreach { case (a, b, f) => done += 1; out += ((done.toLong, a, b, f)) }
+      }
+    }
+    syms.unpersist(blocking = false)
+    import spark.implicits._
+    (out.result().toDF("rank", "lhs", "rhs", "pair_freq").orderBy("rank"), rounds)
+  }
 
   /** Apply a BPE merge table — tokenize the corpus under a trained
     * tokenizer and report per-doc token counts (the sizing pass that

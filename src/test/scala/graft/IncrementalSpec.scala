@@ -50,6 +50,42 @@ class IncrementalSpec extends AnyFunSuite {
       (4L, "ewe", "s", 6L)), merges.toString)
   }
 
+  test("bpeTrainBatched == bpeTrain merge-for-merge, in fewer driver rounds") {
+    // The real corpus: 24 merges batched vs sequential must agree on
+    // every (rank, lhs, rhs, pair_freq) row — the equivalence the
+    // batching rules (disjoint prefix, conflict stop, strict-ceiling
+    // truncation) guarantee by construction.
+    val t = Tables(spark, TestSpark.sf)
+    val seqM = Bpe.bpeTrain(t, merges = 24).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toList
+    val (batDf, rounds) = Bpe.bpeTrainBatchedWithRounds(t, merges = 24)
+    val batM = batDf.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toList
+    assert(batM == seqM, s"batched diverged from sequential:\nbat=$batM\nseq=$seqM")
+    assert(rounds < 24, s"batching saved no driver rounds: $rounds for 24 merges")
+  }
+
+  test("bpeTrainBatched survives the adversarial conflict/tie corpus") {
+    // Engineered so round 1's top pairs CONFLICT (share symbols) and a
+    // merged pair's successor ties a disjoint pair's frequency: "ababab"
+    // words make (a,b) and (b,a) (conflict on both symbols) dominate,
+    // and "x y z" words make (x,y)/(y,z) conflict at equal frequency.
+    // Batched must fall back to near-sequential behavior here and still
+    // match the sequential table exactly.
+    val text = (Seq.fill(9)("ababab") ++ Seq.fill(7)("xyz") ++ Seq.fill(7)("qrs")).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("bpeadv").toString
+    Seq((1L, text)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val tt = Tables(spark, dir)
+    val seqM = Bpe.bpeTrain(tt, merges = 6).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toList
+    val batM = Bpe.bpeTrainBatched(tt, merges = 6).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toList
+    assert(batM == seqM, s"batched diverged on adversarial corpus:\nbat=$batM\nseq=$seqM")
+  }
+
   test("stratifiedSample: never more than n per stratum; deterministic across runs") {
     val t = Tables(spark, TestSpark.sf)
     val a = Incremental.stratifiedSample(t, n = 7).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
