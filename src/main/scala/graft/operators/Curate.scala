@@ -30,16 +30,50 @@ import graft.sources.Tables
   */
 object Curate {
 
-  def curate(t: Tables, minQuality: Double = 0.5, spanK: Int = 10): DataFrame = {
-    val annotated = t.documents.select(
-      col("doc_id"),
-      md5(TextAnalysis.normalizedText(col("text"))).as("fp"),
-      TextAnalysis.langIdCol(col("text")).as("lang_pred"))
+  def curate(t: Tables, minQuality: Double = 0.5, spanK: Int = 10): DataFrame =
+    curateCore(
+      annotatedOf(t.documents),
+      Dedup.minhashLshPairs(t),
+      Dedup.windowHashesOf(t.documents, spanK),
+      tokStatsOf(t.documents),
+      minQuality, spanK)
+
+  /** The (doc_id, fp, lang_pred) annotate projection — stage 1 of the
+    * pipeline and the first table of the persisted artifact.
+    */
+  def annotatedOf(docs: DataFrame): DataFrame = docs.select(
+    col("doc_id"),
+    md5(TextAnalysis.normalizedText(col("text"))).as("fp"),
+    TextAnalysis.langIdCol(col("text")).as("lang_pred"))
+
+  /** Per-token numeric features (len, punct, stop flag) at the scan —
+    * the text-free table the span cut and quality gate consume.
+    */
+  def tokStatsOf(docs: DataFrame): DataFrame = {
+    val stopArr = array(TextAnalysis.stopList("en").map(lit): _*)
+    docs
+      .select(col("doc_id"),
+        posexplode(split(TextAnalysis.normalizedText(col("text")), " ")).as(Seq("idx", "tok")))
+      .select(col("doc_id"), col("idx"),
+        length(col("tok")).as("len"),
+        length(regexp_replace(col("tok"), "[^.,;:!?]", "")).as("punct"),
+        array_contains(stopArr, col("tok")).cast("long").as("is_stop"))
+  }
+
+  /** The whole pipeline downstream of the text scans, over the four
+    * text-free inputs — shared verbatim by the composed gated form
+    * ([[curate]]) and the persisted-artifact production form
+    * ([[curateFromArtifact]]), so the two can only diverge if the
+    * artifact itself does.
+    */
+  private def curateCore(annotated: DataFrame, lshPairs: DataFrame,
+      wins: DataFrame, tokStats: DataFrame,
+      minQuality: Double, spanK: Int): DataFrame = {
     // canonical representative per normalized fingerprint
     val keeps = annotated.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
     // near-dup losers: the larger id of every LSH candidate pair
-    val losers = Dedup.minhashLshPairs(t).select(col("doc_b").as("doc_id")).distinct()
+    val losers = lshPairs.select(col("doc_b").as("doc_id")).distinct()
     val survivorIds = annotated.select("doc_id")
       .join(keeps, Seq("doc_id"), "left_semi")
       .join(losers, Seq("doc_id"), "left_anti")
@@ -47,8 +81,7 @@ object Curate {
     // drops text at the scan, so restricting it to survivors is an
     // id-on-16-byte-rows semi join — never a text join
     val spans = Dedup.substringSpansFromWins(
-        Dedup.windowHashesOf(t.documents, spanK)
-          .join(survivorIds, Seq("doc_id"), "left_semi"), spanK)
+        wins.join(survivorIds, Seq("doc_id"), "left_semi"), spanK)
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
     // Clean-text quality WITHOUT reconstructing (or shuffling) any
@@ -59,14 +92,6 @@ object Curate {
     // sum(len) + n_tokens - 1. Only (doc_id, idx, 3 ints) rows reach
     // the shuffle, and the doc_id exchange is shared by the span join
     // and the final aggregate.
-    val stopArr = array(TextAnalysis.stopList("en").map(lit): _*)
-    val tokStats = t.documents
-      .select(col("doc_id"),
-        posexplode(split(TextAnalysis.normalizedText(col("text")), " ")).as(Seq("idx", "tok")))
-      .select(col("doc_id"), col("idx"),
-        length(col("tok")).as("len"),
-        length(regexp_replace(col("tok"), "[^.,;:!?]", "")).as("punct"),
-        array_contains(stopArr, col("tok")).cast("long").as("is_stop"))
     val cut = coalesce(
       exists(col("spans"), s =>
         col("idx") >= s.getField("span_start") && col("idx") <= s.getField("span_end")),
@@ -92,6 +117,47 @@ object Curate {
       .select("doc_id", "lang_pred", "quality")
       .orderBy("doc_id")
   }
+
+  /** Persist the annotate artifact — the production entry point's
+    * write half. ONE pass over the corpus text produces four TEXT-FREE
+    * tables (`annotated/` fp+lang, `sigs/` wide MinHash signatures,
+    * `wins/` k-word window hashes, `tokstats/` per-token numeric
+    * features); every downstream curate stage reads only these, so a
+    * daily re-curate (new threshold, new span policy) never re-scans
+    * or re-tokenizes the 100 TB of documents — the costliest stage of
+    * the composed gated form, paid once here. The artifact is also
+    * incrementally maintainable: each table is keyed by doc_id, so a
+    * new ingest batch appends its own rows without touching existing
+    * ones.
+    */
+  def writeAnnotateArtifact(docs: DataFrame, dir: String, spanK: Int = 10,
+      k: Int = 16, n: Int = 3): Unit = {
+    annotatedOf(docs).write.mode("overwrite").parquet(s"$dir/annotated")
+    Dedup.minhashWideOf(docs, k, n).write.mode("overwrite").parquet(s"$dir/sigs")
+    Dedup.windowHashesOf(docs, spanK).write.mode("overwrite").parquet(s"$dir/wins")
+    tokStatsOf(docs).write.mode("overwrite").parquet(s"$dir/tokstats")
+  }
+
+  /** Run the curate pipeline FROM a persisted artifact — the
+    * production form (PERF_r9's documented shape). Bit-identical to
+    * [[curate]] by construction: both call the same `curateCore` over
+    * the same four inputs, the only difference being whether those
+    * inputs come off the live text scan or the parquet artifact
+    * (spec-pinned). LSH pairs are re-derived from the persisted
+    * signatures via [[Dedup.minhashLshPairsFromSig]] — the candidate
+    * join is corpus-pair-sized work that SHOULD rerun under a new
+    * threshold; the expensive text-derived tables are what the
+    * artifact amortizes.
+    */
+  def curateFromArtifact(spark: org.apache.spark.sql.SparkSession, dir: String,
+      minQuality: Double = 0.5, spanK: Int = 10, k: Int = 16,
+      rowsPerBand: Int = 2): DataFrame =
+    curateCore(
+      spark.read.parquet(s"$dir/annotated"),
+      Dedup.minhashLshPairsFromSig(spark.read.parquet(s"$dir/sigs"), k, rowsPerBand),
+      spark.read.parquet(s"$dir/wins"),
+      spark.read.parquet(s"$dir/tokstats"),
+      minQuality, spanK)
 
   /** Deterministic train/val/test assignment (80/10/10) keyed on
     * md5(doc_id) — reproducible across runs, engines and cluster

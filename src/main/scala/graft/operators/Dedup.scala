@@ -710,8 +710,16 @@ object Dedup {
     * join key spreads bucket skew across the shuffle.
     */
   def minhashLshPairs(t: Tables, k: Int = 16, n: Int = 3,
+      rowsPerBand: Int = 2, estThreshold: Double = 0.5): DataFrame =
+    minhashLshPairsFromSig(minhashWide(t, k, n).cache(), k, rowsPerBand, estThreshold)
+
+  /** The LSH pair join from an EXISTING wide-signature table — what
+    * lets a persisted signature artifact (the curate production path,
+    * [[minhashIndexBuild]]'s `sigs/`) reuse the exact candidate + est
+    * semantics of [[minhashLshPairs]] without re-shingling.
+    */
+  def minhashLshPairsFromSig(sig: DataFrame, k: Int = 16,
       rowsPerBand: Int = 2, estThreshold: Double = 0.5): DataFrame = {
-    val sig   = minhashWide(t, k, n).cache()
     // One band key per (doc, band): md5 over that band's minhash slice.
     val bandKeys = bandKeysOfSig(sig, k, rowsPerBand)
     val cands = bandKeys.as("a")

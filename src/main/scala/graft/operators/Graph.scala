@@ -114,4 +114,64 @@ object Graph {
        |SELECT node, round(rank, 6) AS rank FROM r$iters
        |ORDER BY round(rank, 6) DESC, node LIMIT $topK""".stripMargin
   }
+
+  /** [[pageRankOf]] with an L1-delta CONVERGENCE stop — the control a
+    * library caller needs that the fixed-sweep gated form (kept as the
+    * oracle twin) deliberately lacks: sweeps run until
+    * Σ|rank−prevRank| < tol or `maxIters`, whichever first. The
+    * per-sweep plan is IDENTICAL to the fixed form's, so stopping
+    * after k sweeps returns bit-for-bit `pageRankOf(…, iters = k)` —
+    * that equivalence is the spec. The delta is a 1-row aggregate
+    * collected per sweep (the changed-count stop of
+    * `Dedup.nearDupClusters`, mass instead of labels); edges and
+    * out-weights are cached across sweeps since convergence mode
+    * re-reads them O(sweeps) times, and lineage is cut on the same
+    * 5-sweep cadence. Returns the converged top-k and the sweep count.
+    */
+  def pageRankConvergedWithSweeps(edges: DataFrame, nodes: DataFrame,
+      maxIters: Int = 50, d: Double = 0.85, topK: Int = 20,
+      tol: Double = 1e-6): (DataFrame, Int) = {
+    val e = edges.cache()
+    val outw = e.groupBy("src").agg(sum(col("w")).as("wout")).cache()
+    val nTotal = nodes.agg(count(lit(1)).cast("double").as("n"))
+    var ranks = nodes.crossJoin(broadcast(nTotal))
+      .select(col("node"), (lit(1.0) / col("n")).as("rank")).cache()
+    var sweeps = 0
+    var delta = Double.MaxValue
+    while (sweeps < maxIters && delta >= tol) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(outw, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") * col("w") / col("wout")).as("contrib"))
+      var next = nodes.crossJoin(broadcast(nTotal))
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1 - d) / col("n") + lit(d) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+        .cache()
+      delta = next.join(ranks.select(col("node"), col("rank").as("prev")), "node")
+        .agg(sum(abs(col("rank") - col("prev"))).as("d")).head().getDouble(0)
+      sweeps += 1
+      if (sweeps % 5 == 0) {
+        val cut =
+          if (next.sparkSession.sparkContext.getCheckpointDir.isDefined) next.checkpoint()
+          else next.localCheckpoint()
+        next.unpersist(blocking = false)
+        next = cut
+      }
+      ranks.unpersist(blocking = false)
+      ranks = next
+    }
+    e.unpersist(blocking = false)
+    outw.unpersist(blocking = false)
+    val out = ranks
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("node"))
+      .limit(topK)
+    (out, sweeps)
+  }
+
+  def pageRankConverged(edges: DataFrame, nodes: DataFrame, maxIters: Int = 50,
+      d: Double = 0.85, topK: Int = 20, tol: Double = 1e-6): DataFrame =
+    pageRankConvergedWithSweeps(edges, nodes, maxIters, d, topK, tol)._1
 }

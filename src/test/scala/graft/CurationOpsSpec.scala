@@ -178,6 +178,23 @@ class PplBucketsSpec extends AnyFunSuite {
     assert(bucketsFor(3).map(_._2).sorted == Seq(1L, 2L, 3L))
   }
 
+  test("curateFromArtifact == curate: the persisted-artifact production path is bit-identical") {
+    val t = Tables(spark, TestSpark.sf)
+    val dir = java.nio.file.Files.createTempDirectory("curateart").toString
+    Curate.writeAnnotateArtifact(t.documents, dir)
+    val composed = Curate.curate(t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toList
+    val fromArt = Curate.curateFromArtifact(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toList
+    assert(fromArt == composed,
+      s"artifact path diverged: only-art=${fromArt.toSet -- composed.toSet} only-composed=${composed.toSet -- fromArt.toSet}")
+    // a re-curate at a different threshold works off the same artifact
+    // (no re-annotate) and is a superset under a looser gate
+    val loose = Curate.curateFromArtifact(spark, dir, minQuality = 0.3).collect()
+      .map(_.getLong(0)).toSet
+    assert(composed.map(_._1).toSet.subsetOf(loose))
+  }
+
   test("curate span-cut: shared boilerplate is cut before quality; spans computed among survivors") {
     val spark2 = spark
     import spark2.implicits._

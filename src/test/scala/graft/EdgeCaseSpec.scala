@@ -218,6 +218,32 @@ class EdgeCaseSpec extends AnyFunSuite {
     }
   }
 
+  test("pageRankConverged: stops before maxIters and equals the fixed form at the stop count") {
+    import spark.implicits._
+    // star + chain; d=0.5 halves the delta per sweep, so 1e-5 converges
+    // in ~15 sweeps — well inside maxIters=40, crossing the lineage cut
+    val edges = Seq((0L, 1L, 1.0), (0L, 2L, 3.0), (1L, 2L, 1.0), (2L, 0L, 2.0))
+      .toDF("src", "dst", "w")
+    val nodes = Seq(0L, 1L, 2L).toDF("node")
+    val (conv, sweeps) = graft.operators.Graph.pageRankConvergedWithSweeps(
+      edges, nodes, maxIters = 40, d = 0.5, tol = 1e-5)
+    assert(sweeps < 40, s"tolerance stop never fired: $sweeps sweeps")
+    assert(sweeps > 5, s"suspiciously fast convergence: $sweeps sweeps")
+    val got = conv.collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    // the contract: stopping after k sweeps IS the fixed-sweep result
+    // at k — same per-sweep plan, same arithmetic, same rounding
+    val fixedAtStop = graft.operators.Graph.pageRankOf(edges, nodes, iters = sweeps, d = 0.5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(got == fixedAtStop, s"converged $got != fixed-at-$sweeps $fixedAtStop")
+    // and the delta really is below tol: one more fixed sweep moves
+    // every 6dp-rounded rank by at most 1 ulp of the rounding grid
+    val oneMore = graft.operators.Graph.pageRankOf(edges, nodes, iters = sweeps + 1, d = 0.5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    got.foreach { case (n, r) =>
+      assert(math.abs(oneMore(n) - r) <= 1e-5 + 1e-6, s"node $n moved ${math.abs(oneMore(n) - r)}")
+    }
+  }
+
   test("anomaliesOf: one-hour-per-type input (stddev undefined) flags nothing") {
     import spark.implicits._
     val ev = Seq(
