@@ -86,6 +86,42 @@ class IncrementalSpec extends AnyFunSuite {
     assert(batM == seqM, s"batched diverged on adversarial corpus:\nbat=$batM\nseq=$seqM")
   }
 
+  test("bpeTrainFast: sequential-identical on an independent-pair corpus; sublinear rounds + near-sequential encode quality on the real one") {
+    // planted corpus: four words over DISJOINT alphabets, so no two top
+    // pairs ever share a symbol — greedy-MIS batching must reproduce
+    // the sequential table exactly here
+    val text = (Seq.fill(9)("abab") ++ Seq.fill(8)("cdcd") ++
+      Seq.fill(7)("efef") ++ Seq.fill(6)("ghgh")).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("bpefast").toString
+    Seq((1L, text)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val tt = Tables(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toList
+    val (fastDf, fastRounds) = Bpe.bpeTrainFastWithRounds(tt, merges = 4, maxBatch = 8)
+    assert(rows(fastDf) == rows(Bpe.bpeTrain(tt, merges = 4)),
+      "fast trainer diverged on the independent-pair corpus")
+    assert(fastRounds == 1, s"4 independent merges should batch in 1 round, took $fastRounds")
+
+    // real corpus: rounds must be genuinely sublinear (the exact form
+    // measures ~1 merge/round here), and the trained table must encode
+    // about as well as the sequential table — the documented trade
+    val t = Tables(spark, TestSpark.sf)
+    val (fast24, r24) = Bpe.bpeTrainFastWithRounds(t, merges = 24, maxBatch = 8)
+    assert(r24 <= 8, s"expected <= 24/8 + slack rounds, took $r24")
+    def quality(table: org.apache.spark.sql.DataFrame): Double = {
+      val merges = table.orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.bpeEncodeOf(t.documents, merges)
+        .agg(avg(col("tokens_per_word"))).head().getDouble(0)
+    }
+    val qFast = quality(fast24)
+    val qSeq  = quality(Bpe.bpeTrain(t, merges = 24))
+    assert(qFast <= qSeq * 1.05,
+      s"fast table encodes >5% worse than sequential: $qFast vs $qSeq")
+  }
+
   test("stratifiedSample: never more than n per stratum; deterministic across runs") {
     val t = Tables(spark, TestSpark.sf)
     val a = Incremental.stratifiedSample(t, n = 7).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
