@@ -823,6 +823,32 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Incrementally ABSORB a new batch into a persisted
+    * [[minhashIndexBuild]] artifact: the batch's band keys and
+    * signatures append as new parquet files — existing files are
+    * never rewritten, so the append is (a) proportional to the BATCH,
+    * not the corpus, and (b) safe to run while probes read the index
+    * (parquet readers list files at plan time; a concurrent probe
+    * sees either the old or the new file set, both consistent). This
+    * is the batch twin of the streaming absorb
+    * ([[graft.streaming.Streams.nearDupIngest]]); the daily shape is
+    * probe-then-append: reject the batch's near-dups against the
+    * index, then absorb the survivors so tomorrow's batch dedups
+    * against them too. Spec pins append-then-probe ≡ probing a
+    * from-scratch rebuild over the union corpus.
+    */
+  def minhashIndexAppend(newDocs: DataFrame, indexDir: String, k: Int = 16,
+      n: Int = 3, rowsPerBand: Int = 2): Unit = {
+    val sig = minhashWideOf(newDocs, k, n).persist()
+    try {
+      bandKeysOfSig(sig, k, rowsPerBand)
+        .withColumnRenamed("doc_id", "corpus_doc")
+        .write.mode("append").parquet(s"$indexDir/bands")
+      sig.withColumnRenamed("doc_id", "corpus_doc")
+        .write.mode("append").parquet(s"$indexDir/sigs")
+    } finally { sig.unpersist(blocking = false); () }
+  }
+
   /** Gated replay of the artifact path: build the index for the
     * corpus, then probe the corpus against it — by the ordered-pair
     * collapse in [[minhashIndexProbe]] this must equal

@@ -172,6 +172,31 @@ class DedupSpec extends AnyFunSuite {
       s"novel doc produced spurious pairs: $hits")
   }
 
+  test("persistent lsh index: incremental append == from-scratch rebuild over the union corpus") {
+    import spark.implicits._
+    def corpus(ids: Range) = ids
+      .map(i => (i.toLong, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i"))
+      .toDF("doc_id", "text")
+    val dayOne = corpus(1 to 20)
+    val dayTwo = corpus(21 to 30)
+      // plant a near-dup of day-one doc 5 inside day two
+      .union(Seq((1005L, "alpha5 beta5 gamma5 delta5 epsilon5 zeta5 eta5 CHANGED"))
+        .toDF("doc_id", "text"))
+    val probe = corpus(1 to 30).union(dayTwo.filter(col("doc_id") === 1005L))
+    val incDir = java.nio.file.Files.createTempDirectory("lshinc").toString
+    Dedup.minhashIndexBuild(dayOne, incDir)
+    Dedup.minhashIndexAppend(dayTwo, incDir)
+    val fullDir = java.nio.file.Files.createTempDirectory("lshfull").toString
+    Dedup.minhashIndexBuild(dayOne.union(dayTwo), fullDir)
+    def pairs(dir: String) = Dedup.minhashIndexProbe(probe, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inc = pairs(incDir)
+    val full = pairs(fullDir)
+    assert(inc == full, s"append diverged from rebuild: only-inc=${inc -- full} only-full=${full -- inc}")
+    // and the planted cross-day near-dup is visible through the appended index
+    assert(inc.exists { case (a, b, _) => a == 5L && b == 1005L }, s"cross-day near-dup missing: $inc")
+  }
+
   test("simhash is stable and near-dups have small hamming distance") {
     val sims = Dedup.simhash(t).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // near-dup pairs by jaccard should be close in simhash space
