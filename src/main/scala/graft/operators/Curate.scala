@@ -119,16 +119,22 @@ object Curate {
   }
 
   /** Persist the annotate artifact — the production entry point's
-    * write half. ONE pass over the corpus text produces four TEXT-FREE
-    * tables (`annotated/` fp+lang, `sigs/` wide MinHash signatures,
-    * `wins/` k-word window hashes, `tokstats/` per-token numeric
-    * features); every downstream curate stage reads only these, so a
-    * daily re-curate (new threshold, new span policy) never re-scans
-    * or re-tokenizes the 100 TB of documents — the costliest stage of
-    * the composed gated form, paid once here. The artifact is also
-    * incrementally maintainable: each table is keyed by doc_id, so a
-    * new ingest batch appends its own rows without touching existing
-    * ones.
+    * write half: four TEXT-FREE tables (`annotated/` fp+lang, `sigs/`
+    * wide MinHash signatures, `wins/` k-word window hashes,
+    * `tokstats/` per-token numeric features), one corpus scan each
+    * (four scans total — each is exactly the scan+project the
+    * composed form pays per stage anyway; a single-scan multi-write
+    * would need the raw text cached, which is the one thing that
+    * cannot be cached at 100 TB). Every downstream curate stage reads
+    * only these, so a daily re-curate (new threshold) never re-scans
+    * or re-tokenizes the corpus text — that cost is paid once here.
+    * The artifact is incrementally maintainable: each table is keyed
+    * by doc_id, so a new ingest batch appends its own rows without
+    * touching existing ones. Parameters that shape the tables
+    * (`spanK`, minhash `k`/`n`) are stamped into `_meta` and
+    * validated by [[curateFromArtifact]] — a spanK mismatch computes
+    * span ends against the wrong window width, silently wrong
+    * survivors, not an error.
     */
   def writeAnnotateArtifact(docs: DataFrame, dir: String, spanK: Int = 10,
       k: Int = 16, n: Int = 3): Unit = {
@@ -136,6 +142,8 @@ object Curate {
     Dedup.minhashWideOf(docs, k, n).write.mode("overwrite").parquet(s"$dir/sigs")
     Dedup.windowHashesOf(docs, spanK).write.mode("overwrite").parquet(s"$dir/wins")
     tokStatsOf(docs).write.mode("overwrite").parquet(s"$dir/tokstats")
+    ArtifactMeta.write(docs.sparkSession, dir,
+      Map("spanK" -> spanK, "k" -> k, "n" -> n))
   }
 
   /** Run the curate pipeline FROM a persisted artifact — the
@@ -151,13 +159,19 @@ object Curate {
     */
   def curateFromArtifact(spark: org.apache.spark.sql.SparkSession, dir: String,
       minQuality: Double = 0.5, spanK: Int = 10, k: Int = 16,
-      rowsPerBand: Int = 2): DataFrame =
+      rowsPerBand: Int = 2): DataFrame = {
+    // minQuality and rowsPerBand may legitimately vary per re-curate
+    // (they act downstream of the artifact); spanK and k are BAKED
+    // into wins/sigs — a mismatch is silent corruption, so it throws
+    ArtifactMeta.validate(spark, dir, "annotate artifact",
+      Map("spanK" -> spanK, "k" -> k))
     curateCore(
       spark.read.parquet(s"$dir/annotated"),
       Dedup.minhashLshPairsFromSig(spark.read.parquet(s"$dir/sigs"), k, rowsPerBand),
       spark.read.parquet(s"$dir/wins"),
       spark.read.parquet(s"$dir/tokstats"),
       minQuality, spanK)
+  }
 
   /** Deterministic train/val/test assignment (80/10/10) keyed on
     * md5(doc_id) — reproducible across runs, engines and cluster

@@ -771,6 +771,8 @@ object Dedup {
         .write.mode("overwrite").parquet(s"$indexDir/bands")
       sig.withColumnRenamed("doc_id", "corpus_doc")
         .write.mode("overwrite").parquet(s"$indexDir/sigs")
+      ArtifactMeta.write(docs.sparkSession, indexDir,
+        Map("k" -> k, "n" -> n, "rowsPerBand" -> rowsPerBand))
     } finally { sig.unpersist(blocking = false); () }
   }
 
@@ -792,6 +794,10 @@ object Dedup {
   def minhashIndexProbe(probeDocs: DataFrame, indexDir: String, k: Int = 16,
       n: Int = 3, rowsPerBand: Int = 2, estThreshold: Double = 0.5): DataFrame = {
     val spark = probeDocs.sparkSession
+    // a banding mismatch vs the build makes every band key miss —
+    // "zero candidates" would read as "no near-dups"; fail loudly
+    ArtifactMeta.validate(spark, indexDir, "minhash-lsh index",
+      Map("k" -> k, "n" -> n, "rowsPerBand" -> rowsPerBand))
     val sig = minhashWideOf(probeDocs, k, n).cache()
     val probeKeys = bandKeysOfSig(sig, k, rowsPerBand)
     val idxBands = spark.read.parquet(s"$indexDir/bands")
@@ -839,6 +845,10 @@ object Dedup {
     */
   def minhashIndexAppend(newDocs: DataFrame, indexDir: String, k: Int = 16,
       n: Int = 3, rowsPerBand: Int = 2): Unit = {
+    // appending bands built under different parameters would poison
+    // the index with keys nothing can ever collide with
+    ArtifactMeta.validate(newDocs.sparkSession, indexDir, "minhash-lsh index",
+      Map("k" -> k, "n" -> n, "rowsPerBand" -> rowsPerBand))
     val sig = minhashWideOf(newDocs, k, n).persist()
     try {
       bandKeysOfSig(sig, k, rowsPerBand)

@@ -197,6 +197,36 @@ class DedupSpec extends AnyFunSuite {
     assert(inc.exists { case (a, b, _) => a == 5L && b == 1005L }, s"cross-day near-dup missing: $inc")
   }
 
+  test("artifact meta: parameter mismatches fail loudly instead of silently missing") {
+    import spark.implicits._
+    val corpus = (1L to 5L)
+      .map(i => (i, s"alpha$i beta$i gamma$i delta$i epsilon$i"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("lshmeta").toString
+    Dedup.minhashIndexBuild(corpus, dir, rowsPerBand = 2)
+    // rowsPerBand mismatch: every band key would miss — zero
+    // candidates that READ as "no near-dups"; must throw instead
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashIndexProbe(corpus, dir, rowsPerBand = 4)
+    }
+    assert(e.getMessage.contains("rowsPerBand"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      Dedup.minhashIndexAppend(corpus, dir, k = 8)
+    }
+    // matched parameters still probe fine
+    assert(Dedup.minhashIndexProbe(corpus, dir).collect() != null)
+    // curate artifact: spanK is baked into wins/
+    val art = java.nio.file.Files.createTempDirectory("curmeta").toString
+    graft.operators.Curate.writeAnnotateArtifact(corpus, art, spanK = 10)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Curate.curateFromArtifact(spark, art, spanK = 5)
+    }
+    assert(e2.getMessage.contains("spanK"), e2.getMessage)
+    // varying the DOWNSTREAM knobs is legitimate and must not throw
+    graft.operators.Curate.curateFromArtifact(spark, art, minQuality = 0.9,
+      rowsPerBand = 4).collect()
+  }
+
   test("simhash is stable and near-dups have small hamming distance") {
     val sims = Dedup.simhash(t).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // near-dup pairs by jaccard should be close in simhash space
