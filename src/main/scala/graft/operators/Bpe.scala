@@ -44,7 +44,8 @@ object Bpe {
       concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("sym"))
       .cache()
     val out = Seq.newBuilder[(Long, String, String, Long)]
-    for (i <- 1 to merges) {
+    var exhausted = false
+    for (i <- 1 to merges if !exhausted) {
       val best = syms
         .select(col("freq"), split(trim(col("sym")), " ").as("s"))
         .filter(size(col("s")) >= 2)
@@ -54,19 +55,23 @@ object Bpe {
         .agg(sum(col("freq")).as("f"))
         .orderBy(col("f").desc, col("a"), col("b"))
         .limit(1)
-        .head()
-      val (a, b, f) = (best.getString(0), best.getString(1), best.getLong(2))
-      out += ((i.toLong, a, b, f))
-      val prev = syms
-      syms = syms.withColumn("sym",
-        replace(col("sym"),
-          concat(lit(" "), lit(a), lit(" "), lit(b), lit(" ")),
-          concat(lit(" "), lit(a + b), lit(" "))))
-        .cache()
-      // materialize the new table before releasing its parent
-      syms.count()
-      prev.unpersist(blocking = false)
-      syms = cutLineage(syms, i, merges)
+        .collect()
+      if (best.isEmpty) exhausted = true // vocab fully merged: emit the
+      // rows learned so far — the oracle's empty b_i rounds do the same
+      else {
+        val (a, b, f) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        out += ((i.toLong, a, b, f))
+        val prev = syms
+        syms = syms.withColumn("sym",
+          replace(col("sym"),
+            concat(lit(" "), lit(a), lit(" "), lit(b), lit(" ")),
+            concat(lit(" "), lit(a + b), lit(" "))))
+          .cache()
+        // materialize the new table before releasing its parent
+        syms.count()
+        prev.unpersist(blocking = false)
+        syms = cutLineage(syms, i, merges)
+      }
     }
     syms.unpersist(blocking = false)
     import spark.implicits._
@@ -297,6 +302,126 @@ object Bpe {
       }
       acc.result()
     }
+
+  /** SEQUENTIAL-EXACT training at production merge counts (~32k): the
+    * architecture every real tokenizer trainer uses, split along the
+    * right distributed/local boundary. The corpus-sized work — the
+    * (word, freq) count — runs distributed ONCE; the merge loop then
+    * runs on the VOCABULARY in driver memory with the classic
+    * incremental pair-count algorithm (a lazy-invalidation priority
+    * queue + a pair→words index; each merge rewrites only the words
+    * containing the pair). The vocabulary is Heaps-law-bounded — tens
+    * of millions of entries at 100 TB, not corpus-sized — and the
+    * collect is guarded by `maxVocab` with a loud error naming the
+    * distributed forms (the maxExactRows pattern), because this is
+    * the one deliberate driver-side bulk in the repo and it must
+    * never be mistaken for a default-safe path.
+    *
+    * Produces the BIT-IDENTICAL table to [[bpeTrain]] at any merge
+    * count (spec-pinned; gated against the same unrolled-CTE oracle):
+    * same (freq desc, lexicographic) argmax, and the same in-word
+    * rewrite semantics as the engines' literal replace — a match
+    * consumes its trailing delimiter, so after merging tokens
+    * (i, i+1) the pair starting at i+2 is NOT eligible this pass
+    * (" a b a b " → " ab a b ", second occurrence left for a later
+    * round of the SAME pair, which therefore stays in the queue).
+    *
+    * Why this beats more Spark rounds: even the greedy-batched
+    * distributed form pays one driver round-trip per ~maxBatch
+    * merges; at 32k merges that is ~2k plan+aggregate cycles of
+    * multi-second constant each. Here the per-merge cost is
+    * microseconds of pointer work on exactly the data a merge
+    * touches.
+    */
+  def bpeTrainLocal(t: Tables, merges: Int = 1024,
+      maxVocab: Long = 5000000L): DataFrame = {
+    val spark = t.spark
+    val words = WordPipeline.tokens(t)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .persist()
+    val nVocab = words.count()
+    require(nVocab <= maxVocab,
+      s"vocabulary has $nVocab entries > maxVocab=$maxVocab: the in-memory merge " +
+        "loop would not fit the driver. Raise maxVocab if the driver is sized for " +
+        "it, or train fewer merges distributed via bpeTrainFast/bpeTrainBatched.")
+    val vocab = words.collect().map(r => (r.getString(0), r.getLong(1)))
+    words.unpersist(blocking = false)
+
+    val syms = vocab.map { case (w, _) => w.map(_.toString).toArray }
+    val freq = vocab.map(_._2)
+    type Pair = (String, String)
+    val counts = scala.collection.mutable.HashMap.empty[Pair, Long]
+    val where  = scala.collection.mutable.HashMap
+      .empty[Pair, scala.collection.mutable.Set[Int]]
+    def addPair(p: Pair, f: Long, wid: Int): Unit = {
+      counts.updateWith(p) { c => Some(c.getOrElse(0L) + f) }
+      where.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += wid
+      ()
+    }
+    def pairsOf(s: Array[String]): Iterator[Pair] =
+      if (s.length < 2) Iterator.empty
+      else (0 until s.length - 1).iterator.map(i => (s(i), s(i + 1)))
+    for (wid <- syms.indices; p <- pairsOf(syms(wid))) addPair(p, freq(wid), wid)
+
+    // lazy-invalidation PQ: entries carry the count they were pushed
+    // with; a popped entry is valid only if it still matches `counts`
+    val ord = Ordering.by[(Long, String, String), (Long, String, String)] {
+      case (f, a, b) => (-f, a, b)
+    }
+    val pq = scala.collection.mutable.PriorityQueue.empty[(Long, String, String)](ord.reverse)
+    counts.foreach { case ((a, b), f) => pq.enqueue((f, a, b)) }
+
+    /** One pass of the engines' literal-replace semantics over a
+      * symbol array; None if the pair never matches.
+      */
+    def rewrite(s: Array[String], a: String, b: String): Option[Array[String]] = {
+      val out = Array.newBuilder[String]
+      var i = 0
+      var hit = false
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+          hit = true
+          out += (a + b)
+          // the match consumed its trailing delimiter: the next token
+          // is emitted verbatim and cannot START a match this pass
+          if (i + 2 < s.length) out += s(i + 2)
+          i += 3
+        } else { out += s(i); i += 1 }
+      }
+      if (hit) Some(out.result()) else None
+    }
+
+    val out = Seq.newBuilder[(Long, String, String, Long)]
+    var rank = 0
+    while (rank < merges && pq.nonEmpty) {
+      val (f, a, b) = pq.dequeue()
+      if (f > 0 && counts.get((a, b)).contains(f)) {
+        rank += 1
+        out += ((rank.toLong, a, b, f))
+        val touched = scala.collection.mutable.Set.empty[Pair]
+        for (wid <- where.getOrElse((a, b), Set.empty[Int]).toArray) {
+          rewrite(syms(wid), a, b).foreach { ns =>
+            for (p <- pairsOf(syms(wid))) {
+              counts.updateWith(p) { c => Some(c.getOrElse(0L) - freq(wid)) }
+              touched += p
+            }
+            syms(wid) = ns
+            for (p <- pairsOf(ns)) { addPair(p, freq(wid), wid); touched += p }
+          }
+        }
+        // re-enqueue every touched pair at its new count (stale
+        // entries are skipped by the validity check on dequeue). The
+        // merged pair itself re-enters iff the skip quirk left live
+        // occurrences — the same re-pick the distributed form does.
+        for (p <- touched) {
+          val c = counts.getOrElse(p, 0L)
+          if (c > 0) pq.enqueue((c, p._1, p._2))
+        }
+      }
+    }
+    import spark.implicits._
+    out.result().toDF("rank", "lhs", "rhs", "pair_freq").orderBy("rank")
+  }
 
   /** Apply a BPE merge table — tokenize the corpus under a trained
     * tokenizer and report per-doc token counts (the sizing pass that

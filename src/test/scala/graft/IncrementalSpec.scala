@@ -122,6 +122,34 @@ class IncrementalSpec extends AnyFunSuite {
       s"fast table encodes >5% worse than sequential: $qFast vs $qSeq")
   }
 
+  test("bpeTrainLocal == bpeTrain at 24 merges; handles the replace skip-quirk and re-picked pairs") {
+    val t = Tables(spark, TestSpark.sf)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toList
+    assert(rows(Bpe.bpeTrainLocal(t, merges = 24)) == rows(Bpe.bpeTrain(t, merges = 24)),
+      "in-memory trainer diverged from the distributed sequential form on the real corpus")
+    // "ababab": the literal-replace semantics leave alternate (a,b)
+    // occurrences unmerged each pass (the consumed-delimiter quirk), so
+    // the SAME pair is legitimately re-picked across rounds — the
+    // in-memory queue must reproduce both the quirk and the re-pick
+    val text = (Seq.fill(9)("ababab") ++ Seq.fill(2)("xy")).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("bpelocal").toString
+    Seq((1L, text)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val tt = Tables(spark, dir)
+    val seqM = rows(Bpe.bpeTrain(tt, merges = 6))
+    val locM = rows(Bpe.bpeTrainLocal(tt, merges = 6))
+    assert(locM == seqM, s"quirk corpus diverged:\nloc=$locM\nseq=$seqM")
+    // the guard: a vocabulary over maxVocab must fail loudly, naming
+    // the distributed alternatives, never silently collect
+    val e = intercept[IllegalArgumentException] {
+      Bpe.bpeTrainLocal(t, merges = 4, maxVocab = 10L)
+    }
+    assert(e.getMessage.contains("bpeTrainFast"), e.getMessage)
+  }
+
   test("stratifiedSample: never more than n per stratum; deterministic across runs") {
     val t = Tables(spark, TestSpark.sf)
     val a = Incremental.stratifiedSample(t, n = 7).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
