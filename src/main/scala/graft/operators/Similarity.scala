@@ -174,7 +174,9 @@ object Similarity {
     */
   def annLshMultiProbe(t: Tables, nQueries: Int = 10, k: Int = 5, bits: Int = 4,
       probeRadius: Int = 1): DataFrame = {
-    require(probeRadius <= 1, "probe radius > 1 not implemented (probe count grows as C(bits,r))")
+    require(probeRadius <= 2,
+      s"probe radius $probeRadius not supported: the probe count grows as C(bits,r) " +
+        "per radius — past r=2 widen the bucket (fewer bits) or move to IVF instead")
     val emb = t.embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val dim = 64
     val sig = (0 until bits).map { j =>
@@ -183,14 +185,22 @@ object Similarity {
     }.reduce(concat(_, _))
     val bucketed = emb.withColumn("bucket", sig)
       .withColumn("nrm", VectorFunctions.l2norm(col("v")))
-    // flip bit j of the 0/1 bucket string (1-indexed substring math)
-    def flip(b: Column, j: Int): Column = concat(
+    // flip one or two bits of the 0/1 bucket string (1-indexed
+    // substring math); radius-2 probes are the C(bits,2) double flips
+    // on top of the singles — still only a QUERY-side fan-out
+    def flip1(b: Column, j: Int): Column = concat(
       substring(b, 1, j),
       when(substring(b, j + 1, 1) === "1", "0").otherwise("1"),
       substring(b, j + 2, bits - j - 1))
-    val probes = (b: Column) =>
-      if (probeRadius == 0) array(b)
-      else array(b +: (0 until bits).map(j => flip(b, j)): _*)
+    def flip2(b: Column, j: Int, l: Int): Column = flip1(flip1(b, j), l)
+    val singles = (b: Column) => (0 until bits).map(j => flip1(b, j))
+    val doubles = (b: Column) =>
+      for (j <- 0 until bits; l <- j + 1 until bits) yield flip2(b, j, l)
+    val probes = (b: Column) => probeRadius match {
+      case 0 => array(b)
+      case 1 => array(b +: singles(b): _*)
+      case _ => array((b +: singles(b)) ++ doubles(b): _*)
+    }
     val queries = bucketed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         explode(probes(col("bucket"))).as("bucket"), col("nrm").as("qnrm"))

@@ -71,6 +71,21 @@ class ClusteredRecallSpec extends AnyFunSuite {
     assert(rIvf >= 0.8, s"ivf_kmeans recall $rIvf < 0.8 on clustered data")
   }
 
+  test("radius-2 probing recovers the narrow-bucket tail: recall(r2) >= recall(r1) at bits=8") {
+    // the recall curve's next rung: C(bits,2) double-flip probes on
+    // top of the singles — measured 0.98 → 1.00 at bits=8. Still a
+    // query-side-only fan-out; the corpus plan is unchanged.
+    val r1 = recall(Similarity.annLshMultiProbe(t, bits = 8, probeRadius = 1))
+    val r2 = recall(Similarity.annLshMultiProbe(t, bits = 8, probeRadius = 2))
+    assert(r2 >= r1, s"radius-2 recall $r2 < radius-1 $r1 at the same bits")
+    assert(r2 >= 0.9, s"radius-2 recall $r2 < 0.9 on clustered data")
+    // past r=2 the probe count is the wrong lever — the guard says so
+    val e = intercept[IllegalArgumentException] {
+      Similarity.annLshMultiProbe(t, probeRadius = 3)
+    }
+    assert(e.getMessage.contains("IVF"), e.getMessage)
+  }
+
   test("single-probe baseline: >= 0.5 but strictly dominated by the multi-probe default; label-cell ivf >= 0.95") {
     val rSingle = recall(Similarity.annLshSingleProbe(t))
     val rLsh    = recall(Similarity.annLshTopK(t))
