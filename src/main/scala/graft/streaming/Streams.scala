@@ -212,6 +212,11 @@ object Streams {
     graft.operators.Dedup.bandKeysInline(corpus, k, n, rowsPerBand)
       .withColumnRenamed("doc_id", "corpus_doc")
       .write.mode("overwrite").parquet(s"$indexDir/batch_id=-1")
+    // same provenance stamp as the batch index: a banding mismatch
+    // between seed and ingest makes every probe miss — duplicates
+    // admitted SILENTLY, which is worse than any exception
+    graft.operators.ArtifactMeta.write(corpus.sparkSession, indexDir,
+      Map("k" -> k, "n" -> n, "rowsPerBand" -> rowsPerBand))
   }
 
   /** Continuous near-dup ingest — [[nearDupGate]] with an index that
@@ -255,7 +260,11 @@ object Streams {
     */
   def nearDupIngest(newDocs: DataFrame, indexDir: String, acceptedDir: String,
       k: Int = 16, n: Int = 3, rowsPerBand: Int = 2)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // fail at wiring time, not per micro-batch: probing a seed built
+    // under different banding admits every near-dup silently
+    graft.operators.ArtifactMeta.validate(newDocs.sparkSession, indexDir,
+      "streaming band index", Map("k" -> k, "n" -> n, "rowsPerBand" -> rowsPerBand))
     newDocs.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
@@ -279,6 +288,7 @@ object Streams {
             .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
         } finally { keys.unpersist(); () }
     }
+  }
 
   /** Streaming daily-active-users: watermarked daily tumbling window
     * with `approx_count_distinct(user_id)` — HLL sketch state, so the

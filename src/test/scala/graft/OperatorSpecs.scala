@@ -227,6 +227,23 @@ class DedupSpec extends AnyFunSuite {
       rowsPerBand = 4).collect()
   }
 
+  test("streaming band index carries the same provenance stamp: mismatched ingest wiring throws") {
+    import spark.implicits._
+    val corpus = (1L to 5L)
+      .map(i => (i, s"alpha$i beta$i gamma$i delta$i epsilon$i"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("sbandmeta").toString
+    graft.streaming.Streams.buildBandIndex(corpus, s"$dir/index", rowsPerBand = 2)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.Streams.nearDupIngest(docs, s"$dir/index", s"$dir/acc", rowsPerBand = 4)
+    }
+    assert(e.getMessage.contains("rowsPerBand"), e.getMessage)
+  }
+
   test("simhash is stable and near-dups have small hamming distance") {
     val sims = Dedup.simhash(t).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // near-dup pairs by jaccard should be close in simhash space
