@@ -218,6 +218,53 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** DuckDB twin of [[annLshMultiProbe]] — what moves the ANN-LSH
+    * rows from rows-only to HASH-gated: the hyperplanes are
+    * deterministic md5-seeded ±1 literals, so the whole pipeline
+    * (sign bucket → Hamming-radius probes → exact re-rank) is plain
+    * SQL. Buckets are bit-PACKED ints here vs Spark's 0/1 strings —
+    * only candidate-set semantics must match, not representation;
+    * probes are `xor` with the flip masks. Sign parity holds
+    * bit-for-bit because both engines fold the ±1 dot product over
+    * the same element order in doubles (the cosineTopK precedent).
+    */
+  def annLshSql(nQueries: Int = 10, k: Int = 5, bits: Int = 4,
+      probeRadius: Int = 1): String = {
+    val dim = 64
+    def hpLit(j: Int): String =
+      hyperplane(j, dim).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    val bucket = (0 until bits).map { j =>
+      val term = s"(CASE WHEN list_dot_product(v, ${hpLit(j)}) >= 0 THEN 1 ELSE 0 END)"
+      if (j == 0) term else s"${1 << j} * $term"
+    }.mkString(" + ")
+    val masks: Seq[Int] = probeRadius match {
+      case 0 => Seq.empty
+      case 1 => (0 until bits).map(1 << _)
+      case _ => (0 until bits).map(1 << _) ++
+        (for (j <- 0 until bits; l <- j + 1 until bits) yield (1 << j) | (1 << l))
+    }
+    val probes = ("bucket" +: masks.map(m => s"xor(bucket, $m)")).mkString("[", ", ", "]")
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (
+       |  SELECT vec_id, v, $bucket AS bucket, sqrt(list_dot_product(v, v)) AS nrm
+       |  FROM emb
+       |), q AS (
+       |  SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, unnest($probes) AS pb
+       |  FROM b WHERE vec_id < $nQueries
+       |), scored AS (
+       |  SELECT DISTINCT q.query_id, b.vec_id,
+       |    round(list_dot_product(q.qv, b.v) / (q.qnrm * b.nrm), 6) AS cos_sim
+       |  FROM b JOIN q ON b.bucket = q.pb AND b.vec_id <> q.query_id
+       |), ranked AS (
+       |  SELECT query_id, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Feature-hashed token-count vectors (the hashing trick): each doc
     * becomes a dense dim-d Array[Double], bucket = h32(word) mod d,
     * value = token count. Bridges the text pipeline into every vector
