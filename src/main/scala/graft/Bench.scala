@@ -425,11 +425,13 @@ object Bench {
             val built = new java.io.File(dir, "_built")
             if (!built.exists) {
               dir.mkdirs()
-              // flat copy; parent-dir prefix disambiguates the corpus's
-              // duplicate basenames (books/ and one_book/ share a file)
-              for (f <- srcFiles; r <- 0 until factor)
+              // flat copy; the SOURCE INDEX in the name guarantees
+              // uniqueness (a parent-dir prefix alone can collide at
+              // deeper nesting and silently shrink the corpus while
+              // mb still reports baseMb×factor)
+              for ((f, i) <- srcFiles.zipWithIndex; r <- 0 until factor)
                 java.nio.file.Files.copy(f.toPath,
-                  new java.io.File(dir, s"r${r}_${f.getParentFile.getName}_${f.getName}").toPath,
+                  new java.io.File(dir, s"r${r}_f${i}_${f.getName}").toPath,
                   java.nio.file.StandardCopyOption.REPLACE_EXISTING)
               java.nio.file.Files.createFile(built.toPath): Unit
             }

@@ -198,10 +198,42 @@ object Bpe {
       var stopped = false
       for (c @ (a, b, f) <- cands if !stopped) {
         if (used(a) || used(b)) { conflictF = f; stopped = true }
-        else { acc += c; used += a; used += b }
+        else {
+          acc += c; used += a; used += b
+          // the COMPOSED symbol conflicts too: merging (a,b) mints
+          // "ab" tokens, so a later candidate touching the literal
+          // string a+b (possible when an earlier round already
+          // created that symbol) has its count CHANGED by this merge
+          // — e.g. accepted (a,b) raises (c, ab) wherever "c a b"
+          // occurred, beyond its pre-batch count. Literal-symbol
+          // disjointness alone misses that; adding a+b to the used
+          // set restores the invariant that every count-affected
+          // pair conflicts.
+          used += (a + b)
+        }
       }
       val ceiling = math.max(conflictF, truncFloor)
-      acc.result().filter(_._3 > ceiling).take(maxBatch)
+      // Mid-batch, a non-accepted pair q can reach
+      // old(q) + created(q): old(q) ≤ ceiling (q conflicts or sits
+      // below the scan), and created(q) ≤ ceiling (each created
+      // adjacency consumes one old boundary-pair adjacency, itself
+      // conflicting). created(q) > 0 requires q to MENTION an
+      // accepted pair's composed symbol, and for old(q) to also be
+      // positive that symbol must pre-exist — in which case q (or a
+      // kin pair mentioning it) is visible in a complete candidate
+      // list. So: 2×ceiling only when some candidate mentions an
+      // accepted composed symbol or the list is truncated (kin could
+      // hide below it); plain ceiling otherwise. ceiling = -1 (no
+      // conflicts, complete list) means nothing can change at all.
+      val accepted = acc.result()
+      val composed = accepted.map { case (a, b, _) => a + b }.toSet
+      val composedVisible = truncFloor >= 0 ||
+        cands.exists { case (a, b, _) => composed(a) || composed(b) }
+      val bound =
+        if (ceiling < 0) -1L
+        else if (composedVisible) 2 * ceiling
+        else ceiling
+      accepted.filter(_._3 > bound).take(maxBatch)
     }
 
   /** Shared driver loop of the two batched trainers: pair-count
@@ -347,7 +379,13 @@ object Bpe {
     val vocab = words.collect().map(r => (r.getString(0), r.getLong(1)))
     words.unpersist(blocking = false)
 
-    val syms = vocab.map { case (w, _) => w.map(_.toString).toArray }
+    // split per CODE POINT, not UTF-16 unit: the distributed form's
+    // regexp "(.)" and the oracle's both treat a supplementary-plane
+    // character (emoji, U+1D11E) as ONE symbol; w.map(_.toString)
+    // would split it into two surrogate halves and diverge
+    val syms = vocab.map { case (w, _) =>
+      w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    }
     val freq = vocab.map(_._2)
     type Pair = (String, String)
     val counts = scala.collection.mutable.HashMap.empty[Pair, Long]
@@ -364,9 +402,29 @@ object Bpe {
     for (wid <- syms.indices; p <- pairsOf(syms(wid))) addPair(p, freq(wid), wid)
 
     // lazy-invalidation PQ: entries carry the count they were pushed
-    // with; a popped entry is valid only if it still matches `counts`
-    val ord = Ordering.by[(Long, String, String), (Long, String, String)] {
-      case (f, a, b) => (-f, a, b)
+    // with; a popped entry is valid only if it still matches `counts`.
+    // The lexicographic tie-break must compare UTF-8 BYTES (Spark's
+    // UTF8String / DuckDB's collation order = code-point order), not
+    // Java UTF-16 units — the two disagree between supplementary-plane
+    // strings and [U+E000, U+FFFF], which would flip tied argmaxes.
+    def utf8Cmp(x: String, y: String): Int = {
+      val a = x.getBytes("UTF-8"); val b = y.getBytes("UTF-8")
+      var i = 0
+      while (i < a.length && i < b.length) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b.length
+    }
+    val ord: Ordering[(Long, String, String)] = new Ordering[(Long, String, String)] {
+      def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+        if (x._1 != y._1) java.lang.Long.compare(y._1, x._1) // freq DESC
+        else {
+          val c = utf8Cmp(x._2, y._2)
+          if (c != 0) c else utf8Cmp(x._3, y._3)
+        }
+      }
     }
     val pq = scala.collection.mutable.PriorityQueue.empty[(Long, String, String)](ord.reverse)
     counts.foreach { case ((a, b), f) => pq.enqueue((f, a, b)) }

@@ -798,7 +798,13 @@ object Dedup {
     // "zero candidates" would read as "no near-dups"; fail loudly
     ArtifactMeta.validate(spark, indexDir, "minhash-lsh index",
       Map("k" -> k, "n" -> n, "rowsPerBand" -> rowsPerBand))
-    val sig = minhashWideOf(probeDocs, k, n).cache()
+    // deliberately NOT cached: this is the probe-MANY path — a cache
+    // pinned here outlives the call (the returned plan references it,
+    // so neither side can safely unpersist) and a daily-ingest driver
+    // would leak one signature table per batch. The two uses below
+    // are canonically identical aggregates, so ReusedExchange serves
+    // the second from the first's shuffle output within the one plan.
+    val sig = minhashWideOf(probeDocs, k, n)
     val probeKeys = bandKeysOfSig(sig, k, rowsPerBand)
     val idxBands = spark.read.parquet(s"$indexDir/bands")
     val idxSigs  = spark.read.parquet(s"$indexDir/sigs")

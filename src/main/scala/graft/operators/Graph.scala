@@ -40,6 +40,34 @@ object Graph {
     pageRankOf(edges, nodes, iters, d, topK)
   }
 
+  /** ONE damped sweep — shared verbatim by the fixed-iteration form
+    * and the convergence form, so "stopping after k sweeps returns
+    * bit-for-bit pageRankOf(iters = k)" is structural, not two
+    * hand-synchronized copies of the arithmetic.
+    */
+  private def sweep(edges: DataFrame, outw: DataFrame, nodes: DataFrame,
+      nTotal: DataFrame, ranks: DataFrame, d: Double): DataFrame = {
+    val contribs = edges
+      .join(ranks.withColumnRenamed("node", "src"), "src")
+      .join(outw, "src")
+      .groupBy(col("dst").as("node"))
+      .agg(sum(col("rank") * col("w") / col("wout")).as("contrib"))
+    nodes.crossJoin(broadcast(nTotal))
+      .join(contribs, Seq("node"), "left")
+      .select(col("node"),
+        (lit(1 - d) / col("n") + lit(d) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+  }
+
+  private def uniformRanks(nodes: DataFrame, nTotal: DataFrame): DataFrame =
+    nodes.crossJoin(broadcast(nTotal))
+      .select(col("node"), (lit(1.0) / col("n")).as("rank"))
+
+  private def topKRanks(ranks: DataFrame, topK: Int): DataFrame =
+    ranks
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("node"))
+      .limit(topK)
+
   /** Library form over explicit `(src, dst, w)` edges and a `node`
     * universe (nodes with no in-edges keep the teleport floor; nodes
     * absent from `nodes` receive no rank even if edges mention them).
@@ -49,18 +77,9 @@ object Graph {
     val outw = edges.groupBy("src").agg(sum(col("w")).as("wout"))
     val nTotal = nodes.agg(count(lit(1)).cast("double").as("n"))
 
-    var ranks = nodes.crossJoin(broadcast(nTotal))
-      .select(col("node"), (lit(1.0) / col("n")).as("rank"))
+    var ranks = uniformRanks(nodes, nTotal)
     for (i <- 1 to iters) {
-      val contribs = edges
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(outw, "src")
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("rank") * col("w") / col("wout")).as("contrib"))
-      ranks = nodes.crossJoin(broadcast(nTotal))
-        .join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (lit(1 - d) / col("n") + lit(d) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+      ranks = sweep(edges, outw, nodes, nTotal, ranks, d)
       // Lineage cut every 5 sweeps (the Dedup.nearDupClusters cadence):
       // each sweep nests the previous plan, so analysis cost and the
       // re-derivation of edges/outw grow with iters — fine at the
@@ -80,10 +99,7 @@ object Graph {
           } else ranks.localCheckpoint()
       }
     }
-    ranks
-      .select(col("node"), round(col("rank"), 6).as("rank"))
-      .orderBy(col("rank").desc, col("node"))
-      .limit(topK)
+    topKRanks(ranks, topK)
   }
 
   def pageRankSql(iters: Int = 3, d: Double = 0.85, topK: Int = 20): String = {
@@ -134,21 +150,11 @@ object Graph {
     val e = edges.cache()
     val outw = e.groupBy("src").agg(sum(col("w")).as("wout")).cache()
     val nTotal = nodes.agg(count(lit(1)).cast("double").as("n"))
-    var ranks = nodes.crossJoin(broadcast(nTotal))
-      .select(col("node"), (lit(1.0) / col("n")).as("rank")).cache()
+    var ranks = uniformRanks(nodes, nTotal).cache()
     var sweeps = 0
     var delta = Double.MaxValue
     while (sweeps < maxIters && delta >= tol) {
-      val contribs = e
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(outw, "src")
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("rank") * col("w") / col("wout")).as("contrib"))
-      var next = nodes.crossJoin(broadcast(nTotal))
-        .join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (lit(1 - d) / col("n") + lit(d) * coalesce(col("contrib"), lit(0.0))).as("rank"))
-        .cache()
+      var next = sweep(e, outw, nodes, nTotal, ranks, d).cache()
       delta = next.join(ranks.select(col("node"), col("rank").as("prev")), "node")
         .agg(sum(abs(col("rank") - col("prev"))).as("d")).head().getDouble(0)
       sweeps += 1
@@ -164,11 +170,7 @@ object Graph {
     }
     e.unpersist(blocking = false)
     outw.unpersist(blocking = false)
-    val out = ranks
-      .select(col("node"), round(col("rank"), 6).as("rank"))
-      .orderBy(col("rank").desc, col("node"))
-      .limit(topK)
-    (out, sweeps)
+    (topKRanks(ranks, topK), sweeps)
   }
 
   def pageRankConverged(edges: DataFrame, nodes: DataFrame, maxIters: Int = 50,

@@ -70,7 +70,10 @@ object TextAnalysis {
         element_at(langLits, array_position(h, array_max(h)).cast("int"))), 1)
     when(text.rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
       .when(text.rlike("[\\x{0600}-\\x{06ff}]"), "ar")
-      .otherwise(vote)
+      // NULL text: the fold is NULL, but the original cascade (and the
+      // oracle's CASE, which falls through to ELSE 'de') resolves NULL
+      // comparisons to the final branch — preserve that
+      .otherwise(coalesce(vote, lit("de")))
   }
 
   def langId(t: Tables): DataFrame =

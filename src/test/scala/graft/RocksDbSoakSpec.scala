@@ -44,6 +44,9 @@ class RocksDbSoakSpec extends AnyFunSuite {
         val deadline = System.currentTimeMillis() + 30000
         while (System.currentTimeMillis() < deadline &&
           (q.lastProgress == null || q.lastProgress.batchId < 30)) Thread.sleep(250)
+        // diagnostic, not an NPE: a machine slow enough to produce NO
+        // progress in 30 s should fail with the soak message
+        assert(q.lastProgress != null, "soak produced no progress within the deadline")
         val progresses = q.recentProgress.filter(_.stateOperators.nonEmpty)
         assert(q.lastProgress.batchId >= 8, s"soak too short: ${q.lastProgress.batchId} batches")
         // the provider must actually be RocksDB, not silently the
