@@ -616,6 +616,96 @@ object TextAnalysis {
        |FROM wins
        |ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Interpolated Kneser-Ney bigram scoring — the smoothing the
+    * KenLM/CCNet stack actually trains (Kneser & Ney 1995; Chen &
+    * Goodman 1998), one published step past [[bigramLogProb]]'s
+    * Jelinek-Mercer mix:
+    *
+    *   P_KN(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁·)
+    *               + D · N₁₊(w₁,·)/c(w₁·) · P_cont(w₂)
+    *   P_cont(w₂)  = N₁₊(·,w₂) / N₁₊(·,·)
+    *
+    * with absolute discount D = 0.75. The continuation probability
+    * scores a word by how many DISTINCT contexts it follows, not raw
+    * frequency — the correction that keeps "Francisco" (frequent, one
+    * context) from outranking genuinely productive words.
+    *
+    * Scale shape: every KN statistic is a re-aggregation of the ONE
+    * bigram-type table c12 — left totals + distinct-continuation
+    * counts per w₁ in one groupBy, distinct-context counts per w₂ in
+    * another, the type total as a 1-row broadcast — so the corpus is
+    * tokenized once, the fact-sized shuffle is the c12 groupBy, and
+    * everything downstream moves (w1,w2)-keyed count rows only. The
+    * stats joins are deliberately UN-hinted (the [[bigramLogProb]]
+    * policy): web-scale bigram tables must not be forced broadcast;
+    * AQE promotes them when they measure small. Within-corpus scoring
+    * means every scored bigram is observed (c12 ≥ 1 > D), so the
+    * discounted term never floors — the smoothing structure is still
+    * what separates jagged rare-continuation docs from boilerplate.
+    */
+  def knBigramScore(t: Tables, discount: Double = 0.75): DataFrame =
+    knBigramScoreOf(t.documents, discount)
+
+  /** [[knBigramScore]] over any (doc_id, text) frame — the library
+    * entry point; the gated form binds it to the documents table.
+    */
+  def knBigramScoreOf(docs: DataFrame, discount: Double = 0.75): DataFrame = {
+    import graft.functions.ShinglesExpr
+    val bi = docs
+      .select(col("doc_id"), explode(ShinglesExpr.shingles(col("text"), 2)).as("bg"))
+      .filter(col("bg") =!= "")
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // per-w1: bigram-token total (the KN denominator — NOT the unigram
+    // count: doc-final tokens start no bigram) + distinct continuations
+    val left = c12.groupBy("w1")
+      .agg(sum(col("c12")).as("c1left"), count(lit(1)).as("n1w1"))
+    // per-w2: distinct contexts it follows
+    val cont = c12.groupBy(col("w2"))
+      .agg(count(lit(1)).as("ncont"))
+    val types = c12.agg(count(lit(1)).as("n_types"))
+    bi
+      .join(c12, Seq("w1", "w2"))
+      .join(left, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log10(
+          greatest(col("c12").cast("double") - lit(discount), lit(0.0)) / col("c1left") +
+            lit(discount) * col("n1w1").cast("double") / col("c1left") *
+              (col("ncont").cast("double") / col("n_types")))), 6).as("avg_kn_logprob"))
+      .orderBy("doc_id")
+  }
+
+  def knBigramScoreSql(discount: Double = 0.75): String =
+    s"""WITH grams AS (
+       |  SELECT doc_id, tk[i + 1] AS w1, tk[i + 2] AS w2
+       |  FROM (
+       |    SELECT doc_id,
+       |      regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+       |    FROM documents),
+       |    unnest(range(0, len(tk) - 1)) AS r(i)
+       |  WHERE tk[i + 1] <> '' AND tk[i + 2] <> ''
+       |), c12 AS (SELECT w1, w2, count(*) AS c12 FROM grams GROUP BY w1, w2
+       |), lft AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1left, count(*) AS n1w1
+       |           FROM c12 GROUP BY w1
+       |), cont AS (SELECT w2, count(*) AS ncont FROM c12 GROUP BY w2
+       |), ttl AS (SELECT count(*) AS n_types FROM c12)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  round(avg(log10(
+       |    greatest(CAST(c12 AS DOUBLE) - $discount, 0.0) / c1left +
+       |    $discount * CAST(n1w1 AS DOUBLE) / c1left *
+       |      (CAST(ncont AS DOUBLE) / n_types))), 6) AS avg_kn_logprob
+       |FROM grams g
+       |JOIN c12 USING (w1, w2)
+       |JOIN lft USING (w1)
+       |JOIN cont USING (w2)
+       |CROSS JOIN ttl
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   /** Gopher-style repetition signal: fraction of word 3-grams that are
     * duplicates within the document (1 − distinct/total). High values
     * flag boilerplate/spam for training-data filtering.
