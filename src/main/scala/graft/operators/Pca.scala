@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** PCA / whitening over the embeddings table — the classic
+  * preprocessing stage in front of every quantizer in this repo
+  * (OPQ-style rotation before [[Similarity.pqCodes]], decorrelation
+  * before [[Similarity.sqTopK]]'s per-dim ranges, isotropy repair
+  * before cosine ANN).
+  *
+  * Scale architecture — the moment trick: PCA needs only the d×d
+  * second-moment matrix and the d-vector mean, both LINEAR one-pass
+  * aggregations over the corpus. Rows explode to (i, j, xᵢ·xⱼ) cells
+  * and partial aggregation collapses them map-side, so the shuffle
+  * carries ≤ d² rows per partition regardless of corpus size — at
+  * 100 TB the reduce side still sees a few thousand doubles. The d×d
+  * result is a bounded model parameter (the [[Similarity]]
+  * `maxExactRows` policy: guarded loud, d ≤ 256 ⇒ ≤ 64k cells), the
+  * eigensolve is a driver-side Jacobi on that tiny matrix, and the
+  * eigenbasis goes back OUT as a broadcast literal for a fully
+  * distributed, map-only projection. The corpus is scanned exactly
+  * twice (moments; projection) and no vector ever crosses a shuffle.
+  *
+  * No DuckDB twin exists for the eigensolve, so the gated rows are
+  * rows-only by declared policy (the `embed_ivf_kmeans` precedent);
+  * PcaSpec pins the invariants that MAKE it a PCA: orthonormal basis,
+  * eigen-residuals ≈ 0, diagonal projected covariance with sorted
+  * eigenvalues, whitened covariance ≈ I, Σλ = total variance, and a
+  * deterministic sign convention.
+  */
+object Pca {
+
+  /** Hard ceiling on the driver-side eigenproblem; d beyond this is a
+    * different algorithm (randomized SVD), not a bigger collect.
+    */
+  val maxDim = 256
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** One-pass distributed moments: (n, mean[d], cov[d][d]).
+    * Covariance is the unbiased-free population form Σ(x−μ)(x−μ)ᵀ/n =
+    * S/n − μμᵀ, assembled on the driver from the aggregated cells.
+    */
+  def moments(embeddings: DataFrame): (Long, Array[Double], Array[Array[Double]]) = {
+    val cells = embeddings
+      .select(posexplode(asDouble(col("embedding"))).as(Seq("i", "xi")))
+    val d0 = cells.agg(max(col("i"))).collect()(0).getInt(0) + 1
+    require(d0 <= maxDim,
+      s"embedding dim $d0 exceeds Pca.maxDim=$maxDim — use a sketch/randomized method at this width")
+    // Σxᵢ and n from the linear cells; Σxᵢxⱼ (upper triangle) from the
+    // self-paired cells — one nested explode, all map-side combined
+    val lin = cells.groupBy("i").agg(sum(col("xi")).as("s"), count(lit(1)).as("cnt"))
+      .collect()
+    val n = lin.map(_.getLong(2)).max
+    val s = Array.ofDim[Double](d0)
+    lin.foreach(r => s(r.getInt(0)) = r.getDouble(1))
+    val quad = embeddings
+      .select(asDouble(col("embedding")).as("v"))
+      .select(posexplode(col("v")).as(Seq("i", "xi")), col("v"))
+      .select(col("i"), posexplode(col("v")).as(Seq("j", "xj")), col("xi"))
+      .filter(col("j") >= col("i"))
+      .groupBy("i", "j")
+      .agg(sum(col("xi") * col("xj")).as("sij"))
+      .collect()
+    val mean = s.map(_ / n)
+    val cov = Array.ofDim[Double](d0, d0)
+    quad.foreach { r =>
+      val (i, j, sij) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      val c = sij / n - mean(i) * mean(j)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    (n, mean, cov)
+  }
+
+  /** Cyclic-Jacobi eigensolve for a symmetric matrix: deterministic
+    * sweep order (upper triangle row-major), fixed convergence
+    * threshold — same input bits, same output bits, every run. Returns
+    * (eigenvalues, eigenvectors-as-rows) sorted by eigenvalue
+    * descending, each vector sign-normalized so its
+    * largest-magnitude component is positive (ties to the lower
+    * index), which removes the ±v ambiguity from every downstream
+    * artifact.
+    */
+  def jacobiEigen(m: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = Array.tabulate(d, d)((i, j) => m(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (off > 1e-12 && sweep < 100) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-14) {
+            off += apq * apq
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+              case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              case x   => x
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val sgn = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - sgn * akq
+              a(k)(q) = sgn * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - sgn * aqk
+              a(q)(k) = sgn * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - sgn * vkq
+              v(k)(q) = sgn * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    val evals = order.map(i => a(i)(i)).toArray
+    val evecs = order.map { i =>
+      val col = Array.tabulate(d)(k => v(k)(i))
+      // sign convention: largest-|component| positive, ties lower index
+      var best = 0
+      var bk = 1
+      while (bk < d) { if (math.abs(col(bk)) > math.abs(col(best))) best = bk; bk += 1 }
+      if (col(best) < 0) col.map(-_) else col
+    }.toArray
+    (evals, evecs)
+  }
+
+  /** Fit on the corpus: eigen-decomposed covariance, ready to project. */
+  final case class PcaModel(n: Long, mean: Array[Double],
+      eigenvalues: Array[Double], components: Array[Array[Double]]) {
+    def varianceTotal: Double = eigenvalues.sum
+  }
+
+  def fit(embeddings: DataFrame): PcaModel = {
+    val (n, mean, cov) = moments(embeddings)
+    val (evals, evecs) = jacobiEigen(cov)
+    PcaModel(n, mean, evals, evecs)
+  }
+
+  /** Gated rows: the scree table — per retained component its
+    * eigenvalue, variance share and cumulative share. k rows, the
+    * training-pipeline artifact you read before choosing a target
+    * dimensionality.
+    */
+  def componentsQuery(t: Tables, k: Int = 16): DataFrame = {
+    val spark = t.embeddings.sparkSession
+    import spark.implicits._
+    val model = fit(t.embeddings)
+    val tot = model.varianceTotal
+    val rows = model.eigenvalues.take(k).zipWithIndex.scanLeft((0L, 0.0, 0.0, 0.0)) {
+      case ((_, _, _, cum), (ev, i)) =>
+        (i.toLong, math.rint(ev * 1e6) / 1e6,
+          math.rint(ev / tot * 1e6) / 1e6, cum + ev / tot)
+    }.drop(1).map { case (i, ev, ratio, cum) =>
+      (i, ev, ratio, math.rint(cum * 1e6) / 1e6)
+    }
+    spark.createDataset(rows.toSeq)
+      .toDF("component", "eigenvalue", "var_ratio", "cum_ratio")
+      .orderBy("component")
+  }
+
+  /** Distributed projection y = Vₖ·(x − μ), optionally whitened
+    * (yᵢ/√λᵢ — unit covariance out). Map-only: the k×d basis and the
+    * mean ride the plan as literals (a few KB), each output component
+    * is one codegen'd [[graft.functions.VectorFunctions.dot]] against
+    * the centered vector, and the input's partitioning is untouched.
+    */
+  def project(embeddings: DataFrame, model: PcaModel, k: Int,
+      whiten: Boolean = false): DataFrame = {
+    import graft.functions.VectorFunctions
+    require(k >= 1 && k <= model.components.length, s"k=$k out of range")
+    val meanLit = array(model.mean.map(lit(_)).toIndexedSeq: _*)
+    val centered = zip_with(asDouble(col("embedding")), meanLit, (x, m) => x - m)
+    val comps = (0 until k).map { i =>
+      val basis = array(model.components(i).map(lit(_)).toIndexedSeq: _*)
+      val y = VectorFunctions.dot(centered, basis)
+      val scaled = if (whiten) y / lit(math.sqrt(math.max(model.eigenvalues(i), 1e-300))) else y
+      scaled.as(s"y$i")
+    }
+    embeddings.select(col("vec_id") +: comps: _*)
+  }
+
+  /** Gated rows-only projection sample: first 4 whitened components of
+    * every vector, 6dp — deterministic end-to-end (deterministic
+    * moments: pairwise-exact? no — see note) — determinism here rides
+    * the FIXED aggregation tree of a same-conf run plus the Jacobi
+    * solver's fixed sweep order; across conf changes values may drift
+    * in the last ulps, which is why this row is rows-only, not
+    * hash-gated.
+    */
+  def projectQuery(t: Tables, k: Int = 4): DataFrame = {
+    val model = fit(t.embeddings)
+    project(t.embeddings, model, k, whiten = true)
+      .select(col("vec_id") +:
+        (0 until k).map(i => round(col(s"y$i"), 6).as(s"y$i")): _*)
+      .orderBy("vec_id")
+  }
+}
