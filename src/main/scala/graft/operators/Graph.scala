@@ -176,4 +176,98 @@ object Graph {
   def pageRankConverged(edges: DataFrame, nodes: DataFrame, maxIters: Int = 50,
       d: Double = 0.85, topK: Int = 20, tol: Double = 1e-6): DataFrame =
     pageRankConvergedWithSweeps(edges, nodes, maxIters, d, topK, tol)._1
+
+  // --------------------------------------------------------- k-core
+
+  /** k-core of the customer↔supplier purchase graph (undirected,
+    * unweighted distinct trading pairs): iteratively peel nodes of
+    * degree < k until fixpoint — the third canonical iterative graph
+    * pattern next to [[pageRankOf]] (weighted mass) and
+    * [[graft.operators.Dedup.nearDupClusters]] (label propagation),
+    * and the standard "dense enough to matter" filter before
+    * community/embedding work on an interaction graph.
+    *
+    * Equivalence with the unrolled-CTE DuckDB oracle is UNCONDITIONAL:
+    * both run exactly `iters` peel rounds (a round past the fixpoint
+    * is a no-op in both engines — the early stop here is purely a cost
+    * optimization, taken when a round's survivor count is unchanged),
+    * then recompute final degrees over the surviving induced subgraph.
+    *
+    * Scale shape per round: two semi-joins of the edge list against
+    * the shrinking alive set plus one map-side-combined degree count —
+    * only (node) keys shuffle, never adjacency lists; the alive set
+    * re-caches per round and peeling depth is bounded by `iters`, not
+    * by graph diameter.
+    */
+  def kCoreOf(edges: DataFrame, k: Int, iters: Int = 6): DataFrame = {
+    val und = edges.select(col("a"), col("b"))
+      .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      .cache()
+    var alive = und.select(col("a").as("node")).distinct().cache()
+    var prev = alive.count()
+    var r = 0
+    var fixed = false
+    while (r < iters && !fixed) {
+      val next = und
+        .join(alive.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(alive.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .groupBy(col("a"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("a").as("node"))
+        .cache()
+      val n = next.count()
+      alive.unpersist(blocking = false)
+      alive = next
+      fixed = n == prev
+      prev = n
+      r += 1
+    }
+    val out = und
+      .join(alive.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+      .join(alive.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+      .groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("degree"))
+      .select(col("node"),
+        when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier")).as("kind"),
+        (col("node") / lit(2)).cast("long").as("key"),
+        col("degree"))
+      .orderBy("node")
+    und.unpersist(blocking = false)
+    out
+  }
+
+  def kCoreQuery(t: Tables, k: Int = 8, iters: Int = 6): DataFrame =
+    kCoreOf(
+      t.orders
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct(),
+      k, iters)
+
+  def kCoreSql(k: Int = 8, iters: Int = 6): String = {
+    val base =
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |), und AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+        |alive0 AS (SELECT DISTINCT a AS node FROM und)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""alive$i AS (
+         |  SELECT a AS node FROM und
+         |  WHERE a IN (SELECT node FROM alive${i - 1})
+         |    AND b IN (SELECT node FROM alive${i - 1})
+         |  GROUP BY a HAVING count(*) >= $k
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$rounds
+       |SELECT a AS node,
+       |  CASE WHEN a % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       |  CAST(a // 2 AS BIGINT) AS key, count(*) AS degree
+       |FROM und
+       |WHERE a IN (SELECT node FROM alive$iters)
+       |  AND b IN (SELECT node FROM alive$iters)
+       |GROUP BY a ORDER BY a""".stripMargin
+  }
 }

@@ -375,4 +375,46 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(CorpusScience.negSamplingOf(
       Seq.empty[(Long, String)].toDF("doc_id", "word")).collect().isEmpty)
   }
+
+  test("kCoreOf: clique survives, pendant chain peels away in cascade") {
+    import spark.implicits._
+    // 4-clique on {0,2,4,6} (even=one side is irrelevant to kCoreOf
+    // itself) plus a chain 6-8-10: for k=3 the chain must cascade off
+    // (10 has deg 1, then 8 drops to 1, ...) leaving exactly the clique
+    // with in-core degree 3.
+    val clique = for (a <- Seq(0L, 2L, 4L, 6L); b <- Seq(0L, 2L, 4L, 6L) if a < b) yield (a, b)
+    val edges = (clique ++ Seq((6L, 8L), (8L, 10L))).toDF("a", "b")
+    val got = graft.operators.Graph.kCoreOf(edges, k = 3).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("degree"))).toMap
+    assert(got == Map(0L -> 3L, 2L -> 3L, 4L -> 3L, 6L -> 3L), s"got $got")
+  }
+
+  test("kCoreOf: fixpoint is maximal — every survivor has >= k in-core neighbors, no removed node does") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 3L), (1L, 3L))
+      .toDF("a", "b")
+    val k = 2
+    val survivors = graft.operators.Graph.kCoreOf(edges, k).collect()
+      .map(_.getAs[Long]("node")).toSet
+    val und = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 3L), (1L, 3L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val degIn = (s: Set[Long], n: Long) => und.count { case (a, b) => a == n && s(b) && s(a) }
+    survivors.foreach(n => assert(degIn(survivors, n) >= k, s"survivor $n under-connected"))
+    // maximality: re-adding any peeled node leaves it under-connected
+    val all = und.map(_._1).toSet
+    (all -- survivors).foreach { n =>
+      assert(degIn(survivors + n, n) < k, s"peeled node $n would fit the core")
+    }
+    // node 4 (degree 1) must be peeled, and its removal must NOT
+    // cascade (3 keeps degree 3 via 0,1,2)
+    assert(survivors == Set(0L, 1L, 2L, 3L), s"got $survivors")
+  }
+
+  test("kCoreOf: extra no-op rounds past the fixpoint do not change the result") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val a = graft.operators.Graph.kCoreOf(edges, k = 2, iters = 3).collect().map(_.toSeq).toList
+    val b = graft.operators.Graph.kCoreOf(edges, k = 2, iters = 12).collect().map(_.toSeq).toList
+    assert(a == b)
+  }
 }
