@@ -87,6 +87,115 @@ object Incremental {
       |SELECT doc_id, lang, source, n_chars FROM latest WHERE op = 'u'
       |ORDER BY doc_id""".stripMargin
 
+  /** SCD Type-2 snapshot merge — the versioned-dimension twin of
+    * [[mergeUpsertOf]]: apply a NEW full snapshot to a
+    * validity-ranged dimension, closing changed/absent versions at
+    * the snapshot date and opening new ones. The four cases a
+    * Kimball-style dimension load must handle:
+    *   unchanged  → current row rides through untouched
+    *   changed    → current row closes (valid_to = asOf), a new
+    *                current version opens at asOf
+    *   absent     → current row closes (full-snapshot semantics: not
+    *                in the feed ⇒ gone from the source)
+    *   new key    → a first version opens at asOf
+    * History rows (is_current = false on input) ride through
+    * untouched — the merge only ever touches the current generation.
+    *
+    * Scale shape: one inner join + two anti joins of the CURRENT
+    * slice against the snapshot, all on the dimension key — key-only
+    * shuffles, and under AQE the three branches reuse the same two
+    * exchanges. No window anywhere: SCD2 needs per-key latest, and
+    * the current-generation invariant (exactly one open row per key)
+    * supplies it structurally.
+    */
+  def scd2Of(dim: DataFrame, snapshot: DataFrame, asOf: String): DataFrame = {
+    val history = dim.filter(!col("is_current"))
+    val current = dim.filter(col("is_current"))
+    val snap = snapshot.select(col("key"), col("attr").as("new_attr"))
+    val matched = current.join(snap, Seq("key"))
+    val closeDate = lit(asOf).cast("date")
+    val unchanged = matched.filter(col("attr") === col("new_attr"))
+      .select(col("key"), col("attr"), col("valid_from"), col("valid_to"), col("is_current"))
+    val closedChanged = matched.filter(col("attr") =!= col("new_attr"))
+      .select(col("key"), col("attr"), col("valid_from"),
+        closeDate.as("valid_to"), lit(false).as("is_current"))
+    val openedChanged = matched.filter(col("attr") =!= col("new_attr"))
+      .select(col("key"), col("new_attr").as("attr"), closeDate.as("valid_from"),
+        lit(null).cast("date").as("valid_to"), lit(true).as("is_current"))
+    val closedAbsent = current.join(snap.select("key"), Seq("key"), "left_anti")
+      .select(col("key"), col("attr"), col("valid_from"),
+        closeDate.as("valid_to"), lit(false).as("is_current"))
+    val openedNew = snap.join(current.select("key"), Seq("key"), "left_anti")
+      .select(col("key"), col("new_attr").as("attr"), closeDate.as("valid_from"),
+        lit(null).cast("date").as("valid_to"), lit(true).as("is_current"))
+    history.select("key", "attr", "valid_from", "valid_to", "is_current")
+      .unionByName(unchanged).unionByName(closedChanged).unionByName(openedChanged)
+      .unionByName(closedAbsent).unionByName(openedNew)
+      .orderBy("key", "valid_from")
+  }
+
+  /** Gated form: the customer dimension versioned on account balance.
+    * Base generation opens 1995-01-01; the incoming snapshot moves
+    * every 3rd balance by +100 (exact 2dp arithmetic), drops every
+    * 7th customer, and introduces a new key (custkey + 1000000) for
+    * every 5th — so all four SCD2 cases occur, plus a pre-existing
+    * closed history row that must ride through untouched.
+    */
+  def mergeScd2(t: Tables): DataFrame = {
+    val cust = t.customer.select(col("c_custkey").as("key"), col("c_acctbal").as("attr"))
+    val dim = cust
+      .select(col("key"), col("attr"),
+        lit("1995-01-01").cast("date").as("valid_from"),
+        lit(null).cast("date").as("valid_to"), lit(true).as("is_current"))
+      .unionByName(
+        // planted history: an older closed version for every 11th key
+        cust.filter(col("key") % 11 === 0)
+          .select(col("key"), (col("attr") - 500).as("attr"),
+            lit("1994-01-01").cast("date").as("valid_from"),
+            lit("1995-01-01").cast("date").as("valid_to"), lit(false).as("is_current")))
+    val snapshot = cust.filter(col("key") % 7 =!= 0)
+      .select(col("key"),
+        when(col("key") % 3 === 0, col("attr") + 100).otherwise(col("attr")).as("attr"))
+      .unionByName(cust.filter(col("key") % 5 === 0)
+        .select((col("key") + 1000000L).as("key"), col("attr")))
+    scd2Of(dim, snapshot, "1996-06-01")
+  }
+
+  val mergeScd2Sql: String =
+    """WITH cust AS (
+      |  SELECT c_custkey AS key, c_acctbal AS attr FROM customer
+      |), dim AS (
+      |  SELECT key, attr, DATE '1995-01-01' AS valid_from,
+      |    CAST(NULL AS DATE) AS valid_to, true AS is_current FROM cust
+      |  UNION ALL
+      |  SELECT key, attr - 500, DATE '1994-01-01', DATE '1995-01-01', false
+      |  FROM cust WHERE key % 11 = 0
+      |), snap AS (
+      |  SELECT key, CASE WHEN key % 3 = 0 THEN attr + 100 ELSE attr END AS new_attr
+      |  FROM cust WHERE key % 7 <> 0
+      |  UNION ALL
+      |  SELECT key + 1000000, attr FROM cust WHERE key % 5 = 0
+      |), current AS (SELECT * FROM dim WHERE is_current
+      |), history AS (SELECT * FROM dim WHERE NOT is_current
+      |), matched AS (
+      |  SELECT c.key, c.attr, c.valid_from, s.new_attr
+      |  FROM current c JOIN snap s ON c.key = s.key
+      |)
+      |SELECT key, attr, valid_from, valid_to, is_current FROM history
+      |UNION ALL
+      |SELECT key, attr, valid_from, NULL, true FROM matched WHERE attr = new_attr
+      |UNION ALL
+      |SELECT key, attr, valid_from, DATE '1996-06-01', false FROM matched WHERE attr <> new_attr
+      |UNION ALL
+      |SELECT key, new_attr, DATE '1996-06-01', NULL, true FROM matched WHERE attr <> new_attr
+      |UNION ALL
+      |SELECT c.key, c.attr, c.valid_from, DATE '1996-06-01', false
+      |FROM current c ANTI JOIN snap s ON c.key = s.key
+      |UNION ALL
+      |SELECT s.key, s.new_attr, DATE '1996-06-01', NULL, true
+      |FROM snap s ANTI JOIN current c ON s.key = c.key
+      |ORDER BY key, valid_from""".stripMargin
+
   /** Right-to-be-forgotten purge audit: given a deletion cohort (the
     * gate derives it deterministically — every 13th customer), count
     * the rows each table would lose, including the rows reached only

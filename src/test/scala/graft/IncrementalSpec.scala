@@ -198,4 +198,56 @@ class IncrementalSpec extends AnyFunSuite {
     assert(!got("domain_lang"))
     assert(got("consistency_n_chars"), got.toString) // the two non-null rows are consistent
   }
+
+  test("scd2: all four merge cases on a planted dimension, history untouched") {
+    // dim: k1 current A (+ closed history A0), k2 current B, k3 current C
+    // snapshot: k1→A (unchanged), k2→B' (changed), k3 absent, k4→D (new)
+    val dim = Seq(
+      (1L, "A0", "1994-01-01", "1995-01-01", false),
+      (1L, "A", "1995-01-01", null, true),
+      (2L, "B", "1995-01-01", null, true),
+      (3L, "C", "1995-01-01", null, true))
+      .toDF("key", "attr", "vf", "vt", "is_current")
+      .select(col("key"), col("attr"), col("vf").cast("date").as("valid_from"),
+        col("vt").cast("date").as("valid_to"), col("is_current"))
+    val snap = Seq((1L, "A"), (2L, "B2"), (4L, "D")).toDF("key", "attr")
+    val got = graft.operators.Incremental.scd2Of(dim, snap, "1996-06-01").collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[String]("attr"),
+        String.valueOf(r.getAs[java.sql.Date]("valid_from")),
+        String.valueOf(r.getAs[java.sql.Date]("valid_to")),
+        r.getAs[Boolean]("is_current"))).toSet
+    assert(got == Set(
+      (1L, "A0", "1994-01-01", "1995-01-01", false), // history rode through
+      (1L, "A", "1995-01-01", "null", true),         // unchanged stays open
+      (2L, "B", "1995-01-01", "1996-06-01", false),  // changed closes
+      (2L, "B2", "1996-06-01", "null", true),        //   ...and reopens
+      (3L, "C", "1995-01-01", "1996-06-01", false),  // absent closes
+      (4L, "D", "1996-06-01", "null", true)),        // new key opens
+      s"got $got")
+  }
+
+  test("scd2 gated form: exactly one current row per live key; ranges per key chain without overlap") {
+    val rows = graft.operators.Incremental.mergeScd2(Tables(spark, TestSpark.sf)).collect()
+      .map(r => (r.getAs[Long]("key"), String.valueOf(r.getAs[java.sql.Date]("valid_from")),
+        String.valueOf(r.getAs[java.sql.Date]("valid_to")), r.getAs[Boolean]("is_current")))
+    val byKey = rows.groupBy(_._1)
+    byKey.foreach { case (k, vs) =>
+      val current = vs.count(_._4)
+      assert(current <= 1, s"key $k has $current current rows")
+      // open row iff is_current; closed rows have valid_to
+      vs.foreach { case (_, _, vt, cur) => assert(cur == (vt == "null")) }
+      // versions chain: sort by valid_from; each closed row's valid_to
+      // <= successor's valid_from (planted generations make it ==)
+      val sorted = vs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, vt, _), (_, vf2, _, _)) if vt != "null" =>
+          assert(vt <= vf2, s"key $k overlap: $vt > $vf2")
+        case _ =>
+      }
+    }
+    // every dropped key (key % 7 == 0) is fully closed
+    byKey.filter { case (k, _) => k % 7 == 0 && k < 1000000 }.foreach { case (k, vs) =>
+      assert(vs.forall(!_._4), s"dropped key $k still has a current row")
+    }
+  }
 }
