@@ -381,7 +381,7 @@ object Bench {
         .select("query_id", "vec_id").persist()
       val nExact = exact.count().toDouble
       val r = Seq("embed_ann_lsh", "embed_ann_multiprobe", "embed_ivf_kmeans",
-        "embed_ivf_pq").map { nm =>
+        "embed_ivf_pq", "embed_pca_topk").map { nm =>
         val hits = SparkEntry.queries(nm)(spark, dir).select("query_id", "vec_id")
           .join(exact, Seq("query_id", "vec_id")).count()
         nm -> (if (nExact > 0) hits / nExact else -1.0)

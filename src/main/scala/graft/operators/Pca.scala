@@ -197,6 +197,63 @@ object Pca {
     embeddings.select(col("vec_id") +: comps: _*)
   }
 
+  /** Two-stage ANN with a PCA shortlist — the matrix-sketch sibling of
+    * [[Similarity.sqTopK]]'s int8 two-stage: rank ALL candidates by
+    * cosine in the kDim-dimensional principal subspace (each approx
+    * score costs kDim mults instead of d), keep `shortlist` per query,
+    * then exact-cosine re-rank only those. With `shortlist ≥ corpus`
+    * the result is BIT-equal to [[Similarity.cosineTopK]] (same
+    * rounding, same tie-break) — the spec's equivalence anchor; below
+    * that, recall is governed by how much variance kDim captures
+    * (clustered corpora concentrate variance in few components, the
+    * case PCA exists for; isotropic corpora are its worst case).
+    *
+    * Scale shape: the reduction is map-only against broadcast basis
+    * literals; the approx pass scans reduced vectors once per query
+    * batch (broadcast queries); only (query, candidate-id) pairs —
+    * `shortlist` per query — reach the exact re-rank. Same plan family
+    * as the other two-stage rows, so the 100 TB reasoning carries over.
+    */
+  def pcaTopK(t: Tables, nQueries: Int = 10, k: Int = 5, kDim: Int = 8,
+      shortlist: Int = 256): DataFrame = {
+    import graft.functions.VectorFunctions
+    import org.apache.spark.sql.expressions.Window
+    val model = fit(t.embeddings)
+    val yArr = array((0 until kDim).map(i => col(s"y$i")): _*)
+    val red = project(t.embeddings, model, kDim)
+      .select(col("vec_id"), yArr.as("rv"))
+      .withColumn("rnrm", VectorFunctions.l2norm(col("rv")))
+    val rq = red.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("rv").as("qrv"), col("rnrm").as("qrnrm"))
+    // zero-norm guard: a vector collapsing to ~the mean has no
+    // direction in the subspace — scored below every real candidate
+    // rather than riding a NaN to the top of the DESC sort (Spark
+    // orders NaN above +Inf)
+    val approx = red.join(broadcast(rq), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        when(col("rnrm") * col("qrnrm") > 0,
+          VectorFunctions.dot(col("qrv"), col("rv")) / (col("rnrm") * col("qrnrm")))
+          .otherwise(lit(-2.0)).as("approx_sim"))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_sim").desc, col("vec_id"))
+    val cand = approx.withColumn("r", row_number().over(wa))
+      .filter(col("r") <= shortlist).select("query_id", "vec_id")
+    val emb = t.embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorFunctions.l2norm(col("v")))
+    val qe = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    cand
+      .join(emb, Seq("vec_id"))
+      .join(broadcast(qe), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(VectorFunctions.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(we).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   /** Gated rows-only projection sample: first 4 whitened components of
     * every vector, 6dp — deterministic end-to-end (deterministic
     * moments: pairwise-exact? no — see note) — determinism here rides

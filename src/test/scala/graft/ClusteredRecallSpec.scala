@@ -96,6 +96,19 @@ class ClusteredRecallSpec extends AnyFunSuite {
     assert(rIvfLabel >= 0.95, s"label-cell ivf recall $rIvfLabel < 0.95")
   }
 
+  test("pca two-stage search: 8-dim shortlist on clustered data keeps recall >= 0.9") {
+    // clusters concentrate between-cluster variance in the top
+    // components — the case PCA exists for. The shortlist default
+    // (256) deliberately clears the planted cluster size (~200): at 64
+    // the 8-dim approx ranking has to order WITHIN the cluster, where
+    // the top components are blurry by construction, and recall reads
+    // 0.86; once the shortlist covers the whole home cluster the exact
+    // re-rank decides and recall is limited only by cross-cluster
+    // leakage.
+    val r = recall(graft.operators.Pca.pcaTopK(t))
+    assert(r >= 0.9, s"pca-shortlist recall $r < 0.9 on clustered data")
+  }
+
   test("sq two-stage search: int8 shortlist loses almost nothing — recall >= 0.9 clustered") {
     val r = recall(Similarity.sqTopK(t))
     assert(r >= 0.9, s"embed_sq_topk recall $r < 0.9 — scalar quantization should barely lose precision")

@@ -108,6 +108,12 @@ class PcaSpec extends AnyFunSuite {
     assert(a == b, "same session, same conf: projection must be bit-stable")
   }
 
+  test("pcaTopK with shortlist >= corpus is bit-equal to the exact cosineTopK") {
+    val exact = graft.operators.Similarity.cosineTopK(t).collect().map(_.toSeq).toList
+    val two   = Pca.pcaTopK(t, shortlist = 100000).collect().map(_.toSeq).toList
+    assert(two == exact)
+  }
+
   test("jacobi on a known matrix: exact analytic eigenpairs") {
     // [[2,1],[1,2]] → λ = 3 (v ∝ (1,1)/√2), λ = 1 (v ∝ (−1,1)/√2)
     val (ev, vecs) = Pca.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
