@@ -356,6 +356,43 @@ object Streams {
         upsertMergeStep(batch.toDF(), snapshotDir, batchId)
     }
 
+  /** One SCD2 generation: read the latest committed dimension version
+    * ≤ batchId, apply the micro-batch as a full snapshot via
+    * [[graft.operators.Incremental.scd2Of]], write version batchId+1.
+    * The snapshot date is a pure function of the batch id (epoch date
+    * + batchId days), so version n+1 is a pure function of version ≤ n
+    * and batch n — crash/replay converges exactly like
+    * [[upsertMergeStep]].
+    */
+  def scd2MergeStep(batch: DataFrame, dimDir: String, batchId: Long,
+      epoch: String = "1996-06-01"): Unit = {
+    val spark = batch.sparkSession
+    val path = new org.apache.hadoop.fs.Path(dimDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.globStatus(new org.apache.hadoop.fs.Path(path, "v=*"))
+      .map(_.getPath.getName.drop(2).toLong).filter(_ <= batchId)
+    require(versions.nonEmpty, s"no committed dimension version <= $batchId under $dimDir — seed it")
+    val current = spark.read.parquet(s"$dimDir/v=${versions.max}")
+    val asOf = java.time.LocalDate.parse(epoch).plusDays(batchId).toString
+    graft.operators.Incremental.scd2Of(current, batch, asOf)
+      .write.mode("overwrite").parquet(s"$dimDir/v=${batchId + 1}")
+  }
+
+  /** Streaming SCD2 sink — the live half of the batch `merge_scd2`
+    * operator: each micro-batch is a full dimension snapshot (key,
+    * attr) merged Type-2 into a versioned parquet dimension inside
+    * foreachBatch: changed/absent current versions close at the
+    * batch's snapshot date, new ones open, history accumulates. Same
+    * versioned-artifact discipline as [[upsertSink]]: old versions are
+    * the audit trail, replay converges.
+    */
+  def scd2Sink(snapshots: DataFrame, dimDir: String, epoch: String = "1996-06-01")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    snapshots.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        scd2MergeStep(batch.toDF(), dimDir, batchId, epoch)
+    }
+
   /** Stream-static enrichment join: the live event stream joined to a
     * broadcast dimension snapshot (user → market segment), then a
     * watermarked windowed count per segment. Stream-static joins are

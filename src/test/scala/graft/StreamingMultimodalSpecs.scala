@@ -299,6 +299,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(snap(2) == got, "replayed batch changed the snapshot")
   }
 
+  test("streaming scd2 sink: versioned dimension equals sequential batch merges; replay is idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("scd2_dim").toString + "/dim"
+    val dim0 = Seq((1L, "A"), (2L, "B"), (3L, "C")).toDF("key", "attr")
+      .select(col("key"), col("attr"), lit("1995-01-01").cast("date").as("valid_from"),
+        lit(null).cast("date").as("valid_to"), lit(true).as("is_current"))
+    Streams.seedSnapshot(dim0, dir)
+    // batch 0 snapshot (asOf 1996-06-01): 2 changes, 3 vanishes, 4 appears
+    // batch 1 snapshot (asOf 1996-06-02): 2 changes AGAIN, 4 unchanged, 1 vanishes
+    val b0 = Seq((1L, "A"), (2L, "B2"), (4L, "D"))
+    val b1 = Seq((2L, "B3"), (4L, "D"))
+    val mem = MemoryStream[(Long, String)]
+    val snaps = mem.toDF().toDF("key", "attr")
+    val q = Streams.scd2Sink(snaps, dir).start()
+    try {
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    def rows(v: Long) = spark.read.parquet(s"$dir/v=$v").collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[String]("attr"),
+        String.valueOf(r.getAs[java.sql.Date]("valid_from")),
+        String.valueOf(r.getAs[java.sql.Date]("valid_to")),
+        r.getAs[Boolean]("is_current"))).toSet
+    val got = rows(2)
+    // batch twin: scd2Of applied sequentially with the same dates
+    val g1 = graft.operators.Incremental.scd2Of(dim0, b0.toDF("key", "attr"), "1996-06-01")
+    val g2 = graft.operators.Incremental.scd2Of(g1, b1.toDF("key", "attr"), "1996-06-02")
+    val want = g2.collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[String]("attr"),
+        String.valueOf(r.getAs[java.sql.Date]("valid_from")),
+        String.valueOf(r.getAs[java.sql.Date]("valid_to")),
+        r.getAs[Boolean]("is_current"))).toSet
+    assert(got == want, s"stream dim $got != batch chain $want")
+    // the full expected history, spelled out
+    assert(got == Set(
+      (1L, "A", "1995-01-01", "1996-06-02", false),   // survived b0, vanished in b1
+      (2L, "B", "1995-01-01", "1996-06-01", false),   // closed by b0
+      (2L, "B2", "1996-06-01", "1996-06-02", false),  // closed by b1
+      (2L, "B3", "1996-06-02", "null", true),
+      (3L, "C", "1995-01-01", "1996-06-01", false),   // vanished in b0
+      (4L, "D", "1996-06-01", "null", true)), s"got $got")
+    // crash-after-partial-write replay of batch 1: same state back
+    Streams.scd2MergeStep(b1.toDF("key", "attr"), dir, 1L)
+    assert(rows(2) == got, "replayed batch changed the dimension")
+  }
+
   test("bounded ingest dedup: re-crawls drop within the horizon, state evicts past it") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
