@@ -473,4 +473,111 @@ object Analytics3 {
       |      - CAST(sum(f) + 1 AS DOUBLE) / sum(f), 6) + 0.0
       |  END AS gini
       |FROM cum""".stripMargin
+
+  // ------------------------------------------------------ bootstrap
+
+  /** Poisson(1) inverse-CDF cumulative thresholds, 10dp — ONE constant
+    * list feeds both engines' CASE chains so they cannot drift. Mass
+    * beyond w=7 (≈8e-6) truncates to 7; identical on both sides.
+    */
+  private val poissonCum: Seq[Double] = Seq(
+    0.3678794412, 0.7357588823, 0.9196986029, 0.9810118431,
+    0.9963401532, 0.9994058151, 0.9999167589)
+
+  /** Bootstrap confidence interval for the mean order value per
+    * priority class — the Poisson bootstrap (Chamandy et al.'s
+    * streaming formulation: resample weights w ~ Poisson(1) drawn
+    * independently per (row, replicate), no global resample pass), the
+    * form that DISTRIBUTES: each row expands to B=`reps` weighted
+    * copies map-side, replicate means are one map-side-combined
+    * aggregate per (group, b), and the CI is a rank pick over the B
+    * replicate means per group — B rows, driver-free.
+    *
+    * Engine-exactness: weights come from the repo's deterministic md5
+    * fraction (same bits both engines), replicate sums ride EXACT
+    * integer cents × integer weights (no float accumulation), and the
+    * single double division per replicate has identical operands — so
+    * the replicate-mean ORDERING, and hence the rank-picked CI bounds,
+    * are hash-stable. The 5%/95% bounds at B=64 are ranks 4 and 61
+    * (ceil(0.05·64), B+1−4), tie-broken by replicate id.
+    */
+  def bootstrapCi(t: Tables, reps: Int = 64): DataFrame =
+    bootstrapCiOf(t.orders, reps)
+
+  /** [[bootstrapCi]] over any (o_orderpriority, o_orderkey,
+    * o_totalprice) frame — the library entry; the gated form binds the
+    * orders table.
+    */
+  def bootstrapCiOf(orders: DataFrame, reps: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val loRank = math.max(1, math.ceil(0.05 * reps).toInt)
+    val hiRank = reps + 1 - loRank
+    val u = conv(substring(md5(concat(lit("bs:"), col("o_orderkey").cast("string"),
+      lit(":"), col("b").cast("string"))), 1, 15), 16, 10)
+      .cast("double") / lit(1152921504606846976.0) // 2^60, the domainMix constant
+    val w = poissonCum.zipWithIndex.foldLeft(when(lit(false), 0)) {
+      case (acc, (c, i)) => acc.when(col("u") < c, i)
+    }.otherwise(poissonCum.length)
+    val expanded = orders
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        explode(sequence(lit(0), lit(reps - 1))).as("b"))
+      .withColumn("u", u)
+      .withColumn("w", w.cast("long"))
+    val repMeans = expanded
+      .groupBy(col("o_orderpriority"), col("b"))
+      .agg(sum(col("w") * col("cents")).as("wc"), sum(col("w")).as("ws"))
+      .filter(col("ws") > 0)
+      .select(col("o_orderpriority"), col("b"),
+        (col("wc").cast("double") / col("ws")).as("m"))
+    val win = Window.partitionBy(col("o_orderpriority")).orderBy(col("m"), col("b"))
+    val bounds = repMeans
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") === loRank || col("rn") === hiRank)
+      .groupBy(col("o_orderpriority"))
+      .agg((min(col("m")) / 100.0).as("ci_lo"), (max(col("m")) / 100.0).as("ci_hi"))
+    val point = orders.groupBy(col("o_orderpriority"))
+      .agg((sum(round(col("o_totalprice") * 100).cast("long")).cast("double") /
+        count(lit(1)) / 100.0).as("mean_price"))
+    point.join(bounds, Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), round(col("mean_price"), 6).as("mean_price"),
+        round(col("ci_lo"), 6).as("ci_lo"), round(col("ci_hi"), 6).as("ci_hi"))
+      .orderBy("o_orderpriority")
+  }
+
+  def bootstrapCiSql(reps: Int = 64): String = {
+    val loRank = math.max(1, math.ceil(0.05 * reps).toInt)
+    val hiRank = reps + 1 - loRank
+    val caseChain = poissonCum.zipWithIndex
+      .map { case (c, i) => s"WHEN u < $c THEN $i" }
+      .mkString("CASE ", " ", s" ELSE ${poissonCum.length} END")
+    s"""WITH expanded AS (
+       |  SELECT o_orderpriority, o_orderkey,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents, b,
+       |    ('0x' || substr(md5('bs:' || o_orderkey || ':' || b), 1, 15))::BIGINT
+       |      / 1152921504606846976.0 AS u
+       |  FROM orders, unnest(range(0, $reps)) AS r(b)
+       |), weighted AS (
+       |  SELECT o_orderpriority, b, cents, CAST($caseChain AS BIGINT) AS w FROM expanded
+       |), rep_means AS (
+       |  SELECT o_orderpriority, b,
+       |    CAST(sum(w * cents) AS DOUBLE) / CAST(sum(w) AS BIGINT) AS m
+       |  FROM weighted GROUP BY 1, 2 HAVING sum(w) > 0
+       |), ranked AS (
+       |  SELECT o_orderpriority, m,
+       |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY m, b) AS rn
+       |  FROM rep_means
+       |), bounds AS (
+       |  SELECT o_orderpriority, min(m) / 100.0 AS ci_lo, max(m) / 100.0 AS ci_hi
+       |  FROM ranked WHERE rn = $loRank OR rn = $hiRank GROUP BY 1
+       |), pt AS (
+       |  SELECT o_orderpriority,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100.0 AS mean_price
+       |  FROM orders GROUP BY 1
+       |)
+       |SELECT p.o_orderpriority, round(p.mean_price, 6) AS mean_price,
+       |  round(b.ci_lo, 6) AS ci_lo, round(b.ci_hi, 6) AS ci_hi
+       |FROM pt p JOIN bounds b USING (o_orderpriority)
+       |ORDER BY o_orderpriority""".stripMargin
+  }
 }

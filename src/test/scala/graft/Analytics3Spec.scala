@@ -146,4 +146,27 @@ class Analytics3Spec extends AnyFunSuite {
     assert(r._1 == 3L && r._2 == 6L)
     assert(r._3 == math.rint((30.0 / 18 - 4.0 / 3) * 1e6) / 1e6)
   }
+
+  test("bootstrap ci: brackets the point estimate, deterministic, collapses on a constant") {
+    val t0 = graft.sources.Tables(spark, TestSpark.sf)
+    val got = Analytics3.bootstrapCi(t0).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (g, m, lo, hi) =>
+      assert(lo <= hi, s"$g: lo $lo > hi $hi")
+      // Poisson-bootstrap CI of a mean brackets the point estimate on
+      // any non-degenerate sample of this size
+      assert(lo <= m && m <= hi, s"$g: point $m outside [$lo, $hi]")
+      assert(hi - lo > 0, s"$g: zero-width interval on real data")
+    }
+    val again = Analytics3.bootstrapCi(t0).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toList == again.toList, "bootstrap must be deterministic")
+    // constant column: every resample mean equals the constant
+    val const = (1L to 200L).map(i => ("P", i, 42.0))
+      .toDF("o_orderpriority", "o_orderkey", "o_totalprice")
+    val c = Analytics3.bootstrapCiOf(const).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3))).head
+    assert(c == ((42.0, 42.0, 42.0)), s"constant sample should collapse: $c")
+  }
 }
