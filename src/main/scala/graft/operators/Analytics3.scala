@@ -474,6 +474,80 @@ object Analytics3 {
       |  END AS gini
       |FROM cum""".stripMargin
 
+  // ----------------------------------------------------------- ewma
+
+  /** Exponentially-weighted moving average of daily event volume per
+    * type, with a spike flag against the PRIOR day's smoothed level —
+    * the classic ops-monitoring smoother (e₀ = x₀; eₜ = αxₜ +
+    * (1−α)eₜ₋₁). The recurrence is made windowable by the inverse-decay
+    * closed form: with q = 1−α and zᵢ = xᵢ/qⁱ,
+    *   eₜ = qᵗ·(α·(Sₜ − x₀) + x₀),  Sₜ = Σ_{i≤t} zᵢ
+    * — one running-sum window per type, no recursion, no driver loop.
+    *
+    * The q⁻ⁱ rescaling bounds this form to series of ≲300 points at
+    * α = 0.3 (q⁻ᵗ approaches double range; precision fades far
+    * earlier than it overflows) — daily/weekly grains for a few
+    * years, exactly the report shape. Unbounded horizons belong to
+    * the streaming form ([[graft.streaming.Streams]]' stateful gates),
+    * where the recurrence runs natively one update at a time.
+    */
+  def ewma(t: Tables, alpha: Double = 0.3, spikeRatio: Double = 1.3): DataFrame =
+    ewmaOf(t.events, alpha, spikeRatio)
+
+  def ewmaOf(events: DataFrame, alpha: Double = 0.3, spikeRatio: Double = 1.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = 1.0 - alpha
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val indexed = daily
+      .withColumn("t", (row_number().over(wOrd) - 1).cast("double"))
+      .withColumn("z", col("n_events") / pow(lit(q), col("t")))
+      .withColumn("s", sum(col("z")).over(wRun))
+      .withColumn("x0", first(col("n_events")).over(wRun).cast("double"))
+      .withColumn("ewma",
+        pow(lit(q), col("t")) * (lit(alpha) * (col("s") - col("x0")) + col("x0")))
+    indexed
+      .withColumn("prev_ewma", lag(col("ewma"), 1).over(wOrd))
+      .select(col("event_type"), col("day"), col("n_events"),
+        round(col("ewma"), 6).as("ewma"),
+        round(col("n_events") / col("prev_ewma"), 6).as("dev_ratio"),
+        (col("n_events") > col("prev_ewma") * spikeRatio).as("is_spike"))
+      .orderBy("event_type", "day")
+  }
+
+  def ewmaSql(alpha: Double = 0.3, spikeRatio: Double = 1.3): String = {
+    val q = 1.0 - alpha
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n_events
+       |  FROM events GROUP BY 1, 2
+       |), indexed AS (
+       |  SELECT event_type, day, n_events,
+       |    CAST(row_number() OVER w - 1 AS DOUBLE) AS t
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+       |), summed AS (
+       |  SELECT event_type, day, n_events, t,
+       |    sum(n_events / pow($q, t)) OVER wr AS s,
+       |    CAST(first_value(n_events) OVER wr AS DOUBLE) AS x0
+       |  FROM indexed
+       |  WINDOW wr AS (PARTITION BY event_type ORDER BY day
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |), sm AS (
+       |  SELECT event_type, day, n_events,
+       |    pow($q, t) * ($alpha * (s - x0) + x0) AS ewma
+       |  FROM summed
+       |)
+       |SELECT event_type, day, n_events, round(ewma, 6) AS ewma,
+       |  round(n_events / lag(ewma, 1) OVER w2, 6) AS dev_ratio,
+       |  n_events > lag(ewma, 1) OVER w2 * $spikeRatio AS is_spike
+       |FROM sm
+       |WINDOW w2 AS (PARTITION BY event_type ORDER BY day)
+       |ORDER BY event_type, day""".stripMargin
+  }
+
   // ------------------------------------------------------ bootstrap
 
   /** Poisson(1) inverse-CDF cumulative thresholds, 10dp — ONE constant

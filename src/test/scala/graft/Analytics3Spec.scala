@@ -147,6 +147,24 @@ class Analytics3Spec extends AnyFunSuite {
     assert(r._3 == math.rint((30.0 / 18 - 4.0 / 3) * 1e6) / 1e6)
   }
 
+  test("ewma: windowed closed form equals the recurrence; planted spike flags exactly once") {
+    // 10,10,10,40,10 daily counts: spike on day 4 (40 > 1.3×10), and
+    // day 5's 10 is BELOW the post-spike smoothed level — not a spike
+    val rows = Seq(10, 10, 10, 40, 10).zipWithIndex.flatMap { case (n, d) =>
+      Seq.fill(n)((f"2024-01-0${d + 1}%s 12:00:00", "e"))
+    }
+    val got = Analytics3.ewmaOf(ev(rows))
+      .select("day", "n_events", "ewma", "is_spike")
+      .collect().map(r => (String.valueOf(r.getDate(0)), r.getLong(1),
+        r.getDouble(2), if (r.isNullAt(3)) null else r.getBoolean(3)))
+    // direct recurrence, same rounding
+    val xs = Seq(10.0, 10.0, 10.0, 40.0, 10.0)
+    val e = xs.tail.scanLeft(xs.head)((prev, x) => 0.3 * x + 0.7 * prev)
+      .map(v => math.rint(v * 1e6) / 1e6)
+    assert(got.map(_._3).toSeq == e, s"got ${got.map(_._3).toSeq} want $e")
+    assert(got.map(_._4).toSeq == Seq(null, false, false, true, false))
+  }
+
   test("bootstrap ci: brackets the point estimate, deterministic, collapses on a constant") {
     val t0 = graft.sources.Tables(spark, TestSpark.sf)
     val got = Analytics3.bootstrapCi(t0).collect()
