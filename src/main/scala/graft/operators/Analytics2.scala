@@ -463,4 +463,92 @@ object Analytics2 {
        |    round((sy - (n_words * sxy - sx * sy) / (n_words * sxx - sx * sx) * sx)
        |      / n_words, 4) END AS intercept
        |FROM s""".stripMargin
+
+  // ------------------------------------------------- survival curve
+
+  /** Kaplan–Meier survival curve of time-to-conversion — the
+    * right-censoring-aware upgrade of [[churnOf]]'s point rates:
+    * "survival time" = days from a user's first activity to their
+    * first HIGH-VALUE purchase (value > `minValue`); users who never
+    * convert are CENSORED at the observation horizon — they feed the
+    * at-risk denominators for as long as they were observed but never
+    * the event counts, which is the entire reason K-M beats a naive
+    * converted/total ratio (that ratio is biased low while the study
+    * is still running).
+    *
+    *   S(tᵢ) = Π_{j ≤ i} (1 − dⱼ/nⱼ),  nⱼ = #{observed time ≥ tⱼ}
+    *
+    * Scale shape: per-user collapse (one groupBy over the fact
+    * table), then everything runs on the ≤|distinct durations| table:
+    * at-risk counts from one cumulative sum, the product via exp∘Σlog
+    * on the same tiny ordered set (an any-zero cummin guard instead
+    * of ln 0). No window ever touches fact-sized data.
+    */
+  def survivalOf(events: DataFrame, minValue: Double = 90.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val horizon = events.agg(max(to_date(col("ts"))).as("max_day"))
+    val users = events
+      .groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("first_day"),
+        to_date(min(when(col("event_type") === "purchase" && col("value") > minValue,
+          col("ts")))).as("conv_day"))
+      .crossJoin(broadcast(horizon))
+      .select(
+        when(col("conv_day").isNotNull, datediff(col("conv_day"), col("first_day")))
+          .otherwise(datediff(col("max_day"), col("first_day")))
+          .cast("long").as("dur"),
+        col("conv_day").isNotNull.cast("long").as("ev"))
+    val byDur = users.groupBy(col("dur"))
+      .agg(count(lit(1)).as("n_at"), sum(col("ev")).as("d"))
+    val wOrd = Window.orderBy(col("dur"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // n_risk(t) = total − #(dur < t); the single-partition window is
+    // over the ≤|distinct lifetimes| table (bounded by observation
+    // days), not the corpus — the giniOf tiny-table policy
+    val total = users.agg(count(lit(1)).as("n_total"))
+    byDur.crossJoin(broadcast(total))
+      .withColumn("n_risk", col("n_total") - sum(col("n_at")).over(wRun) + col("n_at"))
+      .filter(col("d") > 0)
+      .withColumn("frac", lit(1.0) - col("d").cast("double") / col("n_risk"))
+      .withColumn("anyzero", min(col("frac")).over(wRun))
+      .withColumn("survival",
+        when(col("anyzero") === 0.0, lit(0.0))
+          .otherwise(exp(sum(log(col("frac"))).over(wRun))))
+      .select(col("dur").as("lifetime_days"), col("n_risk"), col("d").as("d_churned"),
+        round(col("survival"), 6).as("survival"))
+      .orderBy("lifetime_days")
+  }
+
+  def survival(t: Tables): DataFrame = survivalOf(t.events)
+
+  def survivalSql(minValue: Double = 90.0): String =
+    s"""WITH u AS (
+       |  SELECT user_id, CAST(min(ts) AS DATE) AS first_day,
+       |    CAST(min(CASE WHEN event_type = 'purchase' AND value > $minValue THEN ts END) AS DATE) AS conv_day
+       |  FROM events GROUP BY 1
+       |), h AS (SELECT CAST(max(ts) AS DATE) AS max_day FROM events),
+       |d AS (
+       |  SELECT CASE WHEN conv_day IS NOT NULL THEN date_diff('day', first_day, conv_day)
+       |              ELSE date_diff('day', first_day, max_day) END AS dur,
+       |    CASE WHEN conv_day IS NOT NULL THEN 1 ELSE 0 END AS ev
+       |  FROM u CROSS JOIN h
+       |), bydur AS (
+       |  SELECT dur, count(*) AS n_at, CAST(sum(ev) AS BIGINT) AS d FROM d GROUP BY 1
+       |), t AS (SELECT count(*) AS n_total FROM d),
+       |risk AS (
+       |  SELECT dur, n_at, d,
+       |    CAST(n_total - sum(n_at) OVER (ORDER BY dur
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + n_at AS BIGINT) AS n_risk
+       |  FROM bydur CROSS JOIN t
+       |), ev AS (
+       |  SELECT dur, n_risk, d,
+       |    1.0 - CAST(d AS DOUBLE) / n_risk AS frac
+       |  FROM risk WHERE d > 0
+       |)
+       |SELECT dur AS lifetime_days, n_risk, d AS d_churned,
+       |  CASE WHEN min(frac) OVER wr = 0.0 THEN 0.0
+       |       ELSE round(exp(sum(ln(frac)) OVER wr), 6) END AS survival
+       |FROM ev
+       |WINDOW wr AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |ORDER BY lifetime_days""".stripMargin
 }

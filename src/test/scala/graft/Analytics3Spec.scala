@@ -147,6 +147,29 @@ class Analytics3Spec extends AnyFunSuite {
     assert(r._3 == math.rint((30.0 / 18 - 4.0 / 3) * 1e6) / 1e6)
   }
 
+  test("kaplan-meier: hand-computed curve with censoring — censored users feed n_risk, never d") {
+    // durations: u1 converts at 1, u2 converts at 1, u3 censored at 2,
+    // u4 converts at 3, u5 censored at 4 (and sets the horizon 01-10)
+    // KM: t=1: n=5, d=2 -> S=0.6 ; t=3: n=|{3,4}|=2, d=1 -> S=0.3
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", "view", 0.0),
+      (1L, "2024-01-02 10:00:00", "purchase", 100.0), // dur 1, event
+      (2L, "2024-01-03 10:00:00", "view", 0.0),
+      (2L, "2024-01-04 10:00:00", "purchase", 95.0),  // dur 1, event
+      (3L, "2024-01-08 10:00:00", "view", 0.0),       // dur 2, censored
+      (4L, "2024-01-01 10:00:00", "view", 0.0),
+      (4L, "2024-01-04 10:00:00", "purchase", 120.0), // dur 3, event
+      (4L, "2024-01-05 10:00:00", "purchase", 50.0),  // later low-value: ignored
+      (5L, "2024-01-06 10:00:00", "view", 0.0),
+      (5L, "2024-01-10 10:00:00", "view", 0.0))       // dur 4, censored; horizon
+      .toDF("user_id", "ts_s", "event_type", "value")
+      .select(col("user_id"), to_timestamp(col("ts_s")).as("ts"),
+        col("event_type"), col("value"))
+    val got = graft.operators.Analytics2.survivalOf(rows)
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(got == List((1L, 5L, 2L, 0.6), (3L, 2L, 1L, 0.3)), s"got $got")
+  }
+
   test("ewma: windowed closed form equals the recurrence; planted spike flags exactly once") {
     // 10,10,10,40,10 daily counts: spike on day 4 (40 > 1.3×10), and
     // day 5's 10 is BELOW the post-spike smoothed level — not a spike
