@@ -479,13 +479,17 @@ object Analytics2 {
     *   S(tᵢ) = Π_{j ≤ i} (1 − dⱼ/nⱼ),  nⱼ = #{observed time ≥ tⱼ}
     *
     * Scale shape: per-user collapse (one groupBy over the fact
-    * table), then everything runs on the ≤|distinct durations| table:
-    * at-risk counts from one cumulative sum, the product via exp∘Σlog
-    * on the same tiny ordered set (an any-zero cummin guard instead
-    * of ln 0). No window ever touches fact-sized data.
+    * table), then everything runs on the ≤|distinct durations| table
+    * (bounded by observation days, not corpus size): at-risk counts
+    * and the product-limit both ride TRIANGULAR self-joins of that
+    * tiny table (the giniOf/pack_shards policy — a global window here
+    * would be Exchange SinglePartition, banned repo-wide by
+    * PlanAuditSpec even when today's input is small), with the
+    * product as exp∘Σlog plus an any-zero min guard instead of ln 0.
+    * No window, no single-partition exchange, nothing fact-sized past
+    * the first groupBy.
     */
   def survivalOf(events: DataFrame, minValue: Double = 90.0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val horizon = events.agg(max(to_date(col("ts"))).as("max_day"))
     val users = events
       .groupBy(col("user_id"))
@@ -500,22 +504,24 @@ object Analytics2 {
         col("conv_day").isNotNull.cast("long").as("ev"))
     val byDur = users.groupBy(col("dur"))
       .agg(count(lit(1)).as("n_at"), sum(col("ev")).as("d"))
-    val wOrd = Window.orderBy(col("dur"))
-    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // n_risk(t) = total − #(dur < t); the single-partition window is
-    // over the ≤|distinct lifetimes| table (bounded by observation
-    // days), not the corpus — the giniOf tiny-table policy
-    val total = users.agg(count(lit(1)).as("n_total"))
-    byDur.crossJoin(broadcast(total))
-      .withColumn("n_risk", col("n_total") - sum(col("n_at")).over(wRun) + col("n_at"))
+    // n_risk(t) = Σ_{dur ≥ t} n_at — triangular join on the tiny table
+    val risk = byDur.as("a")
+      .join(broadcast(byDur.select(col("dur").as("bd"), col("n_at").as("bn"))),
+        col("bd") >= col("a.dur"))
+      .groupBy(col("a.dur").as("dur"), col("a.d").as("d"))
+      .agg(sum(col("bn")).as("n_risk"))
       .filter(col("d") > 0)
       .withColumn("frac", lit(1.0) - col("d").cast("double") / col("n_risk"))
-      .withColumn("anyzero", min(col("frac")).over(wRun))
-      .withColumn("survival",
-        when(col("anyzero") === 0.0, lit(0.0))
-          .otherwise(exp(sum(log(col("frac"))).over(wRun))))
-      .select(col("dur").as("lifetime_days"), col("n_risk"), col("d").as("d_churned"),
-        round(col("survival"), 6).as("survival"))
+    // S(t) = Π_{t' ≤ t} frac — second triangular join, exp∘Σlog form
+    risk.as("x")
+      .join(broadcast(risk.select(col("dur").as("pd"), col("frac").as("pf"))),
+        col("pd") <= col("x.dur"))
+      .groupBy(col("x.dur").as("lifetime_days"), col("x.n_risk").as("n_risk"),
+        col("x.d").as("d_churned"))
+      .agg(min(col("pf")).as("minf"), sum(log(col("pf"))).as("slog"))
+      .select(col("lifetime_days"), col("n_risk"), col("d_churned"),
+        round(when(col("minf") === 0.0, lit(0.0)).otherwise(exp(col("slog"))), 6)
+          .as("survival"))
       .orderBy("lifetime_days")
   }
 
@@ -534,21 +540,17 @@ object Analytics2 {
        |  FROM u CROSS JOIN h
        |), bydur AS (
        |  SELECT dur, count(*) AS n_at, CAST(sum(ev) AS BIGINT) AS d FROM d GROUP BY 1
-       |), t AS (SELECT count(*) AS n_total FROM d),
-       |risk AS (
-       |  SELECT dur, n_at, d,
-       |    CAST(n_total - sum(n_at) OVER (ORDER BY dur
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + n_at AS BIGINT) AS n_risk
-       |  FROM bydur CROSS JOIN t
+       |), risk AS (
+       |  SELECT a.dur, a.d, CAST(sum(b.n_at) AS BIGINT) AS n_risk
+       |  FROM bydur a JOIN bydur b ON b.dur >= a.dur
+       |  GROUP BY a.dur, a.d
        |), ev AS (
-       |  SELECT dur, n_risk, d,
-       |    1.0 - CAST(d AS DOUBLE) / n_risk AS frac
+       |  SELECT dur, n_risk, d, 1.0 - CAST(d AS DOUBLE) / n_risk AS frac
        |  FROM risk WHERE d > 0
        |)
-       |SELECT dur AS lifetime_days, n_risk, d AS d_churned,
-       |  CASE WHEN min(frac) OVER wr = 0.0 THEN 0.0
-       |       ELSE round(exp(sum(ln(frac)) OVER wr), 6) END AS survival
-       |FROM ev
-       |WINDOW wr AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |SELECT x.dur AS lifetime_days, x.n_risk, x.d AS d_churned,
+       |  round(CASE WHEN min(y.frac) = 0.0 THEN 0.0 ELSE exp(sum(ln(y.frac))) END, 6) AS survival
+       |FROM ev x JOIN ev y ON y.dur <= x.dur
+       |GROUP BY x.dur, x.n_risk, x.d
        |ORDER BY lifetime_days""".stripMargin
 }
