@@ -277,7 +277,10 @@ object Bench {
       // global-rank scaling: replica token suffixes grow the VOCABULARY
       // ~linearly with the corpus, so this rung stresses the range-sort
       // + zipWithIndex rank at 100× vocab, not just 100× tokens
-      "vocab_build")
+      "vocab_build",
+      // r11: KN statistics re-aggregate the c12 bigram-type table,
+      // which grows ~linearly under the suffix scheme — both decades
+      "quality_kn_bigram")
     // r7 verdict #6: one ×10 rung bounds the iterative connected-
     // components loop (O(diameter) driver rounds × data-proportional
     // per-round cost) and the edit-distance blocking — ×10 only, their
@@ -294,8 +297,16 @@ object Bench {
     // r10: bpe_train joins the ladder (both decades) — the per-round
     // vocab pair aggregate grows with the replica-suffixed vocabulary,
     // the iterative-op scaling the batched trainer exists to serve.
+    // r11: quality_kn_bigram joins both decades (its c12 bigram-type
+    // table rides the suffix-grown vocabulary — the same class as
+    // vocab_build/bpe_train, plus the bigram-stream join back);
+    // q_kcore joins ×10 (iterative peel at 10× nodes/edges over the
+    // replica graph tables — disjoint components keep the core
+    // structure per replica); embed_pca_topk joins ×10 (the d² moment
+    // pass is the corpus-linear stage worth evidencing; the shortlist
+    // re-rank is per-query fixed).
     val x10Only = Seq("dedup_fuzzy", "dedup_clusters", "dedup_substring", "q_pagerank",
-      "q_skipgrams", "bpe_train")
+      "q_skipgrams", "bpe_train", "q_kcore", "embed_pca_topk")
     def rung(tag: String, factor: Int, extra: Seq[String], reps: Int): Unit = {
       // _v6: ×10 replicas now include the graph tables (q_pagerank input)
       val dir = s"target/bench_sfx${factor}_${new java.io.File(sfDir).getName}_v6"

@@ -140,9 +140,37 @@ object PlanDump {
       "q_cohort_matrix (min-agg cohort per user; distinct (user,week) grid; broadcast cohort sizes)" ->
         Events.cohortMatrix(t),
       "q_neg_sampling (one freq agg; TakeOrdered top-N; triangular cumulative on the <=N slice)" ->
-        CorpusScience.negSampling(t))
+        CorpusScience.negSampling(t),
+      "q2_min_cost_supplier (r11: supply relation aggregated ONCE from lineitem; correlated min as agg+join-back; dims broadcast)" ->
+        Relational5.q2MinCostSupplier(t),
+      "q9_product_profit (r11: pre-filtered part dim broadcast; one fact shuffle on the order key; integer-cent profit)" ->
+        Relational5.q9ProductProfit(t),
+      "q11_important_stock (r11: region-pruned value agg; 1-row scalar threshold broadcast — no second fact pass)" ->
+        Relational5.q11ImportantStock(t),
+      "q16_supplier_relationship (r11: distinct supply pairs once; NOT-IN as broadcast anti join)" ->
+        Relational5.q16SupplierRelationship(t),
+      "q20_potential_promotion (r11: nested agg to per-supplier shares; exact integer compare; semi join out)" ->
+        Relational5.q20PotentialPromotion(t),
+      "quality_kn_bigram (r11: every KN statistic re-aggregates the ONE c12 table; un-hinted n-gram joins)" ->
+        TextAnalysis.knBigramScore(t),
+      "html_extract (r11: map-only codegen'd regex chain; no shuffle before the output sort)" ->
+        Html.htmlExtractQuery(t),
+      "q_kcore (r11: final-round shape — two semi joins vs alive + map-side degree count; node keys only)" ->
+        Graph.kCoreQuery(t),
+      "merge_scd2 (r11: current slice vs snapshot = inner + two anti joins on the key; no window)" ->
+        Incremental.mergeScd2(t),
+      "q_bootstrap_ci (r11: map-side x64 replicate expansion; integer-cent replicate sums; rank-picked bounds over B rows)" ->
+        Analytics3.bootstrapCi(t),
+      "q_ewma (r11: inverse-decay closed form — one running-sum window per event type, no recursion)" ->
+        Analytics3.ewma(t),
+      "q_survival (r11: per-user collapse; triangular joins on the distinct-durations table — no unpartitioned window)" ->
+        Analytics2.survival(t),
+      "embed_pca_project (r11: basis as broadcast literals; map-only vec_dot projection, no shuffle)" ->
+        Pca.projectQuery(t),
+      "embed_pca_topk (r11: reduced-space approx pass on broadcast queries; 256-candidate exact re-rank)" ->
+        Pca.pcaTopK(t))
     val sb = new StringBuilder
-    sb.append("# Plan snapshots (round 9)\n\nGenerated by `graft.PlanDump` at sf0.001; ")
+    sb.append("# Plan snapshots (round 11)\n\nGenerated by `graft.PlanDump` at sf0.001; ")
     sb.append("`PlanAuditSpec` asserts these shapes stay true.\n")
     qs.foreach { case (title, df) =>
       sb.append(s"\n## $title\n\n```\n")
@@ -151,8 +179,8 @@ object PlanDump {
       sb.append("\n```\n")
     }
     Files.createDirectories(Paths.get("docs"))
-    Files.writeString(Paths.get("docs/PLANS_r9.md"), sb.toString)
-    println("wrote docs/PLANS_r9.md")
+    Files.writeString(Paths.get("docs/PLANS_r11.md"), sb.toString)
+    println("wrote docs/PLANS_r11.md")
     spark.stop()
   }
 }
