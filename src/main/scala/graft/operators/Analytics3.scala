@@ -592,7 +592,16 @@ object Analytics3 {
     val w = poissonCum.zipWithIndex.foldLeft(when(lit(false), 0)) {
       case (acc, (c, i)) => acc.when(col("u") < c, i)
     }.otherwise(poissonCum.length)
+    // A compact orders file arrives as one split, and explode preserves
+    // partitioning — without this the B× expansion and its per-row md5
+    // run on one core (measured 11.4 s at sf0.1; 32-way it's ~1 s). An
+    // explicit count: AQE would coalesce a plain column repartition of
+    // the small pre-explode input right back down, blind to the ×B work
+    // downstream (the embeddingDupPairs precedent). Replicate sums are
+    // integer, so partitioning cannot move the result.
+    val slices = orders.sparkSession.sparkContext.defaultParallelism
     val expanded = orders
+      .repartition(slices, col("o_orderkey"))
       .select(col("o_orderpriority"), col("o_orderkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents"),
         explode(sequence(lit(0), lit(reps - 1))).as("b"))
