@@ -979,4 +979,104 @@ object Streams {
     q.processAllAvailable()
     q.stop()
   }
+
+  final case class KeyCount(key: String, cnt: Long)
+  final case class EwmaGateState(ewma: Double, n: Long)
+  final case class EwmaRow(event_type: String, n_events: Long, ewma: Double,
+      is_spike: Option[Boolean])
+
+  /** Streaming EWMA spike monitor — the UNBOUNDED-horizon form of
+    * [[graft.operators.Analytics3.ewmaOf]] (whose inverse-decay window
+    * closed form is bounded to a few hundred points by construction —
+    * its scaladoc points here): the recurrence e ← αx + (1−α)e runs
+    * natively one micro-batch at a time, per event type, with TWO
+    * doubles of state per key at any traffic volume. The observation
+    * grain is the micro-batch count (the batch op's is daily — grains
+    * are deployment policy; the recurrence and the spike rule are
+    * shared semantics, spec-pinned against a driver-side fold). Rows
+    * pre-collapse per partition to ≤|types| (key, cnt) pairs before
+    * the stateful shuffle (the [[benfordGate]] combine), so the
+    * stateful task folds counts, never raw traffic. Each batch
+    * re-emits the key's row (update mode): count, smoothed level,
+    * and the spike flag against the PRIOR batch's level (None on the
+    * first observation — no baseline yet).
+    */
+  def ewmaGate(spark: SparkSession, events: DataFrame, alpha: Double = 0.3,
+      spikeRatio: Double = 1.3): Dataset[EwmaRow] = {
+    import spark.implicits._
+    events.select(col("event_type").as("key")).as[Tuple1[String]]
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.Map.empty[String, Long]
+        it.foreach(k => m.update(k._1, m.getOrElse(k._1, 0L) + 1))
+        m.iterator.map { case (k, c) => KeyCount(k, c) }
+      }
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[EwmaGateState, EwmaRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, ds: Iterator[KeyCount], state: GroupState[EwmaGateState]) =>
+          val x = ds.map(_.cnt).sum.toDouble
+          state.getOption match {
+            case None =>
+              state.update(EwmaGateState(x, 1L))
+              Iterator.single(EwmaRow(key, x.toLong, math.rint(x * 1e6) / 1e6, None))
+            case Some(EwmaGateState(prev, n)) =>
+              val e = alpha * x + (1.0 - alpha) * prev
+              state.update(EwmaGateState(e, n + 1))
+              Iterator.single(EwmaRow(key, x.toLong, math.rint(e * 1e6) / 1e6,
+                Some(x > prev * spikeRatio)))
+          }
+      }
+  }
+
+  final case class CusumState(mean: Double, sPos: Double, sNeg: Double, n: Long)
+  final case class CusumRow(event_type: String, n_events: Long, s_pos: Double,
+      s_neg: Double, alarm: Boolean)
+
+  /** Streaming CUSUM change detector (Page 1954) — the sequential
+    * test that catches small SUSTAINED level shifts EWMA's per-point
+    * spike rule misses: per event type, against a reference level μ
+    * learned as the running mean of the first `warmup` batches,
+    *   S⁺ ← max(0, S⁺ + (x − μ − slack)),
+    *   S⁻ ← max(0, S⁻ + (μ − x − slack)),
+    * alarm when either exceeds `h`. The max(0,·) recursion has no
+    * windowed closed form (unlike EWMA's), so the streaming stateful
+    * fold IS the natural home of this operator — state is four
+    * numbers per key at any volume; the same per-partition combine as
+    * [[ewmaGate]] keeps raw traffic off the stateful task. Slack and
+    * threshold are in μ units (fractions), the standard
+    * parameterization when the level varies per key.
+    */
+  def cusumGate(spark: SparkSession, events: DataFrame, warmup: Int = 3,
+      slackFrac: Double = 0.05, hFrac: Double = 0.5): Dataset[CusumRow] = {
+    import spark.implicits._
+    events.select(col("event_type").as("key")).as[Tuple1[String]]
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.Map.empty[String, Long]
+        it.foreach(k => m.update(k._1, m.getOrElse(k._1, 0L) + 1))
+        m.iterator.map { case (k, c) => KeyCount(k, c) }
+      }
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CusumState, CusumRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, ds: Iterator[KeyCount], state: GroupState[CusumState]) =>
+          val x = ds.map(_.cnt).sum.toDouble
+          val st = state.getOption.getOrElse(CusumState(0.0, 0.0, 0.0, 0L))
+          if (st.n < warmup) {
+            // reference level: running mean over the warmup prefix;
+            // no alarms while the baseline is still forming
+            val mean = (st.mean * st.n + x) / (st.n + 1)
+            state.update(CusumState(mean, 0.0, 0.0, st.n + 1))
+            Iterator.single(CusumRow(key, x.toLong, 0.0, 0.0, alarm = false))
+          } else {
+            val slack = slackFrac * st.mean
+            val h = hFrac * st.mean
+            val sPos = math.max(0.0, st.sPos + (x - st.mean - slack))
+            val sNeg = math.max(0.0, st.sNeg + (st.mean - x - slack))
+            state.update(CusumState(st.mean, sPos, sNeg, st.n + 1))
+            Iterator.single(CusumRow(key, x.toLong,
+              math.rint(sPos * 1e6) / 1e6, math.rint(sNeg * 1e6) / 1e6,
+              alarm = sPos > h || sNeg > h))
+          }
+      }
+  }
 }

@@ -347,6 +347,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(2) == got, "replayed batch changed the dimension")
   }
 
+  test("ewma gate: recurrence across micro-batches matches the fold; spike flags on the prior level") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[String]
+    val events = mem.toDF().toDF("event_type")
+    val q = Streams.ewmaGate(spark, events)
+      .writeStream.outputMode("update").format("memory").queryName("ewma_out").start()
+    try {
+      mem.addData(Seq.fill(10)("a"): _*); q.processAllAvailable()
+      mem.addData(Seq.fill(10)("a"): _*); q.processAllAvailable()
+      mem.addData(Seq.fill(40)("a"): _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ewma_out")
+      .select("n_events", "ewma", "is_spike").collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getBoolean(2)))).toSet
+    // fold: e1=10 (no baseline), e2=.3*10+.7*10=10, e3=.3*40+.7*10=19
+    // spike3: 40 > 10*1.3
+    assert(got == Set((10L, 10.0, None), (10L, 10.0, Some(false)),
+      (40L, 19.0, Some(true))), s"got $got")
+  }
+
+  test("cusum gate: sustained +30% shift alarms where the ewma spike rule never fires") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[String]
+    val events = mem.toDF().toDF("event_type")
+    val q = Streams.cusumGate(spark, events, warmup = 2)
+      .writeStream.outputMode("update").format("memory").queryName("cusum_out").start()
+    val batches = Seq(10, 10, 13, 13, 13) // mean 10 after warmup; then +30% sustained
+    try {
+      batches.foreach { n => mem.addData(Seq.fill(n)("a"): _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("cusum_out")
+      .select("s_pos", "alarm").collect().map(r => (r.getDouble(0), r.getBoolean(1))).toSet
+    // warmup rows 0.0/false; then S+ walks 2.5 -> 5.0 -> 7.5 with
+    // slack 0.5 and h = 5: alarm only at 7.5 (5.0 is not > h)
+    assert(got == Set((0.0, false), (2.5, false), (5.0, false), (7.5, true)), s"got $got")
+    // the contrast that motivates CUSUM: 13 < 10*1.3 = the ewma spike
+    // rule's threshold — a per-point rule never fires on this shift
+    assert(batches.drop(2).forall(_ <= 10 * 1.3))
+  }
+
   test("bounded ingest dedup: re-crawls drop within the horizon, state evicts past it") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
