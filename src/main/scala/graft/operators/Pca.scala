@@ -254,6 +254,94 @@ object Pca {
       .orderBy("query_id", "rank")
   }
 
+  /** Parametric OPQ (Ge et al. 2013, "OPQ-P"): product quantization
+    * works best when every subspace carries EQUAL variance and dims
+    * are decorrelated — raw embeddings give neither. The parametric
+    * fix: rotate into the PCA eigenbasis (decorrelates), then PERMUTE
+    * the principal dims into the m subspaces by eigenvalue allocation
+    * — greedily assign dims in descending-λ order to the open bucket
+    * with the smallest log-variance product — so no subspace hoards
+    * all the signal. Returns the m dim-index buckets.
+    */
+  def opqAllocate(eigenvalues: Array[Double], m: Int): Array[Array[Int]] = {
+    val d = eigenvalues.length
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val cap = d / m
+    val buckets = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    val logProd = Array.fill(m)(0.0)
+    // descending λ with index-order tie-break (eigenvalues are sorted
+    // already; iterate in order)
+    eigenvalues.indices.foreach { i =>
+      val open = (0 until m).filter(b => buckets(b).size < cap)
+      val best = open.minBy(b => (logProd(b), b))
+      buckets(best) += i
+      logProd(best) += math.log(math.max(eigenvalues(i), 1e-300))
+    }
+    buckets.map(_.toArray)
+  }
+
+  /** The OPQ-P rotation: eigenbasis rows re-ordered by the allocation
+    * (bucket 0's dims first, then bucket 1's, …) — a permutation of an
+    * orthonormal basis, so still orthonormal; subspace s of the
+    * rotated vector is exactly bucket s's principal components.
+    */
+  def opqRotation(model: PcaModel, m: Int): Array[Array[Double]] =
+    opqAllocate(model.eigenvalues, m).flatMap(_.map(model.components))
+
+  /** PQ codes in the OPQ-rotated space — same naive first-k codebook
+    * scheme as [[Similarity.pqCodes]] (the comparison must isolate the
+    * ROTATION, so everything else matches), same explode/broadcast
+    * plan shape, with the rotation applied map-only via broadcast
+    * literal rows before sub-vector slicing. Rows-only (the rotation
+    * derives from the eigensolve); PcaSpec pins the orthonormality/
+    * balance invariants and the quantization-error dominance that is
+    * OPQ's entire point.
+    */
+  def opqCodes(t: Tables, m: Int = 4, k: Int = 16): DataFrame = {
+    val model = fit(t.embeddings)
+    opqCodesWith(t.embeddings, model.mean, opqRotation(model, m), m, k)
+  }
+
+  /** The shared plan, parameterized by the rotation — the spec passes
+    * the identity here to measure the UNROTATED (centered-only)
+    * baseline with everything else bit-identical, isolating the
+    * rotation's contribution.
+    */
+  def opqCodesWith(embeddings: DataFrame, mean: Array[Double],
+      rot: Array[Array[Double]], m: Int, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions
+    val d = rot.length
+    val subDim = d / m
+    val slices = embeddings.sparkSession.sparkContext.defaultParallelism
+    val meanLit = array(mean.map(lit(_)).toIndexedSeq: _*)
+    val centered = zip_with(asDouble(col("embedding")), meanLit, (x, mu) => x - mu)
+    val rotated = array((0 until d).map { i =>
+      VectorFunctions.dot(centered, array(rot(i).map(lit(_)).toIndexedSeq: _*))
+    }: _*)
+    val sub = embeddings
+      .repartition(slices, col("vec_id"))
+      .select(col("vec_id"), rotated.as("v"))
+      .select(col("vec_id"), explode(array((0 until m).map { s =>
+        struct(lit(s.toLong).as("s"), slice(col("v"), s * subDim + 1, subDim).as("sv"))
+      }: _*)).as("e"))
+      .select(col("vec_id"), col("e.s").as("s"), col("e.sv").as("sv"))
+    val cb = sub.filter(col("vec_id") < k)
+      .select(col("vec_id").as("code"), col("s").as("cs"), col("sv").as("cv"))
+    val sqDist = aggregate(zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    sub.join(broadcast(cb), col("s") === col("cs"))
+      .withColumn("dist", sqDist)
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("dist"), col("code"))).as("best"))
+      .select(col("vec_id"), col("s"), col("best.code").as("code"),
+        round(col("best.dist"), 6).as("sq_err"))
+      .orderBy("vec_id", "s")
+  }
+
+  /** Identity rotation for the spec baseline. */
+  def identityRotation(d: Int): Array[Array[Double]] =
+    Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+
   /** Gated rows-only projection sample: first 4 whitened components of
     * every vector, 6dp — deterministic end-to-end (deterministic
     * moments: pairwise-exact? no — see note) — determinism here rides

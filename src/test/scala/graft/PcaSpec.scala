@@ -114,6 +114,51 @@ class PcaSpec extends AnyFunSuite {
     assert(two == exact)
   }
 
+  test("opq: allocation is a balanced partition; rotation stays orthonormal; beats contiguous slicing") {
+    val m = 4
+    val buckets = Pca.opqAllocate(model.eigenvalues, m)
+    assert(buckets.length == m && buckets.forall(_.length == d / m))
+    assert(buckets.flatten.sorted.toSeq == (0 until d))
+    val rot = Pca.opqRotation(model, m)
+    for (i <- 0 until d; j <- i until d) {
+      val dot = (0 until d).map(c => rot(i)(c) * rot(j)(c)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9)
+    }
+    // the balance CLAIM, on a well-conditioned analytic spectrum (the
+    // sf0.001 model is rank-deficient — n < d — so its tail λ ≈ 0 and
+    // no capacity-constrained allocation can balance it): eigenvalue
+    // allocation must spread log-variance at least as evenly as the
+    // contiguous slicing it replaces
+    val spec = Array.tabulate(16)(i => math.pow(2.0, 8 - i / 2).toDouble)
+    def spread(parts: Array[Array[Int]]): Double = {
+      val logs = parts.map(_.map(i => math.log(spec(i))).sum)
+      logs.max - logs.min
+    }
+    val alloc = Pca.opqAllocate(spec, 4)
+    val contiguous = Array.tabulate(4)(b => Array.tabulate(4)(i => b * 4 + i))
+    assert(spread(alloc) <= spread(contiguous) + 1e-12,
+      s"allocation spread ${spread(alloc)} worse than contiguous ${spread(contiguous)}")
+    assert(spread(alloc) < spread(contiguous), "allocation should strictly improve this spectrum")
+  }
+
+  test("opq: rotated quantization error does not exceed the unrotated baseline (clustered corpus)") {
+    // the dominance that is OPQ's point, measured where quantization
+    // error is meaningful (planted clusters; the driver testdata is
+    // near-random — nothing to decorrelate)
+    val dir = java.nio.file.Files.createTempDirectory("opq_clustered").toString
+    graft.sources.Synthetic.writeClusteredCorpus(spark, dir, 1000L)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val m = 4; val k = 16
+    val clModel = Pca.fit(emb)
+    def mse(rot: Array[Array[Double]]): Double =
+      Pca.opqCodesWith(emb, clModel.mean, rot, m, k)
+        .agg(sum("sq_err")).collect()(0).getDouble(0)
+    val rotated = mse(Pca.opqRotation(clModel, m))
+    val plain = mse(Pca.identityRotation(clModel.mean.length))
+    assert(rotated <= plain * 1.0001,
+      s"OPQ rotation should not lose to the unrotated baseline: $rotated vs $plain")
+  }
+
   test("jacobi on a known matrix: exact analytic eigenpairs") {
     // [[2,1],[1,2]] → λ = 3 (v ∝ (1,1)/√2), λ = 1 (v ∝ (−1,1)/√2)
     val (ev, vecs) = Pca.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
