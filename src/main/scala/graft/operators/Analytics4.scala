@@ -1,0 +1,395 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Fourth analytics tranche: TREND inference over the daily event
+  * grid — OLS fit, Mann–Kendall monotonic-trend test, Theil–Sen
+  * robust slope, Brown's double-exponential smoothing, and a
+  * moving-average seasonal decomposition.
+  *
+  * All five run on the per-(event_type, day) count grid, so every
+  * pairwise form below is GRID-sized (|types| × |days|², days in the
+  * thousands for years of daily grain), never corpus-sized: the one
+  * corpus-proportional pass is the map-side-combined daily rollup.
+  * Exactness policy follows [[Analytics3.autocorrOf]]: sums of counts
+  * and products of (index, count) ride exact integer/DECIMAL
+  * arithmetic; doubles appear only at the final divisions, in the
+  * same operand order as the DuckDB oracle, then round to 6dp.
+  */
+object Analytics4 {
+
+  /** The shared daily grid: one count per (event_type, day). */
+  private[operators] def dailyOf(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+
+  private val dailyCte =
+    """daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    count(*) AS n_events
+      |  FROM events GROUP BY 1, 2
+      |)""".stripMargin
+
+  private def dec(c: Column): Column = c.cast("decimal(18,0)")
+
+  // ------------------------------------------------------- OLS trend
+
+  /** Least-squares line of daily volume over the day index, per type:
+    * slope/intercept in events-per-day, plus r². The five sufficient
+    * sums (Σt, Σy, Σt², Σty, Σy²) accumulate exactly — t and y cast to
+    * DECIMAL(18,0) so products are DECIMAL(37,0) and sums cap at the
+    * 38-digit max (the [[Analytics3.giniOf]] policy; the oracle rides
+    * HUGEINT to put the overflow point past Spark's). The normal-
+    * equation numerators/denominators stay exact too; only the final
+    * divisions (and r²'s square, which would need ~10⁴⁸) are doubles.
+    * A vertical/degenerate fit (n < 2 or zero t-variance) reads NULL.
+    */
+  def trendOlsOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val sums = dailyOf(events)
+      .withColumn("t", (row_number().over(w) - 1).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("t")).as("st"), sum(col("n_events")).as("sy"),
+        sum(dec(col("t")) * dec(col("t"))).as("stt"),
+        sum(dec(col("t")) * dec(col("n_events"))).as("sty"),
+        sum(dec(col("n_events")) * dec(col("n_events"))).as("syy"))
+    // num = n·Σty − Σt·Σy ; denT = n·Σt² − (Σt)² ; denY = n·Σy² − (Σy)²
+    val num  = dec(col("n_days")) * col("sty") - dec(col("st")) * dec(col("sy"))
+    val denT = dec(col("n_days")) * col("stt") - dec(col("st")) * dec(col("st"))
+    val denY = dec(col("n_days")) * col("syy") - dec(col("sy")) * dec(col("sy"))
+    sums
+      .withColumn("num", num).withColumn("den_t", denT).withColumn("den_y", denY)
+      .select(col("event_type"), col("n_days"),
+        when(col("den_t") =!= 0,
+          round(col("num").cast("double") / col("den_t").cast("double"), 6) + lit(0.0))
+          .as("slope"),
+        when(col("den_t") =!= 0,
+          round((col("sy").cast("double")
+              - (col("num").cast("double") / col("den_t").cast("double")) * col("st"))
+            / col("n_days"), 6) + lit(0.0)).as("intercept"),
+        when(col("den_t") =!= 0 && col("den_y") =!= 0,
+          round(pow(col("num").cast("double"), 2)
+            / (col("den_t").cast("double") * col("den_y").cast("double")), 6) + lit(0.0))
+          .as("r2"))
+      .orderBy("event_type")
+  }
+
+  def trendOls(t: Tables): DataFrame = trendOlsOf(t.events)
+
+  def trendOlsSql: String =
+    s"""WITH $dailyCte, indexed AS (
+       |  SELECT event_type, n_events,
+       |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS BIGINT) AS t
+       |  FROM daily
+       |), sums AS (
+       |  SELECT event_type, count(*) AS n_days,
+       |    sum(t) AS st, sum(n_events) AS sy,
+       |    sum(CAST(t AS HUGEINT) * t) AS stt,
+       |    sum(CAST(t AS HUGEINT) * n_events) AS sty,
+       |    sum(CAST(n_events AS HUGEINT) * n_events) AS syy
+       |  FROM indexed GROUP BY 1
+       |), eq AS (
+       |  SELECT event_type, n_days,
+       |    st, sy,
+       |    n_days * sty - CAST(st AS HUGEINT) * sy AS num,
+       |    n_days * stt - CAST(st AS HUGEINT) * st AS den_t,
+       |    n_days * syy - CAST(sy AS HUGEINT) * sy AS den_y
+       |  FROM sums
+       |)
+       |SELECT event_type, n_days,
+       |  CASE WHEN den_t <> 0 THEN
+       |    round(CAST(num AS DOUBLE) / CAST(den_t AS DOUBLE), 6) + 0.0 END AS slope,
+       |  CASE WHEN den_t <> 0 THEN
+       |    round((CAST(sy AS DOUBLE)
+       |        - (CAST(num AS DOUBLE) / CAST(den_t AS DOUBLE)) * st) / n_days, 6) + 0.0
+       |  END AS intercept,
+       |  CASE WHEN den_t <> 0 AND den_y <> 0 THEN
+       |    round(pow(CAST(num AS DOUBLE), 2)
+       |      / (CAST(den_t AS DOUBLE) * CAST(den_y AS DOUBLE)), 6) + 0.0 END AS r2
+       |FROM eq ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------- Mann–Kendall
+
+  /** Mann–Kendall monotonic-trend test per type: S = Σ_{i<j}
+    * sign(yⱼ − yᵢ) over the day-ordered series, tie-corrected variance
+    * Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)] / 18 (g ranges
+    * over groups of equal counts), and the continuity-corrected
+    * z = (S∓1)/√Var(S). The pairwise form is one grid-sized self-join
+    * (equi on type, range on day) — n ~ thousands of days means ≤
+    * millions of pairs per type, map-side-combined to one row. Both
+    * variance terms stay in LONG (n ≤ 10⁵ days keeps n(n−1)(2n+5)
+    * under 2·10¹⁵); z is the only double.
+    */
+  def mannKendallOf(events: DataFrame, zCrit: Double = 1.96): DataFrame = {
+    val daily = dailyOf(events)
+    val s = daily.as("a")
+      .join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.day") < col("b.day"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(signum(col("b.n_events") - col("a.n_events")).cast("long")).as("s_stat"))
+    val ties = daily.groupBy(col("event_type"), col("n_events"))
+      .agg(count(lit(1)).as("tg"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("n_distinct"),
+        sum(col("tg")).as("n_days"),
+        sum(col("tg") * (col("tg") - 1) * (lit(2) * col("tg") + 5)).as("tie_term"))
+    ties.join(s, Seq("event_type"), "left")
+      .withColumn("s_stat", coalesce(col("s_stat"), lit(0L)))
+      .withColumn("var_s_18",
+        col("n_days") * (col("n_days") - 1) * (lit(2) * col("n_days") + 5) - col("tie_term"))
+      .select(col("event_type"), col("n_days"), col("s_stat"),
+        round(col("var_s_18").cast("double") / 18.0, 6).as("var_s"),
+        when(col("var_s_18") === 0, lit(null).cast("double"))
+          .when(col("s_stat") > 0,
+            round((col("s_stat") - 1) / sqrt(col("var_s_18").cast("double") / 18.0), 6) + lit(0.0))
+          .when(col("s_stat") < 0,
+            round((col("s_stat") + 1) / sqrt(col("var_s_18").cast("double") / 18.0), 6) + lit(0.0))
+          .otherwise(lit(0.0)).as("z"),
+        when(col("var_s_18") === 0, lit("no trend"))
+          .when((col("s_stat") - 1) / sqrt(col("var_s_18").cast("double") / 18.0) > zCrit
+            && col("s_stat") > 0, lit("increasing"))
+          .when((col("s_stat") + 1) / sqrt(col("var_s_18").cast("double") / 18.0) < -zCrit
+            && col("s_stat") < 0, lit("decreasing"))
+          .otherwise(lit("no trend")).as("trend"))
+      .orderBy("event_type")
+  }
+
+  def mannKendall(t: Tables): DataFrame = mannKendallOf(t.events)
+
+  def mannKendallSql(zCrit: Double = 1.96): String =
+    s"""WITH $dailyCte, s AS (
+       |  SELECT a.event_type,
+       |    CAST(sum(sign(b.n_events - a.n_events)) AS BIGINT) AS s_stat
+       |  FROM daily a JOIN daily b
+       |    ON b.event_type = a.event_type AND a.day < b.day
+       |  GROUP BY 1
+       |), ties AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_distinct,
+       |    CAST(sum(tg) AS BIGINT) AS n_days,
+       |    CAST(sum(tg * (tg - 1) * (2 * tg + 5)) AS BIGINT) AS tie_term
+       |  FROM (SELECT event_type, n_events, count(*) AS tg FROM daily GROUP BY 1, 2)
+       |  GROUP BY 1
+       |), mk AS (
+       |  SELECT t.event_type, t.n_days,
+       |    coalesce(s.s_stat, 0) AS s_stat,
+       |    t.n_days * (t.n_days - 1) * (2 * t.n_days + 5) - t.tie_term AS var_s_18
+       |  FROM ties t LEFT JOIN s ON s.event_type = t.event_type
+       |)
+       |SELECT event_type, n_days, s_stat,
+       |  round(CAST(var_s_18 AS DOUBLE) / 18.0, 6) AS var_s,
+       |  CASE WHEN var_s_18 = 0 THEN NULL
+       |       WHEN s_stat > 0 THEN
+       |         round((s_stat - 1) / sqrt(CAST(var_s_18 AS DOUBLE) / 18.0), 6) + 0.0
+       |       WHEN s_stat < 0 THEN
+       |         round((s_stat + 1) / sqrt(CAST(var_s_18 AS DOUBLE) / 18.0), 6) + 0.0
+       |       ELSE 0.0 END AS z,
+       |  CASE WHEN var_s_18 = 0 THEN 'no trend'
+       |       WHEN s_stat > 0 AND
+       |         (s_stat - 1) / sqrt(CAST(var_s_18 AS DOUBLE) / 18.0) > $zCrit
+       |         THEN 'increasing'
+       |       WHEN s_stat < 0 AND
+       |         (s_stat + 1) / sqrt(CAST(var_s_18 AS DOUBLE) / 18.0) < -$zCrit
+       |         THEN 'decreasing'
+       |       ELSE 'no trend' END AS trend
+       |FROM mk ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------- Theil–Sen
+
+  /** Theil–Sen robust trend per type: slope = median over all i<j of
+    * (yⱼ − yᵢ)/(dⱼ − dᵢ) (day-difference denominator, so calendar gaps
+    * weigh correctly), intercept = median of (yᵢ − slope·dᵢ). Immune
+    * to outlier days that drag OLS. Same grid-sized pairwise self-join
+    * as Mann–Kendall; each slope is one integer−integer division, and
+    * the two medians are exact interpolating percentiles (Spark
+    * `percentile` ≡ DuckDB `quantile_cont`). Day positions are
+    * datediff from the per-type first day, identical in both engines.
+    */
+  def theilSenOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("day")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val daily = dailyOf(events)
+      .withColumn("x", datediff(col("day"), first(col("day")).over(w)).cast("long"))
+    val slopes = daily.as("a")
+      .join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.x") < col("b.x"))
+      .select(col("a.event_type").as("event_type"),
+        ((col("b.n_events") - col("a.n_events")).cast("double")
+          / (col("b.x") - col("a.x")).cast("double")).as("pair_slope"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(pair_slope, 0.5)").as("slope_raw"))
+    daily.join(slopes, "event_type")
+      .groupBy(col("event_type"), col("n_pairs"), col("slope_raw"))
+      .agg(expr("percentile(n_events - slope_raw * x, 0.5)").as("intercept_raw"))
+      .select(col("event_type"), col("n_pairs"),
+        round(col("slope_raw"), 6).as("slope"),
+        round(col("intercept_raw"), 6).as("intercept"))
+      .orderBy("event_type")
+  }
+
+  def theilSen(t: Tables): DataFrame = theilSenOf(t.events)
+
+  def theilSenSql: String =
+    s"""WITH $dailyCte, indexed AS (
+       |  SELECT event_type, n_events,
+       |    CAST(date_diff('day',
+       |      first_value(day) OVER (PARTITION BY event_type ORDER BY day
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), day) AS BIGINT) AS x
+       |  FROM daily
+       |), slopes AS (
+       |  SELECT a.event_type, count(*) AS n_pairs,
+       |    quantile_cont(CAST(b.n_events - a.n_events AS DOUBLE)
+       |      / CAST(b.x - a.x AS DOUBLE), 0.5) AS slope_raw
+       |  FROM indexed a JOIN indexed b
+       |    ON b.event_type = a.event_type AND a.x < b.x
+       |  GROUP BY 1
+       |)
+       |SELECT i.event_type, s.n_pairs,
+       |  round(s.slope_raw, 6) AS slope,
+       |  round(quantile_cont(i.n_events - s.slope_raw * i.x, 0.5), 6) AS intercept
+       |FROM indexed i JOIN slopes s ON s.event_type = i.event_type
+       |GROUP BY 1, 2, s.slope_raw ORDER BY i.event_type""".stripMargin
+
+  // --------------------------------------- Brown double smoothing
+
+  /** Brown's double-exponential smoothing per type: S1 = EWMA(α) of
+    * the daily counts, S2 = EWMA(α) of S1 (both seeded at x₀), then
+    * level = 2·S1 − S2, trend = α/(1−α)·(S1 − S2), and the one-step
+    * forecast level + trend — the minimal smoother that tracks a
+    * drifting LINEAR trend where plain EWMA lags it. Both recurrences
+    * ride the [[Analytics3.ewmaOf]] inverse-decay closed form (zᵢ =
+    * vᵢ/qⁱ, one running-sum window each), so the whole operator is two
+    * chained windows over the grid — no recursion, no driver loop, and
+    * the same ≲300-point series bound as ewma (q⁻ᵗ precision fade;
+    * unbounded horizons belong to the streaming gates).
+    */
+  def holtBrownOf(events: DataFrame, alpha: Double = 0.3): DataFrame = {
+    val q = 1.0 - alpha
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s1 = dailyOf(events)
+      .withColumn("t", (row_number().over(wOrd) - 1).cast("double"))
+      .withColumn("s_1", sum(col("n_events") / pow(lit(q), col("t"))).over(wRun))
+      .withColumn("x0", first(col("n_events")).over(wRun).cast("double"))
+      .withColumn("s1",
+        pow(lit(q), col("t")) * (lit(alpha) * (col("s_1") - col("x0")) + col("x0")))
+    val s2 = s1
+      .withColumn("s_2", sum(col("s1") / pow(lit(q), col("t"))).over(wRun))
+      .withColumn("s2",
+        pow(lit(q), col("t")) * (lit(alpha) * (col("s_2") - col("x0")) + col("x0")))
+    s2.select(col("event_type"), col("day"), col("n_events"),
+        round(col("s1"), 6).as("s1"),
+        round(col("s2"), 6).as("s2"),
+        round(lit(2.0) * col("s1") - col("s2"), 6).as("level"),
+        round(lit(alpha / q) * (col("s1") - col("s2")), 6).as("trend"),
+        round(lit(2.0) * col("s1") - col("s2")
+          + lit(alpha / q) * (col("s1") - col("s2")), 6).as("forecast"))
+      .orderBy("event_type", "day")
+  }
+
+  def holtBrown(t: Tables): DataFrame = holtBrownOf(t.events)
+
+  def holtBrownSql(alpha: Double = 0.3): String = {
+    val q = 1.0 - alpha
+    s"""WITH $dailyCte, indexed AS (
+       |  SELECT event_type, day, n_events,
+       |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS DOUBLE) AS t
+       |  FROM daily
+       |), pass1 AS (
+       |  SELECT event_type, day, n_events, t,
+       |    sum(n_events / pow($q, t)) OVER wr AS s_1,
+       |    CAST(first_value(n_events) OVER wr AS DOUBLE) AS x0
+       |  FROM indexed
+       |  WINDOW wr AS (PARTITION BY event_type ORDER BY day
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |), sm1 AS (
+       |  SELECT event_type, day, n_events, t, x0,
+       |    pow($q, t) * ($alpha * (s_1 - x0) + x0) AS s1
+       |  FROM pass1
+       |), pass2 AS (
+       |  SELECT event_type, day, n_events, t, x0, s1,
+       |    sum(s1 / pow($q, t)) OVER wr AS s_2
+       |  FROM sm1
+       |  WINDOW wr AS (PARTITION BY event_type ORDER BY day
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |), sm2 AS (
+       |  SELECT event_type, day, n_events, s1,
+       |    pow($q, t) * ($alpha * (s_2 - x0) + x0) AS s2
+       |  FROM pass2
+       |)
+       |SELECT event_type, day, n_events,
+       |  round(s1, 6) AS s1, round(s2, 6) AS s2,
+       |  round(2.0 * s1 - s2, 6) AS level,
+       |  round(${alpha / q} * (s1 - s2), 6) AS trend,
+       |  round(2.0 * s1 - s2 + ${alpha / q} * (s1 - s2), 6) AS forecast
+       |FROM sm2 ORDER BY event_type, day""".stripMargin
+  }
+
+  // -------------------------------------- seasonal decomposition
+
+  /** Classic moving-average decomposition of the daily grid per type:
+    * trend = centered 7-day moving average (defined only on full
+    * windows), seasonal = per-day-of-week mean of the detrended
+    * series, residual = observed − trend − seasonal. Every component
+    * is derived from EXACT integer sums — trend is w7/7 with w7 the
+    * 7-day count sum, and the day-of-week mean is
+    * (7·Σy − Σw7)/(7·n) over that dow's full-window rows — so both
+    * engines divide identical integers and the doubles agree
+    * bit-for-bit before the 6dp round. Rows whose window is truncated
+    * (first/last 3 days of a type) carry NULL trend/seasonal/residual
+    * but stay in the output: downstream gap analysis needs to see the
+    * edge, not lose it.
+    */
+  def seasonalDecomposeOf(events: DataFrame, halfWidth: Int = 3): DataFrame = {
+    val width = 2 * halfWidth + 1
+    val wC = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-halfWidth, halfWidth)
+    val based = dailyOf(events)
+      .withColumn("w7",
+        when(count(lit(1)).over(wC) === width, sum(col("n_events")).over(wC)))
+      .withColumn("dow", dayofweek(col("day")).cast("long"))
+    val seasonal = based.filter(col("w7").isNotNull)
+      .groupBy(col("event_type"), col("dow"))
+      .agg(((lit(width.toLong) * sum(col("n_events")) - sum(col("w7"))).cast("double")
+        / (lit(width.toDouble) * count(lit(1)))).as("seasonal_raw"))
+    based.join(seasonal, Seq("event_type", "dow"), "left")
+      .select(col("event_type"), col("day"), col("n_events"),
+        round(col("w7").cast("double") / width, 6).as("trend"),
+        when(col("w7").isNotNull, round(col("seasonal_raw"), 6)).as("seasonal"),
+        when(col("w7").isNotNull,
+          round(col("n_events") - col("w7").cast("double") / width - col("seasonal_raw"), 6))
+          .as("residual"))
+      .orderBy("event_type", "day")
+  }
+
+  def seasonalDecompose(t: Tables): DataFrame = seasonalDecomposeOf(t.events)
+
+  def seasonalDecomposeSql(halfWidth: Int = 3): String = {
+    val width = 2 * halfWidth + 1
+    s"""WITH $dailyCte, based AS (
+       |  SELECT event_type, day, n_events,
+       |    CASE WHEN count(*) OVER wc = $width THEN sum(n_events) OVER wc END AS w7,
+       |    CAST(dayofweek(day) + 1 AS BIGINT) AS dow
+       |  FROM daily
+       |  WINDOW wc AS (PARTITION BY event_type ORDER BY day
+       |                ROWS BETWEEN $halfWidth PRECEDING AND $halfWidth FOLLOWING)
+       |), seasonal AS (
+       |  SELECT event_type, dow,
+       |    CAST($width * sum(n_events) - sum(w7) AS DOUBLE)
+       |      / (${width.toDouble} * count(*)) AS seasonal_raw
+       |  FROM based WHERE w7 IS NOT NULL GROUP BY 1, 2
+       |)
+       |SELECT b.event_type, b.day, b.n_events,
+       |  round(CAST(w7 AS DOUBLE) / $width, 6) AS trend,
+       |  CASE WHEN w7 IS NOT NULL THEN round(seasonal_raw, 6) END AS seasonal,
+       |  CASE WHEN w7 IS NOT NULL THEN
+       |    round(n_events - CAST(w7 AS DOUBLE) / $width - seasonal_raw, 6) END AS residual
+       |FROM based b LEFT JOIN seasonal s
+       |  ON s.event_type = b.event_type AND s.dow = b.dow
+       |ORDER BY b.event_type, b.day""".stripMargin
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Analytics4
+
+/** Unit semantics for the trend tranche (OLS, Mann–Kendall,
+  * Theil–Sen, Brown smoothing, seasonal decomposition) — the hash gate
+  * proves engine parity; these pin the SEMANTICS on hand-built series
+  * with closed-form expected statistics.
+  */
+class Analytics4Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** One event row per unit of count: day index d (over 2024-01-01+d)
+    * with count y becomes y rows at noon of that day.
+    */
+  private def series(counts: Seq[Long], eventType: String = "t") =
+    counts.zipWithIndex.flatMap { case (y, d) =>
+      Seq.fill(y.toInt)((f"2024-01-${d + 1}%02d 12:00:00", eventType))
+    }.toDF("ts_s", "event_type")
+      .select(to_timestamp(col("ts_s")).as("ts"), col("event_type"))
+
+  test("trendOls: a perfect line reads slope/intercept exactly, r2 = 1") {
+    // y = 2t + 3 for t = 0..4
+    val got = Analytics4.trendOlsOf(series(Seq(3, 5, 7, 9, 11)))
+      .as[(String, Long, Double, Double, Double)].collect().head
+    assert(got._2 == 5L)
+    assert(math.abs(got._3 - 2.0) < 1e-9)
+    assert(math.abs(got._4 - 3.0) < 1e-9)
+    assert(math.abs(got._5 - 1.0) < 1e-9)
+  }
+
+  test("trendOls: a constant series has slope 0 and NULL r2 (zero y-variance)") {
+    val row = Analytics4.trendOlsOf(series(Seq(4, 4, 4, 4)))
+      .select("slope", "r2").collect().head
+    assert(row.getDouble(0) == 0.0)
+    assert(row.isNullAt(1))
+  }
+
+  test("mannKendall: strictly increasing n=5 gives S=10, varS=300/18, z≈2.2045") {
+    val got = Analytics4.mannKendallOf(series(Seq(1, 2, 3, 4, 5)))
+      .as[(String, Long, Long, Double, Double, String)].collect().head
+    assert(got._3 == 10L)                             // all C(5,2) pairs concordant
+    assert(math.abs(got._4 - 300.0 / 18.0) < 1e-6)    // no ties
+    assert(math.abs(got._5 - (10 - 1) / math.sqrt(300.0 / 18.0)) < 1e-4)
+    assert(got._6 == "increasing")
+  }
+
+  test("mannKendall: constant series is all ties — varS=0, NULL z, no trend") {
+    val row = Analytics4.mannKendallOf(series(Seq(7, 7, 7, 7)))
+      .select("s_stat", "var_s", "z", "trend").collect().head
+    assert(row.getLong(0) == 0L)
+    assert(row.getDouble(1) == 0.0)
+    assert(row.isNullAt(2))
+    assert(row.getString(3) == "no trend")
+  }
+
+  test("mannKendall: strictly decreasing reads decreasing") {
+    val got = Analytics4.mannKendallOf(series(Seq(9, 7, 5, 3, 1)))
+      .select("s_stat", "trend").as[(Long, String)].collect().head
+    assert(got._1 == -10L && got._2 == "decreasing")
+  }
+
+  test("theilSen: exact line recovers slope and intercept; one outlier day cannot move them") {
+    val clean = Analytics4.theilSenOf(series(Seq(3, 5, 7, 9, 11)))
+      .as[(String, Long, Double, Double)].collect().head
+    assert(clean._2 == 10L)                           // C(5,2) pairs
+    assert(math.abs(clean._3 - 2.0) < 1e-9 && math.abs(clean._4 - 3.0) < 1e-9)
+    // y = 2x+3 except day 2 spikes to 100: 6 of 10 pair slopes stay 2,
+    // so the interpolated median is still 2; the residual median is still 3.
+    val robust = Analytics4.theilSenOf(series(Seq(3, 5, 100, 9, 11)))
+      .as[(String, Long, Double, Double)].collect().head
+    assert(math.abs(robust._3 - 2.0) < 1e-9 && math.abs(robust._4 - 3.0) < 1e-9)
+  }
+
+  test("holtBrown: matches the direct recurrence on a hand series") {
+    // x = 10,20,30 at α=0.3: S1 = 10, 13, 18.1; S2 = 10, 10.9, 13.06
+    val rows = Analytics4.holtBrownOf(series(Seq(10, 20, 30)), alpha = 0.3)
+      .select("s1", "s2", "level", "trend", "forecast")
+      .as[(Double, Double, Double, Double, Double)].collect()
+    assert(rows.length == 3)
+    val last = rows.last
+    assert(math.abs(last._1 - 18.1) < 1e-6)
+    assert(math.abs(last._2 - 13.06) < 1e-6)
+    assert(math.abs(last._3 - (2 * 18.1 - 13.06)) < 1e-6)
+    assert(math.abs(last._4 - (0.3 / 0.7) * (18.1 - 13.06)) < 1e-6)
+    assert(math.abs(last._5 - (last._3 + last._4)) < 1e-6)
+    // day 0 is the seed: S1 = S2 = x0, so trend is 0 and forecast = x0
+    assert(rows.head._1 == 10.0 && rows.head._2 == 10.0 && rows.head._4 == 0.0)
+  }
+
+  test("seasonalDecompose: a linear ramp decomposes to exact trend, zero seasonal/residual") {
+    // width 3 (halfWidth 1): trend at interior day d is the 3-day mean = y_d
+    val rows = Analytics4.seasonalDecomposeOf(series(Seq(1, 2, 3, 4, 5)), halfWidth = 1)
+      .orderBy("day")
+      .select("n_events", "trend", "seasonal", "residual").collect()
+    assert(rows.length == 5)
+    assert(rows.head.isNullAt(1) && rows.last.isNullAt(1))     // truncated edges stay visible
+    for (i <- 1 to 3) {
+      assert(math.abs(rows(i).getDouble(1) - rows(i).getLong(0).toDouble) < 1e-9)
+      assert(math.abs(rows(i).getDouble(2)) < 1e-9)
+      assert(math.abs(rows(i).getDouble(3)) < 1e-9)
+    }
+  }
+
+  test("seasonalDecompose: components re-add to the observation wherever defined") {
+    val noisy = Seq(5L, 9, 4, 8, 12, 3, 7, 6, 10, 5, 9, 13, 4, 8)
+    val rows = Analytics4.seasonalDecomposeOf(series(noisy))
+      .filter(col("trend").isNotNull)
+      .select("n_events", "trend", "seasonal", "residual").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sum = r.getDouble(1) + r.getDouble(2) + r.getDouble(3)
+      assert(math.abs(sum - r.getLong(0)) < 2e-6)  // 6dp rounds stack ×3
+    }
+  }
+}
