@@ -270,4 +270,149 @@ object Graph {
        |  AND b IN (SELECT node FROM alive$iters)
        |GROUP BY a ORDER BY a""".stripMargin
   }
+
+  // ------------------------------------------------------- triangles
+
+  /** Per-node triangle counts over the supplier co-purchase graph —
+    * the local-clustering primitive behind community detection and
+    * link spam screens. The BIPARTITE purchase graph has no triangles
+    * by construction, so the operator first PROJECTS it: suppliers
+    * are adjacent when they share distinct customers, and only the
+    * `maxEdges` STRONGEST pairs (most shared customers; (s1,s2)
+    * tie-break makes the cut deterministic) survive — the projection
+    * of a bipartite graph is dense noise without a strength cut, and
+    * the cap also bounds every downstream join. Enumeration is the
+    * classic oriented form: edges kept as s1<s2, each triangle found
+    * exactly once as (a<b)⋈(b<c)⋈(a<c).
+    *
+    * Scale shape: the one corpus-proportional pass is the per-customer
+    * pair expansion — fanout is C(basket,2) with basket = distinct
+    * suppliers per customer (bounded by order size, NOT corpus size),
+    * and the (s1,s2) count aggregate combines map-side. The top-E cut
+    * is a TakeOrdered (no global sort materialization), and the
+    * ≤maxEdges edge set broadcasts into both triangle joins, so
+    * triangle enumeration never shuffles.
+    */
+  def trianglesOf(edges: DataFrame, maxEdges: Int): DataFrame = {
+    val e = broadcast(
+      edges.orderBy(col("n_common").desc, col("s1"), col("s2")).limit(maxEdges)
+        .select("s1", "s2"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.s2") === col("e2.s1"))
+      .join(e.as("e3"),
+        col("e3.s1") === col("e1.s1") && col("e3.s2") === col("e2.s2"))
+      .select(col("e1.s1").as("a"), col("e1.s2").as("b"), col("e2.s2").as("c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("suppkey"))
+      .groupBy("suppkey").agg(count(lit(1)).as("n_triangles"))
+    val deg = e.select(col("s1").as("suppkey"))
+      .unionAll(e.select(col("s2").as("suppkey")))
+      .groupBy("suppkey").agg(count(lit(1)).as("degree"))
+    deg.join(perNode, Seq("suppkey"), "left")
+      .select(col("suppkey"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .orderBy("suppkey")
+  }
+
+  /** The co-purchase strength table: supplier pairs weighted by how
+    * many distinct customers bought from both.
+    */
+  private def coPurchaseEdges(t: Tables): DataFrame = {
+    val cs = t.orders
+      .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    cs.as("a").join(cs.as("b"),
+        col("a.c") === col("b.c") && col("a.s") < col("b.s"))
+      .groupBy(col("a.s").as("s1"), col("b.s").as("s2"))
+      .agg(count(lit(1)).as("n_common"))
+  }
+
+  def trianglesQuery(t: Tables, maxEdges: Int = 600): DataFrame =
+    trianglesOf(coPurchaseEdges(t), maxEdges)
+
+  def trianglesSql(maxEdges: Int = 600): String =
+    s"""WITH cs AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |), pairs AS (
+       |  SELECT a.s AS s1, b.s AS s2, count(*) AS n_common
+       |  FROM cs a JOIN cs b ON b.c = a.c AND a.s < b.s
+       |  GROUP BY 1, 2
+       |), e AS (
+       |  SELECT s1, s2 FROM pairs
+       |  ORDER BY n_common DESC, s1, s2 LIMIT $maxEdges
+       |), tri AS (
+       |  SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+       |  FROM e e1 JOIN e e2 ON e2.s1 = e1.s2
+       |    JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+       |), per_node AS (
+       |  SELECT suppkey, count(*) AS n_triangles FROM (
+       |    SELECT a AS suppkey FROM tri
+       |    UNION ALL SELECT b FROM tri
+       |    UNION ALL SELECT c FROM tri)
+       |  GROUP BY 1
+       |), deg AS (
+       |  SELECT suppkey, count(*) AS degree FROM (
+       |    SELECT s1 AS suppkey FROM e UNION ALL SELECT s2 FROM e)
+       |  GROUP BY 1
+       |)
+       |SELECT d.suppkey, d.degree,
+       |  coalesce(p.n_triangles, 0) AS n_triangles
+       |FROM deg d LEFT JOIN per_node p ON p.suppkey = d.suppkey
+       |ORDER BY d.suppkey""".stripMargin
+
+  // --------------------------------------------- Jaccard link scores
+
+  /** Most-similar customer pairs by Jaccard over their distinct PART
+    * sets — the set-overlap link-prediction / audience-lookalike
+    * score. Intersections come from one equi self-join on partkey
+    * (fanout per part is C(buyers,2) — parts are the fine-grained
+    * side, so buyer lists stay short where a supplier-keyed join
+    * would square hub fanout), degrees from one map-side-combined
+    * distinct count, and Jaccard = inter/(d1+d2−inter) divides exact
+    * LONGs, rounded to 6dp BEFORE the top-k rank so the
+    * (score, c1, c2) order is engine-stable. `minInter` prunes the
+    * singleton-overlap noise pairs before they reach the rank.
+    */
+  def jaccardPairsOf(pairs: DataFrame, degrees: DataFrame,
+      minInter: Long, topK: Int): DataFrame = {
+    val d1 = degrees.select(col("cust").as("c1"), col("deg").as("d1"))
+    val d2 = degrees.select(col("cust").as("c2"), col("deg").as("d2"))
+    pairs.filter(col("inter") >= minInter)
+      .join(d1, "c1").join(d2, "c2")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("d1") + col("d2") - col("inter")), 6))
+      .select("c1", "c2", "inter", "d1", "d2", "jaccard")
+      .orderBy(col("jaccard").desc, col("c1"), col("c2"))
+      .limit(topK)
+  }
+
+  def jaccardPairsQuery(t: Tables, minInter: Long = 3, topK: Int = 100): DataFrame = {
+    val cp = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("p"))
+      .distinct()
+    val pairs = cp.as("a").join(cp.as("b"),
+        col("a.p") === col("b.p") && col("a.cust") < col("b.cust"))
+      .groupBy(col("a.cust").as("c1"), col("b.cust").as("c2"))
+      .agg(count(lit(1)).as("inter"))
+    val degrees = cp.groupBy("cust").agg(count(lit(1)).as("deg"))
+    jaccardPairsOf(pairs, degrees, minInter, topK)
+  }
+
+  def jaccardPairsSql(minInter: Long = 3, topK: Int = 100): String =
+    s"""WITH cp AS (
+       |  SELECT DISTINCT o_custkey AS cust, l_partkey AS p
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |), pairs AS (
+       |  SELECT a.cust AS c1, b.cust AS c2, count(*) AS inter
+       |  FROM cp a JOIN cp b ON b.p = a.p AND a.cust < b.cust
+       |  GROUP BY 1, 2 HAVING count(*) >= $minInter
+       |), deg AS (
+       |  SELECT cust, count(*) AS deg FROM cp GROUP BY 1
+       |)
+       |SELECT p.c1, p.c2, p.inter, da.deg AS d1, db.deg AS d2,
+       |  round(CAST(p.inter AS DOUBLE) / (da.deg + db.deg - p.inter), 6) AS jaccard
+       |FROM pairs p JOIN deg da ON da.cust = p.c1 JOIN deg db ON db.cust = p.c2
+       |ORDER BY jaccard DESC, p.c1, p.c2 LIMIT $topK""".stripMargin
 }
