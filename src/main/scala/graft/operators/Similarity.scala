@@ -69,6 +69,63 @@ object Similarity {
        |WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Exact k-NN GRAPH over the whole embedding table — every vector's
+    * top-k cosine neighbors plus a mutuality flag (mutual edges are
+    * the backbone of kNN-graph clustering and graph-based ANN
+    * indexes; asymmetric edges mark hub/outlier structure). This is
+    * the exact all-pairs baseline with the same broadcast guard and
+    * repartition rationale as [[embeddingDupPairs]] — at scale the
+    * candidate generation belongs to the LSH/IVF family above, with
+    * this form as the recall oracle on a sample. Scores round to 6dp
+    * BEFORE the per-source rank (dst tie-break), so the edge set is
+    * deterministic and engine-comparable; the rank ≤ k cut plans as a
+    * WindowGroupLimit (per-partition top-k, no full sort of the n²
+    * pair stream); mutuality is one self-join of the kn-row edge set
+    * on the reversed key.
+    */
+  def knnGraph(t: Tables, k: Int = 5,
+      maxExactRows: Long = 1000000L, knownRows: Option[Long] = None): DataFrame = {
+    val emb = t.embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", VectorFunctions.l2norm(col("v")))
+    val n = knownRows.getOrElse(t.embeddings.select("vec_id").count())
+    require(n <= maxExactRows,
+      s"knnGraph is the exact all-pairs baseline and broadcasts the full table: " +
+        s"$n rows > maxExactRows=$maxExactRows. Generate candidates with " +
+        "annLshTopK/ivfKmeansTopK at this scale, or raise maxExactRows.")
+    val slices = emb.sparkSession.sparkContext.defaultParallelism
+    val scored = emb.repartition(slices, col("vec_id")).as("a")
+      .join(broadcast(emb).as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        round(VectorFunctions.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cos_sim").desc, col("dst"))
+    val e = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+    e.as("e").join(
+        e.select(col("src").as("r_src"), col("dst").as("r_dst")).as("r"),
+        col("r.r_src") === col("e.dst") && col("r.r_dst") === col("e.src"), "left")
+      .select(col("e.src"), col("e.dst"), col("e.rank"), col("e.cos_sim"),
+        col("r.r_src").isNotNull.as("is_mutual"))
+      .orderBy("src", "rank")
+  }
+
+  def knnGraphSql(k: Int = 5): String =
+    s"""WITH scored AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+       |), e AS (
+       |  SELECT src, dst, cos_sim, rank FROM (
+       |    SELECT src, dst, cos_sim,
+       |      CAST(row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst) AS BIGINT) AS rank
+       |    FROM scored)
+       |  WHERE rank <= $k
+       |)
+       |SELECT e.src, e.dst, e.rank, e.cos_sim,
+       |  r.src IS NOT NULL AS is_mutual
+       |FROM e LEFT JOIN e r ON r.src = e.dst AND r.dst = e.src
+       |ORDER BY e.src, e.rank""".stripMargin
+
   /** Embedding-cosine near-duplicate pairs (cos ≥ threshold, a<b).
     * Exact all-pairs form for the oracle; at scale the LSH variant
     * below generates the candidate pairs instead.

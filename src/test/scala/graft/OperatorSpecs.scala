@@ -297,6 +297,31 @@ class SimilaritySpec extends AnyFunSuite {
         .foreach(e => assert(math.abs(e - r.getDouble(2)) < 1e-9)))
   }
 
+  test("knnGraph: k edges per source, mutuality flag matches the reversed-edge set") {
+    val edges = Similarity.knnGraph(t, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    val perSrc = edges.groupBy(_._1)
+    assert(perSrc.values.forall(es => es.length == 3 && es.map(_._3).sorted.sameElements(Array(1L, 2L, 3L))))
+    val edgeSet = edges.map(e => (e._1, e._2)).toSet
+    edges.foreach { case (src, dst, _, _, mutual) =>
+      assert(mutual == edgeSet.contains((dst, src)), s"mutual flag wrong for ($src,$dst)")
+    }
+    // the graph's rank-1 edge agrees with the exact ranker where both cover
+    val top1 = Similarity.cosineTopK(t, 10, 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    perSrc.filter(_._1 < 10).foreach { case (src, es) =>
+      val first = es.minBy(_._3)
+      assert(top1(src) == ((first._2, first._4)))
+    }
+  }
+
+  test("knnGraph: the all-pairs guard refuses tables past maxExactRows") {
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.knnGraph(t, k = 3, maxExactRows = 10L, knownRows = Some(11L))
+    }
+    assert(ex.getMessage.contains("annLshTopK"))
+  }
+
   test("ivf+pq shortlist re-rank recalls the exact in-cell top-k; widening the shortlist helps") {
     val exact = Similarity.ivfTopK(t, 10, 5).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
