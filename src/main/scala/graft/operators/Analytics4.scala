@@ -329,6 +329,213 @@ object Analytics4 {
        |FROM sm2 ORDER BY event_type, day""".stripMargin
   }
 
+  // ------------------------------------------------- MAD outliers
+
+  /** Robust outlier days per type via the modified z-score:
+    * z = 0.6745·(y − median) / MAD with MAD = median(|y − median|) —
+    * the screen that survives the very outliers a mean/stddev gate
+    * absorbs. Both medians are exact interpolating percentiles
+    * (`percentile` ≡ `quantile_cont`), computed per type on the
+    * grid-sized daily table; a zero MAD (≥half the days identical)
+    * reads NULL z and no flag rather than an ANSI /0. The 3.5 cut is
+    * Iglewicz–Hoaglin's published convention.
+    */
+  def madOutliersOf(events: DataFrame, cut: Double = 3.5): DataFrame = {
+    val daily = dailyOf(events)
+    val med = daily.groupBy("event_type")
+      .agg(expr("percentile(n_events, 0.5)").as("med"))
+    val mad = daily.join(med, "event_type")
+      .groupBy(col("event_type"), col("med"))
+      .agg(expr("percentile(abs(n_events - med), 0.5)").as("mad"))
+    daily.join(mad, "event_type")
+      .select(col("event_type"), col("day"), col("n_events"),
+        round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+        when(col("mad") =!= 0.0,
+          round(lit(0.6745) * (col("n_events") - col("med")) / col("mad"), 6) + lit(0.0))
+          .as("mod_z"),
+        when(col("mad") =!= 0.0,
+          abs(lit(0.6745) * (col("n_events") - col("med")) / col("mad")) > cut)
+          .otherwise(lit(false)).as("is_outlier"))
+      .orderBy("event_type", "day")
+  }
+
+  def madOutliers(t: Tables): DataFrame = madOutliersOf(t.events)
+
+  def madOutliersSql(cut: Double = 3.5): String =
+    s"""WITH $dailyCte, med AS (
+       |  SELECT event_type, quantile_cont(n_events, 0.5) AS med
+       |  FROM daily GROUP BY 1
+       |), mad AS (
+       |  SELECT d.event_type, m.med,
+       |    quantile_cont(abs(d.n_events - m.med), 0.5) AS mad
+       |  FROM daily d JOIN med m ON m.event_type = d.event_type
+       |  GROUP BY 1, 2
+       |)
+       |SELECT d.event_type, d.day, d.n_events,
+       |  round(a.med, 6) AS med, round(a.mad, 6) AS mad,
+       |  CASE WHEN a.mad <> 0.0 THEN
+       |    round(0.6745 * (d.n_events - a.med) / a.mad, 6) + 0.0 END AS mod_z,
+       |  CASE WHEN a.mad <> 0.0 THEN
+       |    abs(0.6745 * (d.n_events - a.med) / a.mad) > $cut
+       |  ELSE false END AS is_outlier
+       |FROM daily d JOIN mad a ON a.event_type = d.event_type
+       |ORDER BY d.event_type, d.day""".stripMargin
+
+  // --------------------------------------------- winsorized mean
+
+  /** Winsorized mean of order value per priority class — the robust
+    * location estimate reports quote next to the raw mean. Bounds are
+    * the EXACT-RANK ⌈p·n⌉-th smallest integer-cents values, selected
+    * WITHOUT a corpus-sized sort: the corpus collapses to a
+    * (priority, cents) HISTOGRAM first (map-side combinable; its size
+    * is the price domain, not the row count), the rank walk is a
+    * cumulative sum over that grid-sized table, and the clamp pass is
+    * a second aggregate of the same histogram against the broadcast
+    * ≤|priorities| bound rows. Interpolated quantiles are deliberately
+    * NOT used: exact-rank bounds are table values, so every clamped
+    * amount stays an integer, sums ride exact DECIMAL cents (no float
+    * accumulation — the bootstrap-CI policy), and the one double
+    * division per group is engine-identical.
+    */
+  def winsorizedMeanOf(orders: DataFrame, pLo: Double = 0.05,
+      pHi: Double = 0.95): DataFrame = {
+    val hist = orders
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("o_orderpriority", "cents").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("o_orderpriority")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(wCum))
+    val totals = hist.groupBy("o_orderpriority")
+      .agg(sum(col("cnt")).as("n"),
+        sum(dec(col("cents")) * dec(col("cnt"))).as("sum_raw"))
+    val bounds = cum.join(totals, "o_orderpriority")
+      .withColumn("k_lo", greatest(ceil(lit(pLo) * col("n")).cast("long"), lit(1L)))
+      .withColumn("k_hi", ceil(lit(pHi) * col("n")).cast("long"))
+      .groupBy(col("o_orderpriority"), col("n"), col("sum_raw"))
+      .agg(min(when(col("cum") >= col("k_lo"), col("cents"))).as("lo_cents"),
+        min(when(col("cum") >= col("k_hi"), col("cents"))).as("hi_cents"))
+    hist.join(broadcast(bounds), "o_orderpriority")
+      .groupBy(col("o_orderpriority"), col("n"), col("sum_raw"),
+        col("lo_cents"), col("hi_cents"))
+      .agg(sum(dec(least(greatest(col("cents"), col("lo_cents")), col("hi_cents")))
+        * dec(col("cnt"))).as("sum_w"))
+      .select(col("o_orderpriority"), col("n"),
+        (col("lo_cents") / lit(100.0)).as("lo"),
+        (col("hi_cents") / lit(100.0)).as("hi"),
+        round(col("sum_raw").cast("double") / 100.0 / col("n"), 6).as("mean_raw"),
+        round(col("sum_w").cast("double") / 100.0 / col("n"), 6).as("mean_winsorized"))
+      .orderBy("o_orderpriority")
+  }
+
+  def winsorizedMean(t: Tables): DataFrame = winsorizedMeanOf(t.orders)
+
+  def winsorizedMeanSql(pLo: Double = 0.05, pHi: Double = 0.95): String =
+    s"""WITH hist AS (
+       |  SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+       |    count(*) AS cnt
+       |  FROM orders GROUP BY 1, 2
+       |), cum AS (
+       |  SELECT o_orderpriority, cents, cnt,
+       |    sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY cents
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM hist
+       |), totals AS (
+       |  SELECT o_orderpriority, CAST(sum(cnt) AS BIGINT) AS n,
+       |    sum(CAST(cents AS HUGEINT) * cnt) AS sum_raw
+       |  FROM hist GROUP BY 1
+       |), bounds AS (
+       |  SELECT c.o_orderpriority, t.n, t.sum_raw,
+       |    min(CASE WHEN c.cum >= greatest(CAST(ceil($pLo * t.n) AS BIGINT), 1)
+       |      THEN c.cents END) AS lo_cents,
+       |    min(CASE WHEN c.cum >= CAST(ceil($pHi * t.n) AS BIGINT)
+       |      THEN c.cents END) AS hi_cents
+       |  FROM cum c JOIN totals t ON t.o_orderpriority = c.o_orderpriority
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT h.o_orderpriority, b.n,
+       |  b.lo_cents / 100.0 AS lo, b.hi_cents / 100.0 AS hi,
+       |  round(CAST(b.sum_raw AS DOUBLE) / 100.0 / b.n, 6) AS mean_raw,
+       |  round(CAST(sum(CAST(least(greatest(h.cents, b.lo_cents), b.hi_cents) AS HUGEINT)
+       |      * h.cnt) AS DOUBLE) / 100.0 / b.n, 6) AS mean_winsorized
+       |FROM hist h JOIN bounds b ON b.o_orderpriority = h.o_orderpriority
+       |GROUP BY 1, 2, 3, 4, b.sum_raw
+       |ORDER BY h.o_orderpriority""".stripMargin
+
+  // ------------------------------------------- cross-correlation
+
+  /** Lagged cross-correlation between event-type pairs over the daily
+    * grid: for every unordered type pair (a < b) and lag −L..L,
+    * Pearson r between a's count on day d and b's count on day d+lag,
+    * computed over the days BOTH series cover at that shift (one
+    * grid-sized equi-join per lag on (day+lag, pair)). The
+    * lead/lag screen behind "does signups' spike predict purchases'".
+    * Estimator sums follow [[Analytics3.autocorrOf]]: counts and
+    * products exact DECIMAL (oracle on HUGEINT), per-shift means —
+    * this is the windowed-overlap form, so each shift uses ITS
+    * overlap's own moments; doubles only in the final r. Degenerate
+    * shifts (either side constant over the overlap, or <2 pairs) read
+    * NULL.
+    */
+  def crossCorrOf(events: DataFrame, maxLag: Int = 3): DataFrame = {
+    val daily = dailyOf(events)
+    val perLag = (-maxLag to maxLag).map { l =>
+      daily.as("a")
+        .join(daily.as("b"),
+          col("a.event_type") < col("b.event_type") &&
+            col("b.day") === date_add(col("a.day"), l))
+        .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("a.n_events")).as("sx"), sum(col("b.n_events")).as("sy"),
+          sum(dec(col("a.n_events")) * dec(col("a.n_events"))).as("sxx"),
+          sum(dec(col("b.n_events")) * dec(col("b.n_events"))).as("syy"),
+          sum(dec(col("a.n_events")) * dec(col("b.n_events"))).as("sxy"))
+        .withColumn("lag", lit(l.toLong))
+    }.reduce(_ unionByName _)
+    val num  = dec(col("n_pairs")) * col("sxy") - dec(col("sx")) * dec(col("sy"))
+    val denX = dec(col("n_pairs")) * col("sxx") - dec(col("sx")) * dec(col("sx"))
+    val denY = dec(col("n_pairs")) * col("syy") - dec(col("sy")) * dec(col("sy"))
+    perLag
+      .withColumn("num", num).withColumn("den_x", denX).withColumn("den_y", denY)
+      .select(col("type_a"), col("type_b"), col("lag"), col("n_pairs"),
+        when(col("n_pairs") >= 2 && col("den_x") =!= 0 && col("den_y") =!= 0,
+          round(col("num").cast("double")
+            / sqrt(col("den_x").cast("double") * col("den_y").cast("double")), 6) + lit(0.0))
+          .as("r"))
+      .orderBy("type_a", "type_b", "lag")
+  }
+
+  def crossCorr(t: Tables): DataFrame = crossCorrOf(t.events)
+
+  def crossCorrSql(maxLag: Int = 3): String = {
+    val lagSelects = (-maxLag to maxLag).map { l =>
+      s"""  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |    CAST($l AS BIGINT) AS lag, count(*) AS n_pairs,
+         |    sum(a.n_events) AS sx, sum(b.n_events) AS sy,
+         |    sum(CAST(a.n_events AS HUGEINT) * a.n_events) AS sxx,
+         |    sum(CAST(b.n_events AS HUGEINT) * b.n_events) AS syy,
+         |    sum(CAST(a.n_events AS HUGEINT) * b.n_events) AS sxy
+         |  FROM daily a JOIN daily b
+         |    ON a.event_type < b.event_type AND b.day = a.day + $l
+         |  GROUP BY 1, 2""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $dailyCte, lags AS (
+       |$lagSelects
+       |), eq AS (
+       |  SELECT type_a, type_b, lag, n_pairs,
+       |    n_pairs * sxy - CAST(sx AS HUGEINT) * sy AS num,
+       |    n_pairs * sxx - CAST(sx AS HUGEINT) * sx AS den_x,
+       |    n_pairs * syy - CAST(sy AS HUGEINT) * sy AS den_y
+       |  FROM lags
+       |)
+       |SELECT type_a, type_b, lag, n_pairs,
+       |  CASE WHEN n_pairs >= 2 AND den_x <> 0 AND den_y <> 0 THEN
+       |    round(CAST(num AS DOUBLE)
+       |      / sqrt(CAST(den_x AS DOUBLE) * CAST(den_y AS DOUBLE)), 6) + 0.0
+       |  END AS r
+       |FROM eq ORDER BY type_a, type_b, lag""".stripMargin
+  }
+
   // -------------------------------------- seasonal decomposition
 
   /** Classic moving-average decomposition of the daily grid per type:

@@ -105,6 +105,51 @@ class Analytics4Spec extends AnyFunSuite {
     }
   }
 
+  test("madOutliers: modified z flags the planted spike, not the normal spread") {
+    // counts 8,9,10,11,100 → med 10, MAD = median(2,1,0,1,90) = 1
+    // z(100) = 0.6745·90 = 60.705 (outlier); z(8) = -1.349 (not)
+    val rows = Analytics4.madOutliersOf(series(Seq(8, 9, 10, 11, 100)))
+      .orderBy("day")
+      .select("n_events", "med", "mad", "mod_z", "is_outlier").collect()
+    assert(rows.forall(r => r.getDouble(1) == 10.0 && r.getDouble(2) == 1.0))
+    assert(math.abs(rows.last.getDouble(3) - 60.705) < 1e-9 && rows.last.getBoolean(4))
+    assert(math.abs(rows.head.getDouble(3) + 1.349) < 1e-9 && !rows.head.getBoolean(4))
+  }
+
+  test("madOutliers: zero MAD reads NULL z and no flags, not a /0") {
+    val rows = Analytics4.madOutliersOf(series(Seq(5, 5, 5, 5, 5)))
+      .select("mod_z", "is_outlier").collect()
+    assert(rows.forall(r => r.isNullAt(0) && !r.getBoolean(1)))
+  }
+
+  test("winsorizedMean: exact-rank bounds clamp the spike; raw mean keeps it") {
+    // one group, values 1..19 and 1000: k_lo=⌈.05·20⌉=1 → lo=1,
+    // k_hi=⌈.95·20⌉=19 → hi=19; winsorized mean (Σ1..19 + 19)/20 = 10.45
+    val orders = ((1 to 19).map(_.toDouble) :+ 1000.0)
+      .map(v => ("1-URGENT", v)).toDF("o_orderpriority", "o_totalprice")
+    val r = Analytics4.winsorizedMeanOf(orders)
+      .as[(String, Long, Double, Double, Double, Double)].collect().head
+    assert(r._2 == 20L)
+    assert(r._3 == 1.0 && r._4 == 19.0)
+    assert(math.abs(r._5 - 59.5) < 1e-9)    // raw mean carries the spike
+    assert(math.abs(r._6 - 10.45) < 1e-9)   // winsorized mean doesn't
+  }
+
+  test("crossCorr: a one-day-shifted copy correlates perfectly at exactly that lag") {
+    val a = series(Seq(1, 2, 3, 4, 5), "a")
+    // b is a shifted one day later: b's day d+1 count = a's day d count
+    val b = Seq(9L, 1, 2, 3, 4).zipWithIndex.flatMap { case (y, d) =>
+      Seq.fill(y.toInt)((f"2024-01-${d + 1}%02d 12:00:00", "b"))
+    }.toDF("ts_s", "event_type")
+      .select(to_timestamp(col("ts_s")).as("ts"), col("event_type"))
+    val got = Analytics4.crossCorrOf(a.unionByName(b), maxLag = 1)
+      .as[(String, String, Long, Long, Option[Double])].collect()
+    val byLag = got.map(r => r._3 -> r._5).toMap
+    assert(byLag(1L).contains(1.0))          // aligned shift: perfect correlation
+    assert(byLag(-1L).exists(_ < 1.0))       // anti-aligned shift is not perfect
+    assert(got.forall { r => r._1 == "a" && r._2 == "b" })
+  }
+
   test("seasonalDecompose: components re-add to the observation wherever defined") {
     val noisy = Seq(5L, 9, 4, 8, 12, 3, 7, 6, 10, 5, 9, 13, 4, 8)
     val rows = Analytics4.seasonalDecomposeOf(series(noisy))
