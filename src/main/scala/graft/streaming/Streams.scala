@@ -1028,6 +1028,59 @@ object Streams {
       }
   }
 
+  final case class HoltGateState(s1: Double, s2: Double, forecast: Double, n: Long)
+  final case class HoltRow(event_type: String, n_events: Long, level: Double,
+      trend: Double, forecast: Double, forecast_err: Option[Double])
+
+  /** Streaming Brown double-smoothing monitor — the unbounded-horizon
+    * form of [[graft.operators.Analytics4.holtBrownOf]], exactly as
+    * [[ewmaGate]] is to the batch ewma: both recurrences (S1 ← αx +
+    * qS1, S2 ← αS1 + qS2, seeded at x₀) run natively one micro-batch
+    * at a time with FOUR doubles of state per key at any volume. Emits
+    * the trend-tracking level, the per-batch trend estimate, the
+    * one-step forecast, and the signed error of the PRIOR batch's
+    * forecast against this batch's observation (None on the first two
+    * batches — Brown's trend needs two points before the forecast
+    * means anything). Same per-partition pre-collapse as [[ewmaGate]]:
+    * only ≤|types| (key, cnt) rows reach the stateful task.
+    */
+  def holtGate(spark: SparkSession, events: DataFrame,
+      alpha: Double = 0.3): Dataset[HoltRow] = {
+    import spark.implicits._
+    val q = 1.0 - alpha
+    events.select(col("event_type").as("key")).as[Tuple1[String]]
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.Map.empty[String, Long]
+        it.foreach(k => m.update(k._1, m.getOrElse(k._1, 0L) + 1))
+        m.iterator.map { case (k, c) => KeyCount(k, c) }
+      }
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[HoltGateState, HoltRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, ds: Iterator[KeyCount], state: GroupState[HoltGateState]) =>
+          val x = ds.map(_.cnt).sum.toDouble
+          def r6(v: Double) = math.rint(v * 1e6) / 1e6
+          state.getOption match {
+            case None =>
+              // seed batch: S1 = S2 = x ⇒ level = x, trend = 0,
+              // forecast(next) = x; no prior forecast to score
+              state.update(HoltGateState(x, x, x, 1L))
+              Iterator.single(HoltRow(key, x.toLong, r6(x), 0.0, r6(x), None))
+            case Some(st) =>
+              val s1 = alpha * x + q * st.s1
+              val s2 = alpha * s1 + q * st.s2
+              val level = 2.0 * s1 - s2
+              val trend = alpha / q * (s1 - s2)
+              val fc = level + trend
+              state.update(HoltGateState(s1, s2, fc, st.n + 1))
+              // the seed forecast is the flat x0 — scoreable but only
+              // meaningful once the trend term exists (n ≥ 2)
+              val err = if (st.n >= 2) Some(r6(x - st.forecast)) else None
+              Iterator.single(HoltRow(key, x.toLong, r6(level), r6(trend), r6(fc), err))
+          }
+      }
+  }
+
   final case class CusumState(mean: Double, sPos: Double, sNeg: Double, n: Long)
   final case class CusumRow(event_type: String, n_events: Long, s_pos: Double,
       s_neg: Double, alarm: Boolean)

@@ -370,6 +370,44 @@ class StreamingSpec extends AnyFunSuite {
       (40L, 19.0, Some(true))), s"got $got")
   }
 
+  test("holt gate: double-smoothing recurrence matches the fold; forecast tracks a linear ramp") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[String]
+    val events = mem.toDF().toDF("event_type")
+    val q = Streams.holtGate(spark, events)
+      .writeStream.outputMode("update").format("memory").queryName("holt_out").start()
+    val batches = 10 to 80 by 10
+    try {
+      batches.foreach { n => mem.addData(Seq.fill(n)("a"): _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("holt_out")
+      .select("n_events", "level", "trend", "forecast", "forecast_err").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).sortBy(_._1)
+    // driver-side fold of the same recurrence (α = 0.3)
+    var (s1, s2) = (10.0, 10.0)
+    var prevFc = 10.0
+    val want = batches.drop(1).map(_.toLong).zipWithIndex.map { case (x, i) =>
+      s1 = 0.3 * x + 0.7 * s1; s2 = 0.3 * s1 + 0.7 * s2
+      val level = 2 * s1 - s2; val trend = 0.3 / 0.7 * (s1 - s2)
+      val err = if (i >= 1) Some(math.rint((x - prevFc) * 1e6) / 1e6) else None
+      prevFc = level + trend
+      (x, math.rint(level * 1e6) / 1e6, math.rint(trend * 1e6) / 1e6,
+        math.rint((level + trend) * 1e6) / 1e6, err)
+    }
+    assert(got.head == ((10L, 10.0, 0.0, 10.0, None)))   // seed batch
+    assert(got.tail.toSeq == want, s"got ${got.tail.toSeq}\nwant $want")
+    // on a steady ramp the trend estimate is positive, and once past
+    // the warm-up hump the forecast error shrinks batch over batch —
+    // the "tracks a drifting linear trend" property plain EWMA lacks
+    val errs = got.tail.flatMap(_._5).map(math.abs)
+    assert(got.tail.forall(_._3 > 0))
+    assert(errs.drop(1).zip(errs.drop(2)).forall { case (a, b) => b < a },
+      s"forecast not converging past warm-up: ${errs.toSeq}")
+  }
+
   test("cusum gate: sustained +30% shift alarms where the ewma spike rule never fires") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
