@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Distributed multinomial Naive Bayes over document tokens — the
+  * classic scalable text classifier (language ID here, quality/domain
+  * labels in production): training is PURE aggregation (one
+  * (class, word) count table + per-class totals), scoring is one
+  * broadcast-model join + a per-document log-sum — no gradients, no
+  * driver state, and every count is exact, so the whole pipeline has
+  * a DuckDB twin. Train/test split follows the repo's even/odd
+  * convention (`dedup_incremental`): even doc_ids train, odd score.
+  */
+object Classify {
+
+  /** Tokens with their class label — [[WordPipeline.tokensOf]]'s
+    * normalization (whitespace split, lower(trim), drop empties) with
+    * the label carried through.
+    */
+  private def labeledTokens(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), "\\s+")).as("w"))
+      .select(col("doc_id"), col("lang"), lower(trim(col("w"))).as("word"))
+      .filter(col("word") =!= "")
+
+  private val toksCte =
+    """toks AS (
+      |  SELECT doc_id, lang, lower(trim(w)) AS word
+      |  FROM (SELECT doc_id, lang, unnest(regexp_split_to_array(text, '\s+')) AS w
+      |        FROM documents)
+      |  WHERE lower(trim(w)) <> ''
+      |)""".stripMargin
+
+  /** The trained model: one row per OBSERVED (class, word) pair with
+    * its count and Laplace-smoothed log-likelihood
+    * ln((n_wc+1)/(n_c+V)), V = train vocabulary size. All inputs to
+    * the ln are exact LONG counts, so both engines take the log of
+    * the identical double. Model size is Σ_c |vocab_c| — bounded by
+    * classes × vocabulary, never by corpus rows; the aggregate
+    * combines map-side.
+    */
+  def nbTrainOf(docs: DataFrame): DataFrame = {
+    val toks = labeledTokens(docs.filter(col("doc_id") % 2 === 0))
+    val wc = toks.groupBy("lang", "word").agg(count(lit(1)).as("n_wc"))
+    val classTotals = wc.groupBy("lang").agg(sum(col("n_wc")).as("n_c"))
+    val vocab = wc.select("word").distinct()
+      .agg(count(lit(1)).as("v"))
+    wc.join(classTotals, "lang").crossJoin(broadcast(vocab))
+      .select(col("lang"), col("word"), col("n_wc"),
+        round(log((col("n_wc") + 1).cast("double") / (col("n_c") + col("v"))), 6)
+          .as("log_prob"))
+      .orderBy("lang", "word")
+  }
+
+  def nbTrain(t: Tables): DataFrame = nbTrainOf(t.documents)
+
+  val nbTrainSql: String =
+    s"""WITH $toksCte, train AS (
+       |  SELECT * FROM toks WHERE doc_id % 2 = 0
+       |), wc AS (
+       |  SELECT lang, word, count(*) AS n_wc FROM train GROUP BY 1, 2
+       |), ct AS (
+       |  SELECT lang, CAST(sum(n_wc) AS BIGINT) AS n_c FROM wc GROUP BY 1
+       |), vocab AS (
+       |  SELECT CAST(count(DISTINCT word) AS BIGINT) AS v FROM wc
+       |)
+       |SELECT wc.lang, wc.word, wc.n_wc,
+       |  round(ln(CAST(wc.n_wc + 1 AS DOUBLE) / (ct.n_c + vocab.v)), 6) AS log_prob
+       |FROM wc JOIN ct ON ct.lang = wc.lang CROSS JOIN vocab
+       |ORDER BY wc.lang, wc.word""".stripMargin
+
+  /** Score the held-out (odd doc_id) documents against the trained
+    * model: per (doc, class), ln-prior (class doc share of the train
+    * split) + Σ_w n_dw · lnP(w|c), unseen words taking the smoothed
+    * floor ln(1/(n_c+V)); prediction = argmax with (score, lang)
+    * tie-break on the 6dp-rounded score so the rank is engine-stable.
+    * Per-doc words collapse FIRST (n_dw), so the model join and the
+    * class fanout see distinct (doc, word) pairs, not raw tokens; the
+    * model side is broadcast (classes × vocab), and the argmax is a
+    * per-doc window on a |docs|×|classes| table.
+    */
+  def nbScoreOf(docs: DataFrame): DataFrame = {
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val toks = labeledTokens(train)
+    val wc = toks.groupBy("lang", "word").agg(count(lit(1)).as("n_wc"))
+    val vocab = wc.select("word").distinct().agg(count(lit(1)).as("v"))
+    val classStats = wc.groupBy("lang").agg(sum(col("n_wc")).as("n_c"))
+      .crossJoin(broadcast(vocab))
+      .join(broadcast(
+        train.select("doc_id", "lang").distinct().groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"))
+          .crossJoin(train.select("doc_id").distinct()
+            .agg(count(lit(1)).as("n_docs_tot")))), "lang")
+      .select(col("lang").as("cls"), col("n_c"), col("v"),
+        log(col("n_docs").cast("double") / col("n_docs_tot")).as("prior"))
+    val model = wc
+      .select(col("lang").as("cls"), col("word"),
+        log((col("n_wc") + 1).cast("double")).as("log_num"))
+    val docWords = labeledTokens(docs.filter(col("doc_id") % 2 === 1))
+      .groupBy("doc_id", "lang", "word").agg(count(lit(1)).as("n_dw"))
+    // ln((n+1)/(n_c+V)) = ln(n+1) − ln(n_c+V): the denominator is
+    // per-class constant, so unseen words (ln 1 = 0 numerator) and
+    // seen words share one Σn_dw·ln(den) correction — the model join
+    // can stay a LEFT join with a 0 default instead of a class-crossed
+    // dense vocab.
+    val scored = docWords.crossJoin(broadcast(classStats))
+      .join(broadcast(model), Seq("cls", "word"), "left")
+      .groupBy(col("doc_id"), col("lang"), col("cls"), col("prior"),
+        col("n_c"), col("v"))
+      .agg(sum(col("n_dw") * coalesce(col("log_num"), lit(0.0))).as("sum_num"),
+        sum(col("n_dw")).as("n_tokens"))
+      .select(col("doc_id"), col("lang"), col("cls"),
+        round(col("prior") + col("sum_num")
+          - col("n_tokens") * log((col("n_c") + col("v")).cast("double")), 6)
+          .as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cls"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("actual"), col("cls").as("predicted"),
+        col("score"), (col("cls") === col("lang")).as("is_correct"))
+      .orderBy("doc_id")
+  }
+
+  def nbScore(t: Tables): DataFrame = nbScoreOf(t.documents)
+
+  val nbScoreSql: String =
+    s"""WITH $toksCte, train AS (
+       |  SELECT * FROM toks WHERE doc_id % 2 = 0
+       |), wc AS (
+       |  SELECT lang, word, count(*) AS n_wc FROM train GROUP BY 1, 2
+       |), vocab AS (
+       |  SELECT CAST(count(DISTINCT word) AS BIGINT) AS v FROM wc
+       |), cls AS (
+       |  SELECT w.lang AS cls, CAST(sum(w.n_wc) AS BIGINT) AS n_c, vocab.v,
+       |    ln(CAST(d.n_docs AS DOUBLE) / d.n_docs_tot) AS prior
+       |  FROM wc w CROSS JOIN vocab
+       |  JOIN (
+       |    SELECT lang, count(DISTINCT doc_id) AS n_docs,
+       |      (SELECT count(DISTINCT doc_id) FROM documents WHERE doc_id % 2 = 0) AS n_docs_tot
+       |    FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+       |  ) d ON d.lang = w.lang
+       |  GROUP BY 1, 3, 4
+       |), model AS (
+       |  SELECT lang AS cls, word, ln(CAST(n_wc + 1 AS DOUBLE)) AS log_num FROM wc
+       |), doc_words AS (
+       |  SELECT doc_id, lang, word, count(*) AS n_dw
+       |  FROM toks WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3
+       |), scored AS (
+       |  SELECT dw.doc_id, dw.lang, c.cls,
+       |    round(c.prior + sum(dw.n_dw * coalesce(m.log_num, 0.0))
+       |      - sum(dw.n_dw) * ln(CAST(c.n_c + c.v AS DOUBLE)), 6) AS score
+       |  FROM doc_words dw CROSS JOIN cls c
+       |  LEFT JOIN model m ON m.cls = c.cls AND m.word = dw.word
+       |  GROUP BY 1, 2, 3, c.prior, c.n_c, c.v
+       |)
+       |SELECT doc_id, lang AS actual, cls AS predicted, score,
+       |  cls = lang AS is_correct
+       |FROM (
+       |  SELECT doc_id, lang, cls, score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+       |  FROM scored)
+       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+}
