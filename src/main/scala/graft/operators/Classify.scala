@@ -128,6 +128,25 @@ object Classify {
 
   def nbScore(t: Tables): DataFrame = nbScoreOf(t.documents)
 
+  /** Confusion matrix + per-actual-class recall over the held-out
+    * predictions — the evaluation readout a model gate consumes. One
+    * |classes|² aggregate over [[nbScoreOf]]'s per-doc rows; recall
+    * divides exact LONGs.
+    */
+  def nbConfusionOf(docs: DataFrame): DataFrame = {
+    val preds = nbScoreOf(docs)
+    val perActual = preds.groupBy(col("actual"))
+      .agg(count(lit(1)).as("n_actual"))
+    preds.groupBy(col("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .join(perActual, "actual")
+      .select(col("actual"), col("predicted"), col("n"),
+        round(col("n").cast("double") / col("n_actual"), 6).as("share_of_actual"))
+      .orderBy("actual", "predicted")
+  }
+
+  def nbConfusion(t: Tables): DataFrame = nbConfusionOf(t.documents)
+
   val nbScoreSql: String =
     s"""WITH $toksCte, train AS (
        |  SELECT * FROM toks WHERE doc_id % 2 = 0
@@ -165,4 +184,18 @@ object Classify {
        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
        |  FROM scored)
        |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  val nbConfusionSql: String = {
+    val scoredBody = nbScoreSql.stripSuffix(" ORDER BY doc_id")
+    s"""WITH preds AS (
+       |$scoredBody
+       |), per_actual AS (
+       |  SELECT actual, count(*) AS n_actual FROM preds GROUP BY 1
+       |)
+       |SELECT p.actual, p.predicted, count(*) AS n,
+       |  round(CAST(count(*) AS DOUBLE) / any_value(a.n_actual), 6) AS share_of_actual
+       |FROM preds p JOIN per_actual a ON a.actual = p.actual
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+  }
 }

@@ -50,6 +50,12 @@ class ClassifySpec extends AnyFunSuite {
     assert(math.abs(got(1L)._3 - want) < 1e-6)
   }
 
+  test("nbConfusion: the separable corpus is all-diagonal with recall 1") {
+    val got = Classify.nbConfusionOf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSet == Set(("aa", "aa", 2L, 1.0), ("bb", "bb", 1L, 1.0)))
+  }
+
   test("nbScore: an all-unseen doc falls back to priors and per-class floors") {
     val extra = docs.unionByName(Seq((7L, "zz qq", "aa")).toDF("doc_id", "text", "lang"))
     val got = Classify.nbScoreOf(extra).collect()
