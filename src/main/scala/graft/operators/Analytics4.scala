@@ -536,6 +536,95 @@ object Analytics4 {
        |FROM eq ORDER BY type_a, type_b, lag""".stripMargin
   }
 
+  // ---------------------------------------------- isotonic (PAV)
+
+  /** Isotonic (monotone non-decreasing) least-squares fit of daily
+    * volume per type — the calibration/trend-flooring primitive. The
+    * Spark side runs pool-adjacent-violators (LINEAR in the series)
+    * inside one `mapGroups` per type: the series is grid-sized by
+    * construction (the corpus collapsed to the daily rollup first), so
+    * per-group sequential PAV is the scale-correct shape — no
+    * quadratic joins, no driver loop, one shuffle of grid rows. Pool
+    * means stay (Σy: LONG, n: LONG) until the final division. The
+    * ORACLE is the textbook MINIMAX characterization — fitted(i) =
+    * max_{j≤i} min_{k≥i} mean(y_j..y_k) — computed by triangular
+    * joins on the same exact cumulative sums: two INDEPENDENT
+    * derivations of the same fit that must agree to the last bit
+    * (identical integer ratios), the strongest oracle form in the
+    * repo next to the window-builtin cross-check of `q_rank_profile`.
+    */
+  def isotonicOf(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val daily = dailyOf(events)
+      .select(col("event_type"), col("day").cast("string").as("day"),
+        col("n_events"))
+      .as[(String, String, Long)]
+    daily.groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        // PAV with (sum, count) pools; merge while the previous pool
+        // mean exceeds the next (compare as cross-multiplied LONGs —
+        // no float in the merge decision)
+        final case class Pool(var sum: Long, var n: Long, var upto: Int)
+        val pools = scala.collection.mutable.ArrayBuffer.empty[Pool]
+        rows.indices.foreach { i =>
+          pools += Pool(rows(i)._3, 1L, i)
+          while (pools.length > 1 &&
+            pools(pools.length - 2).sum * pools.last.n >
+              pools.last.sum * pools(pools.length - 2).n) {
+            val top = pools.remove(pools.length - 1)
+            pools.last.sum += top.sum; pools.last.n += top.n
+            pools.last.upto = top.upto
+          }
+        }
+        val fitted = new Array[Double](rows.length)
+        var lo = 0
+        pools.foreach { p =>
+          val m = p.sum.toDouble / p.n
+          (lo to p.upto).foreach(i => fitted(i) = m)
+          lo = p.upto + 1
+        }
+        rows.indices.iterator.map { i =>
+          // HALF_UP like both engines' round() — math.rint is
+          // half-even and would diverge on exact .5 boundaries
+          // (reachable once pools span 2^k≥128 days)
+          (key, rows(i)._2, rows(i)._3, math.floor(fitted(i) * 1e6 + 0.5) / 1e6)
+        }
+      }
+      .toDF("event_type", "day", "n_events", "fitted")
+      .select(col("event_type"), col("day").cast("date").as("day"),
+        col("n_events"), col("fitted"))
+      .orderBy("event_type", "day")
+  }
+
+  def isotonic(t: Tables): DataFrame = isotonicOf(t.events)
+
+  def isotonicSql: String =
+    s"""WITH $dailyCte, idx AS (
+       |  SELECT event_type, day, n_events,
+       |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS t,
+       |    CAST(sum(n_events) OVER (PARTITION BY event_type ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM daily
+       |), means AS (
+       |  SELECT j.event_type, j.t AS j, k.t AS k,
+       |    CAST(k.cum - j.cum + j.n_events AS DOUBLE) / (k.t - j.t + 1) AS m
+       |  FROM idx j JOIN idx k
+       |    ON k.event_type = j.event_type AND k.t >= j.t
+       |), inner_min AS (
+       |  SELECT i.event_type, i.t, m.j, min(m.m) AS mn
+       |  FROM idx i JOIN means m
+       |    ON m.event_type = i.event_type AND m.j <= i.t AND m.k >= i.t
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT i.event_type, i.day, i.n_events,
+       |  round(max(x.mn), 6) AS fitted
+       |FROM idx i JOIN inner_min x
+       |  ON x.event_type = i.event_type AND x.t = i.t
+       |GROUP BY 1, 2, 3
+       |ORDER BY i.event_type, i.day""".stripMargin
+
   // -------------------------------------- seasonal decomposition
 
   /** Classic moving-average decomposition of the daily grid per type:

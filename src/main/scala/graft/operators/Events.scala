@@ -533,4 +533,87 @@ object Events {
        |  round(avg(duration_s), 4) AS avg_duration_s,
        |  round(quantile_cont(duration_s, 0.5), 4) AS p50_duration_s
        |FROM sessions GROUP BY 1 ORDER BY converted""".stripMargin
+
+  // ------------------------------------------- interval overlap join
+
+  /** Per-user session INTERVALS (first/last event ts per session) —
+    * the [[sessionize]] construction kept as timestamps instead of
+    * event-id bounds, shared by the overlap join below.
+    */
+  def sessionIntervalsOf(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapSecs = gapMinutes * 60L
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSecs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+  }
+
+  /** Concurrent-session pairs: all (user_a, user_b) session pairs
+    * whose intervals OVERLAP in time — the interval-interval join
+    * primitive behind co-presence, ad-collision, and concurrency
+    * analysis. The naive form is a non-equi self-join (quadratic per
+    * time neighborhood, and a nested-loop plan in Spark); here each
+    * interval explodes into the HOUR BUCKETS it covers and candidates
+    * come from an EQUI self-join on the bucket — replication factor is
+    * interval_length/bucket (sessions are minutes, so ~1–2), per-bucket
+    * cost is quadratic only in the CONCURRENCY of that hour, and a
+    * multi-bucket pair dedups by its key tuple before the exact
+    * overlap predicate re-checks [t0,t1]×[t0,t1] intersection (bucket
+    * co-residence is necessary, not sufficient). The bucket width is
+    * the documented scale dial: denser traffic → narrower buckets.
+    * The ORACLE runs the naive non-equi join directly (DuckDB IEJoin)
+    * — same pairs, independently derived.
+    */
+  def intervalOverlapOf(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val s = sessionIntervalsOf(events, gapMinutes)
+    val bucketed = s.withColumn("bucket",
+      explode(sequence(date_trunc("hour", col("t0")), date_trunc("hour", col("t1")),
+        expr("INTERVAL 1 HOUR"))))
+    val a = bucketed.select(col("bucket"), col("user_id").as("u1"),
+      col("session_id").as("s1"), col("t0").as("a0"), col("t1").as("a1"))
+    val b = bucketed.select(col("bucket"), col("user_id").as("u2"),
+      col("session_id").as("s2"), col("t0").as("b0"), col("t1").as("b1"))
+    a.join(b, Seq("bucket"))
+      .filter(col("u1") < col("u2"))
+      .drop("bucket").distinct()                   // multi-bucket pairs collapse
+      .filter(col("a0") <= col("b1") && col("b0") <= col("a1"))
+      .select(col("u1"), col("s1"), col("u2"), col("s2"),
+        (unix_timestamp(least(col("a1"), col("b1")))
+          - unix_timestamp(greatest(col("a0"), col("b0")))).as("overlap_secs"))
+      .orderBy("u1", "s1", "u2", "s2")
+  }
+
+  def intervalOverlap(t: Tables, gapMinutes: Int = 30): DataFrame =
+    intervalOverlapOf(t.events, gapMinutes)
+
+  def intervalOverlapSql(gapMinutes: Int = 30): String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, ts,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR date_diff('second', lag(ts) OVER w, ts) > ${gapMinutes * 60}
+       |      THEN 1 ELSE 0 END AS ns
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), sess AS (
+       |  SELECT user_id,
+       |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id,
+       |    ts
+       |  FROM flagged
+       |), iv AS (
+       |  SELECT user_id, session_id, min(ts) AS t0, max(ts) AS t1
+       |  FROM sess GROUP BY 1, 2
+       |)
+       |SELECT a.user_id AS u1, a.session_id AS s1,
+       |  b.user_id AS u2, b.session_id AS s2,
+       |  date_diff('second', greatest(a.t0, b.t0), least(a.t1, b.t1)) AS overlap_secs
+       |FROM iv a JOIN iv b
+       |  ON a.user_id < b.user_id AND a.t0 <= b.t1 AND b.t0 <= a.t1
+       |ORDER BY u1, s1, u2, s2""".stripMargin
 }

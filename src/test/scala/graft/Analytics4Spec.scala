@@ -150,6 +150,49 @@ class Analytics4Spec extends AnyFunSuite {
     assert(got.forall { r => r._1 == "a" && r._2 == "b" })
   }
 
+  test("isotonic: PAV pools violators to the textbook fits") {
+    // 5,3,4 → [5,3] violates → pool mean 4; next 4 ≥ 4 stands: 4,4,4
+    val g1 = Analytics4.isotonicOf(series(Seq(5, 3, 4))).orderBy("day")
+      .select("fitted").as[Double].collect().toSeq
+    assert(g1 == Seq(4.0, 4.0, 4.0))
+    // strictly decreasing collapses to one pool at the global mean
+    val g2 = Analytics4.isotonicOf(series(Seq(3, 2, 1))).orderBy("day")
+      .select("fitted").as[Double].collect().toSeq
+    assert(g2 == Seq(2.0, 2.0, 2.0))
+    // already monotone is a fixpoint
+    val g3 = Analytics4.isotonicOf(series(Seq(1, 2, 2, 5))).orderBy("day")
+      .select("fitted").as[Double].collect().toSeq
+    assert(g3 == Seq(1.0, 2.0, 2.0, 5.0))
+    // invariants on a messier series: monotone fit, sum preserved
+    val ys = Seq(7L, 1, 6, 2, 9, 3, 3, 8)
+    val fit = Analytics4.isotonicOf(series(ys)).orderBy("day")
+      .select("fitted").as[Double].collect().toSeq
+    assert(fit.zip(fit.tail).forall { case (a, b) => a <= b })
+    assert(math.abs(fit.sum - ys.sum) < 1e-4)  // pool means conserve mass
+  }
+
+  test("intervalOverlap: bucket candidates + exact predicate — touching, crossing, disjoint") {
+    import graft.operators.Events
+    // u1 session 10:00–11:30 (crosses an hour bucket); u2 session
+    // 10:50–11:10 overlaps it; u3 session 11:30–11:40 TOUCHES u1's end
+    // (counts, overlap 0 with u1; overlaps u2? no — u2 ends 11:10);
+    // u4 at 15:00 is disjoint from everyone.
+    val rows = Seq(
+      (1L, 1L, "2024-01-01 10:00:00"), (2L, 1L, "2024-01-01 11:30:00"),
+      (3L, 2L, "2024-01-01 10:50:00"), (4L, 2L, "2024-01-01 11:10:00"),
+      (5L, 3L, "2024-01-01 11:30:00"), (6L, 3L, "2024-01-01 11:40:00"),
+      (7L, 4L, "2024-01-01 15:00:00"))
+      .toDF("event_id", "user_id", "ts_s")
+      .select(col("event_id"), col("user_id"), to_timestamp(col("ts_s")).as("ts"))
+    // gap 120 min so each user's events form ONE session
+    val got = Events.intervalOverlapOf(rows, gapMinutes = 120)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSet
+    assert(got == Set(
+      (1L, 2L, 1200L),   // 10:50–11:10 inside u1's session
+      (1L, 3L, 0L)),     // endpoint touch counts with overlap 0
+      s"got $got")
+  }
+
   test("seasonalDecompose: components re-add to the observation wherever defined") {
     val noisy = Seq(5L, 9, 4, 8, 12, 3, 7, 6, 10, 5, 9, 13, 4, 8)
     val rows = Analytics4.seasonalDecomposeOf(series(noisy))
