@@ -571,21 +571,38 @@ object Events {
     * — same pairs, independently derived.
     */
   def intervalOverlapOf(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    // interval bounds become epoch MICROSECOND longs (plus second
+    // floors for the output metric and hour indexes for bucketing)
+    // map-side, once per session — every per-candidate predicate below
+    // is then pure long arithmetic, no timestamp logic in the
+    // quadratic stage. The overlap test MUST ride micros: a
+    // second-truncated bound admits boundary pairs the full-precision
+    // timestamps (and the oracle) reject.
     val s = sessionIntervalsOf(events, gapMinutes)
-    val bucketed = s.withColumn("bucket",
-      explode(sequence(date_trunc("hour", col("t0")), date_trunc("hour", col("t1")),
-        expr("INTERVAL 1 HOUR"))))
-    val a = bucketed.select(col("bucket"), col("user_id").as("u1"),
-      col("session_id").as("s1"), col("t0").as("a0"), col("t1").as("a1"))
-    val b = bucketed.select(col("bucket"), col("user_id").as("u2"),
-      col("session_id").as("s2"), col("t0").as("b0"), col("t1").as("b1"))
+      .select(col("user_id"), col("session_id"),
+        unix_micros(col("t0")).as("t0u"), unix_micros(col("t1")).as("t1u"),
+        unix_timestamp(col("t0")).as("t0s"), unix_timestamp(col("t1")).as("t1s"))
+      .withColumn("h0", floor(col("t0s") / 3600L))
+      .withColumn("h1", floor(col("t1s") / 3600L))
+    val aCols = Seq("u1", "s1", "a0u", "a1u", "a0s", "a1s", "ah0")
+    val a = s.withColumn("bucket", explode(sequence(col("h0"), col("h1"))))
+      .select(col("bucket") +: Seq("user_id", "session_id", "t0u", "t1u", "t0s", "t1s", "h0")
+        .zip(aCols).map { case (c, n) => col(c).as(n) }: _*)
+    val b = s.withColumn("bucket", explode(sequence(col("h0"), col("h1"))))
+      .select(col("bucket"), col("user_id").as("u2"), col("session_id").as("s2"),
+        col("t0u").as("b0u"), col("t1u").as("b1u"),
+        col("t0s").as("b0s"), col("t1s").as("b1s"), col("h0").as("bh0"))
     a.join(b, Seq("bucket"))
-      .filter(col("u1") < col("u2"))
-      .drop("bucket").distinct()                   // multi-bucket pairs collapse
-      .filter(col("a0") <= col("b1") && col("b0") <= col("a1"))
+      .filter(col("u1") < col("u2")
+        // emit each pair from EXACTLY ONE bucket — the one containing
+        // the overlap's start hour, max(h0a, h0b), which both
+        // intervals cover whenever they overlap at all. This replaces
+        // the multi-bucket distinct() (a candidate-set-sized shuffle)
+        // with a long comparison: no dedup exchange in the plan.
+        && col("bucket") === greatest(col("ah0"), col("bh0"))
+        && col("a0u") <= col("b1u") && col("b0u") <= col("a1u"))
       .select(col("u1"), col("s1"), col("u2"), col("s2"),
-        (unix_timestamp(least(col("a1"), col("b1")))
-          - unix_timestamp(greatest(col("a0"), col("b0")))).as("overlap_secs"))
+        (least(col("a1s"), col("b1s")) - greatest(col("a0s"), col("b0s"))).as("overlap_secs"))
       .orderBy("u1", "s1", "u2", "s2")
   }
 
