@@ -536,6 +536,89 @@ object Analytics4 {
        |FROM eq ORDER BY type_a, type_b, lag""".stripMargin
   }
 
+  // ------------------------------------------------ Welch t-test
+
+  /** Welch's unequal-variance t-test between every pair of order
+    * priorities on order value — the A/B-test readout (don't assume
+    * equal variances across arms). Group moments come from ONE
+    * map-side-combined aggregate of exact cents (n, Σx, Σx² on
+    * DECIMAL/HUGEINT — the usual policy); the pair fanout is a
+    * ≤\|groups\|² self-join of that tiny moment table, so the corpus
+    * is scanned once however many arms exist. t and the
+    * Welch–Satterthwaite dof are the only doubles; a degenerate arm
+    * (n < 2 or zero variance on both sides) reads NULL. The
+    * `significant` flag uses \|t\| > 1.96 — the z approximation,
+    * documented as such (dof here is huge; an exact CDF is a client
+    * concern, not an engine one).
+    */
+  def welchTTestOf(orders: DataFrame, tCrit: Double = 1.96): DataFrame = {
+    val m = orders
+      .select(col("o_orderpriority").as("grp"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sx"),
+        sum(dec(col("c")) * dec(col("c"))).as("sxx"))
+    val a = m.select(col("grp").as("grp_a"), col("n").as("na"),
+      col("sx").as("sxa"), col("sxx").as("sxxa"))
+    val b = m.select(col("grp").as("grp_b"), col("n").as("nb"),
+      col("sx").as("sxb"), col("sxx").as("sxxb"))
+    // sample variance over cents: (n·Σx² − (Σx)²) / (n·(n−1)), exact
+    // numerator; mean and the /100 rescale happen in doubles at the end
+    def meanD(sx: Column, n: Column) = sx.cast("double") / n / 100.0
+    def varD(n: Column, sx: Column, sxx: Column) =
+      (dec(n) * sxx - dec(sx) * dec(sx)).cast("double") / (n.cast("double") * (n - 1)) / 10000.0
+    val va = varD(col("na"), col("sxa"), col("sxxa"))
+    val vb = varD(col("nb"), col("sxb"), col("sxxb"))
+    val se2 = va / col("na") + vb / col("nb")
+    val t = (meanD(col("sxa"), col("na")) - meanD(col("sxb"), col("nb"))) / sqrt(se2)
+    val dof = (se2 * se2) /
+      ((va / col("na")) * (va / col("na")) / (col("na") - 1)
+        + (vb / col("nb")) * (vb / col("nb")) / (col("nb") - 1))
+    a.join(b, col("grp_a") < col("grp_b"))
+      .select(col("grp_a"), col("grp_b"), col("na"), col("nb"),
+        round(meanD(col("sxa"), col("na")), 6).as("mean_a"),
+        round(meanD(col("sxb"), col("nb")), 6).as("mean_b"),
+        when(col("na") >= 2 && col("nb") >= 2 && se2 =!= 0.0,
+          round(t, 6) + lit(0.0)).as("t_stat"),
+        when(col("na") >= 2 && col("nb") >= 2 && se2 =!= 0.0,
+          round(dof, 4) + lit(0.0)).as("welch_dof"),
+        when(col("na") >= 2 && col("nb") >= 2 && se2 =!= 0.0,
+          abs(t) > tCrit).otherwise(lit(false)).as("significant"))
+      .orderBy("grp_a", "grp_b")
+  }
+
+  def welchTTest(t: Tables): DataFrame = welchTTestOf(t.orders)
+
+  def welchTTestSql(tCrit: Double = 1.96): String =
+    s"""WITH m AS (
+       |  SELECT o_orderpriority AS grp, count(*) AS n,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sx,
+       |    sum(CAST(round(o_totalprice * 100) AS HUGEINT)
+       |      * CAST(round(o_totalprice * 100) AS BIGINT)) AS sxx
+       |  FROM orders GROUP BY 1
+       |), p AS (
+       |  SELECT a.grp AS grp_a, b.grp AS grp_b, a.n AS na, b.n AS nb,
+       |    CAST(a.sx AS DOUBLE) / a.n / 100.0 AS mean_a,
+       |    CAST(b.sx AS DOUBLE) / b.n / 100.0 AS mean_b,
+       |    CAST(a.n * a.sxx - CAST(a.sx AS HUGEINT) * a.sx AS DOUBLE)
+       |      / (CAST(a.n AS DOUBLE) * (a.n - 1)) / 10000.0 AS va,
+       |    CAST(b.n * b.sxx - CAST(b.sx AS HUGEINT) * b.sx AS DOUBLE)
+       |      / (CAST(b.n AS DOUBLE) * (b.n - 1)) / 10000.0 AS vb
+       |  FROM m a JOIN m b ON a.grp < b.grp
+       |)
+       |SELECT grp_a, grp_b, na, nb,
+       |  round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+       |  CASE WHEN na >= 2 AND nb >= 2 AND (va / na + vb / nb) <> 0.0 THEN
+       |    round((mean_a - mean_b) / sqrt(va / na + vb / nb), 6) + 0.0 END AS t_stat,
+       |  CASE WHEN na >= 2 AND nb >= 2 AND (va / na + vb / nb) <> 0.0 THEN
+       |    round((va / na + vb / nb) * (va / na + vb / nb)
+       |      / ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1)), 4) + 0.0
+       |  END AS welch_dof,
+       |  CASE WHEN na >= 2 AND nb >= 2 AND (va / na + vb / nb) <> 0.0 THEN
+       |    abs((mean_a - mean_b) / sqrt(va / na + vb / nb)) > $tCrit
+       |  ELSE false END AS significant
+       |FROM p ORDER BY grp_a, grp_b""".stripMargin
+
   // ---------------------------------------------- isotonic (PAV)
 
   /** Isotonic (monotone non-decreasing) least-squares fit of daily

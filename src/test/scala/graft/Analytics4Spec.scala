@@ -150,6 +150,26 @@ class Analytics4Spec extends AnyFunSuite {
     assert(got.forall { r => r._1 == "a" && r._2 == "b" })
   }
 
+  test("welch t-test: hand-computed statistic and dof; degenerate arms read NULL") {
+    import graft.operators.Analytics4
+    // A: 10,20,30 (mean 20, var 100); B: 40,40,40,40 (mean 40, var 0)
+    // se² = 100/3; t = (20−40)/√(100/3) = −3.4641; dof = nA−1 = 2
+    val orders = (Seq(10.0, 20.0, 30.0).map(("A", _)) ++ Seq.fill(4)(("B", 40.0)))
+      .toDF("o_orderpriority", "o_totalprice")
+    val r = Analytics4.welchTTestOf(orders).collect().head
+    assert(r.getString(0) == "A" && r.getString(1) == "B")
+    assert(r.getLong(2) == 3L && r.getLong(3) == 4L)
+    assert(math.abs(r.getDouble(4) - 20.0) < 1e-9 && math.abs(r.getDouble(5) - 40.0) < 1e-9)
+    assert(math.abs(r.getDouble(6) - (-20.0 / math.sqrt(100.0 / 3))) < 1e-5)
+    assert(math.abs(r.getDouble(7) - 2.0) < 1e-4)
+    assert(r.getBoolean(8))                         // |t| = 3.46 > 1.96
+    // both arms constant → zero se² → NULL stats, not significant
+    val flat = (Seq.fill(3)(("A", 5.0)) ++ Seq.fill(3)(("B", 5.0)))
+      .toDF("o_orderpriority", "o_totalprice")
+    val f = Analytics4.welchTTestOf(flat).collect().head
+    assert(f.isNullAt(6) && f.isNullAt(7) && !f.getBoolean(8))
+  }
+
   test("isotonic: PAV pools violators to the textbook fits") {
     // 5,3,4 → [5,3] violates → pool mean 4; next 4 ≥ 4 stands: 4,4,4
     val g1 = Analytics4.isotonicOf(series(Seq(5, 3, 4))).orderBy("day")
