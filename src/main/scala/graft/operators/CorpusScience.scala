@@ -344,4 +344,66 @@ object CorpusScience {
        |WHERE c.n >= $minCount
        |ORDER BY pmi DESC, c.center, c.context
        |LIMIT $topK""".stripMargin
+
+  // -------------------------------------------------------- TextRank
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    * over the word co-occurrence graph — the unsupervised "which
+    * words does this corpus orbit" extractor. Pure composition of two
+    * gated primitives: edges are [[skipgramsOf]]'s symmetric ±window
+    * pair counts (stopworded, single-char-dropped, ≥`minPairs` to cut
+    * noise edges), ranks are [[Graph.pageRankOf]]'s fixed damped
+    * sweeps — so the corpus-proportional work is exactly the skipgram
+    * pass, and each sweep shuffles vocabulary-sized rank rows. The
+    * oracle unrolls the same sweeps as CTEs over the same pair CTE
+    * both skipgram gates already share.
+    */
+  def textrankOf(docs: DataFrame, window: Int = 2, minPairs: Long = 2,
+      iters: Int = 3, d: Double = 0.85, topK: Int = 25): DataFrame = {
+    val stop = WordPipeline.Stopwords
+    val counts = skipgramCountsOf(docs, window)
+      .filter(!col("center").isin(stop: _*) && !col("context").isin(stop: _*)
+        && length(col("center")) > 1 && length(col("context")) > 1
+        && col("n") >= minPairs)
+    val edges = counts.select(col("center").as("src"), col("context").as("dst"),
+      col("n").cast("double").as("w"))
+    // symmetric edges: every endpoint appears as a src — distinct src
+    // IS the node universe; words with no surviving edge carry no rank
+    val nodes = edges.select(col("src").as("node")).distinct()
+    Graph.pageRankOf(edges, nodes, iters, d, topK)
+  }
+
+  def textrank(t: Tables): DataFrame = textrankOf(t.documents)
+
+  def textrankSql(window: Int = 2, minPairs: Long = 2, iters: Int = 3,
+      d: Double = 0.85, topK: Int = 25): String = {
+    val stopList = WordPipeline.Stopwords.map(s => s"'$s'").mkString(", ")
+    val base =
+      s"""${skipgramCte(window)},
+         |counts AS (
+         |  SELECT center, context, count(*) AS n FROM sym
+         |  WHERE center NOT IN ($stopList) AND context NOT IN ($stopList)
+         |    AND length(center) > 1 AND length(context) > 1
+         |  GROUP BY 1, 2 HAVING count(*) >= $minPairs
+         |), edges AS (
+         |  SELECT center AS src, context AS dst, CAST(n AS DOUBLE) AS w FROM counts
+         |), outw AS (SELECT src, sum(w) AS wout FROM edges GROUP BY src),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nt)""".stripMargin
+    val sweeps = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS node, sum(r.rank * e.w / o.wout) AS contrib
+         |  FROM edges e JOIN r${i - 1} r ON r.node = e.src JOIN outw o ON o.src = e.src
+         |  GROUP BY e.dst
+         |), r$i AS (
+         |  SELECT nd.node, ${1 - d} / nt.n + $d * coalesce(c.contrib, 0) AS rank
+         |  FROM nodes nd CROSS JOIN nt LEFT JOIN c$i c ON c.node = nd.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$sweeps
+       |SELECT node, round(rank, 6) AS rank FROM r$iters
+       |ORDER BY round(rank, 6) DESC, node LIMIT $topK""".stripMargin
+  }
 }

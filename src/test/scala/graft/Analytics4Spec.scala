@@ -150,6 +150,25 @@ class Analytics4Spec extends AnyFunSuite {
     assert(got.forall { r => r._1 == "a" && r._2 == "b" })
   }
 
+  test("textrank: the hub word wins; stopwords and rare pairs never enter the graph") {
+    import graft.operators.CorpusScience
+    // "engine" co-occurs with everything; "noise"/"blip" appear once
+    // (below minPairs); "the" is a stopword glued to every window
+    val docs = Seq(
+      (1L, "the engine shuffles the engine sorts the engine joins"),
+      (2L, "engine shuffles engine sorts engine joins"),
+      (3L, "shuffles sorts joins engine shuffles sorts"),
+      (4L, "noise blip")).toDF("doc_id", "text")
+    val got = CorpusScience.textrankOf(docs, topK = 10).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val words = got.map(_._1).toSet
+    assert(!words.contains("the") && !words.contains("noise") && !words.contains("blip"))
+    assert(got.head._1 == "engine", s"hub did not win: ${got.toSeq}")
+    // ranks are a probability-like vector: positive, hub strictly above the rest
+    assert(got.forall(_._2 > 0))
+    assert(got.head._2 > got(1)._2)
+  }
+
   test("welch t-test: hand-computed statistic and dof; degenerate arms read NULL") {
     import graft.operators.Analytics4
     // A: 10,20,30 (mean 20, var 100); B: 40,40,40,40 (mean 40, var 0)
