@@ -24,6 +24,24 @@ class EntrySpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("no duplicate key literals in SparkEntry (a Map silently keeps the LAST)") {
+    // Map dedup made two r11 keys shadow older operators without any
+    // compile/test signal — only the gate's entry count moved. Pin the
+    // SOURCE: every quoted key literal in SparkEntry.scala must be
+    // unique within its map.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")), "UTF-8")
+    val key = """"([a-z0-9_]+)"\s*->""".r
+    Seq("def queries" -> "def oracleSql", "def oracleSql" -> "ZZZ_END").foreach {
+      case (from, to) =>
+        val body = src.split(java.util.regex.Pattern.quote(from), 2).last
+          .split(java.util.regex.Pattern.quote(to), 2).head
+        val keys = key.findAllMatchIn(body).map(_.group(1)).toSeq
+        val dups = keys.groupBy(identity).collect { case (k, v) if v.size > 1 => k }
+        assert(dups.isEmpty, s"duplicate keys after '$from': $dups")
+    }
+  }
+
   test("all queries run at sf0.001 and return rows") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, TestSpark.sf).count()
