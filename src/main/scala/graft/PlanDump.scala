@@ -168,7 +168,21 @@ object PlanDump {
       "embed_pca_project (r11: basis as broadcast literals; map-only vec_dot projection, no shuffle)" ->
         Pca.projectQuery(t),
       "embed_pca_topk (r11: reduced-space approx pass on broadcast queries; 256-candidate exact re-rank)" ->
-        Pca.pcaTopK(t))
+        Pca.pcaTopK(t),
+      "q_interval_overlap (r11b: hour-bucket equi-join candidates; single-bucket emission rule — no dedup exchange; epoch-long predicates)" ->
+        Events.intervalOverlap(t),
+      "q_rank_profile (r11b: percent_rank/cume_dist from histogram cumulatives; the only window is price-domain-sized)" ->
+        Relational6.qRankProfile(t),
+      "q_triangles_pernode (r11b: pair-strength agg -> TakeOrdered cut -> BOTH triangle joins broadcast the capped edges)" ->
+        Graph.trianglesQuery(t),
+      "q_winsorized_mean (r11b: exact-rank bounds from the (group,cents) histogram; clamp re-aggregates it vs broadcast bounds — no corpus sort)" ->
+        Analytics4.winsorizedMean(t),
+      "embed_knn_graph (r11b: broadcast self-pairs; WindowGroupLimit per-source top-k; reversed-key self-join for mutuality)" ->
+        Similarity.knnGraph(t),
+      "q_welch_ttest (r11b: one exact-cents moment aggregate; arms pair up on the tiny moment table)" ->
+        Analytics4.welchTTest(t),
+      "q_nb_score (r11b: factored smoothing — broadcast model LEFT join, no dense class-x-vocab product; per-doc argmax window)" ->
+        Classify.nbScore(t))
     val sb = new StringBuilder
     sb.append("# Plan snapshots (round 11)\n\nGenerated by `graft.PlanDump` at sf0.001; ")
     sb.append("`PlanAuditSpec` asserts these shapes stay true.\n")
