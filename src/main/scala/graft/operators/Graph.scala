@@ -271,6 +271,98 @@ object Graph {
        |GROUP BY a ORDER BY a""".stripMargin
   }
 
+  // ------------------------------------------------------------ HITS
+
+  /** HITS hubs & authorities (Kleinberg) over the customer→supplier
+    * purchase graph — the OTHER canonical link-analysis fixpoint next
+    * to [[pageRankQuery]]: hubs (customers) score by the authorities
+    * they buy from, authorities (suppliers) by the hubs that buy from
+    * them. Fixed `iters` mutual-recursion sweeps from the uniform
+    * start, L1-normalized each half-sweep (exact SUM normalization —
+    * the oracle can reproduce it; an L2 norm would put a sqrt inside
+    * every sweep's float chain). Each half-sweep is one edges⋈scores
+    * shuffle join + a map-side-combined sum — node-count rows of
+    * state, same scale shape as PageRank; the oracle unrolls the same
+    * sweeps as CTEs.
+    */
+  def hitsQuery(t: Tables, iters: Int = 3, topK: Int = 20): DataFrame =
+    hitsOf(
+      t.orders
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("hub"), col("l_suppkey").as("auth"))
+        .agg(count(lit(1)).cast("double").as("w")),
+      iters, topK)
+
+  /** Library form over explicit `(hub, auth, w)` edges. */
+  def hitsOf(edges: DataFrame, iters: Int = 3, topK: Int = 20): DataFrame = {
+    val hubs = edges.select(col("hub")).distinct()
+    val auths = edges.select(col("auth")).distinct()
+    var hub = hubs.join(hubs.agg(count(lit(1)).as("n")))
+      .select(col("hub"), (lit(1.0) / col("n")).as("h"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = edges.join(hub, "hub")
+        .groupBy("auth").agg(sum(col("h") * col("w")).as("a_raw"))
+      val aTot = aRaw.agg(sum(col("a_raw")).as("a_tot"))
+      auth = auths.join(aRaw, Seq("auth"), "left").crossJoin(broadcast(aTot))
+        .select(col("auth"), (coalesce(col("a_raw"), lit(0.0)) / col("a_tot")).as("a"))
+      val hRaw = edges.join(auth, "auth")
+        .groupBy("hub").agg(sum(col("a") * col("w")).as("h_raw"))
+      val hTot = hRaw.agg(sum(col("h_raw")).as("h_tot"))
+      hub = hubs.join(hRaw, Seq("hub"), "left").crossJoin(broadcast(hTot))
+        .select(col("hub"), (coalesce(col("h_raw"), lit(0.0)) / col("h_tot")).as("h"))
+    }
+    // two TakeOrdereds, no window: each side's top-k is its own
+    // bounded fetch over the node-count score table
+    val topHubs = hub.select(lit("hub").as("kind"), col("hub").as("key"),
+      round(col("h"), 6).as("score"))
+      .orderBy(col("score").desc, col("key")).limit(topK)
+    val topAuths = auth.select(lit("authority").as("kind"), col("auth").as("key"),
+      round(col("a"), 6).as("score"))
+      .orderBy(col("score").desc, col("key")).limit(topK)
+    topAuths.unionByName(topHubs)
+      .orderBy(col("kind"), col("score").desc, col("key"))
+  }
+
+  def hitsSql(iters: Int = 3, topK: Int = 20): String = {
+    val base =
+      """WITH edges AS (
+        |  SELECT o_custkey AS hub, l_suppkey AS auth, CAST(count(*) AS DOUBLE) AS w
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2
+        |), hubs AS (SELECT DISTINCT hub FROM edges),
+        |auths AS (SELECT DISTINCT auth FROM edges),
+        |h0 AS (SELECT hub, 1.0 / (SELECT count(*) FROM hubs) AS h FROM hubs)""".stripMargin
+    val sweeps = (1 to iters).map { i =>
+      s"""ar$i AS (
+         |  SELECT e.auth, sum(r.h * e.w) AS a_raw
+         |  FROM edges e JOIN h${i - 1} r ON r.hub = e.hub GROUP BY 1
+         |), a$i AS (
+         |  SELECT au.auth, coalesce(x.a_raw, 0.0) / (SELECT sum(a_raw) FROM ar$i) AS a
+         |  FROM auths au LEFT JOIN ar$i x ON x.auth = au.auth
+         |), hr$i AS (
+         |  SELECT e.hub, sum(r.a * e.w) AS h_raw
+         |  FROM edges e JOIN a$i r ON r.auth = e.auth GROUP BY 1
+         |), h$i AS (
+         |  SELECT hu.hub, coalesce(x.h_raw, 0.0) / (SELECT sum(h_raw) FROM hr$i) AS h
+         |  FROM hubs hu LEFT JOIN hr$i x ON x.hub = hu.hub
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$sweeps,
+       |scored AS (
+       |  SELECT 'hub' AS kind, hub AS key, round(h, 6) AS score FROM h$iters
+       |  UNION ALL
+       |  SELECT 'authority', auth, round(a, 6) FROM a$iters
+       |), ranked AS (
+       |  SELECT kind, key, score,
+       |    row_number() OVER (PARTITION BY kind ORDER BY score DESC, key) AS rn
+       |  FROM scored
+       |)
+       |SELECT kind, key, score FROM ranked WHERE rn <= $topK
+       |ORDER BY kind, score DESC, key""".stripMargin
+  }
+
   // ------------------------------------------------------- triangles
 
   /** Per-node triangle counts over the supplier co-purchase graph —

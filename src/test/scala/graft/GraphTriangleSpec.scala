@@ -42,6 +42,27 @@ class GraphTriangleSpec extends AnyFunSuite {
     assert(got.forall(_._3 == 1L))
   }
 
+  test("hits: one-sweep hand numbers; shared authority outranks; scores L1-normalize") {
+    // hubs {1,2}, auths {10,20}: 1→10, 2→10, 2→20 (unit weights)
+    // sweep 1: a = (2/3, 1/3); h = (0.4, 0.6)
+    val e = Seq((1L, 10L, 1.0), (2L, 10L, 1.0), (2L, 20L, 1.0))
+      .toDF("hub", "auth", "w")
+    val one = Graph.hitsOf(e, iters = 1, topK = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(one(("authority", 10L)) - 2.0 / 3) < 1e-6)
+    assert(math.abs(one(("authority", 20L)) - 1.0 / 3) < 1e-6)
+    assert(math.abs(one(("hub", 1L)) - 0.4) < 1e-6)
+    assert(math.abs(one(("hub", 2L)) - 0.6) < 1e-6)
+    // more sweeps keep the ordering and the L1 normalization
+    val three = Graph.hitsOf(e, iters = 3, topK = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(three.filter(_._1 == "hub").map(_._3).sum > 0.999)
+    assert(three.filter(_._1 == "authority").map(_._3).sum > 0.999)
+    val byKey = three.map(t => (t._1, t._2) -> t._3).toMap
+    assert(byKey(("authority", 10L)) > byKey(("authority", 20L)))
+    assert(byKey(("hub", 2L)) > byKey(("hub", 1L)))
+  }
+
   test("jaccard pairs: closed-form overlap on hand-built sets, rank and cut") {
     // c1 parts {1,2,3,4}, c2 {1,2,3}, c3 {1,2,9,10}:
     //   (c1,c2) inter 3, union 4  → 0.75
