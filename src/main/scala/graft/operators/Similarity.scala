@@ -212,6 +212,46 @@ object Similarity {
   def annLshTopK(t: Tables, nQueries: Int = 10, k: Int = 5, bits: Int = 4): DataFrame =
     annLshMultiProbe(t, nQueries, k, bits, probeRadius = 1)
 
+  /** Per-query recall of the multiprobe-LSH retriever against the
+    * exact ranker — the evaluation harness a retrieval stack ships
+    * with, as a GATED query: both sides are themselves hash-gated
+    * deterministic queries, so the report has a full oracle twin (the
+    * two oracles composed as CTEs — recall numbers that DuckDB
+    * re-derives end-to-end, not a spec assertion). One semi-join of
+    * two (nQueries×k)-row lists; queries the approx side misses
+    * entirely still report (recall 0), via the left join on the exact
+    * side's query set.
+    */
+  def annRecallReport(t: Tables, nQueries: Int = 10, k: Int = 5,
+      bits: Int = 4): DataFrame = {
+    val exact = cosineTopK(t, nQueries, k).select(col("query_id"), col("vec_id"))
+    val approx = annLshTopK(t, nQueries, k, bits)
+      .select(col("query_id"), col("vec_id").as("a_vec"))
+    exact.join(approx,
+        exact("query_id") === approx("query_id") && col("vec_id") === col("a_vec"),
+        "left")
+      .groupBy(exact("query_id").as("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("a_vec").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
+      .orderBy("query_id")
+  }
+
+  def annRecallReportSql(nQueries: Int = 10, k: Int = 5, bits: Int = 4): String =
+    s"""WITH exact_l AS (
+       |${cosineTopKSql(nQueries, k)}
+       |), approx_l AS (
+       |${annLshSql(nQueries, k, bits)}
+       |)
+       |SELECT e.query_id, count(*) AS n_exact,
+       |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS recall
+       |FROM exact_l e LEFT JOIN approx_l a
+       |  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+       |GROUP BY 1 ORDER BY e.query_id""".stripMargin
+
   /** Radius-0 baseline of [[annLshTopK]] — the classic single-bucket
     * probe, kept as the documented low end of the recall curve
     * (~0.64 clustered at the testdata bit budget vs 1.00 for the
