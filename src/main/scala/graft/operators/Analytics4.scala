@@ -619,6 +619,96 @@ object Analytics4 {
        |  ELSE false END AS significant
        |FROM p ORDER BY grp_a, grp_b""".stripMargin
 
+  // ------------------------------------------------ one-way ANOVA
+
+  /** One-way ANOVA across ALL order-priority arms at once — the
+    * omnibus "do any arms differ" screen run before [[welchTTestOf]]'s
+    * pairwise drill-down. Sums of squares derive entirely from the
+    * per-group exact-cents moments (n, Σx, Σx²): SStot = Σx²−(Σx)²/N,
+    * SSB = Σ_g (Σx_g)²/n_g − (Σx)²/N, SSW = SStot − SSB — one
+    * map-side-combined corpus aggregate, then arithmetic on the
+    * ≤\|groups\| moment rows. F, η² and the dofs are the only doubles.
+    * The squared group sums ride DECIMAL/HUGEINT (they square ~1e11
+    * cents); divisions happen at the end in identical operand order.
+    */
+  def anovaOf(orders: DataFrame): DataFrame = {
+    val g = orders
+      .select(col("o_orderpriority").as("grp"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sx"),
+        sum(dec(col("c")) * dec(col("c"))).as("sxx"))
+    // the k per-group (Σx_g)²/n_g terms are doubles; summing them in
+    // engine-dependent GROUP ORDER risks a last-ulp difference that the
+    // 4dp round can amplify at SS magnitudes — fold them in sorted-grp
+    // order on BOTH engines instead (the oracle uses list(... ORDER BY
+    // grp) + list_reduce)
+    val tot = g.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+      sum(col("sx")).as("gx"), sum(col("sxx")).as("gxx"),
+      aggregate(
+        transform(
+          array_sort(collect_list(struct(col("grp"),
+            ((dec(col("sx")) * dec(col("sx"))).cast("double") / col("n")).as("term")))),
+          s => s.getField("term")),
+        lit(0.0), (acc, x) => acc + x).as("sb_part"))
+    tot.select(col("k"), col("nn").as("n_total"),
+        (col("gxx").cast("double") / 10000.0
+          - col("gx").cast("double") * col("gx") / col("nn") / 10000.0).as("ss_tot"),
+        (col("sb_part") / 10000.0
+          - col("gx").cast("double") * col("gx") / col("nn") / 10000.0).as("ss_between"))
+      // SS columns ship UNROUNDED: at ~1e13 magnitudes the two engines'
+      // round(x, 4) implementations disagree in the last ulp (the
+      // multiply-by-10^4 leaves exact-double range); the raw doubles
+      // are bit-identical by construction, so rounding only ADDS risk
+      .select(col("k"), col("n_total"),
+        col("ss_tot"),
+        col("ss_between"),
+        (col("ss_tot") - col("ss_between")).as("ss_within"),
+        when(col("k") > 1 && col("n_total") > col("k")
+            && col("ss_tot") - col("ss_between") =!= 0.0,
+          round((col("ss_between") / (col("k") - 1))
+            / ((col("ss_tot") - col("ss_between")) / (col("n_total") - col("k"))), 6)
+            + lit(0.0)).as("f_stat"),
+        when(col("ss_tot") =!= 0.0,
+          round(col("ss_between") / col("ss_tot"), 6) + lit(0.0)).as("eta_sq"))
+  }
+
+  def anova(t: Tables): DataFrame = anovaOf(t.orders)
+
+  val anovaSql: String =
+    """WITH g AS (
+      |  SELECT o_orderpriority AS grp, count(*) AS n,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sx,
+      |    sum(CAST(round(o_totalprice * 100) AS HUGEINT)
+      |      * CAST(round(o_totalprice * 100) AS BIGINT)) AS sxx
+      |  FROM orders GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn,
+      |    sum(sx) AS gx, sum(sxx) AS gxx,
+      |    list_reduce(
+      |      list_prepend(0.0,
+      |        list(CAST(CAST(sx AS HUGEINT) * sx AS DOUBLE) / n ORDER BY grp)),
+      |      (a, b) -> a + b) AS sb_part
+      |  FROM g
+      |), ss AS (
+      |  SELECT k, nn AS n_total,
+      |    CAST(gxx AS DOUBLE) / 10000.0
+      |      - CAST(gx AS DOUBLE) * gx / nn / 10000.0 AS ss_tot,
+      |    sb_part / 10000.0
+      |      - CAST(gx AS DOUBLE) * gx / nn / 10000.0 AS ss_between
+      |  FROM tot
+      |)
+      |SELECT k, n_total,
+      |  ss_tot,
+      |  ss_between,
+      |  ss_tot - ss_between AS ss_within,
+      |  CASE WHEN k > 1 AND n_total > k AND ss_tot - ss_between <> 0.0 THEN
+      |    round((ss_between / (k - 1))
+      |      / ((ss_tot - ss_between) / (n_total - k)), 6) + 0.0 END AS f_stat,
+      |  CASE WHEN ss_tot <> 0.0 THEN
+      |    round(ss_between / ss_tot, 6) + 0.0 END AS eta_sq
+      |FROM ss""".stripMargin
+
   // ---------------------------------------------- isotonic (PAV)
 
   /** Isotonic (monotone non-decreasing) least-squares fit of daily

@@ -169,6 +169,24 @@ class Analytics4Spec extends AnyFunSuite {
     assert(got.head._2 > got(1)._2)
   }
 
+  test("anova: textbook two-group F and eta-squared") {
+    import graft.operators.Analytics4
+    // A: 1,2,3; B: 4,5,6 → SSB = 13.5, SSW = 4, F = 13.5/(4/4) = 13.5
+    val orders = (Seq(1.0, 2.0, 3.0).map(("A", _)) ++ Seq(4.0, 5.0, 6.0).map(("B", _)))
+      .toDF("o_orderpriority", "o_totalprice")
+    val r = Analytics4.anovaOf(orders).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 6L)
+    assert(math.abs(r.getDouble(2) - 17.5) < 1e-9)   // SStot
+    assert(math.abs(r.getDouble(3) - 13.5) < 1e-9)   // SSB
+    assert(math.abs(r.getDouble(4) - 4.0) < 1e-9)    // SSW
+    assert(math.abs(r.getDouble(5) - 13.5) < 1e-6)   // F
+    assert(math.abs(r.getDouble(6) - 13.5 / 17.5) < 1e-6)
+    // all-identical values: zero SS everywhere, NULL F and eta
+    val flat = Seq.fill(4)(("A", 5.0)).toDF("o_orderpriority", "o_totalprice")
+    val f = Analytics4.anovaOf(flat).collect().head
+    assert(f.getDouble(2) == 0.0 && f.isNullAt(5) && f.isNullAt(6))
+  }
+
   test("welch t-test: hand-computed statistic and dof; degenerate arms read NULL") {
     import graft.operators.Analytics4
     // A: 10,20,30 (mean 20, var 100); B: 40,40,40,40 (mean 40, var 0)
