@@ -293,8 +293,23 @@ object Graph {
         .agg(count(lit(1)).cast("double").as("w")),
       iters, topK)
 
-  /** Library form over explicit `(hub, auth, w)` edges. */
-  def hitsOf(edges: DataFrame, iters: Int = 3, topK: Int = 20): DataFrame = {
+  /** Library form over explicit `(hub, auth, w)` edges.
+    *
+    * Normalization happens ONCE, after the last sweep: HITS updates
+    * are linear, so dividing by the L1 total at the end is exactly the
+    * per-half-sweep textbook normalization (the spec checks the hand
+    * values either way) — and it keeps every sweep a pure join+agg
+    * like [[pageRankOf]]'s. The first form normalized inside the loop:
+    * each scalar total re-evaluated its half-sweep's whole subtree, so
+    * the edge derivation recomputed a growing number of times per
+    * sweep — 15.6 s at sf0.1 where this form runs in ~1 s.
+    */
+  def hitsOf(edges0: DataFrame, iters: Int = 3, topK: Int = 20): DataFrame = {
+    // every half-sweep references the edge table: 2·iters re-derivations
+    // of the upstream join without a cut. One local checkpoint
+    // materializes it once (node-pair rows, fixed width) — the same
+    // trade pageRankConverged makes with its cache
+    val edges = edges0.localCheckpoint()
     val hubs = edges.select(col("hub")).distinct()
     val auths = edges.select(col("auth")).distinct()
     var hub = hubs.join(hubs.agg(count(lit(1)).as("n")))
@@ -303,22 +318,24 @@ object Graph {
     for (_ <- 1 to iters) {
       val aRaw = edges.join(hub, "hub")
         .groupBy("auth").agg(sum(col("h") * col("w")).as("a_raw"))
-      val aTot = aRaw.agg(sum(col("a_raw")).as("a_tot"))
-      auth = auths.join(aRaw, Seq("auth"), "left").crossJoin(broadcast(aTot))
-        .select(col("auth"), (coalesce(col("a_raw"), lit(0.0)) / col("a_tot")).as("a"))
+      auth = auths.join(aRaw, Seq("auth"), "left")
+        .select(col("auth"), coalesce(col("a_raw"), lit(0.0)).as("a"))
       val hRaw = edges.join(auth, "auth")
         .groupBy("hub").agg(sum(col("a") * col("w")).as("h_raw"))
-      val hTot = hRaw.agg(sum(col("h_raw")).as("h_tot"))
-      hub = hubs.join(hRaw, Seq("hub"), "left").crossJoin(broadcast(hTot))
-        .select(col("hub"), (coalesce(col("h_raw"), lit(0.0)) / col("h_tot")).as("h"))
+      hub = hubs.join(hRaw, Seq("hub"), "left")
+        .select(col("hub"), coalesce(col("h_raw"), lit(0.0)).as("h"))
     }
+    val aTot = auth.agg(sum(col("a")).as("a_tot"))
+    val hTot = hub.agg(sum(col("h")).as("h_tot"))
     // two TakeOrdereds, no window: each side's top-k is its own
     // bounded fetch over the node-count score table
-    val topHubs = hub.select(lit("hub").as("kind"), col("hub").as("key"),
-      round(col("h"), 6).as("score"))
+    val topHubs = hub.crossJoin(broadcast(hTot))
+      .select(lit("hub").as("kind"), col("hub").as("key"),
+        round(col("h") / col("h_tot"), 6).as("score"))
       .orderBy(col("score").desc, col("key")).limit(topK)
-    val topAuths = auth.select(lit("authority").as("kind"), col("auth").as("key"),
-      round(col("a"), 6).as("score"))
+    val topAuths = auth.crossJoin(broadcast(aTot))
+      .select(lit("authority").as("kind"), col("auth").as("key"),
+        round(col("a") / col("a_tot"), 6).as("score"))
       .orderBy(col("score").desc, col("key")).limit(topK)
     topAuths.unionByName(topHubs)
       .orderBy(col("kind"), col("score").desc, col("key"))
@@ -338,22 +355,24 @@ object Graph {
          |  SELECT e.auth, sum(r.h * e.w) AS a_raw
          |  FROM edges e JOIN h${i - 1} r ON r.hub = e.hub GROUP BY 1
          |), a$i AS (
-         |  SELECT au.auth, coalesce(x.a_raw, 0.0) / (SELECT sum(a_raw) FROM ar$i) AS a
+         |  SELECT au.auth, coalesce(x.a_raw, 0.0) AS a
          |  FROM auths au LEFT JOIN ar$i x ON x.auth = au.auth
          |), hr$i AS (
          |  SELECT e.hub, sum(r.a * e.w) AS h_raw
          |  FROM edges e JOIN a$i r ON r.auth = e.auth GROUP BY 1
          |), h$i AS (
-         |  SELECT hu.hub, coalesce(x.h_raw, 0.0) / (SELECT sum(h_raw) FROM hr$i) AS h
+         |  SELECT hu.hub, coalesce(x.h_raw, 0.0) AS h
          |  FROM hubs hu LEFT JOIN hr$i x ON x.hub = hu.hub
          |)""".stripMargin
     }.mkString(",\n")
     s"""$base,
        |$sweeps,
        |scored AS (
-       |  SELECT 'hub' AS kind, hub AS key, round(h, 6) AS score FROM h$iters
+       |  SELECT 'hub' AS kind, hub AS key,
+       |    round(h / (SELECT sum(h) FROM h$iters), 6) AS score FROM h$iters
        |  UNION ALL
-       |  SELECT 'authority', auth, round(a, 6) FROM a$iters
+       |  SELECT 'authority', auth,
+       |    round(a / (SELECT sum(a) FROM a$iters), 6) FROM a$iters
        |), ranked AS (
        |  SELECT kind, key, score,
        |    row_number() OVER (PARTITION BY kind ORDER BY score DESC, key) AS rn
