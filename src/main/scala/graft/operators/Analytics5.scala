@@ -1,0 +1,294 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Dependence measures beyond Pearson: Spearman rank correlation over
+  * the lineitem numeric grid and mutual information / Cramér's V over
+  * categorical pairs. Extends the statistics tranche ([[Analytics4]])
+  * with the two association families a feature-selection pass over
+  * training data actually runs: "is the relationship monotone"
+  * (Spearman — Pearson on ranks, immune to the price tail) and "how
+  * much does one label tell you about another" (MI — the
+  * information-theoretic complement of `q_chi_square`'s independence
+  * test). Reference has no statistics surface; §2.6 extension work.
+  */
+object Analytics5 {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,0)")
+
+  // ------------------------------------------------------- Spearman
+
+  /** Average-rank map for one exact-integer column: value → R2 where
+    * R2 = 2·rank_avg(value) = 2·cnt_below + cnt + 1 (an exact LONG —
+    * average ranks are half-integers, so doubling keeps every moment
+    * integral all the way to the final division). The cumulative
+    * cnt_below over the value histogram is the [[Layout.packShardsOf]]
+    * two-phase prefix sum — contiguous value-range buckets from a
+    * 1-row bounds broadcast, per-bucket totals, exclusive bucket
+    * offsets via a ≤buckets² triangular self-join, and a BUCKET-LOCAL
+    * window for the within-bucket prefix — because the histogram of a
+    * continuous column (l_extendedprice: ~1 distinct per row) is
+    * corpus-proportional, and an unpartitioned window over it is the
+    * exact shape PlanAuditSpec bans with no exemptions.
+    */
+  private def avgRankMap(rows: DataFrame, valueCol: String, buckets: Int): DataFrame = {
+    val hist = rows.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("cnt"))
+    val bounds = hist.agg(min("v").as("lo"), max("v").as("hi"))
+    val bucketed = hist.crossJoin(broadcast(bounds))
+      .withColumn("_b", least(lit(buckets - 1),
+        floor((col("v") - col("lo")) * buckets / (col("hi") - col("lo") + 1)).cast("int")))
+      .drop("lo", "hi")
+    val totals = bucketed.groupBy(col("_b")).agg(sum(col("cnt")).as("_bsum"))
+    val offsets = totals
+      .join(totals.select(col("_b").as("_b2"), col("_bsum").as("_bsum2")),
+        col("_b2") < col("_b"), "left")
+      .groupBy(col("_b"))
+      .agg(coalesce(sum(col("_bsum2")), lit(0L)).as("_off"))
+    val wLocal = Window.partitionBy(col("_b")).orderBy(col("v"))
+    bucketed.join(broadcast(offsets), Seq("_b"))
+      .withColumn("_below",
+        col("_off") + coalesce(sum(col("cnt")).over(
+          wLocal.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("v").as(valueCol),
+        (lit(2L) * col("_below") + col("cnt") + 1L).as(s"r_$valueCol"))
+  }
+
+  /** Spearman rank correlation between every pair of exact-integer
+    * columns. Each column's rank map joins back to the corpus on its
+    * value (AQE broadcasts the enum-domain maps — quantity 50 rows,
+    * discount 11, tax 9; a continuous column's map shuffles once,
+    * which IS the cost of ranking a continuous variable), then ONE
+    * map-side-combined aggregate collects all 2·rank moments: Σr,
+    * Σr², and the C(k,2) cross products, every one an exact
+    * DECIMAL(38) integer (oracle rides HUGEINT — identical values, so
+    * the final doubles agree bit-for-bit). ρ = (nΣxy − ΣxΣy) /
+    * (√(nΣxx−Σx²)·√(nΣyy−Σy²)) with the two square roots taken
+    * SEPARATELY — their product at ~1e23 each would overflow 38
+    * digits, and both engines evaluate the identical
+    * int→double→sqrt→multiply chain. Exactness headroom: moments are
+    * O(n³), n·moment O(n⁴) < 1e38 → exact to n ≈ 10⁹ rows; past that
+    * the decimal lane overflows LOUDLY (ANSI) rather than drifting.
+    */
+  def spearmanOf(rows0: DataFrame, cols: Seq[String], buckets: Int = 32): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val rows = rows0.select(cols.map(col): _*)
+    val ranked = cols.foldLeft(rows) { (df, c) => df.join(avgRankMap(rows, c, buckets), c) }
+    val pairs = for (i <- cols.indices; j <- cols.indices if i < j) yield (cols(i), cols(j))
+    val r = (c: String) => dec(col(s"r_$c"))
+    val moments = ranked.agg(
+      count(lit(1)).as("n"),
+      (cols.flatMap(c => Seq(sum(r(c)).as(s"s_$c"), sum(r(c) * r(c)).as(s"ss_$c"))) ++
+        pairs.map { case (a, b) => sum(r(a) * r(b)).as(s"sp_${a}_$b") }): _*)
+    val nD = col("n").cast("decimal(20,0)")
+    def den(c: String): Column = nD * col(s"ss_$c") - col(s"s_$c") * col(s"s_$c")
+    // one-row explode, NOT a 6-way union of selects over `moments` —
+    // a union would re-derive the whole corpus aggregate once per pair
+    val pairStructs = pairs.map { case (a, b) =>
+      val num = (nD * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")).cast("double")
+      struct(lit(a).as("col_x"), lit(b).as("col_y"), col("n").as("n"),
+        when(den(a) =!= 0 && den(b) =!= 0,
+          round(num / (sqrt(den(a).cast("double")) * sqrt(den(b).cast("double"))), 6)
+            + lit(0.0)).as("rho"))
+    }
+    moments.select(explode(array(pairStructs: _*)).as("p"))
+      .select(col("p.col_x"), col("p.col_y"), col("p.n"), col("p.rho"))
+      .orderBy("col_x", "col_y")
+  }
+
+  /** Gated form: lineitem quantity / extendedprice / discount / tax in
+    * exact cents (ranks only depend on order, so the scaling is for
+    * integer exactness, not semantics).
+    */
+  def spearman(t: Tables): DataFrame =
+    spearmanOf(
+      t.lineitem.select(
+        round(col("l_quantity") * 100).cast("long").as("q"),
+        round(col("l_extendedprice") * 100).cast("long").as("e"),
+        round(col("l_discount") * 100).cast("long").as("d"),
+        round(col("l_tax") * 100).cast("long").as("t")),
+      Seq("q", "e", "d", "t"))
+
+  /** Oracle: DuckDB's REAL rank window builtins (min-rank + tie count
+    * → the same doubled average rank), an independent derivation of
+    * the rank map — the cross-engine cross-check style of
+    * `q_rank_profile`.
+    */
+  val spearmanSql: String = {
+    val colsSql = Seq(
+      "q" -> "l_quantity", "e" -> "l_extendedprice",
+      "d" -> "l_discount", "t" -> "l_tax")
+    val rankCols = colsSql.map { case (a, _) =>
+      s"2*rank() OVER (ORDER BY $a) + count(*) OVER (PARTITION BY $a) - 1 AS r$a" }
+      .mkString(",\n    ")
+    val baseCols = colsSql.map { case (a, src) =>
+      s"CAST(round($src * 100) AS BIGINT) AS $a" }.mkString(", ")
+    val names = colsSql.map(_._1)
+    val sums = (names.flatMap(a => Seq(
+      s"sum(CAST(r$a AS HUGEINT)) AS s_$a",
+      s"sum(CAST(r$a AS HUGEINT)*r$a) AS ss_$a")) ++
+      (for (i <- names.indices; j <- names.indices if i < j)
+        yield s"sum(CAST(r${names(i)} AS HUGEINT)*r${names(j)}) AS sp_${names(i)}_${names(j)}"))
+      .mkString(",\n    ")
+    val rows = for (i <- names.indices; j <- names.indices if i < j) yield {
+      val (a, b) = (names(i), names(j))
+      s"""SELECT '$a' AS col_x, '$b' AS col_y, CAST(n AS BIGINT) AS n,
+         |  CASE WHEN (n*ss_$a - s_$a*s_$a) <> 0 AND (n*ss_$b - s_$b*s_$b) <> 0 THEN
+         |    round(CAST(n*sp_${a}_$b - s_$a*s_$b AS DOUBLE)
+         |      / (sqrt(CAST(n*ss_$a - s_$a*s_$a AS DOUBLE))
+         |         * sqrt(CAST(n*ss_$b - s_$b*s_$b AS DOUBLE))), 6) + 0.0 END AS rho
+         |FROM s""".stripMargin
+    }
+    s"""WITH base AS (
+       |  SELECT $baseCols FROM lineitem
+       |), r AS (
+       |  SELECT
+       |    $rankCols
+       |  FROM base
+       |), s AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS n,
+       |    $sums
+       |  FROM r
+       |)
+       |${rows.mkString("\nUNION ALL\n")}
+       |ORDER BY col_x, col_y""".stripMargin
+  }
+
+  // ------------------------------------------- mutual information
+
+  /** Mutual information, entropies, NMI and Cramér's V for one
+    * categorical column pair, as ONE summary row. The corpus
+    * collapses to the (a, b) contingency cells in one
+    * map-side-combined aggregate; everything downstream is arithmetic
+    * on ≤|A|·|B| bounded-enum rows (marginals re-aggregate the cells —
+    * no second corpus scan). The per-cell log terms are doubles, so
+    * both their VALUE chain (exact-long → double casts in identical
+    * operand order) and their SUMMATION ORDER are pinned: terms fold
+    * in sorted (a, b) cell order on both engines — the `q_anova`
+    * sorted-fold discipline, because engine-dependent group order
+    * costs a last-ulp difference the 6dp round can amplify.
+    */
+  def mutualInfoOf(df: DataFrame, colA: String, colB: String,
+      pairLabel: String): DataFrame = {
+    val cells = df.groupBy(col(colA).as("a"), col(colB).as("b"))
+      .agg(count(lit(1)).as("nij"))
+    val ma = cells.groupBy("a").agg(sum("nij").as("ni"))
+    val mb = cells.groupBy("b").agg(sum("nij").as("nj"))
+    val tot = cells.agg(sum("nij").as("nn"),
+      countDistinct("a").as("r_card"), countDistinct("b").as("c_card"))
+    val nnD = col("nn").cast("double")
+    // χ² rides the identity Σ(nij−e)²/e = Σ nij²/e − N: the groupBy
+    // cells are OBSERVED cells only, and a zero cell still owes its
+    // (0−e)²/e = e to the textbook sum — but contributes nothing to
+    // Σ nij²/e, so folding THAT and subtracting N is exact without
+    // ever materializing the zero cells (a structural-zero grid would
+    // need a domain cross join). MI's zero cells genuinely contribute
+    // 0 (lim p→0 p·ln p), so the MI fold needs no such correction.
+    val withE = cells.join(broadcast(ma), "a").join(broadcast(mb), "b")
+      .crossJoin(broadcast(tot))
+      .withColumn("e_ij", col("ni").cast("double") * col("nj").cast("double") / nnD)
+    val joined = withE
+      .select(col("a"), col("b"),
+        ((col("nij").cast("double") / nnD)
+          * log((nnD * col("nij").cast("double"))
+            / (col("ni").cast("double") * col("nj").cast("double")))).as("term_mi"),
+        (col("nij").cast("double") * col("nij").cast("double") / col("e_ij"))
+          .as("term_chi"))
+    def fold(src: DataFrame, keys: Seq[Column], term: Column, as: String): DataFrame =
+      src.agg(aggregate(
+        transform(array_sort(collect_list(struct(keys :+ term.as("t"): _*))),
+          s => s.getField("t")),
+        lit(0.0), (acc, x) => acc + x).as(as))
+    val folds = fold(joined, Seq(col("a"), col("b")), col("term_mi"), "mi_raw")
+      .crossJoin(fold(joined, Seq(col("a"), col("b")), col("term_chi"), "chi_raw"))
+    val entA = fold(ma.crossJoin(broadcast(tot)), Seq(col("a")),
+      (col("ni").cast("double") / nnD) * log(col("ni").cast("double") / nnD), "ea")
+    val entB = fold(mb.crossJoin(broadcast(tot)), Seq(col("b")),
+      (col("nj").cast("double") / nnD) * log(col("nj").cast("double") / nnD), "eb")
+    folds.crossJoin(entA).crossJoin(entB).crossJoin(broadcast(tot))
+      .withColumn("chi_raw", col("chi_raw") - nnD)
+      .select(lit(pairLabel).as("pair"), col("nn").as("n"),
+        col("r_card"), col("c_card"),
+        (round(col("mi_raw"), 6) + lit(0.0)).as("mi"),
+        (round(-col("ea"), 6) + lit(0.0)).as("h_a"),
+        (round(-col("eb"), 6) + lit(0.0)).as("h_b"),
+        when(least(-col("ea"), -col("eb")) =!= 0.0,
+          round(col("mi_raw") / least(-col("ea"), -col("eb")), 6) + lit(0.0)).as("nmi"),
+        (round(col("chi_raw"), 6) + lit(0.0)).as("chi2"),
+        when(least(col("r_card"), col("c_card")) > 1,
+          round(sqrt(col("chi_raw") / (col("nn").cast("double")
+            * (least(col("r_card"), col("c_card")) - 1).cast("double"))), 6)
+            + lit(0.0)).as("cramers_v"))
+  }
+
+  /** Gated form: two label pairs a curation pass would screen —
+    * order priority × status, lineitem return flag × line status.
+    */
+  def mutualInfo(t: Tables): DataFrame =
+    mutualInfoOf(t.orders, "o_orderpriority", "o_orderstatus", "orders:priority_x_status")
+      .unionAll(mutualInfoOf(t.lineitem, "l_returnflag", "l_linestatus",
+        "lineitem:returnflag_x_linestatus"))
+      .orderBy("pair")
+
+  private def mutualInfoPairSql(table: String, colA: String, colB: String,
+      pairLabel: String): String =
+    s"""SELECT '$pairLabel' AS pair, n, r_card, c_card, mi, h_a, h_b, nmi, chi2, cramers_v
+       |FROM (
+       |  WITH cells AS (
+       |    SELECT $colA AS a, $colB AS b, count(*) AS nij FROM $table GROUP BY 1, 2
+       |  ), ma AS (SELECT a, sum(nij) AS ni FROM cells GROUP BY 1),
+       |  mb AS (SELECT b, sum(nij) AS nj FROM cells GROUP BY 1),
+       |  tot AS (SELECT CAST(sum(nij) AS BIGINT) AS nn,
+       |    CAST(count(DISTINCT a) AS BIGINT) AS r_card,
+       |    CAST(count(DISTINCT b) AS BIGINT) AS c_card FROM cells),
+       |  je AS (
+       |    SELECT a, b, nij, ni, nj, nn,
+       |      CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE) / CAST(nn AS DOUBLE) AS e_ij
+       |    FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
+       |  ), j AS (
+       |    SELECT a, b,
+       |      (CAST(nij AS DOUBLE) / CAST(nn AS DOUBLE))
+       |        * ln((CAST(nn AS DOUBLE) * CAST(nij AS DOUBLE))
+       |          / (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE))) AS term_mi,
+       |      CAST(nij AS DOUBLE) * CAST(nij AS DOUBLE) / e_ij AS term_chi
+       |    FROM je
+       |  ), f AS (
+       |    SELECT
+       |      list_reduce(list_prepend(0.0, list(term_mi ORDER BY a, b)), (x, y) -> x + y) AS mi_raw,
+       |      list_reduce(list_prepend(0.0, list(term_chi ORDER BY a, b)), (x, y) -> x + y)
+       |        - CAST((SELECT nn FROM tot) AS DOUBLE) AS chi_raw
+       |    FROM j
+       |  ), ea AS (
+       |    SELECT list_reduce(list_prepend(0.0,
+       |      list((CAST(ni AS DOUBLE) / CAST(nn AS DOUBLE))
+       |        * ln(CAST(ni AS DOUBLE) / CAST(nn AS DOUBLE)) ORDER BY a)),
+       |      (x, y) -> x + y) AS ea
+       |    FROM ma CROSS JOIN tot
+       |  ), eb AS (
+       |    SELECT list_reduce(list_prepend(0.0,
+       |      list((CAST(nj AS DOUBLE) / CAST(nn AS DOUBLE))
+       |        * ln(CAST(nj AS DOUBLE) / CAST(nn AS DOUBLE)) ORDER BY b)),
+       |      (x, y) -> x + y) AS eb
+       |    FROM mb CROSS JOIN tot
+       |  )
+       |  SELECT nn AS n, r_card, c_card,
+       |    round(mi_raw, 6) + 0.0 AS mi,
+       |    round(-ea, 6) + 0.0 AS h_a,
+       |    round(-eb, 6) + 0.0 AS h_b,
+       |    CASE WHEN least(-ea, -eb) <> 0.0 THEN
+       |      round(mi_raw / least(-ea, -eb), 6) + 0.0 END AS nmi,
+       |    round(chi_raw, 6) + 0.0 AS chi2,
+       |    CASE WHEN least(r_card, c_card) > 1 THEN
+       |      round(sqrt(chi_raw / (CAST(nn AS DOUBLE)
+       |        * CAST(least(r_card, c_card) - 1 AS DOUBLE))), 6) + 0.0 END AS cramers_v
+       |  FROM f CROSS JOIN ea CROSS JOIN eb CROSS JOIN tot
+       |)""".stripMargin
+
+  val mutualInfoSql: String =
+    s"""${mutualInfoPairSql("orders", "o_orderpriority", "o_orderstatus", "orders:priority_x_status")}
+       |UNION ALL
+       |${mutualInfoPairSql("lineitem", "l_returnflag", "l_linestatus", "lineitem:returnflag_x_linestatus")}
+       |ORDER BY pair""".stripMargin
+}

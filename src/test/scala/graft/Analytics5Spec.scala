@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Analytics5
+
+/** Unit semantics for the dependence tranche (Spearman, mutual
+  * information) — the hash gate proves engine parity; these pin the
+  * SEMANTICS on planted tables with closed-form expected values.
+  */
+class Analytics5Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------- Spearman
+
+  test("spearman: a nonlinear monotone map reads rho = 1 (THE Spearman property)") {
+    // y = x² is monotone but not linear: Pearson < 1, Spearman = 1
+    val df = Seq(1L, 2L, 3L, 4L, 5L, 6L).map(x => (x, x * x)).toDF("x", "y")
+    val rho = Analytics5.spearmanOf(df, Seq("x", "y")).select("rho")
+      .collect().head.getDouble(0)
+    assert(rho == 1.0)
+  }
+
+  test("spearman: a strictly decreasing map reads rho = -1") {
+    val df = Seq(1L, 2L, 3L, 4L, 5L).map(x => (x, 100L - x * x)).toDF("x", "y")
+    val rho = Analytics5.spearmanOf(df, Seq("x", "y")).select("rho")
+      .collect().head.getDouble(0)
+    assert(rho == -1.0)
+  }
+
+  test("spearman: a constant column has zero rank variance and reads NULL") {
+    val df = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("x", "y")
+    val row = Analytics5.spearmanOf(df, Seq("x", "y")).select("rho").collect().head
+    assert(row.isNullAt(0))
+  }
+
+  test("spearman: tied values take AVERAGE ranks (hand-computed rho)") {
+    // x: 1,2,2,4  → avg ranks 1, 2.5, 2.5, 4
+    // y: 10,20,30,30 → avg ranks 1, 2, 3.5, 3.5
+    // rho = cov(rx,ry)/(σx σy) on those ranks:
+    //   rx−r̄: −1.5, 0, 0, 1.5 ; ry−r̄: −1.5, −0.5, 1, 1
+    //   Σxy = 2.25 + 0 + 0 + 1.5 = 3.75; Σxx = 4.5; Σyy = 2.25+0.25+1+1 = 4.5
+    //   rho = 3.75/4.5 = 0.833333...
+    val df = Seq((1L, 10L), (2L, 20L), (2L, 30L), (4L, 30L)).toDF("x", "y")
+    val rho = Analytics5.spearmanOf(df, Seq("x", "y")).select("rho")
+      .collect().head.getDouble(0)
+    assert(math.abs(rho - 3.75 / 4.5) < 1e-6)
+  }
+
+  test("spearman: pair order and labels cover all C(k,2) pairs once") {
+    val df = Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 1L, 2L)).toDF("a", "b", "c")
+    val rows = Analytics5.spearmanOf(df, Seq("a", "b", "c"))
+      .select("col_x", "col_y").as[(String, String)].collect().toSeq
+    assert(rows == Seq(("a", "b"), ("a", "c"), ("b", "c")))
+  }
+
+  // ------------------------------------------- mutual information
+
+  test("mutualInfo: an exactly independent grid reads mi = 0, chi2 = 0, V = 0") {
+    // every (a, b) cell has the same count → nij = ni·nj/N exactly
+    val df = (for (a <- Seq("x", "y"); b <- Seq("p", "q", "r"); _ <- 1 to 4)
+      yield (a, b)).toDF("a", "b")
+    val row = Analytics5.mutualInfoOf(df, "a", "b", "t")
+      .select("mi", "chi2", "cramers_v").collect().head
+    assert(row.getDouble(0) == 0.0)
+    assert(row.getDouble(1) == 0.0)
+    assert(row.getDouble(2) == 0.0)
+  }
+
+  test("mutualInfo: a bijective dependency reads mi = h_a = h_b, nmi = 1") {
+    // b is a relabeling of a → knowing a determines b: MI = H(A) = H(B)
+    val df = Seq.fill(2)(Seq(("a1", "b1"), ("a2", "b2"), ("a3", "b3"))).flatten
+      .toDF("a", "b")
+    val row = Analytics5.mutualInfoOf(df, "a", "b", "t")
+      .select("mi", "h_a", "h_b", "nmi", "cramers_v").collect().head
+    assert(math.abs(row.getDouble(0) - math.log(3)) < 1e-6)
+    assert(row.getDouble(0) == row.getDouble(1))
+    assert(row.getDouble(1) == row.getDouble(2))
+    assert(row.getDouble(3) == 1.0)
+    assert(row.getDouble(4) == 1.0) // perfect association
+  }
+
+  test("mutualInfo: a single-category column reads h = 0 and NULL nmi / V") {
+    val df = Seq(("only", "b1"), ("only", "b2"), ("only", "b2")).toDF("a", "b")
+    val row = Analytics5.mutualInfoOf(df, "a", "b", "t")
+      .select("h_a", "nmi", "cramers_v", "r_card").collect().head
+    assert(row.getDouble(0) == 0.0)
+    assert(row.isNullAt(1))  // min entropy 0 → undefined
+    assert(row.isNullAt(2))  // min(r−1, c−1) = 0 → undefined
+    assert(row.getLong(3) == 1L)
+  }
+
+  test("mutualInfo: hand-computed 2x2 with skewed margins") {
+    // cells: (a1,b1)=3 (a1,b2)=1 (a2,b1)=1 (a2,b2)=3, N=8
+    // ni = nj = 4 each; MI = Σ (nij/8)·ln(8·nij/16)
+    //    = 2·(3/8)ln(3/2) + 2·(1/8)ln(1/2)
+    val df = (Seq.fill(3)(("a1", "b1")) ++ Seq(("a1", "b2")) ++
+      Seq(("a2", "b1")) ++ Seq.fill(3)(("a2", "b2"))).toDF("a", "b")
+    val expected = 2 * (3.0 / 8) * math.log(1.5) + 2 * (1.0 / 8) * math.log(0.5)
+    val row = Analytics5.mutualInfoOf(df, "a", "b", "t")
+      .select("mi", "chi2").collect().head
+    assert(math.abs(row.getDouble(0) - expected) < 1e-6)
+    // chi2 for 2x2 with e=2 everywhere: 4·(1)²/2 = 2
+    assert(row.getDouble(1) == 2.0)
+  }
+}
