@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Traversal and community structure over the purchase graph —
+  * completes the graph tranche ([[Graph]]: mass propagation, cores,
+  * hubs; [[Dedup.nearDupClusters]]: connected components) with the
+  * two remaining canonical iterative patterns: breadth-first DISTANCE
+  * (how far is everything from a seed set) and label-propagation
+  * COMMUNITIES (who clusters with whom when labels follow the
+  * neighborhood majority). Reference has no graph surface; §2.6
+  * extension work.
+  */
+object Graph2 {
+
+  /** Symmetric bipartite purchase edges on the [[Graph.pageRankQuery]]
+    * node key space (customer 2k, supplier 2k+1): one distinct
+    * (cust, supp) pass, then both directions — BFS and label prop
+    * walk edges undirected.
+    */
+  private def purchaseEdges(t: Tables): DataFrame = {
+    val cs = t.orders
+      .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    cs.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(cs.select(col("s").as("src"), col("c").as("dst")))
+  }
+
+  private def allNodes(t: Tables): DataFrame =
+    t.customer.select((col("c_custkey") * 2).as("node"))
+      .unionAll(t.supplier.select((col("s_suppkey") * 2 + 1).as("node")))
+
+  // ----------------------------------------------------------- BFS
+
+  /** Multi-source BFS hop distances from the seed suppliers, reported
+    * as the hop HISTOGRAM (hop → node count, unreached as hop = −1).
+    * Frontier-based: sweep i joins ONLY the nodes first reached at
+    * hop i−1 against the edge table — the classic optimization that
+    * keeps per-sweep work proportional to the frontier, not to the
+    * accumulated distance table (on this bipartite graph the frontier
+    * saturates by hop 3-4, which is exactly when the naive re-join of
+    * everything would be most expensive). Each sweep is one shuffle
+    * join on src + a min-aggregate; distances never leave the
+    * cluster; fixed `hops` so the oracle unrolls the same sweeps as
+    * CTEs ([[Graph.pageRankSql]] discipline).
+    */
+  def bfsHopsOf(edges0: DataFrame, nodes: DataFrame, seeds: DataFrame,
+      hops: Int): DataFrame = {
+    // every sweep references the edge table — one local checkpoint
+    // materializes the upstream join/distinct once instead of `hops`
+    // times (the hitsOf lesson, same trade)
+    val edges = edges0.localCheckpoint()
+    var dist = seeds.select(col("node"), lit(0L).as("d"))
+    var frontier = dist.select("node")
+    for (i <- 1 to hops) {
+      val candidates = edges.join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), lit(i.toLong).as("d"))
+      // dist_i is referenced TWICE downstream (next sweep's union AND
+      // its frontier filter) — without a cut each level's subtree
+      // evaluates twice per consumer, doubling per sweep; one
+      // node-sized local checkpoint per sweep keeps the plan flat
+      dist = dist.unionAll(candidates)
+        .groupBy("node").agg(min(col("d")).as("d"))
+        .localCheckpoint()
+      frontier = dist.filter(col("d") === i).select("node")
+    }
+    val reached = dist.groupBy(col("d").as("hop")).agg(count(lit(1)).as("n_nodes"))
+    val totals = nodes.agg(count(lit(1)).as("n_all"))
+      .crossJoin(dist.agg(count(lit(1)).as("n_reached")))
+    val unreached = totals
+      .select(lit(-1L).as("hop"), (col("n_all") - col("n_reached")).as("n_nodes"))
+      .filter(col("n_nodes") > 0)
+    reached.unionAll(unreached).orderBy("hop")
+  }
+
+  /** Gated form: seeds = suppliers 1 and 2 (nodes 3 and 5), 4 hops
+    * over the full bipartite purchase graph.
+    */
+  def bfsHopsQuery(t: Tables, maxSeedSupp: Long = 2L, hops: Int = 4): DataFrame =
+    bfsHopsOf(purchaseEdges(t), allNodes(t),
+      t.supplier.filter(col("s_suppkey") <= maxSeedSupp)
+        .select((col("s_suppkey") * 2 + 1).as("node")),
+      hops)
+
+  def bfsHopsSql(maxSeedSupp: Long = 2L, hops: Int = 4): String = {
+    val sweeps = (1 to hops).map { i =>
+      s"""d$i AS (
+         |  SELECT node, min(d) AS d FROM (
+         |    SELECT node, d FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, $i AS d
+         |    FROM edges e JOIN f${i - 1} f ON e.src = f.node)
+         |  GROUP BY node
+         |), f$i AS (SELECT node FROM d$i WHERE d = $i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |), edges AS (
+       |  SELECT c AS src, s AS dst FROM cs
+       |  UNION ALL SELECT s AS src, c AS dst FROM cs
+       |), nodes AS (
+       |  SELECT c_custkey * 2 AS node FROM customer
+       |  UNION ALL SELECT s_suppkey * 2 + 1 FROM supplier
+       |), d0 AS (
+       |  SELECT s_suppkey * 2 + 1 AS node, CAST(0 AS BIGINT) AS d
+       |  FROM supplier WHERE s_suppkey <= $maxSeedSupp
+       |), f0 AS (SELECT node FROM d0),
+       |$sweeps,
+       |reached AS (
+       |  SELECT d AS hop, count(*) AS n_nodes FROM d$hops GROUP BY d
+       |), un AS (
+       |  SELECT CAST(-1 AS BIGINT) AS hop,
+       |    (SELECT count(*) FROM nodes) - (SELECT count(*) FROM d$hops) AS n_nodes
+       |)
+       |SELECT hop, CAST(n_nodes AS BIGINT) AS n_nodes FROM reached
+       |UNION ALL SELECT hop, CAST(n_nodes AS BIGINT) FROM un WHERE n_nodes > 0
+       |ORDER BY hop""".stripMargin
+  }
+
+  // --------------------------------------------- label propagation
+
+  /** Synchronous label propagation communities: every node starts as
+    * its own label; each sweep reassigns every node the MODE over its
+    * own + its neighbors' labels (ties → smallest label — a total,
+    * deterministic rule, so fixed sweeps unroll in the oracle exactly
+    * like [[Graph.pageRankSql]]). Differs from
+    * [[Dedup.nearDupClusters]]' min-label rule in kind, not degree:
+    * min-label floods every connected component to ONE cluster;
+    * majority-label lets dense neighborhoods hold their own label
+    * against a well-connected minority, which is what makes it a
+    * COMMUNITY detector rather than a component finder. Per sweep:
+    * one shuffle join labels⋈edges on src, one (node, label) count —
+    * map-side combinable — and one max_by argmax per node; label
+    * state is node-sized, never on the driver. Output: the top
+    * communities by size.
+    */
+  def labelPropOf(edges0: DataFrame, nodes: DataFrame, sweeps: Int,
+      topK: Int): DataFrame = {
+    val edges = edges0.localCheckpoint()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to sweeps) {
+      // the node's OWN label is one of the votes: pure neighbor-mode
+      // staggers on synchronous sweeps (a triangle's labels rotate
+      // instead of settling — the planted two-triangle spec caught
+      // exactly that) and oscillates on bipartite structure; the
+      // self-vote is the standard damping, and it makes isolated
+      // nodes keep their label with no special case
+      val votes = edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("label"))
+        .unionAll(labels)
+      labels = votes
+        .groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("node")
+        .agg(max_by(col("label"), struct(col("cnt"), (-col("label")).as("nl")))
+          .as("label"))
+    }
+    labels.groupBy("label").agg(count(lit(1)).as("size"))
+      .orderBy(col("size").desc, col("label"))
+      .limit(topK)
+      .select(col("label").as("community"), col("size"))
+  }
+
+  def labelPropQuery(t: Tables, sweeps: Int = 2, topK: Int = 20): DataFrame =
+    labelPropOf(purchaseEdges(t), allNodes(t), sweeps, topK)
+
+  def labelPropSql(sweeps: Int = 2, topK: Int = 20): String = {
+    val rounds = (1 to sweeps).map { i =>
+      s"""v$i AS (
+         |  SELECT node, label, count(*) AS cnt FROM (
+         |    SELECT e.dst AS node, l.label
+         |    FROM edges e JOIN l${i - 1} l ON l.node = e.src
+         |    UNION ALL SELECT node, label FROM l${i - 1})
+         |  GROUP BY node, label
+         |), w$i AS (
+         |  SELECT node, label,
+         |    row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+         |  FROM v$i
+         |), l$i AS (
+         |  SELECT node, label FROM w$i WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |), edges AS (
+       |  SELECT c AS src, s AS dst FROM cs
+       |  UNION ALL SELECT s AS src, c AS dst FROM cs
+       |), l0 AS (
+       |  SELECT node, node AS label FROM (
+       |    SELECT c_custkey * 2 AS node FROM customer
+       |    UNION ALL SELECT s_suppkey * 2 + 1 FROM supplier)
+       |),
+       |$rounds
+       |SELECT label AS community, count(*) AS size
+       |FROM l$sweeps
+       |GROUP BY label
+       |ORDER BY size DESC, label
+       |LIMIT $topK""".stripMargin
+  }
+}
