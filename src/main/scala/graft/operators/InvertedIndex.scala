@@ -65,9 +65,12 @@ object InvertedIndex {
     */
   val gateTerms: Seq[String] = Seq("spark", "scan", "slow", "order")
 
-  def bm25Search(t: Tables, terms: Seq[String] = gateTerms, k: Int = 10,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = postingsOf(t.documents).select("doc_id", "word")
+  /** Per-doc rounded BM25 scores (no top-k cut) — shared by
+    * [[bm25Search]] and the [[rrfFusion]] sparse arm.
+    */
+  private def bm25Scores(docs: DataFrame, terms: Seq[String],
+      k1: Double, b: Double): DataFrame = {
+    val toks = postingsOf(docs).select("doc_id", "word")
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val tf = toks.filter(col("word").isin(terms: _*))
@@ -81,9 +84,13 @@ object InvertedIndex {
       .withColumn("term_score", idf * col("tf") * (lit(k1) + lit(1.0)) / denom)
       .groupBy("doc_id")
       .agg(round(sum(col("term_score")), 6).as("bm25"))
+  }
+
+  def bm25Search(t: Tables, terms: Seq[String] = gateTerms, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Scores(t.documents, terms, k1, b)
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
-  }
 
   def bm25Sql(terms: Seq[String] = gateTerms, k: Int = 10): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
@@ -107,6 +114,148 @@ object InvertedIndex {
        |FROM tf JOIN dft USING (word) JOIN dl USING (doc_id) CROSS JOIN stats
        |GROUP BY doc_id
        |ORDER BY bm25 DESC, doc_id
+       |LIMIT $k""".stripMargin
+  }
+
+  // --------------------------------------- reciprocal-rank fusion
+
+  /** Hybrid retrieval by reciprocal-rank fusion (Cormack et al.):
+    * fuse the BM25 ranking with a tf·idf VECTOR-SPACE cosine ranking
+    * of the same query terms — two genuinely different scoring
+    * families (probabilistic term saturation vs geometric direction),
+    * which is the point of RRF: rrf(d) = Σ_arms 1/(rrfK + rank_d),
+    * robust to either arm's score scale. The cosine denominator is
+    * each doc's FULL tf·idf norm (one corpus-wide (doc, word)
+    * aggregate — the honest VSM norm, not a query-slice norm), the
+    * numerator touches only query-term postings. Per-arm ranks over
+    * the armK-row top lists come from a TRIANGULAR self-join (1 +
+    * count of strictly-better rows, better = higher score then
+    * smaller doc_id) — ≤armK² broadcast-sized rows, because a
+    * row_number window over the arm list would be the unpartitioned
+    * WindowExec PlanAuditSpec bans with no exemptions. Fusion is one
+    * full-outer join of two ≤armK lists; a doc missing from an arm
+    * contributes 0 (standard top-K RRF).
+    */
+  def rrfFusion(t: Tables, terms: Seq[String] = gateTerms, k: Int = 10,
+      armK: Int = 20, rrfK: Int = 60): DataFrame =
+    rrfFusionOf(t.documents, terms, k, armK, rrfK)
+
+  def rrfFusionOf(docs: DataFrame, terms: Seq[String], k: Int = 10,
+      armK: Int = 20, rrfK: Int = 60): DataFrame = {
+    val toks = postingsOf(docs).select("doc_id", "word")
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val nDocs = dl.agg(count(lit(1)).as("n_docs"))
+    // full tf·idf weights over ALL (doc, word) — the norm's input
+    val tfAll = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfAll = tfAll.groupBy("word").agg(count(lit(1)).as("df"))
+    val wAll = tfAll.join(dfAll, "word").crossJoin(broadcast(nDocs))
+      .withColumn("w", col("tf").cast("double")
+        * log(col("n_docs").cast("double") / col("df")))
+    val norms = wAll.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("dnorm"))
+    // query vector: weight idf per term; its norm folds in sorted term
+    // order (≤|terms| doubles)
+    val qw = dfAll.filter(col("word").isin(terms: _*)).crossJoin(broadcast(nDocs))
+      .withColumn("qi", log(col("n_docs").cast("double") / col("df")))
+    val qnorm = qw.agg(sqrt(aggregate(
+      transform(array_sort(collect_list(struct(col("word"), (col("qi") * col("qi")).as("s")))),
+        s => s.getField("s")),
+      lit(0.0), (acc, x) => acc + x)).as("qnorm"))
+    val nums = tfAll.join(broadcast(qw.select("word", "qi")), "word")
+      .groupBy("doc_id")
+      .agg(sum(col("tf").cast("double") * col("qi") * col("qi")).as("num"))
+    // a doc whose every word appears in ALL docs has idf-weight 0
+    // everywhere → zero norm → no direction; likewise a query of
+    // all-ubiquitous terms zeroes qnorm and empties the arm (fusion
+    // degrades to the bm25 arm, whose +1 idf variant stays positive)
+    val cos = nums.join(norms, "doc_id").crossJoin(broadcast(qnorm))
+      .select(col("doc_id"),
+        when(col("dnorm") > 0 && col("qnorm") > 0,
+          round(col("num") / (col("dnorm") * col("qnorm")), 6)).as("cosine"))
+      .filter(col("cosine").isNotNull)
+    val vsmTop = cos.orderBy(col("cosine").desc, col("doc_id")).limit(armK)
+    val bmTop = bm25Scores(docs, terms, 1.2, 0.75)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(armK)
+    def rankSmall(df: DataFrame, score: String): DataFrame = {
+      val a = df.as("a"); val b = df.as("b")
+      a.join(broadcast(b),
+          col(s"b.$score") > col(s"a.$score") ||
+            (col(s"b.$score") === col(s"a.$score") && col("b.doc_id") < col("a.doc_id")),
+          "left")
+        .groupBy(col("a.doc_id").as("doc_id"))
+        .agg((count(col("b.doc_id")) + 1L).as("rank"))
+    }
+    val r1 = rankSmall(bmTop, "bm25").withColumnRenamed("rank", "bm25_rank")
+    val r2 = rankSmall(vsmTop, "cosine").withColumnRenamed("rank", "vsm_rank")
+    r1.join(r2, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("bm25_rank"), col("vsm_rank"),
+        (round(coalesce(lit(1.0) / (col("bm25_rank") + rrfK), lit(0.0))
+          + coalesce(lit(1.0) / (col("vsm_rank") + rrfK), lit(0.0)), 6) + lit(0.0))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def rrfFusionSql(terms: Seq[String] = gateTerms, k: Int = 10,
+      armK: Int = 20, rrfK: Int = 60): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, tk[i + 1] AS word
+       |  FROM (
+       |    SELECT doc_id,
+       |      regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+       |    FROM documents),
+       |    unnest(range(0, len(tk))) AS r(i)
+       |  WHERE tk[i + 1] <> ''
+       |), dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |tf_all AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word),
+       |df_all AS (SELECT word, count(*) AS df FROM tf_all GROUP BY word),
+       |w_all AS (
+       |  SELECT doc_id, word,
+       |    CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df) AS w
+       |  FROM tf_all JOIN df_all USING (word) CROSS JOIN stats
+       |), norms AS (SELECT doc_id, sqrt(sum(w * w)) AS dnorm FROM w_all GROUP BY doc_id),
+       |qw AS (
+       |  SELECT word, ln(CAST(n_docs AS DOUBLE) / df) AS qi
+       |  FROM df_all CROSS JOIN stats WHERE word IN ($inList)
+       |), qnorm AS (
+       |  SELECT sqrt(list_reduce(list_prepend(0.0, list(qi * qi ORDER BY word)),
+       |    (x, y) -> x + y)) AS qnorm
+       |  FROM qw
+       |), cosines AS (
+       |  SELECT doc_id, cosine FROM (
+       |    SELECT doc_id,
+       |      CASE WHEN any_value(dnorm) > 0 AND any_value(qnorm) > 0 THEN
+       |        round(sum(CAST(tf AS DOUBLE) * qi * qi)
+       |          / (any_value(dnorm) * any_value(qnorm)), 6) END AS cosine
+       |    FROM tf_all JOIN qw USING (word) JOIN norms USING (doc_id) CROSS JOIN qnorm
+       |    GROUP BY doc_id)
+       |  WHERE cosine IS NOT NULL
+       |), vsm_top AS (
+       |  SELECT doc_id, cosine,
+       |    row_number() OVER (ORDER BY cosine DESC, doc_id) AS vsm_rank
+       |  FROM (SELECT doc_id, cosine FROM cosines ORDER BY cosine DESC, doc_id LIMIT $armK)
+       |), tf_q AS (
+       |  SELECT doc_id, word, count(*) AS tf FROM toks
+       |  WHERE word IN ($inList) GROUP BY doc_id, word
+       |), dft AS (SELECT word, count(*) AS df FROM tf_q GROUP BY word),
+       |bm AS (
+       |  SELECT doc_id,
+       |    round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * (1.2 + 1.0)
+       |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+       |  FROM tf_q JOIN dft USING (word) JOIN dl USING (doc_id) CROSS JOIN stats
+       |  GROUP BY doc_id
+       |), bm_top AS (
+       |  SELECT doc_id, bm25,
+       |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS bm25_rank
+       |  FROM (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT $armK)
+       |)
+       |SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+       |  b.bm25_rank, v.vsm_rank,
+       |  round(coalesce(1.0 / (b.bm25_rank + $rrfK), 0.0)
+       |    + coalesce(1.0 / (v.vsm_rank + $rrfK), 0.0), 6) + 0.0 AS rrf
+       |FROM bm_top b FULL OUTER JOIN vsm_top v ON v.doc_id = b.doc_id
+       |ORDER BY rrf DESC, doc_id
        |LIMIT $k""".stripMargin
   }
 

@@ -39,4 +39,53 @@ class InvertedIndexSpec extends AnyFunSuite {
     val jac = Dedup.ngramJaccardPairsOf(docs, 3, 0.7).count()
     assert(jac == 0) // symmetric jaccard misses the asymmetric embed
   }
+
+  // --------------------------------------- reciprocal-rank fusion
+
+  test("rrfFusion: the arms disagree and fusion reflects BOTH rankings") {
+    // doc 1 IS the query direction (cosine exactly 1.0 -> vsm rank 1);
+    // bm25's tf saturation + length norm rank the short exact doc
+    // first too, but doc 2 still appears in both arms at rank 2
+    val docs = Seq(
+      (1L, "spark"),
+      (2L, "spark spark rocket"),
+      (3L, "alpha beta")).toDF("doc_id", "text")
+    val rows = InvertedIndex.rrfFusionOf(docs, Seq("spark"), k = 10, armK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // only the two matching docs are retrieved; doc 3 is in neither arm
+    assert(rows.map(_._1).toSet == Set(1L, 2L))
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(byId(1L)._3 == 1L, "whole-doc term match must be the top cosine")
+    assert(byId(2L)._3 == 2L)
+    // rrf is the closed form of the two returned ranks
+    for ((id, r1, r2, rrf) <- rows)
+      assert(rrf == math.rint((1.0 / (r1 + 60) + 1.0 / (r2 + 60)) * 1e6) / 1e6,
+        s"doc $id rrf $rrf != closed form of ranks ($r1, $r2)")
+    // fusion order follows the summed reciprocal ranks
+    assert(rows.sortBy(r => (-r._4, r._1)).toSeq == rows.toSeq)
+  }
+
+  test("rrfFusion: a doc in a single arm scores only that arm's reciprocal") {
+    // armK = 1 keeps exactly one doc per arm; construct docs so the
+    // arms pick DIFFERENT docs: doc 1 is the pure-direction cosine
+    // winner, doc 2 the higher-tf bm25 winner (long enough that its
+    // cosine drops below doc 1's, short enough that bm25 still grows)
+    val docs = Seq(
+      (1L, "spark"),
+      (2L, "spark spark spark spark rocket"),
+      (3L, "alpha beta")).toDF("doc_id", "text")
+    val rows = InvertedIndex.rrfFusionOf(docs, Seq("spark"), k = 10, armK = 1)
+      .collect()
+    if (rows.length == 2) {
+      // arms disagreed: each doc has exactly one NULL rank and rrf = 1/61
+      for (r <- rows) {
+        assert(r.isNullAt(1) ^ r.isNullAt(2), s"expected one-arm membership: $r")
+        assert(r.getDouble(3) == math.rint(1.0 / 61 * 1e6) / 1e6)
+      }
+    } else {
+      // arms agreed on one doc: both ranks 1, rrf = 2/61
+      assert(rows.length == 1 && rows(0).getLong(1) == 1L && rows(0).getLong(2) == 1L)
+      assert(rows(0).getDouble(3) == math.rint(2.0 / 61 * 1e6) / 1e6)
+    }
+  }
 }
