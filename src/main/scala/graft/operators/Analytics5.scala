@@ -6,14 +6,16 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
 /** Dependence measures beyond Pearson: Spearman rank correlation over
-  * the lineitem numeric grid and mutual information / Cramér's V over
-  * categorical pairs. Extends the statistics tranche ([[Analytics4]])
-  * with the two association families a feature-selection pass over
-  * training data actually runs: "is the relationship monotone"
-  * (Spearman — Pearson on ranks, immune to the price tail) and "how
-  * much does one label tell you about another" (MI — the
-  * information-theoretic complement of `q_chi_square`'s independence
-  * test). Reference has no statistics surface; §2.6 extension work.
+  * the lineitem numeric grid, mutual information / Cramér's V over
+  * categorical pairs, and Kendall τ-b over the daily event grid.
+  * Extends the statistics tranche ([[Analytics4]]) with the
+  * association families a feature-selection pass over training data
+  * actually runs: "is the relationship monotone" (Spearman — Pearson
+  * on ranks, immune to the price tail; Kendall — the concordance
+  * count, robust where even ranks wobble) and "how much does one
+  * label tell you about another" (MI — the information-theoretic
+  * complement of `q_chi_square`'s independence test). Reference has
+  * no statistics surface; §2.6 extension work.
   */
 object Analytics5 {
 
@@ -291,4 +293,79 @@ object Analytics5 {
        |UNION ALL
        |${mutualInfoPairSql("lineitem", "l_returnflag", "l_linestatus", "lineitem:returnflag_x_linestatus")}
        |ORDER BY pair""".stripMargin
+
+  // --------------------------------------------------- Kendall τ-b
+
+  /** Kendall τ-b between every pair of event types' daily volumes —
+    * the rank-based complement of `q_cross_corr`'s Pearson (a few
+    * outlier days cannot move a concordance count). Over the days
+    * where BOTH types fired (inner join on the shared daily grid),
+    * ALL C(n,2) day pairs of all type pairs come from ONE
+    * range-augmented self-join of the grid-sized paired table
+    * (fanout days²·type-pairs — grid-bounded, never
+    * corpus-proportional, because the corpus collapsed to the daily
+    * rollup first); concordant/discordant/tie counts are exact LONGs
+    * from integer sign products, τ-b = S/(√(n0−n1)·√(n0−n2)) the only
+    * double (identical int→double→sqrt chain both engines), NULL when
+    * either factor is all-ties.
+    */
+  def kendallOf(events: DataFrame): DataFrame = {
+    val daily = Analytics4.dailyOf(events)
+    val paired = daily.as("a").join(daily.as("b"),
+        col("a.day") === col("b.day") && col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"),
+        col("a.day").as("day"), col("a.n_events").as("x"), col("b.n_events").as("y"))
+    val agg = paired.as("p").join(paired.as("q"),
+        col("p.ta") === col("q.ta") && col("p.tb") === col("q.tb")
+          && col("p.day") < col("q.day"))
+      .select(col("p.ta"), col("p.tb"),
+        ((col("p.x") - col("q.x")) * (col("p.y") - col("q.y"))).as("prod"),
+        (col("p.x") === col("q.x")).as("tie_x"),
+        (col("p.y") === col("q.y")).as("tie_y"))
+      .groupBy("ta", "tb")
+      .agg(count(lit(1)).as("n0"),
+        sum(when(col("prod") > 0, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("prod") < 0, 1L).otherwise(0L)).as("nd"),
+        sum(when(col("tie_x"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("tie_y"), 1L).otherwise(0L)).as("n2"))
+    agg.select(col("ta").as("type_a"), col("tb").as("type_b"),
+        col("n0"), col("nc"), col("nd"),
+        when(col("n0") > col("n1") && col("n0") > col("n2"),
+          round((col("nc") - col("nd")).cast("double")
+            / (sqrt((col("n0") - col("n1")).cast("double"))
+               * sqrt((col("n0") - col("n2")).cast("double"))), 6) + lit(0.0))
+          .as("tau_b"))
+      .orderBy("type_a", "type_b")
+  }
+
+  def kendall(t: Tables): DataFrame = kendallOf(t.events)
+
+  val kendallSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    count(*) AS n_events
+      |  FROM events GROUP BY 1, 2
+      |), paired AS (
+      |  SELECT a.event_type AS ta, b.event_type AS tb, a.day,
+      |    a.n_events AS x, b.n_events AS y
+      |  FROM daily a JOIN daily b
+      |    ON b.day = a.day AND a.event_type < b.event_type
+      |), agg AS (
+      |  SELECT p.ta, p.tb, count(*) AS n0,
+      |    sum(CASE WHEN (p.x - q.x) * (p.y - q.y) > 0 THEN 1 ELSE 0 END) AS nc,
+      |    sum(CASE WHEN (p.x - q.x) * (p.y - q.y) < 0 THEN 1 ELSE 0 END) AS nd,
+      |    sum(CASE WHEN p.x = q.x THEN 1 ELSE 0 END) AS n1,
+      |    sum(CASE WHEN p.y = q.y THEN 1 ELSE 0 END) AS n2
+      |  FROM paired p JOIN q_alias q
+      |    ON q.ta = p.ta AND q.tb = p.tb AND p.day < q.day
+      |  GROUP BY p.ta, p.tb
+      |)
+      |SELECT ta AS type_a, tb AS type_b,
+      |  CAST(n0 AS BIGINT) AS n0, CAST(nc AS BIGINT) AS nc, CAST(nd AS BIGINT) AS nd,
+      |  CASE WHEN n0 > n1 AND n0 > n2 THEN
+      |    round(CAST(nc - nd AS DOUBLE)
+      |      / (sqrt(CAST(n0 - n1 AS DOUBLE)) * sqrt(CAST(n0 - n2 AS DOUBLE))), 6) + 0.0
+      |  END AS tau_b
+      |FROM agg ORDER BY type_a, type_b""".stripMargin
+      .replace("q_alias", "paired")
 }

@@ -103,4 +103,45 @@ class Analytics5Spec extends AnyFunSuite {
     // chi2 for 2x2 with e=2 everywhere: 4·(1)²/2 = 2
     assert(row.getDouble(1) == 2.0)
   }
+
+  // --------------------------------------------------- Kendall τ-b
+
+  /** Two event-type day series as raw events: one row per unit of
+    * count at noon of day d (counts must be ≥1 — a zero-count day has
+    * no rows and drops from the shared grid by declared semantics).
+    */
+  private def twoSeries(xs: Seq[Long], ys: Seq[Long]) =
+    (xs.zipWithIndex.flatMap { case (y, d) => Seq.fill(y.toInt)((f"2024-01-${d + 1}%02d 12:00:00", "a")) } ++
+     ys.zipWithIndex.flatMap { case (y, d) => Seq.fill(y.toInt)((f"2024-01-${d + 1}%02d 12:00:00", "b")) })
+      .toDF("ts_s", "event_type")
+      .select(org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.col("ts_s")).as("ts"),
+        org.apache.spark.sql.functions.col("event_type"))
+
+  test("kendall: a strictly concordant pair reads tau_b = 1") {
+    val row = Analytics5.kendallOf(twoSeries(Seq(1, 2, 3, 4), Seq(2, 5, 7, 9)))
+      .select("tau_b").collect().head
+    assert(row.getDouble(0) == 1.0)
+  }
+
+  test("kendall: a strictly discordant pair reads tau_b = -1") {
+    val row = Analytics5.kendallOf(twoSeries(Seq(1, 2, 3, 4), Seq(9, 7, 5, 2)))
+      .select("tau_b").collect().head
+    assert(row.getDouble(0) == -1.0)
+  }
+
+  test("kendall: hand-computed tau-b with one tie in each factor") {
+    // x=(1,2,2,3), y=(1,3,2,2): nc=3, nd=1, n1=n2=1, n0=6
+    // tau_b = (3-1)/(sqrt(5)*sqrt(5)) = 0.4
+    val row = Analytics5.kendallOf(twoSeries(Seq(1, 2, 2, 3), Seq(1, 3, 2, 2)))
+      .select("n0", "nc", "nd", "tau_b").collect().head
+    assert(row.getLong(0) == 6L && row.getLong(1) == 3L && row.getLong(2) == 1L)
+    assert(row.getDouble(3) == 0.4)
+  }
+
+  test("kendall: an all-tied factor reads NULL (zero denominator)") {
+    val row = Analytics5.kendallOf(twoSeries(Seq(1, 2, 3), Seq(5, 5, 5)))
+      .select("tau_b").collect().head
+    assert(row.isNullAt(0))
+  }
 }
