@@ -368,4 +368,119 @@ object Analytics5 {
       |  END AS tau_b
       |FROM agg ORDER BY type_a, type_b""".stripMargin
       .replace("q_alias", "paired")
+
+  // ------------------------------------------- multivariate OLS
+
+  /** Two-predictor least squares (extendedprice ~ quantity +
+    * discount) solved in CLOSED FORM: the 3×3 normal-equation system
+    * by Cramer's rule over the ten sufficient moments (n, Σx₁, Σx₂,
+    * Σx₁², Σx₂², Σx₁x₂, Σy, Σx₁y, Σx₂y, Σy²) — `q_trend_ols`
+    * generalized to two regressors, and the same scale shape: ONE
+    * map-side-combined corpus aggregate, then arithmetic on a single
+    * row. All four determinants are EXACT integers (cents moments in
+    * DECIMAL(38); the oracle rides HUGEINT — both engines divide
+    * identical integers, so the coefficient doubles agree
+    * bit-for-bit). Largest term ~n·Σx₁²·Σy ≈ n³·(domain magnitudes):
+    * exact headroom to ~1e9 rows at these domains, overflowing
+    * LOUDLY (ANSI) past it. R² reuses the moments: SSR = Σy² − b₀Σy
+    * − b₁Σx₁y − b₂Σx₂y in identical operand order. Singular design
+    * (collinear regressors → det 0) reads NULL.
+    */
+  def olsMultiOf(rows: DataFrame, x1: String, x2: String, y: String): DataFrame = {
+    val m = rows.agg(
+      count(lit(1)).as("n"),
+      sum(dec(col(x1))).as("s1"), sum(dec(col(x2))).as("s2"),
+      sum(dec(col(x1)) * dec(col(x1))).as("s11"),
+      sum(dec(col(x2)) * dec(col(x2))).as("s22"),
+      sum(dec(col(x1)) * dec(col(x2))).as("s12"),
+      sum(dec(col(y))).as("sy"),
+      sum(dec(col(x1)) * dec(col(y))).as("s1y"),
+      sum(dec(col(x2)) * dec(col(y))).as("s2y"),
+      sum(dec(col(y)) * dec(col(y))).as("syy"))
+    val nD = col("n").cast("decimal(20,0)")
+    // det of [[n s1 s2][s1 s11 s12][s2 s12 s22]] and the three
+    // column-replaced determinants, all exact integers
+    val det = nD * (col("s11") * col("s22") - col("s12") * col("s12")) -
+      col("s1") * (col("s1") * col("s22") - col("s12") * col("s2")) +
+      col("s2") * (col("s1") * col("s12") - col("s11") * col("s2"))
+    val det0 = col("sy") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+      col("s1") * (col("s1y") * col("s22") - col("s12") * col("s2y")) +
+      col("s2") * (col("s1y") * col("s12") - col("s11") * col("s2y"))
+    val det1 = nD * (col("s1y") * col("s22") - col("s12") * col("s2y")) -
+      col("sy") * (col("s1") * col("s22") - col("s12") * col("s2")) +
+      col("s2") * (col("s1") * col("s2y") - col("s1y") * col("s2"))
+    val det2 = nD * (col("s11") * col("s2y") - col("s1y") * col("s12")) -
+      col("s1") * (col("s1") * col("s2y") - col("s1y") * col("s2")) +
+      col("sy") * (col("s1") * col("s12") - col("s11") * col("s2"))
+    val b0 = det0.cast("double") / det.cast("double")
+    val b1 = det1.cast("double") / det.cast("double")
+    val b2 = det2.cast("double") / det.cast("double")
+    val ssr = col("syy").cast("double") - b0 * col("sy").cast("double") -
+      b1 * col("s1y").cast("double") - b2 * col("s2y").cast("double")
+    val sst = col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double") / col("n").cast("double")
+    m.select(col("n"),
+      when(det =!= 0, round(b0, 6) + lit(0.0)).as("b0"),
+      when(det =!= 0, round(b1, 6) + lit(0.0)).as("b1"),
+      when(det =!= 0, round(b2, 6) + lit(0.0)).as("b2"),
+      when(det =!= 0 && sst =!= 0.0,
+        round(lit(1.0) - ssr / sst, 6) + lit(0.0)).as("r2"))
+  }
+
+  /** Gated form in exact cents: extendedprice ~ quantity + discount. */
+  def olsMulti(t: Tables): DataFrame =
+    olsMultiOf(
+      t.lineitem.select(
+        round(col("l_quantity") * 100).cast("long").as("x1"),
+        round(col("l_discount") * 100).cast("long").as("x2"),
+        round(col("l_extendedprice") * 100).cast("long").as("y")),
+      "x1", "x2", "y")
+
+  val olsMultiSql: String =
+    """WITH base AS (
+      |  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS x1,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS x2,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      |  FROM lineitem
+      |), m AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CAST(x1 AS HUGEINT)) AS s1, sum(CAST(x2 AS HUGEINT)) AS s2,
+      |    sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+      |    sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+      |    sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+      |    sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(x1 AS HUGEINT) * y) AS s1y,
+      |    sum(CAST(x2 AS HUGEINT) * y) AS s2y,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM base
+      |), d AS (
+      |  SELECT n, sy, s1y, s2y, syy,
+      |    n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+      |      + s2 * (s1 * s12 - s11 * s2) AS det,
+      |    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+      |      + s2 * (s1y * s12 - s11 * s2y) AS det0,
+      |    n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+      |      + s2 * (s1 * s2y - s1y * s2) AS det1,
+      |    n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+      |      + sy * (s1 * s12 - s11 * s2) AS det2
+      |  FROM m
+      |), b AS (
+      |  SELECT n, sy, s1y, s2y, syy, det,
+      |    CAST(det0 AS DOUBLE) / nullif(CAST(det AS DOUBLE), 0.0) AS b0,
+      |    CAST(det1 AS DOUBLE) / nullif(CAST(det AS DOUBLE), 0.0) AS b1,
+      |    CAST(det2 AS DOUBLE) / nullif(CAST(det AS DOUBLE), 0.0) AS b2
+      |  FROM d
+      |)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  CASE WHEN det <> 0 THEN round(b0, 6) + 0.0 END AS b0,
+      |  CASE WHEN det <> 0 THEN round(b1, 6) + 0.0 END AS b1,
+      |  CASE WHEN det <> 0 THEN round(b2, 6) + 0.0 END AS b2,
+      |  CASE WHEN det <> 0 AND CAST(syy AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) <> 0.0 THEN
+      |    round(1.0 - (CAST(syy AS DOUBLE) - b0 * CAST(sy AS DOUBLE)
+      |        - b1 * CAST(s1y AS DOUBLE) - b2 * CAST(s2y AS DOUBLE))
+      |      / (CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 6) + 0.0
+      |  END AS r2
+      |FROM b""".stripMargin
 }

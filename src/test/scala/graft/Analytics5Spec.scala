@@ -144,4 +144,31 @@ class Analytics5Spec extends AnyFunSuite {
       .select("tau_b").collect().head
     assert(row.isNullAt(0))
   }
+
+  // ------------------------------------------- multivariate OLS
+
+  test("olsMulti: a perfect plane reads its coefficients exactly, r2 = 1") {
+    // y = 3 + 2*x1 + 5*x2 over a non-degenerate grid
+    val df = (for (a <- 1L to 4L; b <- 1L to 3L) yield (a, b, 3 + 2 * a + 5 * b))
+      .toDF("x1", "x2", "y")
+    val row = Analytics5.olsMultiOf(df, "x1", "x2", "y")
+      .select("b0", "b1", "b2", "r2").collect().head
+    assert(row.getDouble(0) == 3.0 && row.getDouble(1) == 2.0 && row.getDouble(2) == 5.0)
+    assert(row.getDouble(3) == 1.0)
+  }
+
+  test("olsMulti: collinear regressors read NULL (singular normal equations)") {
+    val df = Seq((1L, 2L, 10L), (2L, 4L, 20L), (3L, 6L, 31L)).toDF("x1", "x2", "y")
+    val row = Analytics5.olsMultiOf(df, "x1", "x2", "y")
+      .select("b0", "b1", "b2", "r2").collect().head
+    assert(row.isNullAt(0) && row.isNullAt(1) && row.isNullAt(2) && row.isNullAt(3))
+  }
+
+  test("olsMulti: a constant response reads slope 0 and NULL r2") {
+    val df = (for (a <- 1L to 3L; b <- 1L to 3L) yield (a, b, 7L)).toDF("x1", "x2", "y")
+    val row = Analytics5.olsMultiOf(df, "x1", "x2", "y")
+      .select("b0", "b1", "b2", "r2").collect().head
+    assert(row.getDouble(0) == 7.0 && row.getDouble(1) == 0.0 && row.getDouble(2) == 0.0)
+    assert(row.isNullAt(3))
+  }
 }
