@@ -483,4 +483,90 @@ object Analytics5 {
       |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 6) + 0.0
       |  END AS r2
       |FROM b""".stripMargin
+
+  // ------------------------------------------------------ CUSUM
+
+  /** Tabular CUSUM change-point screen over each type's daily volume
+    * (Page): upper/lower cumulative sums with slack k·σ, alarm at
+    * h·σ. The textbook form is a clamped RECURSION — S_i = max(0,
+    * S_{i−1} + (x_i − μ − kσ)) — which no window expresses directly;
+    * it has the classic closed form S_i = P_i − min(0, min_{j≤i}
+    * P_j) over the UNclamped prefix P, so both sides become running
+    * sum + running min/max windows, each partitioned by event_type
+    * over the grid (never corpus-sized, never unpartitioned). Window
+    * running aggregates fold left-to-right in frame order on BOTH
+    * engines, so the double chains match without sorted-fold
+    * machinery. μ, σ derive from exact per-type integer moments
+    * (σ² = (nΣx²−(Σx)²)/(n(n−1))); alarms compare UNROUNDED sums.
+    */
+  def cusumOf(events: DataFrame, k: Double = 0.5, h: Double = 4.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Analytics4.dailyOf(events)
+    val moments = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nd"), sum(dec(col("n_events"))).as("sx"),
+        sum(dec(col("n_events")) * dec(col("n_events"))).as("sxx"))
+      .filter(col("nd") > 1)
+      .select(col("event_type"),
+        (col("sx").cast("double") / col("nd").cast("double")).as("mu"),
+        sqrt((col("nd").cast("decimal(20,0)") * col("sxx") - col("sx") * col("sx"))
+          .cast("double")
+          / (col("nd").cast("double") * (col("nd") - 1).cast("double"))).as("sigma"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withP = daily.join(broadcast(moments), "event_type")
+      .withColumn("d_up", col("n_events").cast("double") - col("mu") - lit(k) * col("sigma"))
+      .withColumn("d_dn", col("mu") - lit(k) * col("sigma") - col("n_events").cast("double"))
+      .withColumn("p_up", sum(col("d_up")).over(w))
+      .withColumn("p_dn", sum(col("d_dn")).over(w))
+      .withColumn("s_up", col("p_up") - least(lit(0.0), min(col("p_up")).over(w)))
+      .withColumn("s_dn", col("p_dn") - least(lit(0.0), min(col("p_dn")).over(w)))
+    withP.select(col("event_type"), col("day"), col("n_events"),
+        (round(col("s_up"), 6) + lit(0.0)).as("cusum_up"),
+        (round(col("s_dn"), 6) + lit(0.0)).as("cusum_dn"),
+        (col("s_up") > lit(h) * col("sigma")).as("alarm_up"),
+        (col("s_dn") > lit(h) * col("sigma")).as("alarm_dn"))
+      .orderBy("event_type", "day")
+  }
+
+  def cusum(t: Tables): DataFrame = cusumOf(t.events)
+
+  def cusumSql(k: Double = 0.5, h: Double = 4.0): String =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+       |    count(*) AS n_events
+       |  FROM events GROUP BY 1, 2
+       |), m AS (
+       |  SELECT event_type, count(*) AS nd,
+       |    sum(CAST(n_events AS HUGEINT)) AS sx,
+       |    sum(CAST(n_events AS HUGEINT) * n_events) AS sxx
+       |  FROM daily GROUP BY 1 HAVING count(*) > 1
+       |), ms AS (
+       |  SELECT event_type,
+       |    CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE) AS mu,
+       |    sqrt(CAST(nd * sxx - sx * sx AS DOUBLE)
+       |      / (CAST(nd AS DOUBLE) * CAST(nd - 1 AS DOUBLE))) AS sigma
+       |  FROM m
+       |), p AS (
+       |  SELECT d.event_type, d.day, d.n_events, ms.sigma,
+       |    sum(CAST(d.n_events AS DOUBLE) - ms.mu - $k * ms.sigma)
+       |      OVER (PARTITION BY d.event_type ORDER BY d.day
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_up,
+       |    sum(ms.mu - $k * ms.sigma - CAST(d.n_events AS DOUBLE))
+       |      OVER (PARTITION BY d.event_type ORDER BY d.day
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_dn
+       |  FROM daily d JOIN ms ON ms.event_type = d.event_type
+       |), s AS (
+       |  SELECT event_type, day, n_events, sigma,
+       |    p_up - least(0.0, min(p_up) OVER (PARTITION BY event_type ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_up,
+       |    p_dn - least(0.0, min(p_dn) OVER (PARTITION BY event_type ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_dn
+       |  FROM p
+       |)
+       |SELECT event_type, day, n_events,
+       |  round(s_up, 6) + 0.0 AS cusum_up,
+       |  round(s_dn, 6) + 0.0 AS cusum_dn,
+       |  s_up > $h * sigma AS alarm_up,
+       |  s_dn > $h * sigma AS alarm_dn
+       |FROM s ORDER BY event_type, day""".stripMargin
 }

@@ -171,4 +171,53 @@ class Analytics5Spec extends AnyFunSuite {
     assert(row.getDouble(0) == 7.0 && row.getDouble(1) == 0.0 && row.getDouble(2) == 0.0)
     assert(row.isNullAt(3))
   }
+
+  // ------------------------------------------------------ CUSUM
+
+  private def oneSeries(xs: Seq[Long]) =
+    xs.zipWithIndex.flatMap { case (y, d) =>
+      Seq.fill(y.toInt)((f"2024-01-${d + 1}%02d 12:00:00", "t"))
+    }.toDF("ts_s", "event_type")
+      .select(org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.col("ts_s")).as("ts"),
+        org.apache.spark.sql.functions.col("event_type"))
+
+  test("cusum: closed form equals the direct clamped recursion") {
+    val xs = Seq(5L, 6L, 4L, 5L, 9L, 10L, 11L, 9L, 10L, 12L)
+    val rows = Analytics5.cusumOf(oneSeries(xs))
+      .select("cusum_up", "cusum_dn").collect()
+    // recompute the textbook recursion in Scala from the same moments
+    val n = xs.size
+    val mu = xs.sum.toDouble / n
+    val sigma = math.sqrt((n.toDouble * xs.map(x => x * x).sum - xs.sum.toDouble * xs.sum)
+      / (n.toDouble * (n - 1)))
+    var (su, sd) = (0.0, 0.0)
+    for ((x, i) <- xs.zipWithIndex) {
+      su = math.max(0.0, su + (x - mu - 0.5 * sigma))
+      sd = math.max(0.0, sd + (mu - 0.5 * sigma - x))
+      assert(math.abs(rows(i).getDouble(0) - su) < 1e-6, s"up at day $i")
+      assert(math.abs(rows(i).getDouble(1) - sd) < 1e-6, s"dn at day $i")
+    }
+  }
+
+  test("cusum: a planted level shift fires alarm_up after the shift only") {
+    // 12 quiet days at 5, then 6 days at 25: the upper sum must cross
+    // 4 sigma somewhere in the shifted tail and nowhere before it
+    val xs = Seq.fill(12)(5L) ++ Seq.fill(6)(25L)
+    val rows = Analytics5.cusumOf(oneSeries(xs))
+      .select("alarm_up", "alarm_dn").collect()
+    val ups = rows.map(_.getBoolean(0)).toSeq
+    assert(!ups.take(12).exists(identity), "no alarm during the quiet span")
+    assert(ups.drop(12).exists(identity), "the shift must trip the upper alarm")
+    assert(!rows.map(_.getBoolean(1)).exists(identity), "no lower alarm on an upward shift")
+  }
+
+  test("cusum: a constant series reads zero sums and no alarms") {
+    val rows = Analytics5.cusumOf(oneSeries(Seq.fill(5)(7L)))
+      .select("cusum_up", "cusum_dn", "alarm_up", "alarm_dn").collect()
+    for (r <- rows) {
+      assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0)
+      assert(!r.getBoolean(2) && !r.getBoolean(3))
+    }
+  }
 }
