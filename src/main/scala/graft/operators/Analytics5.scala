@@ -569,4 +569,148 @@ object Analytics5 {
        |  s_up > $h * sigma AS alarm_up,
        |  s_dn > $h * sigma AS alarm_dn
        |FROM s ORDER BY event_type, day""".stripMargin
+
+  // ------------------------------------------------------ ridge path
+
+  /** Closed-form ridge regression along a REGULARIZATION PATH —
+    * [[olsMultiOf]]'s 3×3 Cramer solve with λ added to the slope
+    * diagonals (the intercept is unpenalized, the standard form:
+    * minimize Σ(y−b0−b1x1−b2x2)² + λ(b1²+b2²) ⇒ normal-equation
+    * matrix [[n s1 s2][s1 s11+λ s12][s2 s12 s22+λ]]). The path is
+    * where the shape earns its keep at scale: ONE map-side-combined
+    * moments pass over the corpus, then every λ is a constant-time
+    * solve on the broadcast 1-row moment table (explode over the λ
+    * literals) — a hyperparameter sweep costs zero extra scans. All
+    * determinants stay EXACT DECIMAL(38)/HUGEINT integers because λ
+    * is an exact integer in cents² units; coefficients and R² ship
+    * UNROUNDED (both engines divide identical integers → bit-identical
+    * doubles). Ridge R² cannot use the OLS orthogonality shortcut
+    * (syy − Σbᵢsᵢy holds only at the unpenalized optimum), so SSR is
+    * the full quadratic form over the same moments, folded in pinned
+    * operand order. λ=0 reproduces `q_ols_multi` exactly — the path's
+    * first row cross-validates the OLS op. Singular design reads NULL.
+    */
+  def ridgePathOf(rows: DataFrame, x1: String, x2: String, y: String,
+      lambdas: Seq[Long] = Seq(0L, 1000000L, 1000000000L, 1000000000000L)): DataFrame = {
+    val m = rows.agg(
+      count(lit(1)).as("n"),
+      sum(dec(col(x1))).as("s1"), sum(dec(col(x2))).as("s2"),
+      sum(dec(col(x1)) * dec(col(x1))).as("s11"),
+      sum(dec(col(x2)) * dec(col(x2))).as("s22"),
+      sum(dec(col(x1)) * dec(col(x2))).as("s12"),
+      sum(dec(col(y))).as("sy"),
+      sum(dec(col(x1)) * dec(col(y))).as("s1y"),
+      sum(dec(col(x2)) * dec(col(y))).as("s2y"),
+      sum(dec(col(y)) * dec(col(y))).as("syy"))
+    val nD = col("n").cast("decimal(20,0)")
+    val lam = col("lambda").cast("decimal(20,0)")
+    val a11 = col("s11") + lam
+    val a22 = col("s22") + lam
+    val det = nD * (a11 * a22 - col("s12") * col("s12")) -
+      col("s1") * (col("s1") * a22 - col("s12") * col("s2")) +
+      col("s2") * (col("s1") * col("s12") - a11 * col("s2"))
+    val det0 = col("sy") * (a11 * a22 - col("s12") * col("s12")) -
+      col("s1") * (col("s1y") * a22 - col("s12") * col("s2y")) +
+      col("s2") * (col("s1y") * col("s12") - a11 * col("s2y"))
+    val det1 = nD * (col("s1y") * a22 - col("s12") * col("s2y")) -
+      col("sy") * (col("s1") * a22 - col("s12") * col("s2")) +
+      col("s2") * (col("s1") * col("s2y") - col("s1y") * col("s2"))
+    val det2 = nD * (a11 * col("s2y") - col("s1y") * col("s12")) -
+      col("s1") * (col("s1") * col("s2y") - col("s1y") * col("s2")) +
+      col("sy") * (col("s1") * col("s12") - a11 * col("s2"))
+    val b0 = det0.cast("double") / det.cast("double")
+    val b1 = det1.cast("double") / det.cast("double")
+    val b2 = det2.cast("double") / det.cast("double")
+    // SSR = syy − 2(b0·sy + b1·s1y + b2·s2y) + bᵀ(XᵀX)b, pinned order;
+    // the penalty term λ(b1²+b2²) is NOT part of the fit residual
+    val quad = b0 * b0 * col("n").cast("double") +
+      b1 * b1 * col("s11").cast("double") +
+      b2 * b2 * col("s22").cast("double") +
+      lit(2.0) * b0 * b1 * col("s1").cast("double") +
+      lit(2.0) * b0 * b2 * col("s2").cast("double") +
+      lit(2.0) * b1 * b2 * col("s12").cast("double")
+    val ssr = col("syy").cast("double") - lit(2.0) * (b0 * col("sy").cast("double") +
+      b1 * col("s1y").cast("double") + b2 * col("s2y").cast("double")) + quad
+    val sst = col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double") / col("n").cast("double")
+    m.select(col("*"), explode(array(lambdas.map(lit): _*)).as("lambda"))
+      .select(col("lambda"), col("n"),
+        when(det =!= 0, b0).as("b0"),
+        when(det =!= 0, b1).as("b1"),
+        when(det =!= 0, b2).as("b2"),
+        when(det =!= 0 && sst =!= 0.0, lit(1.0) - ssr / sst).as("r2"))
+      .orderBy("lambda")
+  }
+
+  /** Gated form: the `q_ols_multi` design (extendedprice ~ quantity +
+    * discount, exact cents) swept over λ ∈ {0, 10⁶, 10⁹, 10¹²} cents².
+    */
+  def ridgePath(t: Tables): DataFrame =
+    ridgePathOf(
+      t.lineitem.select(
+        round(col("l_quantity") * 100).cast("long").as("x1"),
+        round(col("l_discount") * 100).cast("long").as("x2"),
+        round(col("l_extendedprice") * 100).cast("long").as("y")),
+      "x1", "x2", "y")
+
+  val ridgePathSql: String =
+    """WITH base AS (
+      |  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS x1,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS x2,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      |  FROM lineitem
+      |), m AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CAST(x1 AS HUGEINT)) AS s1, sum(CAST(x2 AS HUGEINT)) AS s2,
+      |    sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+      |    sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+      |    sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+      |    sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(x1 AS HUGEINT) * y) AS s1y,
+      |    sum(CAST(x2 AS HUGEINT) * y) AS s2y,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM base
+      |), lam AS (
+      |  SELECT CAST(l AS HUGEINT) AS lambda
+      |  FROM (VALUES (0), (1000000), (1000000000), (1000000000000)) t(l)
+      |), d AS (
+      |  SELECT lambda, n, sy, s1y, s2y, syy, s1, s2, s11, s22, s12,
+      |    n * ((s11+lambda) * (s22+lambda) - s12 * s12)
+      |      - s1 * (s1 * (s22+lambda) - s12 * s2)
+      |      + s2 * (s1 * s12 - (s11+lambda) * s2) AS det,
+      |    sy * ((s11+lambda) * (s22+lambda) - s12 * s12)
+      |      - s1 * (s1y * (s22+lambda) - s12 * s2y)
+      |      + s2 * (s1y * s12 - (s11+lambda) * s2y) AS det0,
+      |    n * (s1y * (s22+lambda) - s12 * s2y)
+      |      - sy * (s1 * (s22+lambda) - s12 * s2)
+      |      + s2 * (s1 * s2y - s1y * s2) AS det1,
+      |    n * ((s11+lambda) * s2y - s1y * s12)
+      |      - s1 * (s1 * s2y - s1y * s2)
+      |      + sy * (s1 * s12 - (s11+lambda) * s2) AS det2
+      |  FROM m CROSS JOIN lam
+      |), b AS (
+      |  SELECT lambda, n, sy, s1y, s2y, syy, s1, s2, s11, s22, s12, det,
+      |    CAST(det0 AS DOUBLE) / nullif(CAST(det AS DOUBLE), 0.0) AS b0,
+      |    CAST(det1 AS DOUBLE) / nullif(CAST(det AS DOUBLE), 0.0) AS b1,
+      |    CAST(det2 AS DOUBLE) / nullif(CAST(det AS DOUBLE), 0.0) AS b2
+      |  FROM d
+      |), r AS (
+      |  SELECT lambda, n, det, b0, b1, b2,
+      |    CAST(syy AS DOUBLE) - 2.0 * (b0 * CAST(sy AS DOUBLE)
+      |        + b1 * CAST(s1y AS DOUBLE) + b2 * CAST(s2y AS DOUBLE))
+      |      + (b0 * b0 * CAST(n AS DOUBLE) + b1 * b1 * CAST(s11 AS DOUBLE)
+      |        + b2 * b2 * CAST(s22 AS DOUBLE)
+      |        + 2.0 * b0 * b1 * CAST(s1 AS DOUBLE)
+      |        + 2.0 * b0 * b2 * CAST(s2 AS DOUBLE)
+      |        + 2.0 * b1 * b2 * CAST(s12 AS DOUBLE)) AS ssr,
+      |    CAST(syy AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS sst
+      |  FROM b
+      |)
+      |SELECT CAST(lambda AS BIGINT) AS lambda, CAST(n AS BIGINT) AS n,
+      |  CASE WHEN det <> 0 THEN b0 END AS b0,
+      |  CASE WHEN det <> 0 THEN b1 END AS b1,
+      |  CASE WHEN det <> 0 THEN b2 END AS b2,
+      |  CASE WHEN det <> 0 AND sst <> 0.0 THEN 1.0 - ssr / sst END AS r2
+      |FROM r ORDER BY lambda""".stripMargin
 }

@@ -220,4 +220,39 @@ class Analytics5Spec extends AnyFunSuite {
       assert(!r.getBoolean(2) && !r.getBoolean(3))
     }
   }
+
+  // ------------------------------------------------------ ridge path
+
+  test("ridgePath: lambda = 0 reproduces the OLS fit exactly") {
+    val df = Seq((1L, 2L, 10L), (2L, 1L, 14L), (3L, 5L, 20L), (4L, 3L, 26L), (5L, 4L, 31L))
+      .toDF("x1", "x2", "y")
+    val ols = Analytics5.olsMultiOf(df, "x1", "x2", "y").collect().head
+    val r0 = Analytics5.ridgePathOf(df, "x1", "x2", "y", Seq(0L)).collect().head
+    assert(math.abs(r0.getDouble(r0.fieldIndex("b1")) - ols.getDouble(ols.fieldIndex("b1"))) < 1e-6)
+    assert(math.abs(r0.getDouble(r0.fieldIndex("b2")) - ols.getDouble(ols.fieldIndex("b2"))) < 1e-6)
+  }
+
+  test("ridgePath: slopes shrink monotonically toward zero as lambda grows") {
+    val df = Seq((1L, 9L, 12L), (2L, 7L, 18L), (3L, 4L, 27L), (4L, 3L, 38L), (5L, 1L, 52L))
+      .toDF("x1", "x2", "y")
+    val rows = Analytics5.ridgePathOf(df, "x1", "x2", "y", Seq(0L, 10L, 1000L, 100000L))
+      .orderBy("lambda").collect()
+    val mags = rows.map(r => math.abs(r.getDouble(r.fieldIndex("b1"))))
+    assert(mags.sliding(2).forall { case Array(a, b) => b <= a + 1e-12 })
+    assert(mags.last < 0.01 * mags.head) // huge lambda kills the slope
+    val r2s = rows.map(r => r.getDouble(r.fieldIndex("r2")))
+    assert(r2s.sliding(2).forall { case Array(a, b) => b <= a + 1e-12 }) // fit only degrades
+  }
+
+  test("ridgePath: a collinear design is singular at lambda = 0 but solvable for lambda > 0 (THE ridge property)") {
+    val df = Seq((1L, 1L, 3L), (2L, 2L, 5L), (3L, 3L, 7L), (4L, 4L, 9L))
+      .toDF("x1", "x2", "y") // x2 == x1 exactly
+    val rows = Analytics5.ridgePathOf(df, "x1", "x2", "y", Seq(0L, 100L))
+      .orderBy("lambda").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("b1")))
+    assert(!rows(1).isNullAt(rows(1).fieldIndex("b1")))
+    // symmetric penalty on identical columns splits the weight evenly
+    assert(math.abs(rows(1).getDouble(rows(1).fieldIndex("b1"))
+      - rows(1).getDouble(rows(1).fieldIndex("b2"))) < 1e-9)
+  }
 }
