@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** User-behavior sequence analytics over the events stream: activity
+  * streaks (gaps-and-islands), inter-arrival burstiness, and frequent
+  * within-session event sequences. These are the engagement /
+  * bot-detection readouts a product-analytics pipeline runs next to
+  * `q_dau_wau`/`q_retention`; all three collapse the corpus through
+  * user-partitioned windows (never unpartitioned) and integer-exact
+  * arithmetic. Reference has no events surface; §2.6 extension work.
+  */
+object Behavior {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,0)")
+
+  // ---------------------------------------------------------- streaks
+
+  /** Longest consecutive-day activity streak per user via
+    * gaps-and-islands: distinct active days, island id =
+    * epoch_day − row_number() (constant within a run of consecutive
+    * days), one count per island, then a per-user rollup plus the
+    * earliest start among maximal streaks. Every window is
+    * USER-partitioned over the user's distinct days (≤ span days per
+    * user — bounded however large the corpus); all outputs integers
+    * and dates, no float lane at all.
+    */
+  def streaksOf(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"))
+      .distinct()
+      .withColumn("epoch_day", datediff(col("day"), to_date(lit("1970-01-01"))))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val islands = days
+      .withColumn("grp", col("epoch_day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+    val wu = Window.partitionBy(col("user_id"))
+    islands
+      .withColumn("max_streak", max(col("len")).over(wu))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).as("active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("max_streak"),
+        min(when(col("len") === col("max_streak"), col("start_day")))
+          .as("max_streak_start"))
+      .orderBy("user_id")
+  }
+
+  def streaks(t: Tables): DataFrame = streaksOf(t.events)
+
+  val streaksSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      |  FROM events
+      |), islands AS (
+      |  SELECT user_id,
+      |    date_diff('day', DATE '1970-01-01', day)
+      |      - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp,
+      |    day
+      |  FROM days
+      |), runs AS (
+      |  SELECT user_id, grp, count(*) AS len, min(day) AS start_day
+      |  FROM islands GROUP BY user_id, grp
+      |), mx AS (
+      |  SELECT user_id, grp, len, start_day,
+      |    max(len) OVER (PARTITION BY user_id) AS max_streak
+      |  FROM runs
+      |)
+      |SELECT user_id, CAST(sum(len) AS BIGINT) AS active_days, count(*) AS n_streaks,
+      |  max(len) AS max_streak,
+      |  min(CASE WHEN len = max_streak THEN start_day END) AS max_streak_start
+      |FROM mx GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ----------------------------------------------------- inter-arrival
+
+  /** Inter-arrival statistics per user — the burstiness screen that
+    * separates organic sessions (bursty: B → 1) from schedulers and
+    * bots (regular: B → −1): consecutive-event gaps in whole seconds
+    * via one user-partitioned lag, then ONE map-side-combined
+    * aggregate of exact integer gap moments per user. Mean/σ divide
+    * exact integers (σ² = (nΣg²−(Σg)²)/(n(n−1)) — the `q_ols_multi`
+    * lane), cv = σ/μ, Goh–Barabási burstiness B = (σ−μ)/(σ+μ); all
+    * ship UNROUNDED since both engines run the identical
+    * int→double→sqrt→divide chain. Degenerate users (one gap, or all
+    * events simultaneous) read NULL, not /0.
+    */
+  def interArrivalOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gaps = events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_timestamp(col("ts")).as("sec"))
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+      .filter(col("gap").isNotNull)
+    val m = gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(dec(col("gap"))).as("sg"),
+        sum(dec(col("gap")) * dec(col("gap"))).as("sgg"))
+    val mu = col("sg").cast("double") / col("n_gaps").cast("double")
+    val varNum = (col("n_gaps").cast("decimal(20,0)") * col("sgg")
+      - col("sg") * col("sg")).cast("double")
+    val sigma = sqrt(varNum
+      / (col("n_gaps").cast("double") * (col("n_gaps") - 1).cast("double")))
+    m.select(col("user_id"), col("n_gaps"),
+        mu.as("mean_gap_s"),
+        when(col("n_gaps") > 1, sigma).as("sd_gap_s"),
+        when(col("n_gaps") > 1 && col("sg") > 0, sigma / mu).as("cv"),
+        when(col("n_gaps") > 1 && (col("sg") > 0 || varNum > 0),
+          (sigma - mu) / (sigma + mu)).as("burstiness"))
+      .orderBy("user_id")
+  }
+
+  def interArrival(t: Tables): DataFrame = interArrivalOf(t.events)
+
+  val interArrivalSql: String =
+    """WITH secs AS (
+      |  -- Spark's unix_timestamp FLOORS to whole seconds; DuckDB's epoch()
+      |  -- keeps the microsecond fraction — floor each event's epoch first
+      |  SELECT user_id, event_id, ts,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |  FROM events
+      |), gaps AS (
+      |  SELECT user_id,
+      |    sec - lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      |  FROM secs
+      |), g AS (SELECT user_id, gap FROM gaps WHERE gap IS NOT NULL
+      |), m AS (
+      |  SELECT user_id, count(*) AS n_gaps,
+      |    sum(CAST(gap AS HUGEINT)) AS sg,
+      |    sum(CAST(gap AS HUGEINT) * gap) AS sgg
+      |  FROM g GROUP BY user_id
+      |), s AS (
+      |  SELECT user_id, n_gaps, sg,
+      |    CAST(n_gaps AS HUGEINT) * sgg - sg * sg AS var_num,
+      |    CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mu,
+      |    sqrt(CAST(CAST(n_gaps AS HUGEINT) * sgg - sg * sg AS DOUBLE)
+      |      / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps - 1 AS DOUBLE))) AS sigma
+      |  FROM m
+      |)
+      |SELECT user_id, n_gaps, mu AS mean_gap_s,
+      |  CASE WHEN n_gaps > 1 THEN sigma END AS sd_gap_s,
+      |  CASE WHEN n_gaps > 1 AND sg > 0 THEN sigma / mu END AS cv,
+      |  CASE WHEN n_gaps > 1 AND (sg > 0 OR var_num > 0)
+      |    THEN (sigma - mu) / (sigma + mu) END AS burstiness
+      |FROM s ORDER BY user_id""".stripMargin
+
+  // -------------------------------------------------- sequence patterns
+
+  /** Frequent within-session event-type trigrams — the path-mining
+    * readout behind "what do users DO right before purchasing":
+    * sessions via the `q_events_sessionize` 30-minute-gap rule, then
+    * consecutive (eₜ, eₜ₊₁, eₜ₊₂) triples from two leads inside the
+    * (user, session) partition (leads never cross a session boundary
+    * by construction), one count per pattern, deterministic top-k.
+    * Counting is the only shuffle wider than the user partition and
+    * it carries ≤|types|³ keys.
+    */
+  def seqPatternsOf(events: DataFrame, gapMinutes: Int = 30, k: Int = 25): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapSecs = gapMinutes * 60L
+    val sessions = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSecs, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bySession = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts"), col("event_id"))
+    sessions
+      .withColumn("e2", lead(col("event_type"), 1).over(bySession))
+      .withColumn("e3", lead(col("event_type"), 2).over(bySession))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("seq"))
+      .groupBy("seq").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("seq"))
+      .limit(k)
+  }
+
+  def seqPatterns(t: Tables): DataFrame = seqPatternsOf(t.events)
+
+  def seqPatternsSql(gapMinutes: Int = 30, k: Int = 25): String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR date_diff('second', lag(ts) OVER w, ts) > ${gapMinutes * 60}
+       |      THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), sessions AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM flagged
+       |), triples AS (
+       |  SELECT event_type || '>' || lead(event_type, 1) OVER ws
+       |      || '>' || lead(event_type, 2) OVER ws AS seq,
+       |    lead(event_type, 2) OVER ws AS e3
+       |  FROM sessions
+       |  WINDOW ws AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+       |)
+       |SELECT seq, count(*) AS n FROM triples WHERE e3 IS NOT NULL
+       |GROUP BY seq ORDER BY n DESC, seq LIMIT $k""".stripMargin
+}
