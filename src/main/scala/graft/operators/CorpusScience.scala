@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -406,4 +406,97 @@ object CorpusScience {
        |SELECT node, round(rank, 6) AS rank FROM r$iters
        |ORDER BY round(rank, 6) DESC, node LIMIT $topK""".stripMargin
   }
+
+  // ------------------------------------------- Dunning LLR collocations
+
+  /** Collocation ranking by Dunning's log-likelihood ratio (G², the
+    * "accurate methods for the statistics of surprise" test) — the
+    * association score that, unlike `bigram_pmi`, does not overrank
+    * rare pairs: G² = 2·Σ k·ln(k/e) over the 2×2 contingency of
+    * (first word = w1) × (second word = w2) on the bigram multiset.
+    * Everything derives from ONE bigram-count aggregate: both
+    * positional marginals are re-aggs of the (vocab²-sparse) count
+    * table, N a 1-row broadcast, and only ≥minCount survivors join
+    * the (vocab-sized, AQE-broadcast) marginal tables — the
+    * `q_skipgram_pmi` plan shape. Cell products k·N and r·c ride
+    * DECIMAL/HUGEINT (N² would pass 2⁶³ around 3e9 bigrams); the four
+    * k·ln(k·N/(r·c)) terms are doubles summed in the written cell
+    * order on both engines, zero cells contribute exactly 0 by the
+    * k>0 guard (lim k→0 k·ln k = 0).
+    */
+  def dunningLlrOf(docs: DataFrame, minCount: Int = 20, topK: Int = 50): DataFrame = {
+    import graft.functions.ShinglesExpr
+    val bi = docs
+      .select(explode(ShinglesExpr.shingles(col("text"), 2)).as("bg"))
+      .filter(col("bg") =!= "")
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+    val m1 = bi.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val m2 = bi.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    val tot = bi.agg(sum(col("c12")).as("nn"))
+    val d = (c: Column) => c.cast("decimal(20,0)")
+    def term(k: Column, r: Column, c: Column): Column =
+      when(k > 0,
+        k.cast("double") * log((d(k) * d(col("nn"))).cast("double")
+          / (d(r) * d(c)).cast("double")))
+        .otherwise(lit(0.0))
+    val k11 = col("c12")
+    val k12 = col("c1") - col("c12")
+    val k21 = col("c2") - col("c12")
+    val k22 = col("nn") - col("c1") - col("c2") + col("c12")
+    val r2 = col("nn") - col("c1")
+    val c2c = col("nn") - col("c2")
+    bi.filter(col("c12") >= minCount)
+      .join(m1, "w1").join(m2, "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("bg"), col("c12"),
+        round(lit(2.0) * (term(k11, col("c1"), col("c2"))
+          + term(k12, col("c1"), c2c)
+          + term(k21, r2, col("c2"))
+          + term(k22, r2, c2c)), 6).as("llr"))
+      .orderBy(col("llr").desc, col("bg"))
+      .limit(topK)
+  }
+
+  def dunningLlr(t: Tables): DataFrame = dunningLlrOf(t.documents)
+
+  def dunningLlrSql(minCount: Int = 20, topK: Int = 50): String =
+    s"""WITH bigrams AS (
+       |  SELECT array_to_string(tk[i + 1 : i + 2], ' ') AS bg
+       |  FROM (
+       |    SELECT regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+       |    FROM documents),
+       |    unnest(range(0, len(tk) - 1)) AS r(i)
+       |  WHERE array_to_string(tk[i + 1 : i + 2], ' ') <> ''
+       |), bi AS (
+       |  SELECT bg, count(*) AS c12,
+       |    string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+       |  FROM bigrams GROUP BY bg
+       |), m1 AS (SELECT w1, sum(c12) AS c1 FROM bi GROUP BY w1
+       |), m2 AS (SELECT w2, sum(c12) AS c2 FROM bi GROUP BY w2
+       |), tot AS (SELECT sum(c12) AS nn FROM bi
+       |), cells AS (
+       |  SELECT bg, c12, c1, c2, nn,
+       |    c1 - c12 AS k12, c2 - c12 AS k21, nn - c1 - c2 + c12 AS k22,
+       |    nn - c1 AS r2, nn - c2 AS c2c
+       |  FROM bi JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN tot
+       |  WHERE c12 >= $minCount
+       |)
+       |SELECT bg, c12,
+       |  round(2.0 * (
+       |    (CASE WHEN c12 > 0 THEN CAST(c12 AS DOUBLE)
+       |      * ln(CAST(CAST(c12 AS HUGEINT) * nn AS DOUBLE)
+       |          / CAST(CAST(c1 AS HUGEINT) * c2 AS DOUBLE)) ELSE 0.0 END)
+       |    + (CASE WHEN k12 > 0 THEN CAST(k12 AS DOUBLE)
+       |      * ln(CAST(CAST(k12 AS HUGEINT) * nn AS DOUBLE)
+       |          / CAST(CAST(c1 AS HUGEINT) * c2c AS DOUBLE)) ELSE 0.0 END)
+       |    + (CASE WHEN k21 > 0 THEN CAST(k21 AS DOUBLE)
+       |      * ln(CAST(CAST(k21 AS HUGEINT) * nn AS DOUBLE)
+       |          / CAST(CAST(r2 AS HUGEINT) * c2 AS DOUBLE)) ELSE 0.0 END)
+       |    + (CASE WHEN k22 > 0 THEN CAST(k22 AS DOUBLE)
+       |      * ln(CAST(CAST(k22 AS HUGEINT) * nn AS DOUBLE)
+       |          / CAST(CAST(r2 AS HUGEINT) * c2c AS DOUBLE)) ELSE 0.0 END)), 6) AS llr
+       |FROM cells
+       |ORDER BY llr DESC, bg LIMIT $topK""".stripMargin
 }

@@ -373,4 +373,34 @@ class Analytics2Spec extends AnyFunSuite {
     assert(byPair(("x", "y")) == math.rint(math.log(4.0) * 1e6) / 1e6)
     assert(byPair(("x", "y")) == byPair(("y", "x")))
   }
+
+  // ------------------------------------------- Dunning LLR collocations
+
+  test("dunningLlr: hand-computed G-squared on a planted micro-corpus") {
+    // doc "x y x y x y": bigrams [x y, y x, x y, y x, x y] → N=5
+    // for "x y": k11=3, c1(x ·)=3, c2(· y)=3, k12=0, k21=0, k22=2
+    // G² = 2·(3·ln(3·5/(3·3)) + 2·ln(2·5/(2·2))) = 2·(3·ln(5/3) + 2·ln(2.5))
+    val docs = Seq((1L, "x y x y x y")).toDF("doc_id", "text")
+    val got = graft.operators.CorpusScience.dunningLlrOf(docs, minCount = 1, topK = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val expected = 2.0 * (3.0 * math.log(5.0 / 3.0) + 2.0 * math.log(2.5))
+    assert(math.abs(got("x y") - expected) < 1e-5)
+  }
+
+  test("dunningLlr: a frequent perfect collocation outranks a rare one (THE Dunning-vs-PMI property)") {
+    // "a b" appears 8 times, "c d" once; both perfectly associated.
+    // PMI would tie or favor the rare pair; G² must rank "a b" first.
+    val docs = Seq((1L, ("a b " * 8).trim + " c d")).toDF("doc_id", "text")
+    val rows = graft.operators.CorpusScience.dunningLlrOf(docs, minCount = 1, topK = 3)
+      .collect().map(_.getString(0))
+    assert(rows.head == "a b")
+    assert(rows.indexOf("a b") < rows.indexOf("c d"))
+  }
+
+  test("dunningLlr: G-squared is nonnegative and zero cells contribute zero") {
+    val docs = Seq((1L, "p q r s p q"), (2L, "r s p q r s")).toDF("doc_id", "text")
+    val vals = graft.operators.CorpusScience.dunningLlrOf(docs, minCount = 1, topK = 100)
+      .collect().map(_.getDouble(2))
+    assert(vals.forall(_ >= -1e-9))
+  }
 }
