@@ -84,6 +84,21 @@ object Classify {
     * per-doc window on a |docs|×|classes| table.
     */
   def nbScoreOf(docs: DataFrame): DataFrame = {
+    val scored = nbScoredAllOf(docs)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cls"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("actual"), col("cls").as("predicted"),
+        col("score"), (col("cls") === col("lang")).as("is_correct"))
+      .orderBy("doc_id")
+  }
+
+  /** The full |held-out docs| × |classes| scored table [[nbScoreOf]]
+    * ranks — exposed so downstream evaluation (calibration, margins)
+    * reuses the one scoring plan instead of re-deriving it.
+    */
+  def nbScoredAllOf(docs: DataFrame): DataFrame = {
     val train = docs.filter(col("doc_id") % 2 === 0)
     val toks = labeledTokens(train)
     val wc = toks.groupBy("lang", "word").agg(count(lit(1)).as("n_wc"))
@@ -107,7 +122,7 @@ object Classify {
     // seen words share one Σn_dw·ln(den) correction — the model join
     // can stay a LEFT join with a 0 default instead of a class-crossed
     // dense vocab.
-    val scored = docWords.crossJoin(broadcast(classStats))
+    docWords.crossJoin(broadcast(classStats))
       .join(broadcast(model), Seq("cls", "word"), "left")
       .groupBy(col("doc_id"), col("lang"), col("cls"), col("prior"),
         col("n_c"), col("v"))
@@ -117,13 +132,6 @@ object Classify {
         round(col("prior") + col("sum_num")
           - col("n_tokens") * log((col("n_c") + col("v")).cast("double")), 6)
           .as("score"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("cls"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang").as("actual"), col("cls").as("predicted"),
-        col("score"), (col("cls") === col("lang")).as("is_correct"))
-      .orderBy("doc_id")
   }
 
   def nbScore(t: Tables): DataFrame = nbScoreOf(t.documents)
@@ -146,6 +154,44 @@ object Classify {
   }
 
   def nbConfusion(t: Tables): DataFrame = nbConfusionOf(t.documents)
+
+  /** Margin-binned reliability readout — "is a confident prediction
+    * actually more often right": per held-out doc the decision margin
+    * (top-1 minus top-2 score, a difference of two 6dp-rounded
+    * doubles, so both engines bin the identical value), bucketed at
+    * `binWidth` log-units (last bin open-ended), then per-bin count,
+    * accuracy (exact LONGs divided), and min/max margin (both
+    * order-independent aggregates — deliberately no margin MEAN,
+    * whose cross-engine summation order the repo only pins with
+    * sorted-fold machinery this readout doesn't need). The pivot is
+    * one per-doc window over the |docs|×|classes| scored table the
+    * prediction query already builds.
+    */
+  def nbCalibrationOf(docs: DataFrame, binWidth: Double = 0.5,
+      maxBin: Int = 7): DataFrame = {
+    val scored = nbScoredAllOf(docs)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cls"))
+    val top2 = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(max(when(col("rn") === 1, col("score"))).as("s1"),
+        max(when(col("rn") === 2, col("score"))).as("s2"),
+        max(when(col("rn") === 1, col("cls"))).as("pred"))
+      .withColumn("margin", col("s1") - col("s2"))
+      .withColumn("bin", least(floor(col("margin") / binWidth), lit(maxBin)).cast("int"))
+    top2.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("pred") === col("lang")).cast("long")).as("n_correct"),
+        min(col("margin")).as("margin_min"),
+        max(col("margin")).as("margin_max"))
+      .select(col("bin"), col("n"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n").cast("double")).as("accuracy"),
+        col("margin_min"), col("margin_max"))
+      .orderBy("bin")
+  }
+
+  def nbCalibration(t: Tables): DataFrame = nbCalibrationOf(t.documents)
 
   val nbScoreSql: String =
     s"""WITH $toksCte, train AS (
@@ -184,6 +230,33 @@ object Classify {
        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
        |  FROM scored)
        |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  def nbCalibrationSql(binWidth: Double = 0.5, maxBin: Int = 7): String = {
+    // reuse nbScoreSql's WITH chain up to the scored CTE
+    val withChain = nbScoreSql.substring(0, nbScoreSql.indexOf("\nSELECT doc_id"))
+    s"""$withChain
+       |, top2 AS (
+       |  SELECT doc_id, lang,
+       |    max(CASE WHEN rn = 1 THEN score END) AS s1,
+       |    max(CASE WHEN rn = 2 THEN score END) AS s2,
+       |    max(CASE WHEN rn = 1 THEN cls END) AS pred
+       |  FROM (
+       |    SELECT doc_id, lang, cls, score,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+       |    FROM scored)
+       |  WHERE rn <= 2 GROUP BY doc_id, lang
+       |), binned AS (
+       |  SELECT doc_id, lang, pred, s1 - s2 AS margin,
+       |    CAST(least(floor((s1 - s2) / $binWidth), $maxBin) AS INT) AS bin
+       |  FROM top2
+       |)
+       |SELECT bin, count(*) AS n,
+       |  CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |  CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS accuracy,
+       |  min(margin) AS margin_min, max(margin) AS margin_max
+       |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
+  }
 
   val nbConfusionSql: String = {
     val scoredBody = nbScoreSql.stripSuffix(" ORDER BY doc_id")

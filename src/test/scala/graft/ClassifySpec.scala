@@ -64,4 +64,33 @@ class ClassifySpec extends AnyFunSuite {
     // bb → ln(.5)+2·ln(1/7): bb's smaller denominator wins
     assert(got(7L) == "bb")
   }
+
+  test("nbCalibration: bins partition the held-out docs and agree with the prediction query") {
+    val cal = Classify.nbCalibrationOf(docs, binWidth = 0.5).collect()
+    val preds = Classify.nbScoreOf(docs).collect()
+    assert(cal.map(_.getLong(1)).sum == preds.length)
+    assert(cal.map(_.getLong(2)).sum ==
+      preds.count(r => r.getBoolean(r.fieldIndex("is_correct"))))
+  }
+
+  test("nbCalibration: margins land in their bins (min/max inside bin bounds, last bin open)") {
+    val w = 0.5
+    val maxBin = 7
+    val cal = Classify.nbCalibrationOf(docs, binWidth = w, maxBin = maxBin).collect()
+    cal.foreach { r =>
+      val bin = r.getInt(0)
+      val lo = r.getDouble(r.fieldIndex("margin_min"))
+      val hi = r.getDouble(r.fieldIndex("margin_max"))
+      assert(lo <= hi)
+      assert(lo >= bin * w - 1e-9)
+      if (bin < maxBin) assert(hi < (bin + 1) * w + 1e-9)
+    }
+  }
+
+  test("nbCalibration: accuracy divides exact counts") {
+    val cal = Classify.nbCalibrationOf(docs, binWidth = 0.5).collect()
+    cal.foreach { r =>
+      assert(r.getDouble(3) == r.getLong(2).toDouble / r.getLong(1).toDouble)
+    }
+  }
 }
