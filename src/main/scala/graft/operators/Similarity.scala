@@ -1009,4 +1009,95 @@ object Similarity {
       |  CASE WHEN l.avg_norm <> 0 THEN round(cn.cnorm / l.avg_norm, 6) END AS concentration
       |FROM per_label l JOIN cn USING (label)
       |ORDER BY label""".stripMargin
+
+  // ------------------------------------------- truncation-dim recall
+
+  /** Matryoshka-style truncation evaluation — "how many leading
+    * dimensions does retrieval actually need": for each prefix width
+    * d the exact cosine top-k over ONLY the first d components is
+    * scored against the full-width exact ranking, and the per-dim
+    * recall@k ships as exact integer hit counts divided once. This is
+    * the sizing study run before shipping truncated embeddings to an
+    * ANN index (MRL-trained models promise graceful prefix decay —
+    * this measures it on YOUR corpus). Each prefix ranking reuses the
+    * [[cosineTopK]] plan shape (norms computed once per vector before
+    * the broadcast pair join; 6dp-rounded score so ranks are
+    * engine-stable); the full-width row anchors recall = 1 by
+    * construction. Scale: queries broadcast, corpus scanned once per
+    * dim — at 100 TB the dims list is the knob, and each dim's pass
+    * is embarrassingly parallel.
+    */
+  def truncRecallOf(emb: DataFrame, dims: Seq[Int], nQueries: Int = 20,
+      k: Int = 10): DataFrame = {
+    require(dims.nonEmpty, "need at least one prefix width")
+    val full = dims.max
+    def topkAt(d: Int): DataFrame = {
+      val sliced = emb.select(col("vec_id"),
+        slice(asDouble(col("embedding")), 1, d).as("v"))
+        .withColumn("nrm", graft.functions.VectorFunctions.l2norm(col("v")))
+      val queries = sliced.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      sliced.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(graft.functions.VectorFunctions.dot(col("qv"), col("v"))
+            / (col("qnrm") * col("nrm")), 6).as("cos_sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("vec_id"))
+    }
+    val fullTop = topkAt(full).withColumnRenamed("vec_id", "f_vec")
+    val perDim = dims.map { d =>
+      topkAt(d)
+        .join(fullTop,
+          Seq("query_id"),
+          "inner")
+        .filter(col("vec_id") === col("f_vec"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(d).as("dim"), col("hits"))
+    }.reduce(_ unionAll _)
+    perDim
+      .select(col("dim"),
+        lit(nQueries).cast("long").as("n_queries"),
+        col("hits"),
+        (col("hits").cast("double")
+          / (lit(k).cast("double") * lit(nQueries).cast("double"))).as("recall"))
+      .orderBy("dim")
+  }
+
+  def truncRecall(t: Tables): DataFrame =
+    truncRecallOf(t.embeddings, Seq(8, 16, 32, 64))
+
+  def truncRecallSql(dims: Seq[Int] = Seq(8, 16, 32, 64), nQueries: Int = 20,
+      k: Int = 10): String = {
+    val full = dims.max
+    def topkCte(name: String, d: Int): String =
+      s"""$name AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT q.query_id, e.vec_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY round(list_cosine_similarity(
+         |          (q.embedding::DOUBLE[])[1:$d], (e.embedding::DOUBLE[])[1:$d]), 6) DESC,
+         |          e.vec_id) AS rank
+         |    FROM embeddings e
+         |    JOIN (SELECT vec_id AS query_id, embedding FROM embeddings
+         |          WHERE vec_id < $nQueries) q
+         |      ON e.vec_id <> q.query_id)
+         |  WHERE rank <= $k
+         |)""".stripMargin
+    val ctes = (s"full_top" -> full) +: dims.map(d => s"top_$d" -> d)
+    val cteSql = ctes.map { case (n, d) => topkCte(n, d) }.mkString(",\n")
+    val rows = dims.map { d =>
+      s"""SELECT $d AS dim, CAST($nQueries AS BIGINT) AS n_queries,
+         |  (SELECT count(*) FROM top_$d t JOIN full_top f
+         |     ON f.query_id = t.query_id AND f.vec_id = t.vec_id) AS hits,
+         |  CAST((SELECT count(*) FROM top_$d t JOIN full_top f
+         |     ON f.query_id = t.query_id AND f.vec_id = t.vec_id) AS DOUBLE)
+         |    / (CAST($k AS DOUBLE) * CAST($nQueries AS DOUBLE)) AS recall""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $cteSql
+       |$rows
+       |ORDER BY dim""".stripMargin
+  }
 }

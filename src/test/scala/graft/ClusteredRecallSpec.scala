@@ -124,4 +124,31 @@ class ClusteredRecallSpec extends AnyFunSuite {
     info(f"ivf_pq clustered recall: $r%.2f")
     assert(r >= 0.9, s"ivf_pq recall $r < 0.9 — residuals, defaults, or shortlist regressed?")
   }
+
+  // ------------------------------------------- truncation-dim recall
+
+  test("truncRecall: when all signal lives in the prefix, prefix recall is 1") {
+    import spark.implicits._
+    // 8-dim vectors, dims 3..8 all zero → ranking at d=2 equals full
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 40L).map { i =>
+      (i, Array(rnd.nextFloat(), rnd.nextFloat(), 0f, 0f, 0f, 0f, 0f, 0f))
+    }.toDF("vec_id", "embedding")
+    val rows = graft.operators.Similarity.truncRecallOf(emb, Seq(2, 8), nQueries = 5, k = 3)
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(rows(2) == 1.0)
+    assert(rows(8) == 1.0)
+  }
+
+  test("truncRecall: the full-width row anchors recall = 1 and hits = k x queries") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val emb = (0L until 30L).map { i =>
+      (i, Array.fill(8)(rnd.nextFloat()))
+    }.toDF("vec_id", "embedding")
+    val full = graft.operators.Similarity.truncRecallOf(emb, Seq(4, 8), nQueries = 4, k = 5)
+      .filter(org.apache.spark.sql.functions.col("dim") === 8).collect().head
+    assert(full.getLong(2) == 20L)
+    assert(full.getDouble(3) == 1.0)
+  }
 }
