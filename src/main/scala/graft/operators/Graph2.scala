@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -203,4 +203,76 @@ object Graph2 {
        |ORDER BY size DESC, label
        |LIMIT $topK""".stripMargin
   }
+
+  // ------------------------------------------------- assortativity
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the symmetric directed edge list — do
+    * hubs attach to hubs (r > 0, social networks) or to leaves
+    * (r < 0, bipartite/hub-and-spoke topologies like this purchase
+    * graph)? Both directions of every undirected edge are summed, so
+    * the symmetric Newman form collapses to plain Pearson and ALL
+    * five moments (Σx, Σy, Σxy, Σx², Σy²) are exact
+    * DECIMAL(38)/HUGEINT integers of integer degrees — ONE map-side
+    * aggregate over the degree-joined edge list, r the only double,
+    * shipped UNROUNDED (identical integers divide identically).
+    * Degree-regular graphs (zero variance) read NULL, not 0/0.
+    */
+  def assortativityOf(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val d = (c: Column) => c.cast("decimal(18,0)")
+    val paired = edges
+      .join(deg.select(col("node").as("src"), col("deg").as("dx")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("dy")), "dst")
+    val m = paired.agg(count(lit(1)).as("m2"),
+      sum(d(col("dx"))).as("sx"), sum(d(col("dy"))).as("sy"),
+      sum(d(col("dx")) * d(col("dy"))).as("sxy"),
+      sum(d(col("dx")) * d(col("dx"))).as("sxx"),
+      sum(d(col("dy")) * d(col("dy"))).as("syy"))
+    val mD = col("m2").cast("decimal(20,0)")
+    val num = (mD * col("sxy") - col("sx") * col("sy")).cast("double")
+    val denx = (mD * col("sxx") - col("sx") * col("sx"))
+    val deny = (mD * col("syy") - col("sy") * col("sy"))
+    m.select(
+      (col("m2") / 2).cast("long").as("n_edges"),
+      when(denx > 0 && deny > 0,
+        num / (sqrt(denx.cast("double")) * sqrt(deny.cast("double"))))
+        .as("assortativity"))
+  }
+
+  /** Gated form: the undirected purchase graph (customer 2k,
+    * supplier 2k+1), both edge directions in the list.
+    */
+  def assortativityQuery(t: Tables): DataFrame =
+    assortativityOf(purchaseEdges(t))
+
+  val assortativitySql: String =
+    """WITH cs AS (
+      |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |), edges AS (
+      |  SELECT c AS src, s AS dst FROM cs
+      |  UNION ALL SELECT s AS src, c AS dst FROM cs
+      |), deg AS (
+      |  SELECT src AS node, count(*) AS deg FROM edges GROUP BY src
+      |), paired AS (
+      |  SELECT dx.deg AS dx, dy.deg AS dy
+      |  FROM edges e
+      |  JOIN deg dx ON dx.node = e.src
+      |  JOIN deg dy ON dy.node = e.dst
+      |), m AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS m2,
+      |    sum(CAST(dx AS HUGEINT)) AS sx, sum(CAST(dy AS HUGEINT)) AS sy,
+      |    sum(CAST(dx AS HUGEINT) * dy) AS sxy,
+      |    sum(CAST(dx AS HUGEINT) * dx) AS sxx,
+      |    sum(CAST(dy AS HUGEINT) * dy) AS syy
+      |  FROM paired
+      |)
+      |SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+      |  CASE WHEN m2 * sxx - sx * sx > 0 AND m2 * syy - sy * sy > 0 THEN
+      |    CAST(m2 * sxy - sx * sy AS DOUBLE)
+      |      / (sqrt(CAST(m2 * sxx - sx * sx AS DOUBLE))
+      |         * sqrt(CAST(m2 * syy - sy * sy AS DOUBLE)))
+      |  END AS assortativity
+      |FROM m""".stripMargin
 }

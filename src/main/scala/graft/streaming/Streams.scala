@@ -1132,4 +1132,60 @@ object Streams {
           }
       }
   }
+
+  final case class IaEv(user_id: Long, tsSec: Long, event_id: Long)
+  final case class IaState(nGaps: Long, sumG: Long, sumGG: Long, lastSec: Long)
+  final case class IaRow(user_id: Long, n_gaps: Long, mean_gap_s: Double,
+      sd_gap_s: Option[Double], cv: Option[Double], burstiness: Option[Double])
+
+  /** Streaming inter-arrival burstiness — the UNBOUNDED-horizon form
+    * of [[graft.operators.Behavior.interArrivalOf]]: per user, the
+    * gap moments (n, Σg, Σg²) and the last-seen second are FOUR longs
+    * of state at any volume, folded one micro-batch at a time; gaps
+    * spanning a batch boundary are stitched through the stored
+    * last-seen second, so the emitted statistics are exactly the
+    * batch op's over everything seen so far (the spec pins the
+    * equality). Each batch re-emits the user's row (update mode) with
+    * the SAME formula chain as the batch twin — mean/σ/cv/Goh–Barabási
+    * B from exact integer moments (BigInt for the σ numerator, the
+    * decimal lane's overflow headroom), NULL (None) for the
+    * degenerate one-gap / all-simultaneous cases. Headroom: Σg²
+    * overflows a long past ~10⁹ seconds² × 10⁹ gaps — at that volume
+    * per user you have a different problem.
+    */
+  def interArrivalGate(spark: SparkSession, events: DataFrame): Dataset[IaRow] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_timestamp(col("ts")).as("tsSec"), col("event_id"))
+      .as[IaEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[IaState, IaRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[IaEv], state: GroupState[IaState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.tsSec, e.event_id))
+          var st = state.getOption.getOrElse(IaState(0L, 0L, 0L, Long.MinValue))
+          sorted.foreach { e =>
+            if (st.lastSec != Long.MinValue) {
+              val g = e.tsSec - st.lastSec
+              st = IaState(st.nGaps + 1, st.sumG + g, st.sumGG + g * g, e.tsSec)
+            } else st = st.copy(lastSec = e.tsSec)
+          }
+          state.update(st)
+          if (st.nGaps == 0) Iterator.empty
+          else {
+            val n = st.nGaps
+            val mean = st.sumG.toDouble / n.toDouble
+            if (n < 2) Iterator.single(IaRow(user, n, mean, None, None, None))
+            else {
+              val varNum = (BigInt(n) * BigInt(st.sumGG)
+                - BigInt(st.sumG) * BigInt(st.sumG)).toDouble
+              val sigma = math.sqrt(varNum / (n.toDouble * (n - 1).toDouble))
+              val cv = if (st.sumG > 0) Some(sigma / mean) else None
+              val b = if (st.sumG > 0 || varNum > 0)
+                Some((sigma - mean) / (sigma + mean)) else None
+              Iterator.single(IaRow(user, n, mean, Some(sigma), cv, b))
+            }
+          }
+      }
+  }
 }

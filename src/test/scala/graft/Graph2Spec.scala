@@ -72,4 +72,38 @@ class Graph2Spec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 2L, 2L -> 1L))
   }
+
+  // ------------------------------------------------- assortativity
+
+  test("assortativity: a star graph reads exactly -1 (pure hub-to-leaf)") {
+    import spark.implicits._
+    // hub 0 to leaves 1..3, both directions in the list
+    val und = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val r = graft.operators.Graph2.assortativityOf(edges).collect().head
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == -1.0)
+  }
+
+  test("assortativity: two disjoint cliques of different degree read exactly 1") {
+    import spark.implicits._
+    // K3 (deg 2) + K4 (deg 3): endpoint degrees always equal -> r = 1
+    val k3 = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val k4 = Seq((10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L), (11L, 13L), (12L, 13L))
+    val und = k3 ++ k4
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val r = graft.operators.Graph2.assortativityOf(edges).collect().head
+    assert(r.getLong(0) == 9L)
+    // sqrt-product rounding leaves the ratio within 1 ulp of 1
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("assortativity: a degree-regular graph has zero variance and reads NULL") {
+    import spark.implicits._
+    // a 4-cycle: every node degree 2
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val r = graft.operators.Graph2.assortativityOf(edges).collect().head
+    assert(r.isNullAt(1))
+  }
 }

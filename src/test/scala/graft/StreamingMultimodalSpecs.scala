@@ -758,6 +758,61 @@ class StreamingSpec extends AnyFunSuite {
     assert((snaps(1)._1, snaps(1)._2) == ((want.n, want.chi2)),
       s"final snapshot ${snaps(1)} != batch twin $want")
   }
+
+  test("interarrival gate: cross-batch gaps stitch and the stats equal the batch twin") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val events = mem.toDF().toDF("event_id", "user_id", "ts")
+    val q = Streams.interArrivalGate(spark, events)
+      .writeStream.outputMode("update").format("memory").queryName("ia_out").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val batch1 = Seq((1L, 1L, ts("2024-03-01 10:00:00")), (2L, 1L, ts("2024-03-01 10:00:10")),
+      (3L, 2L, ts("2024-03-01 11:00:00")))
+    val batch2 = Seq((4L, 1L, ts("2024-03-01 10:00:40")),
+      (5L, 2L, ts("2024-03-01 11:01:00")), (6L, 2L, ts("2024-03-01 11:03:00")))
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // latest emitted row per user (update mode re-emits; last wins)
+    val gotRows = spark.table("ia_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    val got = gotRows.groupBy(_._1).map { case (u, rs) => rs.maxBy(_._2) }.toSet
+    val batchTwin = graft.operators.Behavior.interArrivalOf(
+      (batch1 ++ batch2).toDF("event_id", "user_id", "ts")
+        .withColumn("event_type", org.apache.spark.sql.functions.lit("x")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(r.fieldIndex("mean_gap_s")),
+        if (r.isNullAt(r.fieldIndex("sd_gap_s"))) None
+        else Some(r.getDouble(r.fieldIndex("sd_gap_s"))),
+        if (r.isNullAt(r.fieldIndex("burstiness"))) None
+        else Some(r.getDouble(r.fieldIndex("burstiness"))))).toSet
+    assert(got == batchTwin, s"got $got\nwant $batchTwin")
+  }
+
+  test("interarrival gate: a single event emits nothing until a gap exists") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val events = mem.toDF().toDF("event_id", "user_id", "ts")
+    val q = Streams.interArrivalGate(spark, events)
+      .writeStream.outputMode("update").format("memory").queryName("ia_single").start()
+    try {
+      mem.addData((1L, 9L, java.sql.Timestamp.valueOf("2024-03-01 10:00:00")))
+      q.processAllAvailable()
+      assert(spark.table("ia_single").count() == 0)
+      mem.addData((2L, 9L, java.sql.Timestamp.valueOf("2024-03-01 10:00:30")))
+      q.processAllAvailable()
+      val r = spark.table("ia_single").collect().head
+      assert(r.getLong(1) == 1L && r.getDouble(2) == 30.0 && r.isNullAt(3))
+    } finally q.stop()
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
