@@ -499,4 +499,98 @@ object CorpusScience {
        |          / CAST(CAST(r2 AS HUGEINT) * c2c AS DOUBLE)) ELSE 0.0 END)), 6) AS llr
        |FROM cells
        |ORDER BY llr DESC, bg LIMIT $topK""".stripMargin
+
+  // --------------------------------------------------- RAKE keywords
+
+  /** RAKE keyword extraction (Rose et al. 2010, "Rapid Automatic
+    * Keyword Extraction") — the stopword-delimited complement of
+    * `q_textrank`'s graph ranking: candidate phrases are maximal runs
+    * of non-stopword tokens (gaps-and-islands: island id = token pos −
+    * row_number over the doc's non-stop tokens — every window
+    * DOC-partitioned); each word scores deg/freq over its phrase
+    * memberships (deg = Σ length of containing phrases — co-occurrence
+    * degree including self); a phrase scores the SUM of its member
+    * word scores. That sum is |phrase| ≤ maxLen doubles folded in
+    * POSITION order on both engines (Spark `aggregate` over the
+    * pos-sorted collect; DuckDB `list_reduce` over `list(... ORDER BY
+    * pos)` — the `q_anova` sorted-fold discipline), because a groupBy
+    * SUM of doubles has engine-dependent order. Repeated phrase
+    * strings share one corpus-level score by construction, so the
+    * dedup takes min (order-independent). Stop set = the union
+    * stoplist over the corpus's four languages.
+    */
+  def rakeOf(docs: DataFrame, maxLen: Int = 4, minCount: Int = 2,
+      topK: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stops = TextAnalysis.stopListAll
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")))
+      .withColumnRenamed("pos", "pos").withColumnRenamed("col", "word")
+      .filter(col("word") =!= "")
+    val nonStop = toks
+      .filter(!col("word").isin(stops: _*))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val members = nonStop
+      .withColumn("phrase_id", col("pos") - row_number().over(w))
+    val wp = Window.partitionBy(col("doc_id"), col("phrase_id"))
+    val withLen = members.withColumn("plen", count(lit(1)).over(wp))
+      .filter(col("plen") <= maxLen)
+    val wordStats = withLen.groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+    val scored = withLen.join(wordStats, "word")
+      .withColumn("wscore", col("deg").cast("double") / col("freq").cast("double"))
+    val phrases = scored.groupBy(col("doc_id"), col("phrase_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("word"), col("wscore"))))
+        .as("ws"))
+      .select(
+        array_join(transform(col("ws"), s => s.getField("word")), " ").as("phrase"),
+        aggregate(col("ws"), lit(0.0), (acc, s) => acc + s.getField("wscore"))
+          .as("score"))
+    phrases.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n"), min(col("score")).as("score"))
+      .filter(col("n") >= minCount)
+      .select(col("phrase"), col("n"), (round(col("score"), 6) + lit(0.0)).as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(topK)
+  }
+
+  def rake(t: Tables): DataFrame = rakeOf(t.documents)
+
+  def rakeSql(maxLen: Int = 4, minCount: Int = 2, topK: Int = 40): String = {
+    val stops = TextAnalysis.stopListAll.map("'" + _ + "'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, i AS pos, tk[i + 1] AS word
+       |  FROM (
+       |    SELECT doc_id,
+       |      regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+       |    FROM documents),
+       |    unnest(range(0, len(tk))) AS r(i)
+       |  WHERE tk[i + 1] <> ''
+       |), members AS (
+       |  SELECT doc_id, pos, word,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+       |  FROM toks WHERE word NOT IN ($stops)
+       |), with_len AS (
+       |  SELECT doc_id, pos, word, phrase_id,
+       |    count(*) OVER (PARTITION BY doc_id, phrase_id) AS plen
+       |  FROM members
+       |  QUALIFY plen <= $maxLen
+       |), word_stats AS (
+       |  SELECT word, count(*) AS freq, CAST(sum(plen) AS BIGINT) AS deg
+       |  FROM with_len GROUP BY word
+       |), scored AS (
+       |  SELECT m.doc_id, m.phrase_id, m.pos, m.word,
+       |    CAST(s.deg AS DOUBLE) / CAST(s.freq AS DOUBLE) AS wscore
+       |  FROM with_len m JOIN word_stats s USING (word)
+       |), phrases AS (
+       |  SELECT string_agg(word, ' ' ORDER BY pos) AS phrase,
+       |    list_reduce(list_prepend(0.0, list(wscore ORDER BY pos)),
+       |      (a, b) -> a + b) AS score
+       |  FROM scored GROUP BY doc_id, phrase_id
+       |)
+       |SELECT phrase, count(*) AS n, round(min(score), 6) + 0.0 AS score
+       |FROM phrases GROUP BY phrase HAVING count(*) >= $minCount
+       |ORDER BY score DESC, phrase LIMIT $topK""".stripMargin
+  }
 }

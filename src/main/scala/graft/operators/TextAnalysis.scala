@@ -32,6 +32,11 @@ object TextAnalysis {
     * from a token stream (e.g. [[Curate.curate]]'s span-cut stats). */
   def stopList(lang: String): Seq[String] = stop(lang)
 
+  /** Union of all four language stoplists, sorted — the delimiter set
+    * for phrase extraction over the multilingual corpus
+    * ([[CorpusScience.rakeOf]]). */
+  def stopListAll: Seq[String] = stop.values.flatten.toSeq.distinct.sorted
+
   /** Charset + stopword-vote language ID with a deterministic
     * tie-break order (zh/ar charsets first, then en>fr>es>de).
     *

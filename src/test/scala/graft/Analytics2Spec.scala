@@ -403,4 +403,35 @@ class Analytics2Spec extends AnyFunSuite {
       .collect().map(_.getDouble(2))
     assert(vals.forall(_ >= -1e-9))
   }
+
+  // --------------------------------------------------- RAKE keywords
+
+  test("rake: stopwords delimit phrases and scores follow deg/freq (hand-computed)") {
+    // stoplist contains "the"; text "deep learning the deep model" →
+    // phrases: [deep learning], [deep model]
+    // freq: deep 2, learning 1, model 1; deg: deep 2+2=4, learning 2, model 2
+    // score(deep)=2, score(learning)=2, score(model)=2
+    // phrase scores: deep learning = 4, deep model = 4
+    val docs = Seq((1L, "deep learning the deep model"),
+      (2L, "deep learning the deep model")).toDF("doc_id", "text")
+    val got = graft.operators.CorpusScience.rakeOf(docs, minCount = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(("deep learning", 2L, 4.0), ("deep model", 2L, 4.0)))
+  }
+
+  test("rake: phrases longer than maxLen are dropped") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val got = graft.operators.CorpusScience.rakeOf(docs, maxLen = 4, minCount = 2, topK = 10)
+      .collect()
+    assert(got.isEmpty) // the single 5-word run exceeds maxLen
+  }
+
+  test("rake: a phrase seen once is filtered by minCount") {
+    val docs = Seq((1L, "quantum leap"), (2L, "quantum leap"), (3L, "solo phrase"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.CorpusScience.rakeOf(docs, minCount = 2, topK = 10)
+      .collect().map(_.getString(0))
+    assert(got.toSeq == Seq("quantum leap"))
+  }
 }
