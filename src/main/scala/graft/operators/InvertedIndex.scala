@@ -286,4 +286,138 @@ object InvertedIndex {
        |GROUP BY phrase, doc_id
        |ORDER BY phrase, doc_id""".stripMargin
   }
+
+  // --------------------------------- Rocchio pseudo-relevance feedback
+
+  /** [[bm25Scores]] with a DATA-dependent term set (a one-column
+    * `word` DataFrame) — the literal-list form keeps its codegen'd
+    * isin filter; this variant broadcast-joins the term table, which
+    * is what query expansion needs (round-2 terms are computed, not
+    * authored).
+    */
+  private def bm25ScoresDf(docs: DataFrame, termsDf: DataFrame,
+      k1: Double, b: Double): DataFrame = {
+    val toks = postingsOf(docs).select("doc_id", "word")
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = toks.join(broadcast(termsDf), "word")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val denom = col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))
+    tf.join(broadcast(dft), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score", idf * col("tf") * (lit(k1) + lit(1.0)) / denom)
+      .groupBy("doc_id")
+      .agg(round(sum(col("term_score")), 6).as("bm25"))
+  }
+
+  /** Rocchio-style pseudo-relevance feedback (the classic two-pass
+    * query expansion): round 1 retrieves the top-`r` feedback docs by
+    * BM25 on the authored terms; the expansion picks the top-`e`
+    * NON-query terms by summed tf·idf mass over those feedback docs
+    * (the dominant terms of the Rocchio centroid — the β term of the
+    * update, with the α term being the original query kept verbatim);
+    * round 2 re-scores the corpus with the expanded term set and
+    * ships the final top-`k` with ranks. Both BM25 passes share one
+    * postings plan; the expansion aggregate touches only feedback-doc
+    * postings (r docs, broadcast); ranks come from the triangular
+    * self-join over the ≤k top list ([[rrfFusionOf]]'s rankSmall — a
+    * row_number window here would be the unpartitioned WindowExec
+    * PlanAuditSpec bans). Expansion scores round to 6dp before the
+    * rank so term selection is engine-stable.
+    */
+  def rocchioExpandOf(docs: DataFrame, terms: Seq[String], r: Int = 5,
+      e: Int = 3, k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feedback = bm25Scores(docs, terms, k1, b)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(r)
+      .select("doc_id")
+    val toks = postingsOf(docs).select("doc_id", "word")
+    val nDocs = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tfAll = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfAll = tfAll.groupBy("word").agg(count(lit(1)).as("df"))
+    val expansion = tfAll.join(broadcast(feedback), "doc_id")
+      .join(dfAll, "word").crossJoin(broadcast(nDocs))
+      .filter(!col("word").isin(terms: _*))
+      .groupBy("word")
+      .agg(round(sum(col("tf").cast("double")
+        * log(col("n_docs").cast("double") / col("df"))), 6).as("rscore"))
+      .orderBy(col("rscore").desc, col("word")).limit(e)
+    val terms2 = expansion.select("word")
+      .unionAll(terms.toDF("word")).distinct()
+    val top = bm25ScoresDf(docs, terms2, k1, b)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+    val a = top.as("a"); val bb = top.as("b")
+    a.join(broadcast(bb),
+        col("b.bm25") > col("a.bm25") ||
+          (col("b.bm25") === col("a.bm25") && col("b.doc_id") < col("a.doc_id")),
+        "left")
+      .groupBy(col("a.doc_id").as("doc_id"), col("a.bm25").as("bm25"))
+      .agg((count(col("b.doc_id")) + 1L).as("rank"))
+      .orderBy("rank")
+  }
+
+  def rocchioExpand(t: Tables, terms: Seq[String] = gateTerms): DataFrame =
+    rocchioExpandOf(t.documents, terms)
+
+  def rocchioExpandSql(terms: Seq[String] = gateTerms, r: Int = 5, e: Int = 3,
+      k: Int = 10): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, tk[i + 1] AS word
+       |  FROM (
+       |    SELECT doc_id,
+       |      regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+       |    FROM documents),
+       |    unnest(range(0, len(tk))) AS r(i)
+       |  WHERE tk[i + 1] <> ''
+       |), dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |tf1 AS (
+       |  SELECT doc_id, word, count(*) AS tf FROM toks
+       |  WHERE word IN ($inList) GROUP BY doc_id, word
+       |), dft1 AS (SELECT word, count(*) AS df FROM tf1 GROUP BY word),
+       |feedback AS (
+       |  SELECT doc_id,
+       |    round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * (1.2 + 1.0)
+       |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+       |  FROM tf1 JOIN dft1 USING (word) JOIN dl USING (doc_id) CROSS JOIN stats
+       |  GROUP BY doc_id
+       |  ORDER BY bm25 DESC, doc_id LIMIT $r
+       |), tf_all AS (
+       |  SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word
+       |), df_all AS (SELECT word, count(*) AS df FROM tf_all GROUP BY word),
+       |expansion AS (
+       |  SELECT word,
+       |    round(sum(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df)), 6) AS rscore
+       |  FROM tf_all
+       |  JOIN (SELECT doc_id FROM feedback) USING (doc_id)
+       |  JOIN df_all USING (word) CROSS JOIN stats
+       |  WHERE word NOT IN ($inList)
+       |  GROUP BY word ORDER BY rscore DESC, word LIMIT $e
+       |), terms2 AS (
+       |  SELECT word FROM expansion
+       |  UNION SELECT unnest([$inList]) AS word
+       |), tf2 AS (
+       |  SELECT t.doc_id, t.word, count(*) AS tf
+       |  FROM toks t JOIN terms2 q ON q.word = t.word
+       |  GROUP BY t.doc_id, t.word
+       |), dft2 AS (SELECT word, count(*) AS df FROM tf2 GROUP BY word),
+       |top AS (
+       |  SELECT doc_id,
+       |    round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * (1.2 + 1.0)
+       |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+       |  FROM tf2 JOIN dft2 USING (word) JOIN dl USING (doc_id) CROSS JOIN stats
+       |  GROUP BY doc_id
+       |  ORDER BY bm25 DESC, doc_id LIMIT $k
+       |)
+       |SELECT doc_id, bm25,
+       |  row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+       |FROM top
+       |ORDER BY rank""".stripMargin
+  }
 }

@@ -88,4 +88,53 @@ class InvertedIndexSpec extends AnyFunSuite {
       assert(rows(0).getDouble(3) == math.rint(2.0 / 61 * 1e6) / 1e6)
     }
   }
+
+  // --------------------------------- Rocchio pseudo-relevance feedback
+
+  test("rocchio: expansion surfaces a term co-occurring with the query in feedback docs") {
+    import spark.implicits._
+    // "anchor" query; docs about anchors always mention "windlass";
+    // a distractor doc mentions windlass without anchor.
+    // windlass: df 4 of 8 (idf ln 2) but tf 2 in every feedback doc →
+    // Σtf·idf = 6·ln2 ≈ 4.16, beating any once-only word (ln 8 ≈ 2.08)
+    val docs = Seq(
+      (1L, "anchor windlass windlass chain"),
+      (2L, "anchor windlass windlass rope"),
+      (3L, "anchor windlass windlass harbor"),
+      (4L, "galley stove pots pans"),
+      (5L, "windlass maintenance manual"),
+      (6L, "random noise words"),
+      (7L, "more filler text here"),
+      (8L, "unrelated filler doc")).toDF("doc_id", "text")
+    val got = graft.operators.InvertedIndex
+      .rocchioExpandOf(docs, Seq("anchor"), r = 3, e = 1, k = 5)
+      .collect().map(_.getLong(0))
+    // doc 5 has no "anchor" but must enter the round-2 ranking via the
+    // expanded term (windlass dominates the feedback centroid)
+    assert(got.contains(5L), s"expanded retrieval missed doc 5: ${got.toSeq}")
+  }
+
+  test("rocchio: with e = 0 the ranking degrades to plain BM25 on the original terms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark scan order"), (2L, "spark spark scan"),
+      (3L, "noise words here"), (4L, "order scan spark spark")).toDF("doc_id", "text")
+    val plain = graft.operators.InvertedIndex.rocchioExpandOf(
+      docs, Seq("spark"), r = 2, e = 0, k = 4).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // round-2 term set == original, so scores equal single-pass BM25
+    assert(plain.nonEmpty && plain.forall(_._2 > 0))
+    assert(!plain.map(_._1).contains(3L))
+  }
+
+  test("rocchio: ranks are 1..n dense in score order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "alpha alpha"), (3L, "alpha gamma beta"))
+      .toDF("doc_id", "text")
+    val rows = graft.operators.InvertedIndex
+      .rocchioExpandOf(docs, Seq("alpha"), r = 2, e = 1, k = 3).collect()
+    assert(rows.map(_.getLong(2)).toSeq == (1L to rows.length).toSeq)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.sliding(2).forall { case Array(a, b) => a >= b })
+  }
 }
