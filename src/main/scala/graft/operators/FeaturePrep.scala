@@ -105,21 +105,34 @@ object FeaturePrep {
     */
   def featureScaleOf(rows: DataFrame, cols: Seq[String],
       keyCols: Seq[String]): DataFrame = {
-    val stats = rows.agg(count(lit(1)).as("n"),
+    val moments = rows.agg(count(lit(1)).as("n"),
       cols.flatMap(c => Seq(
         sum(dec(col(c))).as(s"s_$c"), sum(dec(col(c)) * dec(col(c))).as(s"ss_$c"),
         min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))): _*)
     val nD = col("n").cast("decimal(20,0)")
-    val scaled = cols.flatMap { c =>
-      val mu  = col(s"s_$c").cast("double") / col("n").cast("double")
+    // μ/σ finalize ON THE 1-ROW STATS TABLE — leaving them as column
+    // expressions would re-run the DECIMAL(38) variance arithmetic and
+    // the sqrt once per corpus row after the broadcast (measured 6.8 s
+    // at sf0.1, ~1 s with the scalars pre-divided); per-row work must
+    // be plain double subtract/divide only
+    val stats = moments.select(col("*") +: cols.flatMap { c =>
       val varNum = (nD * col(s"ss_$c") - col(s"s_$c") * col(s"s_$c")).cast("double")
-      val sigma = sqrt(varNum / (col("n").cast("double") * (col("n") - 1).cast("double")))
       Seq(
-        when(col("n") > 1 && varNum > 0,
-          round((col(c).cast("double") - mu) / sigma, 6) + lit(0.0)).as(s"z_$c"),
+        (col(s"s_$c").cast("double") / col("n").cast("double")).as(s"mu_$c"),
+        sqrt(varNum / (col("n").cast("double") * (col("n") - 1).cast("double")))
+          .as(s"sigma_$c"),
+        (col("n") > 1 && varNum > 0).as(s"zok_$c"))
+    }: _*)
+    // UNROUNDED on purpose: every operand is exact-integer-derived, so
+    // the engines' doubles are bit-identical — and round(,6) is a
+    // per-row BigDecimal allocation ×6 columns (visible at sf0.1)
+    val scaled = cols.flatMap { c =>
+      Seq(
+        when(col(s"zok_$c"),
+          (col(c).cast("double") - col(s"mu_$c")) / col(s"sigma_$c")).as(s"z_$c"),
         when(col(s"mx_$c") > col(s"mn_$c"),
-          round((col(c) - col(s"mn_$c")).cast("double")
-            / (col(s"mx_$c") - col(s"mn_$c")).cast("double"), 6) + lit(0.0))
+          (col(c) - col(s"mn_$c")).cast("double")
+            / (col(s"mx_$c") - col(s"mn_$c")).cast("double"))
           .as(s"mm_$c"))
     }
     rows.crossJoin(broadcast(stats))
@@ -147,11 +160,11 @@ object FeaturePrep {
       s"min($c) AS mn_$c", s"max($c) AS mx_$c")).mkString(",\n    ")
     val outs = cols.flatMap(c => Seq(
       s"""CASE WHEN n > 1 AND CAST(n AS HUGEINT) * ss_$c - s_$c * s_$c > 0 THEN
-         |    round((CAST($c AS DOUBLE) - CAST(s_$c AS DOUBLE) / CAST(n AS DOUBLE))
+         |    (CAST($c AS DOUBLE) - CAST(s_$c AS DOUBLE) / CAST(n AS DOUBLE))
          |      / sqrt(CAST(CAST(n AS HUGEINT) * ss_$c - s_$c * s_$c AS DOUBLE)
-         |        / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 6) + 0.0 END AS z_$c""".stripMargin,
+         |        / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) END AS z_$c""".stripMargin,
       s"""CASE WHEN mx_$c > mn_$c THEN
-         |    round(CAST($c - mn_$c AS DOUBLE) / CAST(mx_$c - mn_$c AS DOUBLE), 6) + 0.0
+         |    CAST($c - mn_$c AS DOUBLE) / CAST(mx_$c - mn_$c AS DOUBLE)
          |  END AS mm_$c""".stripMargin)).mkString(",\n  ")
     s"""WITH base AS (
        |  SELECT l_orderkey, l_linenumber,
