@@ -205,4 +205,106 @@ object Behavior {
        |)
        |SELECT seq, count(*) AS n FROM triples WHERE e3 IS NOT NULL
        |GROUP BY seq ORDER BY n DESC, seq LIMIT $k""".stripMargin
+
+  // ------------------------------------------------ peak concurrency
+
+  /** Peak concurrent sessions per day — the capacity-planning readout
+    * ("how many sessions were open at once at the worst moment"):
+    * sessions from the `q_events_sessionize` 30-minute-gap rule
+    * collapse to (start_ts, end_ts) intervals; each day's peak is
+    * carry-in (sessions already open at midnight) plus the maximum
+    * prefix sum of that day's ±1 boundary sweep. Carry-in comes from
+    * the DAY-GRID identity carry(d) = Σ_{d'<d} starts(d') − ends(d')
+    * — a triangular join over the ≤|days| grid, NEVER a
+    * session×day range join — and the sweep window is DAY-partitioned
+    * (ends sort after starts at the same instant, so a session ending
+    * exactly when another starts counts both — the closed-interval
+    * convention). Every number is an exact integer. A 30-min-gap
+    * session cannot span a silent day, so event days ARE the day
+    * grid.
+    */
+  def peakConcurrencyOf(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapSecs = gapMinutes * 60L
+    val sessions = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSecs, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+    val bounds = sessions
+      .select(col("start_ts").as("ts"), lit(0).as("kind"), lit(1L).as("delta"))
+      .unionAll(sessions
+        .select(col("end_ts").as("ts"), lit(1).as("kind"), lit(-1L).as("delta")))
+      .withColumn("day", to_date(date_trunc("day", col("ts"))))
+    val perDay = bounds.groupBy(col("day"))
+      .agg(sum(when(col("kind") === 0, 1L).otherwise(0L)).as("n_starts"),
+        sum(when(col("kind") === 1, 1L).otherwise(0L)).as("n_ends"))
+    val carry = perDay.as("a")
+      .join(perDay.select(col("day").as("d2"), (col("n_starts") - col("n_ends")).as("net"))
+        .as("b"), col("d2") < col("a.day"), "left")
+      .groupBy(col("a.day").as("day"), col("a.n_starts").as("n_starts"))
+      .agg(coalesce(sum(col("net")), lit(0L)).as("carry_in"))
+    val wDay = Window.partitionBy(col("day"))
+      .orderBy(col("ts"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val peaks = bounds
+      .withColumn("running", sum(col("delta")).over(wDay))
+      .groupBy(col("day"))
+      .agg(max(col("running")).as("max_delta"))
+    carry.join(peaks, "day")
+      .select(col("day"), col("n_starts"), col("carry_in"),
+        (col("carry_in") + col("max_delta")).as("peak"))
+      .orderBy("day")
+  }
+
+  def peakConcurrency(t: Tables): DataFrame = peakConcurrencyOf(t.events)
+
+  def peakConcurrencySql(gapMinutes: Int = 30): String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, ts,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR date_diff('second', lag(ts) OVER w, ts) > ${gapMinutes * 60}
+       |      THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), numbered AS (
+       |  SELECT user_id, ts,
+       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM flagged
+       |), sessions AS (
+       |  SELECT user_id, session_id, min(ts) AS start_ts, max(ts) AS end_ts
+       |  FROM numbered GROUP BY user_id, session_id
+       |), bounds AS (
+       |  SELECT start_ts AS ts, 0 AS kind, 1 AS delta,
+       |    CAST(date_trunc('day', start_ts) AS DATE) AS day FROM sessions
+       |  UNION ALL
+       |  SELECT end_ts AS ts, 1 AS kind, -1 AS delta,
+       |    CAST(date_trunc('day', end_ts) AS DATE) AS day FROM sessions
+       |), per_day AS (
+       |  SELECT day,
+       |    CAST(sum(CASE WHEN kind = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+       |    CAST(sum(CASE WHEN kind = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ends
+       |  FROM bounds GROUP BY day
+       |), carry AS (
+       |  SELECT a.day, a.n_starts,
+       |    CAST(coalesce(sum(b.n_starts - b.n_ends), 0) AS BIGINT) AS carry_in
+       |  FROM per_day a LEFT JOIN per_day b ON b.day < a.day
+       |  GROUP BY a.day, a.n_starts
+       |), peaks AS (
+       |  SELECT day, max(running) AS max_delta FROM (
+       |    SELECT day,
+       |      CAST(sum(delta) OVER (PARTITION BY day ORDER BY ts, kind
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running
+       |    FROM bounds)
+       |  GROUP BY day
+       |)
+       |SELECT day, n_starts, carry_in, carry_in + max_delta AS peak
+       |FROM carry JOIN peaks USING (day)
+       |ORDER BY day""".stripMargin
 }

@@ -111,4 +111,41 @@ class BehaviorSpec extends AnyFunSuite {
     val got = Behavior.seqPatternsOf(df).collect()
     assert(got.length == 1 && got.head.getString(0) == "x>y>z" && got.head.getLong(1) == 2L)
   }
+
+  // ------------------------------------------------ peak concurrency
+
+  test("peakConcurrency: overlapping sessions from different users stack (hand-computed)") {
+    // u1 session 10:00-10:20, u2 session 10:10-10:30, u3 session 11:30-11:40
+    // peak = 2 (10:10-10:20); all on one day, carry_in 0
+    val df = toDf(Seq(
+      ev(1, 1, "2024-03-01 10:00:00"), ev(2, 1, "2024-03-01 10:20:00"),
+      ev(3, 2, "2024-03-01 10:10:00"), ev(4, 2, "2024-03-01 10:30:00"),
+      ev(5, 3, "2024-03-01 11:30:00"), ev(6, 3, "2024-03-01 11:40:00")))
+    val r = Behavior.peakConcurrencyOf(df).collect().head
+    assert(r.getLong(r.fieldIndex("n_starts")) == 3L)
+    assert(r.getLong(r.fieldIndex("carry_in")) == 0L)
+    assert(r.getLong(r.fieldIndex("peak")) == 2L)
+  }
+
+  test("peakConcurrency: a session ending exactly when another starts counts both (closed intervals)") {
+    val df = toDf(Seq(
+      ev(1, 1, "2024-03-01 10:00:00"), ev(2, 1, "2024-03-01 10:20:00"),
+      ev(3, 2, "2024-03-01 10:20:00"), ev(4, 2, "2024-03-01 10:40:00")))
+    val r = Behavior.peakConcurrencyOf(df).collect().head
+    assert(r.getLong(r.fieldIndex("peak")) == 2L)
+  }
+
+  test("peakConcurrency: a session spanning midnight carries into the next day") {
+    // continuous activity 23:50 → 00:10 (gaps ≤ 30 min → ONE session)
+    val df = toDf(Seq(
+      ev(1, 1, "2024-03-01 23:50:00"), ev(2, 1, "2024-03-02 00:10:00"),
+      ev(3, 2, "2024-03-02 09:00:00"), ev(4, 2, "2024-03-02 09:05:00")))
+    val rows = Behavior.peakConcurrencyOf(df).collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(r.fieldIndex("carry_in")), r.getLong(r.fieldIndex("peak")))).toMap
+    assert(rows("2024-03-01") == ((0L, 1L)))
+    // day 2 starts with u1's session still open
+    assert(rows("2024-03-02")._1 == 1L)
+    assert(rows("2024-03-02")._2 == 1L) // u1 closes 00:10, u2 opens 09:00 — never 2 at once
+  }
 }
