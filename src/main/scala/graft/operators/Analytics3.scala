@@ -663,4 +663,59 @@ object Analytics3 {
        |FROM pt p JOIN bounds b USING (o_orderpriority)
        |ORDER BY o_orderpriority""".stripMargin
   }
+
+  // ------------------------------------------------------ Lorenz curve
+
+  /** Lorenz curve of per-user activity — the distribution readout
+    * behind `q_gini`'s single number ("the bottom 80% of users hold
+    * what share of events?"): one point per DISTINCT activity level v
+    * (ascending), carrying the cumulative user share and activity
+    * share at-or-below v. The corpus collapses to per-user counts,
+    * those to the ≤|distinct levels| value table (`q_gini`'s vt), and
+    * both cumulatives are ONE triangular join over that tiny table —
+    * no window at all. Counts and masses are exact LONG/DECIMAL; the
+    * two shares are single unrounded divisions of exact integers
+    * (bit-identical across engines). The curve plus (0,0) is what a
+    * plotting client interpolates; Gini = 1 − 2·AUC re-derives the
+    * `q_gini` number as a cross-check.
+    */
+  def lorenzCurveOf(events: DataFrame): DataFrame = {
+    val perUser = events.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val vt = perUser.groupBy(col("cnt").as("v")).agg(count(lit(1)).as("f"))
+      .withColumn("mass", col("v").cast("decimal(18,0)") * col("f"))
+    val tot = vt.agg(sum(col("f")).as("users_tot"), sum(col("mass")).as("mass_tot"))
+    val cum = vt.as("a")
+      .join(vt.select(col("v").as("v2"), col("f").as("f2"), col("mass").as("m2")).as("b"),
+        col("v2") <= col("a.v"))
+      .groupBy(col("a.v").as("v"))
+      .agg(sum(col("f2")).as("cum_users"), sum(col("m2")).as("cum_mass"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("v"), col("cum_users").cast("long").as("cum_users"),
+        (col("cum_users").cast("double") / col("users_tot").cast("double"))
+          .as("pct_users"),
+        (col("cum_mass").cast("double") / col("mass_tot").cast("double"))
+          .as("pct_mass"))
+      .orderBy("v")
+  }
+
+  def lorenzCurve(t: Tables): DataFrame = lorenzCurveOf(t.events)
+
+  val lorenzCurveSql: String =
+    """WITH per_user AS (
+      |  SELECT user_id, count(*) AS cnt FROM events GROUP BY 1
+      |), vt AS (
+      |  SELECT cnt AS v, count(*) AS f, CAST(cnt AS HUGEINT) * count(*) AS mass
+      |  FROM per_user GROUP BY 1
+      |), tot AS (
+      |  SELECT sum(f) AS users_tot, sum(mass) AS mass_tot FROM vt
+      |), cum AS (
+      |  SELECT a.v, sum(b.f) AS cum_users, sum(b.mass) AS cum_mass
+      |  FROM vt a JOIN vt b ON b.v <= a.v
+      |  GROUP BY a.v
+      |)
+      |SELECT v, CAST(cum_users AS BIGINT) AS cum_users,
+      |  CAST(cum_users AS DOUBLE) / CAST(users_tot AS DOUBLE) AS pct_users,
+      |  CAST(cum_mass AS DOUBLE) / CAST(mass_tot AS DOUBLE) AS pct_mass
+      |FROM cum CROSS JOIN tot
+      |ORDER BY v""".stripMargin
 }

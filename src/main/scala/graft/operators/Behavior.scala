@@ -307,4 +307,73 @@ object Behavior {
        |SELECT day, n_starts, carry_in, carry_in + max_delta AS peak
        |FROM carry JOIN peaks USING (day)
        |ORDER BY day""".stripMargin
+
+  // ------------------------------------------------ cart abandonment
+
+  /** Session abandonment rate per day — the conversion-health readout
+    * next to `q_funnel`: of the day's ENGAGED sessions (those with a
+    * view or click), how many ended without a purchase? One pass to
+    * session ids (the shared 30-min rule), one per-session aggregate
+    * of three bool_or flags, one day-grain rollup of exact counts —
+    * the rate is a single division of LONGs. Sessions are dated by
+    * their FIRST event (a session belongs to the day it started).
+    */
+  def abandonmentOf(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapSecs = gapMinutes * 60L
+    val sess = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSecs, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(to_date(date_trunc("day", min(col("ts")))).as("day"),
+        max((col("event_type") === "view" || col("event_type") === "click")
+          .cast("int")).as("engaged"),
+        max((col("event_type") === "purchase").cast("int")).as("purchased"))
+    sess.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("engaged").cast("long")).as("n_engaged"),
+        sum(when(col("engaged") === 1 && col("purchased") === 0, 1L).otherwise(0L))
+          .as("n_abandoned"))
+      .select(col("day"), col("n_sessions"), col("n_engaged"), col("n_abandoned"),
+        when(col("n_engaged") > 0,
+          col("n_abandoned").cast("double") / col("n_engaged").cast("double"))
+          .as("abandonment_rate"))
+      .orderBy("day")
+  }
+
+  def abandonment(t: Tables): DataFrame = abandonmentOf(t.events)
+
+  def abandonmentSql(gapMinutes: Int = 30): String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR date_diff('second', lag(ts) OVER w, ts) > ${gapMinutes * 60}
+       |      THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), numbered AS (
+       |  SELECT user_id, ts, event_type,
+       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM flagged
+       |), sess AS (
+       |  SELECT user_id, session_id,
+       |    CAST(date_trunc('day', min(ts)) AS DATE) AS day,
+       |    max(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END) AS engaged,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+       |  FROM numbered GROUP BY user_id, session_id
+       |)
+       |SELECT day, count(*) AS n_sessions,
+       |  CAST(sum(engaged) AS BIGINT) AS n_engaged,
+       |  CAST(sum(CASE WHEN engaged = 1 AND purchased = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_abandoned,
+       |  CASE WHEN sum(engaged) > 0 THEN
+       |    CAST(sum(CASE WHEN engaged = 1 AND purchased = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / CAST(sum(engaged) AS DOUBLE) END AS abandonment_rate
+       |FROM sess GROUP BY day ORDER BY day""".stripMargin
 }

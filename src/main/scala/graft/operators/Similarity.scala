@@ -36,10 +36,15 @@ object Similarity {
     * is a per-query window on the rounded score with vec_id tie-break
     * (deterministic across engines).
     */
-  def cosineTopK(t: Tables, nQueries: Int = 10, k: Int = 5): DataFrame = {
+  def cosineTopK(t: Tables, nQueries: Int = 10, k: Int = 5): DataFrame =
+    cosineTopKOf(t.embeddings, nQueries, k)
+
+  /** [[cosineTopK]] over a raw embeddings DataFrame — the composable
+    * form downstream evals ([[labelPrecisionOf]]) build on. */
+  def cosineTopKOf(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
     // Norms are computed once per vector BEFORE the pair join; each of
     // the n·q pairs then costs one codegen'd dot product + a divide.
-    val emb = t.embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val emb = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", VectorFunctions.l2norm(col("v")))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
@@ -1100,4 +1105,57 @@ object Similarity {
        |$rows
        |ORDER BY dim""".stripMargin
   }
+
+  // --------------------------------------------- labeled retrieval P@k
+
+  /** Label-match precision@k — the retrieval-quality readout when the
+    * corpus carries class labels (here the embeddings' `label`
+    * column): for each query vector, what fraction of its exact
+    * cosine top-k shares the query's label? This is the standard
+    * eval for "do nearest neighbors agree with supervision" before
+    * trusting an ANN index for dedup or lookup. Reuses the
+    * [[cosineTopK]] plan verbatim; labels join on the ≤k·queries
+    * result rows (broadcast); precision divides exact LONGs.
+    */
+  def labelPrecisionOf(emb: DataFrame, nQueries: Int = 20, k: Int = 10): DataFrame = {
+    val labels = emb.select(col("vec_id"), col("label"))
+    val qLabels = labels.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"))
+    val top = cosineTopKOf(emb, nQueries, k)
+      .join(broadcast(qLabels), "query_id")
+      .join(labels, "vec_id")
+    top.groupBy(col("query_id"), col("q_label"))
+      .agg(count(lit(1)).as("n_retrieved"),
+        sum(when(col("label") === col("q_label"), 1L).otherwise(0L)).as("n_match"))
+      .select(col("query_id"), col("q_label").as("label"),
+        col("n_retrieved"), col("n_match"),
+        (col("n_match").cast("double") / col("n_retrieved").cast("double"))
+          .as("precision"))
+      .orderBy("query_id")
+  }
+
+  def labelPrecision(t: Tables): DataFrame = labelPrecisionOf(t.embeddings)
+
+  def labelPrecisionSql(nQueries: Int = 20, k: Int = 10): String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS q_label
+       |  FROM embeddings WHERE vec_id < $nQueries
+       |), scored AS (
+       |  SELECT q.query_id, q.q_label, e.vec_id, e.label,
+       |    round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS cos_sim
+       |  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+       |), top AS (
+       |  SELECT query_id, q_label, vec_id, label FROM (
+       |    SELECT query_id, q_label, vec_id, label,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+       |    FROM scored)
+       |  WHERE rank <= $k
+       |)
+       |SELECT query_id, q_label AS label, count(*) AS n_retrieved,
+       |  CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+       |  CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS precision
+       |FROM top
+       |GROUP BY query_id, q_label
+       |ORDER BY query_id""".stripMargin
 }

@@ -210,4 +210,24 @@ class Analytics3Spec extends AnyFunSuite {
       .map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3))).head
     assert(c == ((42.0, 42.0, 42.0)), s"constant sample should collapse: $c")
   }
+
+  // ------------------------------------------------------ Lorenz curve
+
+  test("lorenzCurve: hand-computed points; last point is (1, 1)") {
+    import spark.implicits._
+    // users a,b: 1 event; user c: 2 events → vt {1:2 users/2 mass, 2:1/2}
+    val ev = Seq((1L, 101L), (2L, 102L), (3L, 103L), (4L, 103L))
+      .toDF("event_id", "user_id")
+    val rows = graft.operators.Analytics3.lorenzCurveOf(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq((1L, 2L, 2.0 / 3, 0.5), (2L, 3L, 1.0, 1.0)))
+  }
+
+  test("lorenzCurve: the curve never rises above the diagonal (pct_mass <= pct_users)") {
+    import spark.implicits._
+    val ev = (1L to 100L).flatMap(i => Seq.fill((i % 7 + 1).toInt)(i))
+      .zipWithIndex.map { case (u, e) => (e.toLong, u) }.toDF("event_id", "user_id")
+    val rows = graft.operators.Analytics3.lorenzCurveOf(ev).collect()
+    rows.foreach(r => assert(r.getDouble(3) <= r.getDouble(2) + 1e-12))
+  }
 }

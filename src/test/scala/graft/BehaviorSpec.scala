@@ -148,4 +148,29 @@ class BehaviorSpec extends AnyFunSuite {
     assert(rows("2024-03-02")._1 == 1L)
     assert(rows("2024-03-02")._2 == 1L) // u1 closes 00:10, u2 opens 09:00 — never 2 at once
   }
+
+  // ------------------------------------------------ cart abandonment
+
+  test("abandonment: engaged-no-purchase counts, purchase clears, signup-only is not engaged") {
+    val df = toDf(Seq(
+      // u1: view then purchase → engaged, converted
+      ev(1, 1, "2024-03-01 10:00:00", "view"), ev(2, 1, "2024-03-01 10:05:00", "purchase"),
+      // u2: click only → engaged, abandoned
+      ev(3, 2, "2024-03-01 11:00:00", "click"),
+      // u3: signup only → not engaged, not abandoned
+      ev(4, 3, "2024-03-01 12:00:00", "signup")))
+    val r = Behavior.abandonmentOf(df).collect().head
+    assert(r.getLong(r.fieldIndex("n_sessions")) == 3L)
+    assert(r.getLong(r.fieldIndex("n_engaged")) == 2L)
+    assert(r.getLong(r.fieldIndex("n_abandoned")) == 1L)
+    assert(r.getDouble(r.fieldIndex("abandonment_rate")) == 0.5)
+  }
+
+  test("abandonment: a session is dated by its FIRST event") {
+    val df = toDf(Seq(
+      ev(1, 1, "2024-03-01 23:50:00", "view"), ev(2, 1, "2024-03-02 00:05:00", "purchase")))
+    val rows = Behavior.abandonmentOf(df).collect()
+    assert(rows.length == 1 && rows.head.getDate(0).toString == "2024-03-01")
+    assert(rows.head.getLong(rows.head.fieldIndex("n_abandoned")) == 0L)
+  }
 }

@@ -151,4 +151,32 @@ class ClusteredRecallSpec extends AnyFunSuite {
     assert(full.getLong(2) == 20L)
     assert(full.getDouble(3) == 1.0)
   }
+
+  test("labelPrecision: perfectly label-clustered embeddings read precision 1") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // two well-separated clusters, labels follow the cluster
+    val emb = (0L until 30L).map { i =>
+      val label = (i % 2).toInt
+      val base = if (label == 0) 10f else -10f
+      (i, Array.fill(8)(base + rnd.nextFloat()), label)
+    }.toDF("vec_id", "embedding", "label")
+    val rows = graft.operators.Similarity.labelPrecisionOf(emb, nQueries = 4, k = 5)
+      .collect()
+    assert(rows.length == 4)
+    rows.foreach(r => assert(r.getDouble(r.fieldIndex("precision")) == 1.0))
+  }
+
+  test("labelPrecision: precision divides exact counts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val emb = (0L until 25L).map { i =>
+      (i, Array.fill(8)(rnd.nextFloat()), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val rows = graft.operators.Similarity.labelPrecisionOf(emb, nQueries = 5, k = 6).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("precision")) ==
+        r.getLong(r.fieldIndex("n_match")).toDouble / r.getLong(r.fieldIndex("n_retrieved")))
+    }
+  }
 }
