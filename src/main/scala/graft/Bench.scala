@@ -280,7 +280,11 @@ object Bench {
       "vocab_build",
       // r11: KN statistics re-aggregate the c12 bigram-type table,
       // which grows ~linearly under the suffix scheme — both decades
-      "quality_kn_bigram")
+      "quality_kn_bigram",
+      // r11 fifth pass: Dunning G² rides the same bigram-type table as
+      // the KN statistics (plus two positional marginal re-aggs) —
+      // both decades prove the marginal joins stay count-table-sized
+      "q_dunning_llr")
     // r7 verdict #6: one ×10 rung bounds the iterative connected-
     // components loop (O(diameter) driver rounds × data-proportional
     // per-round cost) and the edit-distance blocking — ×10 only, their
@@ -305,8 +309,15 @@ object Bench {
     // structure per replica); embed_pca_topk joins ×10 (the d² moment
     // pass is the corpus-linear stage worth evidencing; the shortlist
     // re-rank is per-query fixed).
+    // r11 fifth pass: q_rake joins ×10 (phrase islands + word-stat join
+    // grow with the suffix-grown vocabulary; the per-doc windows are the
+    // corpus-linear stage worth evidencing), q_rocchio ×10 (two postings
+    // passes + a feedback-doc-bounded expansion agg — corpus-linear by
+    // construction), embed_trunc_eval ×10 (per-dim brute-force passes
+    // are queries×corpus linear; the dims list is the knob).
     val x10Only = Seq("dedup_fuzzy", "dedup_clusters", "dedup_substring", "q_pagerank",
-      "q_skipgrams", "bpe_train", "q_kcore", "embed_pca_topk")
+      "q_skipgrams", "bpe_train", "q_kcore", "embed_pca_topk",
+      "q_rake", "q_rocchio", "embed_trunc_eval")
     def rung(tag: String, factor: Int, extra: Seq[String], reps: Int): Unit = {
       // _v6: ×10 replicas now include the graph tables (q_pagerank input)
       val dir = s"target/bench_sfx${factor}_${new java.io.File(sfDir).getName}_v6"
