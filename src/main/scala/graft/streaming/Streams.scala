@@ -1188,4 +1188,65 @@ object Streams {
           }
       }
   }
+
+  final case class FinEv(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
+  final case class OpenSession(seq: Long, events: Long, firstTs: Long, lastTs: Long)
+  final case class FinalSession(user_id: Long, session_seq: Long, n_events: Long,
+      start_ts: java.sql.Timestamp, end_ts: java.sql.Timestamp)
+
+  /** Timeout-finalized sessionization — the production emit-once form
+    * of [[sessionize]]: a session row is emitted EXACTLY when it can
+    * never grow again. Intra-batch closures (a later event arrives
+    * past the gap) emit immediately; the open tail emits when the
+    * EVENT-TIME watermark passes last_event + gap — the
+    * `GroupStateTimeout.EventTimeTimeout` path, which [[sessionize]]
+    * (emit-on-next-event) cannot express: without it a user's final
+    * session dangles forever. Append mode: every emitted row is
+    * immutable. State per user is ONE open-session accumulator (4
+    * longs); the timeout timestamp is clamped to watermark+1ms when a
+    * straggler's gap deadline already passed (Spark requires timeouts
+    * strictly beyond the watermark).
+    */
+  def sessionFinalize(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int = 30, lateness: String = "1 minute"): Dataset[FinalSession] = {
+    import spark.implicits._
+    val gapMillis = gapMinutes * 60L * 1000L
+    def toTs(millis: Long) = new java.sql.Timestamp(millis)
+    events
+      // watermark AFTER the projection: the event-time column must
+      // survive into the Dataset feeding flatMapGroupsWithState, or
+      // Spark rejects the EventTimeTimeout at analysis
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withWatermark("ts", lateness)
+      .as[FinEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, FinalSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, evs: Iterator[FinEv], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(FinalSession(user, s.seq, s.events, toTs(s.firstTs), toTs(s.lastTs)))
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = Seq.newBuilder[FinalSession]
+            var acc = state.getOption.getOrElse(OpenSession(0L, 0L, 0L, Long.MinValue))
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (acc.events > 0 && t - acc.lastTs > gapMillis) {
+                out += FinalSession(user, acc.seq, acc.events, toTs(acc.firstTs), toTs(acc.lastTs))
+                acc = OpenSession(acc.seq + 1, 0L, 0L, Long.MinValue)
+              }
+              acc =
+                if (acc.events == 0) OpenSession(acc.seq, 1L, t, t)
+                else acc.copy(events = acc.events + 1, lastTs = t)
+            }
+            state.update(acc)
+            // fire when the watermark proves no in-gap event can still arrive
+            state.setTimeoutTimestamp(
+              math.max(acc.lastTs + gapMillis, state.getCurrentWatermarkMs() + 1L))
+            out.result().iterator
+          }
+      }
+  }
 }

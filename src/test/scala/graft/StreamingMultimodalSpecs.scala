@@ -813,6 +813,49 @@ class StreamingSpec extends AnyFunSuite {
       assert(r.getLong(1) == 1L && r.getDouble(2) == 30.0 && r.isNullAt(3))
     } finally q.stop()
   }
+
+  test("session finalize: sessions emit exactly once, when they can no longer grow") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val events = mem.toDF().toDF("event_id", "user_id", "ts")
+    val q = Streams.sessionFinalize(spark, events)
+      .writeStream.outputMode("append").format("memory").queryName("fin_out").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // batch 1: u1 two events 10 min apart; u2 one event — all open
+      mem.addData((1L, 1L, ts("2024-03-01 10:00:00")), (2L, 1L, ts("2024-03-01 10:10:00")),
+        (3L, 2L, ts("2024-03-01 10:05:00")))
+      q.processAllAvailable()
+      assert(spark.table("fin_out").count() == 0) // nothing closeable yet
+      // batch 2: u1 event past the 30-min gap → his first session closes
+      // INTRA-BATCH; watermark (max 11:00 − 1 min lateness = 10:59)
+      // passes u2's deadline 10:35 → u2's session times out and emits
+      mem.addData((4L, 1L, ts("2024-03-01 11:00:00")))
+      q.processAllAvailable()
+      // timeout processing can land in the NEXT micro-batch after the
+      // watermark advances — nudge with an empty-ish batch
+      mem.addData((5L, 3L, ts("2024-03-01 11:00:01")))
+      q.processAllAvailable()
+      val afterB2 = spark.table("fin_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(afterB2.contains((1L, 0L, 2L)), s"u1 first session missing: $afterB2")
+      assert(afterB2.contains((2L, 0L, 1L)), s"u2 session not timed out: $afterB2")
+      assert(afterB2.size == 2) // u1's SECOND session (11:00) still open
+      // batch 3: far-future event closes everything older
+      mem.addData((6L, 3L, ts("2024-03-01 15:00:00")))
+      q.processAllAvailable()
+      mem.addData((7L, 3L, ts("2024-03-01 15:00:01")))
+      q.processAllAvailable()
+      val fin = spark.table("fin_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(fin.contains((1L, 1L, 1L)), s"u1 second session missing: $fin")
+      // no session ever emitted twice
+      val all = spark.table("fin_out").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(all.length == all.distinct.length)
+    } finally q.stop()
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
