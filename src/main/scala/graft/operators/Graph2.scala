@@ -139,7 +139,19 @@ object Graph2 {
     * communities by size.
     */
   def labelPropOf(edges0: DataFrame, nodes: DataFrame, sweeps: Int,
-      topK: Int): DataFrame = {
+      topK: Int): DataFrame =
+    labelPropLabelsOf(edges0, nodes, sweeps)
+      .groupBy("label").agg(count(lit(1)).as("size"))
+      .orderBy(col("size").desc, col("label"))
+      .limit(topK)
+      .select(col("label").as("community"), col("size"))
+
+  /** The converged (node, label) assignment behind [[labelPropOf]]'s
+    * size rollup — exposed so community-QUALITY metrics
+    * ([[modularityOf]]) evaluate the same assignment they gate.
+    */
+  def labelPropLabelsOf(edges0: DataFrame, nodes: DataFrame,
+      sweeps: Int): DataFrame = {
     val edges = edges0.localCheckpoint()
     var labels = nodes.select(col("node"), col("node").as("label"))
     for (_ <- 1 to sweeps) {
@@ -160,10 +172,7 @@ object Graph2 {
         .agg(max_by(col("label"), struct(col("cnt"), (-col("label")).as("nl")))
           .as("label"))
     }
-    labels.groupBy("label").agg(count(lit(1)).as("size"))
-      .orderBy(col("size").desc, col("label"))
-      .limit(topK)
-      .select(col("label").as("community"), col("size"))
+    labels
   }
 
   def labelPropQuery(t: Tables, sweeps: Int = 2, topK: Int = 20): DataFrame =
@@ -275,4 +284,131 @@ object Graph2 {
       |         * sqrt(CAST(m2 * syy - sy * sy AS DOUBLE)))
       |  END AS assortativity
       |FROM m""".stripMargin
+
+  // --------------------------------------------------- modularity
+
+  /** Newman modularity of the label-propagation communities — the
+    * quality number behind the `q_label_prop` size rollup ("are these
+    * communities denser inside than a random graph with the same
+    * degrees?"). Over the symmetric directed edge list of D rows
+    * (D = 2m): Q = Σ_c (intra_c·D − d_c²) / D², where intra_c counts
+    * DIRECTED intra-community edges (one labels join per endpoint)
+    * and d_c sums member degrees — so every per-community numerator
+    * (intra_c·D − d_c²) is an EXACT DECIMAL integer and both the
+    * per-community contributions and total Q are single divisions of
+    * exact integers (bit-identical doubles, shipped unrounded). One
+    * edge-table pass for intra counts, one degree agg, a
+    * communities-sized rollup; the summary row (community = −1)
+    * carries total Q.
+    */
+  def modularityOf(edges: DataFrame, nodes: DataFrame, sweeps: Int = 2,
+      topK: Int = 20): DataFrame = {
+    val labels = labelPropLabelsOf(edges, nodes, sweeps)
+    val dTot = edges.agg(count(lit(1)).as("dd"))
+    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val intra = edges
+      .join(labels.select(col("node").as("src"), col("label").as("l1")), "src")
+      .join(labels.select(col("node").as("dst"), col("label").as("l2")), "dst")
+      .filter(col("l1") === col("l2"))
+      .groupBy(col("l1").as("label")).agg(count(lit(1)).as("intra_dir"))
+    val dc = labels.join(deg, "node")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("size"), sum(col("deg")).as("d_c"))
+    val d = (c: Column) => c.cast("decimal(20,0)")
+    // per-community numerator intra·D − d_c² is an EXACT integer;
+    // total Q sums the NUMERATORS (still exact) and divides ONCE —
+    // summing per-community contribution doubles would have
+    // engine/partition-dependent fold order
+    val per = dc.join(intra, Seq("label"), "left")
+      .crossJoin(broadcast(dTot))
+      .select(col("label").as("community"), col("size"),
+        (coalesce(col("intra_dir"), lit(0L)) / 2).cast("long").as("intra_edges"),
+        col("d_c"),
+        (d(coalesce(col("intra_dir"), lit(0L))) * d(col("dd"))
+          - d(col("d_c")) * d(col("d_c"))).as("num"),
+        (d(col("dd")) * d(col("dd"))).as("dd2"))
+    val total = per.agg(
+        sum(col("size")).as("size"),
+        sum(col("intra_edges")).as("intra_edges"),
+        sum(col("d_c")).as("d_c"),
+        sum(col("num")).as("num"),
+        max(col("dd2")).as("dd2"))
+      .select(lit(-1L).as("community"), col("size"), col("intra_edges"),
+        col("d_c").cast("long").as("d_c"),
+        (col("num").cast("double") / col("dd2").cast("double")).as("contribution"))
+    per
+      .select(col("community"), col("size"), col("intra_edges"), col("d_c"),
+        (col("num").cast("double") / col("dd2").cast("double")).as("contribution"))
+      .orderBy(col("size").desc, col("community")).limit(topK)
+      .unionAll(total)
+      .orderBy(col("community"))
+  }
+
+  def modularityQuery(t: Tables, sweeps: Int = 2, topK: Int = 20): DataFrame =
+    modularityOf(purchaseEdges(t), allNodes(t), sweeps, topK)
+
+  def modularitySql(sweeps: Int = 2, topK: Int = 20): String = {
+    val rounds = (1 to sweeps).map { i =>
+      s"""v$i AS (
+         |  SELECT node, label, count(*) AS cnt FROM (
+         |    SELECT e.dst AS node, l.label
+         |    FROM edges e JOIN l${i - 1} l ON l.node = e.src
+         |    UNION ALL SELECT node, label FROM l${i - 1})
+         |  GROUP BY node, label
+         |), w$i AS (
+         |  SELECT node, label,
+         |    row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+         |  FROM v$i
+         |), l$i AS (
+         |  SELECT node, label FROM w$i WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |), edges AS (
+       |  SELECT c AS src, s AS dst FROM cs
+       |  UNION ALL SELECT s AS src, c AS dst FROM cs
+       |), l0 AS (
+       |  SELECT node, node AS label FROM (
+       |    SELECT c_custkey * 2 AS node FROM customer
+       |    UNION ALL SELECT s_suppkey * 2 + 1 FROM supplier)
+       |),
+       |$rounds,
+       |dtot AS (SELECT CAST(count(*) AS HUGEINT) AS dd FROM edges),
+       |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+       |intra AS (
+       |  SELECT l1.label, count(*) AS intra_dir
+       |  FROM edges e
+       |  JOIN l$sweeps l1 ON l1.node = e.src
+       |  JOIN l$sweeps l2 ON l2.node = e.dst
+       |  WHERE l1.label = l2.label
+       |  GROUP BY l1.label
+       |), dc AS (
+       |  SELECT l.label, count(*) AS size, CAST(sum(d.deg) AS HUGEINT) AS d_c
+       |  FROM l$sweeps l JOIN deg d ON d.node = l.node
+       |  GROUP BY l.label
+       |), per AS (
+       |  SELECT dc.label AS community, dc.size,
+       |    CAST(coalesce(intra.intra_dir, 0) / 2 AS BIGINT) AS intra_edges,
+       |    CAST(dc.d_c AS BIGINT) AS d_c,
+       |    CAST(coalesce(intra.intra_dir, 0) AS HUGEINT) * dd
+       |      - dc.d_c * dc.d_c AS num,
+       |    dd * dd AS dd2
+       |  FROM dc LEFT JOIN intra ON intra.label = dc.label
+       |  CROSS JOIN dtot
+       |), top AS (
+       |  SELECT * FROM per ORDER BY size DESC, community LIMIT $topK
+       |)
+       |SELECT community, CAST(size AS BIGINT) AS size, intra_edges, d_c,
+       |  CAST(num AS DOUBLE) / CAST(dd2 AS DOUBLE) AS contribution
+       |FROM top
+       |UNION ALL
+       |SELECT -1 AS community, CAST(sum(size) AS BIGINT) AS size,
+       |  CAST(sum(intra_edges) AS BIGINT) AS intra_edges,
+       |  CAST(sum(d_c) AS BIGINT) AS d_c,
+       |  CAST(sum(num) AS DOUBLE) / CAST(max(dd2) AS DOUBLE) AS contribution
+       |FROM per
+       |ORDER BY community""".stripMargin
+  }
 }

