@@ -593,4 +593,54 @@ object CorpusScience {
        |FROM phrases GROUP BY phrase HAVING count(*) >= $minCount
        |ORDER BY score DESC, phrase LIMIT $topK""".stripMargin
   }
+
+  // --------------------------------------------- tokenizer fertility
+
+  /** Tokenizer fertility per source — the sizing metric quoted for
+    * every tokenizer ("1.4 tokens per word, 3.8 chars per token"):
+    * subword-proxy tokens (the `token_count` BPE-ish regex) over
+    * whitespace words, and raw chars over subword tokens, rolled up
+    * per source. High fertility flags scripts/domains the tokenizer
+    * fragments (code, non-Latin text) — the signal used to rebalance
+    * vocab training. One map-side aggregate of exact LONG counts;
+    * both ratios are single unrounded divisions.
+    */
+  def tokenizerFertilityOf(docs: DataFrame): DataFrame = {
+    val text = col("text")
+    docs.select(col("source"), col("n_chars"),
+        size(split(trim(text), "\\s+")).cast("long").as("ws"),
+        size(regexp_extract_all(lower(text),
+          lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).cast("long").as("bpe"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"),
+        sum(col("n_chars")).as("chars"))
+      .select(col("source"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
+        when(col("ws_tokens") > 0,
+          col("bpe_tokens").cast("double") / col("ws_tokens").cast("double"))
+          .as("fertility"),
+        when(col("bpe_tokens") > 0,
+          col("chars").cast("double") / col("bpe_tokens").cast("double"))
+          .as("chars_per_token"))
+      .orderBy("source")
+  }
+
+  def tokenizerFertility(t: Tables): DataFrame = tokenizerFertilityOf(t.documents)
+
+  val tokenizerFertilitySql: String =
+    """WITH per_doc AS (
+      |  SELECT source, n_chars,
+      |    len(regexp_split_to_array(trim(text), '\s+')) AS ws,
+      |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS bpe
+      |  FROM documents
+      |)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+      |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+      |  CASE WHEN sum(ws) > 0 THEN
+      |    CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE) END AS fertility,
+      |  CASE WHEN sum(bpe) > 0 THEN
+      |    CAST(sum(n_chars) AS DOUBLE) / CAST(sum(bpe) AS DOUBLE) END AS chars_per_token
+      |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
 }

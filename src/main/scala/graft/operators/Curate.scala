@@ -550,4 +550,66 @@ object Curate {
        |JOIN documents da ON da.doc_id = p.doc_a
        |JOIN documents db ON db.doc_id = p.doc_b
        |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
+
+  // ------------------------------------------------ split leakage audit
+
+  /** Train/eval split-leakage audit — the check run right after
+    * `q_train_split` and before any eval number is trusted: how many
+    * val/test documents share an exact normalized fingerprint with a
+    * TRAIN document? (Near-dup leakage composes the same probe with
+    * the `dedup_minhash_probe` band index; this is the exact tier.)
+    * One fingerprint pass over the corpus, the deterministic md5
+    * split rule, then a semi join of each probe split's fingerprints
+    * against the train side — 16-byte digests are all that shuffles,
+    * leak rates divide exact LONGs. At 100 TB the train fingerprint
+    * set is the big side and the join is a plain digest-keyed
+    * shuffle; nothing corpus-sized is broadcast.
+    */
+  def splitLeakageOf(docs: DataFrame): DataFrame = {
+    val fps = docs.select(col("doc_id"),
+        md5(TextAnalysis.normalizedText(col("text"))).as("fp"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+    val trainFps = fps.filter(col("split") === "train").select("fp").distinct()
+    val probes = fps.filter(col("split") =!= "train")
+    val leaked = probes.join(trainFps, Seq("fp"), "left_semi")
+      .groupBy(col("split")).agg(count(lit(1)).as("n_leaked"))
+    probes.groupBy(col("split")).agg(count(lit(1)).as("n_probe"))
+      .join(leaked, Seq("split"), "left")
+      .select(col("split").as("probe_split"), col("n_probe"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        (coalesce(col("n_leaked"), lit(0L)).cast("double")
+          / col("n_probe").cast("double")).as("leak_rate"))
+      .orderBy("probe_split")
+  }
+
+  def splitLeakage(t: Tables): DataFrame = splitLeakageOf(t.documents)
+
+  val splitLeakageSql: String =
+    """WITH fps AS (
+      |  SELECT doc_id,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |    ('0x' || substr(md5('split:' || doc_id), 1, 8))::BIGINT % 100 AS bucket
+      |  FROM documents
+      |), tagged AS (
+      |  SELECT doc_id, fp,
+      |    CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+      |      ELSE 'test' END AS split
+      |  FROM fps
+      |), train_fps AS (SELECT DISTINCT fp FROM tagged WHERE split = 'train'
+      |), probes AS (SELECT * FROM tagged WHERE split <> 'train'
+      |), leaked AS (
+      |  SELECT split, count(*) AS n_leaked FROM probes
+      |  WHERE fp IN (SELECT fp FROM train_fps) GROUP BY split
+      |)
+      |SELECT p.split AS probe_split, count(*) AS n_probe,
+      |  CAST(coalesce(any_value(l.n_leaked), 0) AS BIGINT) AS n_leaked,
+      |  CAST(coalesce(any_value(l.n_leaked), 0) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS leak_rate
+      |FROM probes p LEFT JOIN leaked l ON l.split = p.split
+      |GROUP BY p.split
+      |ORDER BY probe_split""".stripMargin
 }

@@ -448,4 +448,44 @@ class VocabGapfillProfileSpec extends AnyFunSuite {
       assert(math.abs(total - 1.0) < 1e-12, s"context $w1 sums to $total")
     }
   }
+
+  // ------------------------------------------------ split leakage audit
+
+  test("splitLeakage: a planted cross-split duplicate is detected; clean splits read zero") {
+    import spark.implicits._
+    // choose ids whose md5 split buckets differ: find a (train, test)
+    // pair dynamically so the test doesn't depend on md5 internals
+    val probe = (0L until 200L).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:$i".getBytes("UTF-8"))
+      val bucket = java.lang.Long.parseLong(
+        h.take(4).map(b => f"$b%02x").mkString, 16) % 100
+      i -> bucket
+    }
+    val trainId = probe.find(_._2 < 80).get._1
+    val testId = probe.find(_._2 >= 90).get._1
+    val valId = probe.find(p => p._2 >= 80 && p._2 < 90).get._1
+    val docs = Seq(
+      (trainId, "the exact same text"),
+      (testId, "THE  exact   same TEXT"), // normalizes to the same fp
+      (valId, "completely different content")).toDF("doc_id", "text")
+    val rows = graft.operators.Curate.splitLeakageOf(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows("test") == ((1L, 1L))) // the planted leak
+    assert(rows("val") == ((1L, 0L))) // clean
+  }
+
+  test("tokenizerFertility: hand-computed ratios; punctuation fragments raise fertility") {
+    import spark.implicits._
+    // "ab cd" → ws 2, bpe 2 (two letter runs), chars 5 → fertility 1.0
+    // "a.b c!" → ws 2, bpe tokens: a . b c ! = 5 → fertility 2.5
+    val docs = Seq(
+      (1L, "ab cd", "s1", 5L),
+      (2L, "a.b c!", "s2", 6L)).toDF("doc_id", "text", "source", "n_chars")
+    val rows = graft.operators.CorpusScience.tokenizerFertilityOf(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(rows("s1") == ((2L, 2L, 1.0, 2.5)))
+    assert(rows("s2") == ((2L, 5L, 2.5, 1.2)))
+  }
 }
