@@ -633,4 +633,64 @@ object Events {
        |FROM iv a JOIN iv b
        |  ON a.user_id < b.user_id AND a.t0 <= b.t1 AND b.t0 <= a.t1
        |ORDER BY u1, s1, u2, s2""".stripMargin
+
+  // ------------------------------------------------ cohort revenue (LTV)
+
+  /** Signup-cohort revenue triangle — `q_cohort_matrix` with MONEY:
+    * per (first-seen week, weeks-since) cell, purchase revenue in
+    * EXACT CENTS plus the running cumulative-per-user ("LTV buildup")
+    * the growth team actually plots. Cohort = one min agg per user;
+    * cells are a ≤\|weeks\|² grid; the cumulative is a COHORT-partitioned
+    * window over that grid (never corpus-sized). Revenue sums are
+    * exact DECIMAL cents; the per-user LTV divides exact integers,
+    * unrounded.
+    */
+  def cohortRevenueOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val first = events
+      .groupBy("user_id").agg(date_trunc("week", min(col("ts"))).as("cohort"))
+    val sizes = first.groupBy("cohort").agg(count(lit(1)).as("cohort_users"))
+    val cells = events
+      .filter(col("event_type") === "purchase")
+      .join(first, "user_id")
+      .select(col("cohort"),
+        expr("datediff(date_trunc('week', ts), cohort) div 7").as("weeks_since"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("cohort", "weeks_since")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("cents").cast("decimal(18,0)")).as("revenue_cents"))
+    val wCum = Window.partitionBy(col("cohort")).orderBy(col("weeks_since"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.join(broadcast(sizes), "cohort")
+      .withColumn("cum_cents", sum(col("revenue_cents")).over(wCum))
+      .select(col("cohort"), col("weeks_since"), col("cohort_users"),
+        col("n_purchases"), col("revenue_cents").cast("long").as("revenue_cents"),
+        (col("cum_cents").cast("double")
+          / (col("cohort_users").cast("double") * 100.0)).as("cum_ltv"))
+      .orderBy("cohort", "weeks_since")
+  }
+
+  def cohortRevenue(t: Tables): DataFrame = cohortRevenueOf(t.events)
+
+  val cohortRevenueSql: String =
+    """WITH first AS (
+      |  SELECT user_id, date_trunc('week', min(ts)) AS cohort FROM events GROUP BY 1
+      |), sizes AS (
+      |  SELECT cohort, count(*) AS cohort_users FROM first GROUP BY 1
+      |), cells AS (
+      |  SELECT f.cohort,
+      |    date_diff('day', f.cohort, date_trunc('week', e.ts)) // 7 AS weeks_since,
+      |    count(*) AS n_purchases,
+      |    sum(CAST(CAST(round(e.value * 100) AS BIGINT) AS HUGEINT)) AS revenue_cents
+      |  FROM events e JOIN first f USING (user_id)
+      |  WHERE e.event_type = 'purchase'
+      |  GROUP BY 1, 2
+      |)
+      |SELECT c.cohort, c.weeks_since, s.cohort_users, c.n_purchases,
+      |  CAST(c.revenue_cents AS BIGINT) AS revenue_cents,
+      |  CAST(sum(c.revenue_cents) OVER (PARTITION BY c.cohort ORDER BY c.weeks_since
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / (CAST(s.cohort_users AS DOUBLE) * 100.0) AS cum_ltv
+      |FROM cells c JOIN sizes s USING (cohort)
+      |ORDER BY c.cohort, c.weeks_since""".stripMargin
 }

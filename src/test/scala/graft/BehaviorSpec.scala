@@ -173,4 +173,24 @@ class BehaviorSpec extends AnyFunSuite {
     assert(rows.length == 1 && rows.head.getDate(0).toString == "2024-03-01")
     assert(rows.head.getLong(rows.head.fieldIndex("n_abandoned")) == 0L)
   }
+
+  // ------------------------------------------------ cohort revenue
+
+  test("cohortRevenue: exact cents per cell and cumulative LTV per user (hand-computed)") {
+    import org.apache.spark.sql.functions.lit
+    // two users, same cohort week; purchases: u1 w0 $10.00, u1 w1 $5.50, u2 w0 $2.25
+    val rows = Seq(
+      (1L, 1L, Timestamp.valueOf("2024-03-04 10:00:00"), "purchase", 10.00),
+      (2L, 1L, Timestamp.valueOf("2024-03-12 10:00:00"), "purchase", 5.50),
+      (3L, 2L, Timestamp.valueOf("2024-03-05 10:00:00"), "purchase", 2.25))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = graft.operators.Events.cohortRevenueOf(rows).collect()
+      .map(r => r.getLong(r.fieldIndex("weeks_since")) ->
+        (r.getLong(r.fieldIndex("revenue_cents")), r.getDouble(r.fieldIndex("cum_ltv"))))
+      .toMap
+    assert(got(0L)._1 == 1225L)              // 1000 + 225 cents
+    assert(got(0L)._2 == 1225.0 / (2 * 100)) // $6.125 per user
+    assert(got(1L)._1 == 550L)
+    assert(got(1L)._2 == 1775.0 / (2 * 100)) // cumulative $8.875
+  }
 }
