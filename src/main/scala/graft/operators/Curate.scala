@@ -612,4 +612,61 @@ object Curate {
       |FROM probes p LEFT JOIN leaked l ON l.split = p.split
       |GROUP BY p.split
       |ORDER BY probe_split""".stripMargin
+
+  // --------------------------------------------------- dataset card
+
+  /** One-row dataset card — the summary block at the top of every
+    * dataset release: corpus size (docs / whitespace tokens / chars),
+    * diversity (distinct sources, languages), exact-duplicate rate
+    * (1 − distinct normalized fingerprints / docs — the removal rate
+    * `dedup_fingerprint` would realize), short-doc share, and the
+    * median document length (exact interpolating percentile over
+    * integer token counts — `percentile` ≡ `quantile_cont`). ONE
+    * per-doc projection feeds three bounded aggregates; every ratio
+    * divides exact integers, unrounded. The card is the artifact a
+    * data-governance review reads before anything ships.
+    */
+  def datasetCardOf(docs: DataFrame, shortDocTokens: Int = 5): DataFrame = {
+    val perDoc = docs.select(
+      col("source"), col("lang"), col("n_chars"),
+      md5(TextAnalysis.normalizedText(col("text"))).as("fp"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("ws"))
+    perDoc.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("ws").cast("decimal(18,0)")).cast("long").as("ws_tokens"),
+        sum(col("n_chars").cast("decimal(18,0)")).cast("long").as("chars"),
+        countDistinct(col("fp")).as("n_distinct_fp"),
+        sum(when(col("ws") < shortDocTokens, 1L).otherwise(0L)).as("n_short"),
+        expr("percentile(ws, 0.5)").as("median_doc_tokens"))
+      .select(col("n_docs"), col("n_sources"), col("n_langs"),
+        col("ws_tokens"), col("chars"),
+        ((col("n_docs") - col("n_distinct_fp")).cast("double")
+          / col("n_docs").cast("double")).as("exact_dup_rate"),
+        (col("n_short").cast("double") / col("n_docs").cast("double"))
+          .as("short_doc_share"),
+        col("median_doc_tokens"))
+  }
+
+  def datasetCard(t: Tables): DataFrame = datasetCardOf(t.documents)
+
+  def datasetCardSql(shortDocTokens: Int = 5): String =
+    s"""WITH per_doc AS (
+       |  SELECT source, lang, n_chars,
+       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       |    len(regexp_split_to_array(trim(text), '\\s+')) AS ws
+       |  FROM documents
+       |)
+       |SELECT count(*) AS n_docs,
+       |  count(DISTINCT source) AS n_sources,
+       |  count(DISTINCT lang) AS n_langs,
+       |  CAST(sum(CAST(ws AS HUGEINT)) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(CAST(n_chars AS HUGEINT)) AS BIGINT) AS chars,
+       |  CAST(count(*) - count(DISTINCT fp) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS exact_dup_rate,
+       |  CAST(sum(CASE WHEN ws < $shortDocTokens THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS short_doc_share,
+       |  quantile_cont(ws, 0.5) AS median_doc_tokens
+       |FROM per_doc""".stripMargin
 }

@@ -488,4 +488,22 @@ class VocabGapfillProfileSpec extends AnyFunSuite {
     assert(rows("s1") == ((2L, 2L, 1.0, 2.5)))
     assert(rows("s2") == ((2L, 5L, 2.5, 1.2)))
   }
+
+  test("datasetCard: duplicate and short-doc rates from a planted corpus (hand-computed)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "web", "en", 35L),
+      (2L, "ALPHA beta   gamma delta epsilon zeta", "web", "en", 37L), // dup of 1 (normalized)
+      (3L, "tiny doc", "books", "fr", 8L),                             // short (< 5 tokens)
+      (4L, "one two three four five six seven", "web", "en", 33L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    val r = graft.operators.Curate.datasetCardOf(docs).collect().head
+    assert(r.getLong(r.fieldIndex("n_docs")) == 4L)
+    assert(r.getLong(r.fieldIndex("n_sources")) == 2L)
+    assert(r.getLong(r.fieldIndex("n_langs")) == 2L)
+    assert(r.getDouble(r.fieldIndex("exact_dup_rate")) == 0.25) // 4 docs, 3 distinct fps
+    assert(r.getDouble(r.fieldIndex("short_doc_share")) == 0.25)
+    // token counts: 6, 6, 2, 7 → median = (6+6)/2 = 6
+    assert(r.getDouble(r.fieldIndex("median_doc_tokens")) == 6.0)
+  }
 }
