@@ -860,4 +860,42 @@ object TextAnalysis {
       |  round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
       |    AS hapax_fraction
       |FROM wc GROUP BY source ORDER BY source""".stripMargin
+
+  // --------------------------------------------- langId accuracy eval
+
+  /** Confusion matrix of the heuristic language ID against the
+    * corpus's ground-truth `lang` column — the accuracy readout the
+    * `lang_id` op itself never reports (every filter built on it
+    * inherits these error rates). One \|langs\|² aggregate; recall
+    * divides exact LONGs, unrounded. The `other` prediction row
+    * captures the heuristic's abstentions.
+    */
+  def langIdConfusionOf(docs: DataFrame): DataFrame = {
+    val preds = docs.select(col("lang").as("actual"),
+      langIdCol(col("text")).as("predicted"))
+    val perActual = preds.groupBy(col("actual")).agg(count(lit(1)).as("n_actual"))
+    preds.groupBy(col("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(perActual), "actual")
+      .select(col("actual"), col("predicted"), col("n"),
+        (col("n").cast("double") / col("n_actual").cast("double"))
+          .as("share_of_actual"))
+      .orderBy("actual", "predicted")
+  }
+
+  def langIdConfusion(t: Tables): DataFrame = langIdConfusionOf(t.documents)
+
+  val langIdConfusionSql: String =
+    s"""WITH preds AS (
+       |  SELECT d.lang AS actual, p.lang_pred AS predicted
+       |  FROM documents d JOIN ($langIdSql) p ON p.doc_id = d.doc_id
+       |), per_actual AS (
+       |  SELECT actual, count(*) AS n_actual FROM preds GROUP BY actual
+       |)
+       |SELECT p.actual, p.predicted, count(*) AS n,
+       |  CAST(count(*) AS DOUBLE) / CAST(any_value(a.n_actual) AS DOUBLE)
+       |    AS share_of_actual
+       |FROM preds p JOIN per_actual a ON a.actual = p.actual
+       |GROUP BY p.actual, p.predicted
+       |ORDER BY p.actual, p.predicted""".stripMargin
 }

@@ -506,4 +506,18 @@ class VocabGapfillProfileSpec extends AnyFunSuite {
     // token counts: 6, 6, 2, 7 → median = (6+6)/2 = 6
     assert(r.getDouble(r.fieldIndex("median_doc_tokens")) == 6.0)
   }
+
+  test("langIdConfusion: planted stopword docs produce the expected matrix cells") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat of the house", "en"),   // en stop hits → predicted en
+      (2L, "le chat de la maison", "fr"),   // fr stop hits → predicted fr
+      (3L, "xyzzy qwerty plugh", "fr"))     // no hits → tie → predicted en
+      .toDF("doc_id", "text", "lang")
+    val got = graft.operators.TextAnalysis.langIdConfusionOf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(("en", "en")) == ((1L, 1.0)))
+    assert(got(("fr", "fr")) == ((1L, 0.5)))
+    assert(got(("fr", "en")) == ((1L, 0.5))) // the abstention-to-en error cell
+  }
 }
