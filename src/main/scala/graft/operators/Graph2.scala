@@ -303,6 +303,12 @@ object Graph2 {
     */
   def modularityOf(edges: DataFrame, nodes: DataFrame, sweeps: Int = 2,
       topK: Int = 20): DataFrame = {
+    // labels feed THREE consumers (both intra-join sides + the degree
+    // rollup) — but unlike hitsOf/bfsHops, a localCheckpoint here is a
+    // measured LOSS (A/B at sf0.1: 5.0 s plain vs 7.0 s checkpointed):
+    // the sweep loop's own per-iteration aggregates leave exchanges
+    // AQE already reuses across the consumers, so the cut only adds a
+    // serialization pass. Negative result kept on purpose.
     val labels = labelPropLabelsOf(edges, nodes, sweeps)
     val dTot = edges.agg(count(lit(1)).as("dd"))
     val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
