@@ -115,4 +115,52 @@ class RocksDbSoakSpec extends AnyFunSuite {
       s"rocksdb-provider DAU diverged from batch sketch: ${got -- want}")
     spark.sql("DROP TABLE IF EXISTS rocks_dau_out")
   }
+
+  test("interarrival gate state and results are provider-independent under RocksDB") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val batch1 = Seq((1L, 1L, ts("2024-03-01 10:00:00")), (2L, 1L, ts("2024-03-01 10:00:10")))
+    val batch2 = Seq((3L, 1L, ts("2024-03-01 10:00:40")), (4L, 2L, ts("2024-03-01 11:00:00")),
+      (5L, 2L, ts("2024-03-01 11:00:30")))
+    def run(name: String): Set[(Long, Long, Double)] = {
+      val mem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val q = Streams.interArrivalGate(spark, mem.toDF().toDF("event_id", "user_id", "ts"))
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      try {
+        mem.addData(batch1: _*); q.processAllAvailable()
+        mem.addData(batch2: _*); q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map(_._2.maxBy(_._2)).toSet
+    }
+    val hdfs = run("ia_hdfs")
+    val rocks = withRocksDb { run("ia_rocks") }
+    assert(rocks == hdfs, s"rocks $rocks\nhdfs $hdfs")
+  }
+
+  test("session finalize emits identically under RocksDB (event-time timeout path)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def run(name: String): Set[(Long, Long, Long)] = {
+      val mem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val q = Streams.sessionFinalize(spark, mem.toDF().toDF("event_id", "user_id", "ts"))
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        mem.addData((1L, 1L, ts("2024-03-01 10:00:00")), (2L, 2L, ts("2024-03-01 10:05:00")))
+        q.processAllAvailable()
+        mem.addData((3L, 3L, ts("2024-03-01 12:00:00")))
+        q.processAllAvailable()
+        mem.addData((4L, 3L, ts("2024-03-01 12:00:01")))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val hdfs = run("fin_hdfs")
+    val rocks = withRocksDb { run("fin_rocks") }
+    assert(rocks == hdfs && rocks.nonEmpty, s"rocks $rocks\nhdfs $hdfs")
+  }
 }
