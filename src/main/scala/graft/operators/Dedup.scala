@@ -1022,4 +1022,63 @@ object Dedup {
       |SELECT doc_id,
       |  CAST(sum(CASE WHEN vote > 0 THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT) AS simhash
       |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------- LSH candidate eval
+
+  /** Gated evaluation of the MinHash-LSH candidate generator against
+    * the exact n-gram Jaccard pairs — `embed_ann_eval`'s discipline
+    * applied to the text-dedup stack: recall (what share of true
+    * ≥threshold pairs the banded join surfaces) and candidate
+    * precision (what share of surfaced candidates are truly near-dup).
+    * Both sides are themselves hash-gated deterministic queries, so
+    * the DuckDB oracle re-derives the numbers end-to-end from the two
+    * oracles composed as CTEs. Counts are exact LONGs; the two rates
+    * are single unrounded divisions; empty sides read NULL. This is
+    * the number that justifies the band plan: if recall here drops,
+    * `lsh_band_plan` picks new (bands, rows) — the eval closes that
+    * loop.
+    */
+  def lshEvalOf(docs: DataFrame, n: Int = 3, threshold: Double = 0.6,
+      k: Int = 16, rowsPerBand: Int = 2, estThreshold: Double = 0.5): DataFrame = {
+    val exact = ngramJaccardPairsOf(docs, n, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val cand = minhashLshPairsFromSig(
+        minhashWideOf(docs, k, n).cache(), k, rowsPerBand, estThreshold)
+      .select(col("doc_a").as("c_a"), col("doc_b").as("c_b"))
+    val hits = exact.join(cand,
+      col("doc_a") === col("c_a") && col("doc_b") === col("c_b"), "inner")
+    exact.agg(count(lit(1)).as("n_true"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_true"), col("n_candidates"), col("n_hit"),
+        when(col("n_true") > 0,
+          col("n_hit").cast("double") / col("n_true").cast("double")).as("recall"),
+        when(col("n_candidates") > 0,
+          col("n_hit").cast("double") / col("n_candidates").cast("double"))
+          .as("candidate_precision"))
+  }
+
+  def lshEval(t: Tables): DataFrame = lshEvalOf(t.documents)
+
+  def lshEvalSql(n: Int = 3, threshold: Double = 0.6, k: Int = 16,
+      rowsPerBand: Int = 2, estThreshold: Double = 0.5): String =
+    s"""WITH exact_pairs AS (
+       |  SELECT doc_a, doc_b FROM (${ngramJaccardPairsSql(n, threshold)})
+       |), cand AS (
+       |  SELECT doc_a AS c_a, doc_b AS c_b
+       |  FROM (${minhashLshPairsSql(k, n, rowsPerBand, estThreshold)})
+       |), hits AS (
+       |  SELECT count(*) AS n_hit
+       |  FROM exact_pairs e JOIN cand c ON c.c_a = e.doc_a AND c.c_b = e.doc_b
+       |)
+       |SELECT (SELECT count(*) FROM exact_pairs) AS n_true,
+       |  (SELECT count(*) FROM cand) AS n_candidates,
+       |  n_hit,
+       |  CASE WHEN (SELECT count(*) FROM exact_pairs) > 0 THEN
+       |    CAST(n_hit AS DOUBLE)
+       |      / CAST((SELECT count(*) FROM exact_pairs) AS DOUBLE) END AS recall,
+       |  CASE WHEN (SELECT count(*) FROM cand) > 0 THEN
+       |    CAST(n_hit AS DOUBLE)
+       |      / CAST((SELECT count(*) FROM cand) AS DOUBLE) END AS candidate_precision
+       |FROM hits""".stripMargin
 }

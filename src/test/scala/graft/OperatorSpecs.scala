@@ -503,4 +503,27 @@ class SinksSpec extends AnyFunSuite {
       Pipeline.when(cond = true)(_.limit(3)))
     assert(pipe(t.nation).count() <= 3)
   }
+
+  test("lshEval: counts compose the two gated queries (identical-corpus sanity)") {
+    import spark.implicits._
+    val spark2 = spark
+    // identical docs → exact pair at jaccard 1.0, LSH must surface it
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "totally different words here nothing shared at all"))
+      .toDF("doc_id", "text")
+    val r = graft.operators.Dedup.lshEvalOf(docs).collect().head
+    assert(r.getLong(r.fieldIndex("n_true")) == 1L)
+    assert(r.getLong(r.fieldIndex("n_hit")) == 1L)
+    assert(r.getDouble(r.fieldIndex("recall")) == 1.0)
+  }
+
+  test("lshEval: empty corpus reads zero counts and NULL rates, not /0") {
+    import spark.implicits._
+    val docs = Seq((1L, "one single document only")).toDF("doc_id", "text")
+    val r = graft.operators.Dedup.lshEvalOf(docs).collect().head
+    assert(r.getLong(r.fieldIndex("n_true")) == 0L)
+    assert(r.isNullAt(r.fieldIndex("recall")))
+  }
 }
