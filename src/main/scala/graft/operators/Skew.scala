@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.sources.Tables
 
 /** Skew-mitigation utilities for hot keys at scale.
   *
@@ -144,4 +145,61 @@ object Skew {
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
+
+  // ------------------------------------------------- key-skew report
+
+  /** Key-skew diagnostic — the measurement that DECIDES whether the
+    * salting machinery above is needed for a given join/agg key: the
+    * top heavy keys with their row share, against the key-table-wide
+    * mean, exact p99 and max/mean skew ratio. One map-side-combined
+    * count per key; every downstream stat lives on the key table
+    * (never corpus rows); the heavy-key slice is TakeOrdered. Rule of
+    * thumb the report encodes: skew_ratio ≳ 10 and a top-key share
+    * that dwarfs 1/|keys| → salt (or let AQE split) before the
+    * shuffle melts one task. Counts exact LONGs; mean/share/ratio
+    * single unrounded divisions; p99 the exact interpolating
+    * percentile (`percentile` ≡ `quantile_cont`).
+    */
+  def keySkewOf(rows: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    val counts = rows.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("total"),
+      max(col("cnt")).as("max_cnt"),
+      expr("percentile(cnt, 0.99)").as("p99_cnt"))
+    counts.orderBy(col("cnt").desc, col("key")).limit(topK)
+      .crossJoin(broadcast(stats))
+      .select(col("key"), col("cnt"),
+        (col("cnt").cast("double") / col("total").cast("double")).as("share"),
+        (col("total").cast("double") / col("n_keys").cast("double")).as("mean_cnt"),
+        col("p99_cnt"),
+        (col("max_cnt").cast("double")
+          / (col("total").cast("double") / col("n_keys").cast("double")))
+          .as("skew_ratio"))
+      .orderBy(col("cnt").desc, col("key"))
+  }
+
+  /** Gated form: lineitem supplier-key skew (the join key
+    * `q_skew_salted_join` salts).
+    */
+  def keySkew(t: Tables): DataFrame = keySkewOf(t.lineitem, "l_suppkey")
+
+  def keySkewSql(topK: Int = 10): String =
+    s"""WITH counts AS (
+       |  SELECT l_suppkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1
+       |), stats AS (
+       |  SELECT count(*) AS n_keys, sum(cnt) AS total, max(cnt) AS max_cnt,
+       |    quantile_cont(cnt, 0.99) AS p99_cnt
+       |  FROM counts
+       |), top AS (
+       |  SELECT key, cnt FROM counts ORDER BY cnt DESC, key LIMIT $topK
+       |)
+       |SELECT key, cnt,
+       |  CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+       |  CAST(total AS DOUBLE) / CAST(n_keys AS DOUBLE) AS mean_cnt,
+       |  p99_cnt,
+       |  CAST(max_cnt AS DOUBLE)
+       |    / (CAST(total AS DOUBLE) / CAST(n_keys AS DOUBLE)) AS skew_ratio
+       |FROM top CROSS JOIN stats
+       |ORDER BY cnt DESC, key""".stripMargin
 }

@@ -161,4 +161,26 @@ class BucketingSpec extends AnyFunSuite {
     val want = graft.operators.Relational.q3ShippingPriority(t).collect().map(_.toSeq)
     assert(got.toSeq == want.toSeq, "bucketed q3 must return the unbucketed answer")
   }
+
+  // ------------------------------------------------- key-skew report
+
+  test("keySkew: a planted hot key reads its true share and skew ratio") {
+    import spark.implicits._
+    // key 7: 8 rows; keys 1..4: 1 row each → total 12, n_keys 5,
+    // mean 2.4, max 8 → skew_ratio = 8/2.4
+    val rows = (Seq.fill(8)(7L) ++ Seq(1L, 2L, 3L, 4L)).zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }.toDF("row_id", "k")
+    val top = graft.operators.Skew.keySkewOf(rows, "k", topK = 2).collect()
+    assert(top.head.getLong(0) == 7L)
+    assert(top.head.getLong(1) == 8L)
+    assert(top.head.getDouble(top.head.fieldIndex("share")) == 8.0 / 12.0)
+    assert(math.abs(top.head.getDouble(top.head.fieldIndex("skew_ratio")) - 8.0 / 2.4) < 1e-12)
+  }
+
+  test("keySkew: a uniform key distribution reads skew ratio 1") {
+    import spark.implicits._
+    val rows = (1L to 20L).map(i => (i, i % 5)).toDF("row_id", "k")
+    val top = graft.operators.Skew.keySkewOf(rows, "k", topK = 1).collect().head
+    assert(top.getDouble(top.fieldIndex("skew_ratio")) == 1.0)
+  }
 }
