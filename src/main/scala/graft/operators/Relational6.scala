@@ -93,4 +93,78 @@ object Relational6 {
       |  round(min(pr), 6) AS pct_rank,
       |  round(max(cd), 6) AS cume_dist
       |FROM ranked GROUP BY 1, 2 ORDER BY o_orderpriority, value""".stripMargin
+
+  // ------------------------------------------------ FK join audit
+
+  /** Referential-integrity / join-cardinality audit for a
+    * fact→dimension key — the profile a pipeline runs BEFORE trusting
+    * a join (and the input to the broadcast-vs-shuffle and
+    * salt-or-not decisions `q_key_skew` refines): match rate and
+    * orphan count on the fact side, unreferenced rows on the
+    * dimension side, and the fan-out distribution (mean/p99/max facts
+    * per matched dimension key). Everything derives from one fact-key
+    * count table + one dimension key set: the orphan check is a LEFT
+    * ANTI join on keys (never row payloads), fan-out stats live on
+    * the key table, and every ratio divides exact LONGs.
+    */
+  def fkAuditOf(fact: DataFrame, factKey: String, dim: DataFrame,
+      dimKey: String): DataFrame = {
+    val factCounts = fact.groupBy(col(factKey).as("k")).agg(count(lit(1)).as("cnt"))
+    val dimKeys = dim.select(col(dimKey).as("k")).distinct()
+    val matched = factCounts.join(dimKeys, Seq("k"), "left_semi")
+    val orphanFacts = factCounts.join(dimKeys, Seq("k"), "left_anti")
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_orphan_facts"))
+    val unreferenced = dimKeys.join(factCounts, Seq("k"), "left_anti")
+      .agg(count(lit(1)).as("n_unreferenced_dims"))
+    val factTot = fact.agg(count(lit(1)).as("n_facts"))
+    val dimTot = dimKeys.agg(count(lit(1)).as("n_dims"))
+    val fanout = matched.agg(
+      count(lit(1)).as("n_matched_keys"),
+      sum(col("cnt")).as("n_matched_facts"),
+      max(col("cnt")).as("max_fanout"),
+      expr("percentile(cnt, 0.99)").as("p99_fanout"))
+    factTot.crossJoin(dimTot).crossJoin(broadcast(fanout))
+      .crossJoin(broadcast(orphanFacts)).crossJoin(broadcast(unreferenced))
+      .select(col("n_facts"), col("n_dims"),
+        col("n_matched_keys"), col("n_orphan_facts"), col("n_unreferenced_dims"),
+        (col("n_matched_facts").cast("double") / col("n_facts").cast("double"))
+          .as("match_rate"),
+        (col("n_matched_facts").cast("double") / col("n_matched_keys").cast("double"))
+          .as("mean_fanout"),
+        col("p99_fanout"), col("max_fanout"))
+  }
+
+  /** Gated form: lineitem → orders on the order key (a true FK in
+    * this schema — the audit should read match_rate 1, orphans 0).
+    */
+  def fkAudit(t: Tables): DataFrame =
+    fkAuditOf(t.lineitem, "l_orderkey", t.orders, "o_orderkey")
+
+  val fkAuditSql: String =
+    """WITH fact_counts AS (
+      |  SELECT l_orderkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1
+      |), dim_keys AS (SELECT DISTINCT o_orderkey AS k FROM orders
+      |), matched AS (
+      |  SELECT fc.k, fc.cnt FROM fact_counts fc
+      |  WHERE fc.k IN (SELECT k FROM dim_keys)
+      |), orphan AS (
+      |  SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_orphan_facts
+      |  FROM fact_counts WHERE k NOT IN (SELECT k FROM dim_keys)
+      |), unref AS (
+      |  SELECT count(*) AS n_unreferenced_dims
+      |  FROM dim_keys WHERE k NOT IN (SELECT k FROM fact_counts)
+      |), fan AS (
+      |  SELECT count(*) AS n_matched_keys,
+      |    CAST(sum(cnt) AS BIGINT) AS n_matched_facts,
+      |    max(cnt) AS max_fanout, quantile_cont(cnt, 0.99) AS p99_fanout
+      |  FROM matched
+      |)
+      |SELECT (SELECT count(*) FROM lineitem) AS n_facts,
+      |  (SELECT count(*) FROM dim_keys) AS n_dims,
+      |  n_matched_keys, n_orphan_facts, n_unreferenced_dims,
+      |  CAST(n_matched_facts AS DOUBLE)
+      |    / CAST((SELECT count(*) FROM lineitem) AS DOUBLE) AS match_rate,
+      |  CAST(n_matched_facts AS DOUBLE) / CAST(n_matched_keys AS DOUBLE) AS mean_fanout,
+      |  p99_fanout, max_fanout
+      |FROM fan CROSS JOIN orphan CROSS JOIN unref""".stripMargin
 }

@@ -34,4 +34,33 @@ class Relational6Spec extends AnyFunSuite {
       ("P", 30.0, 1L, 1.0, 1.0),
       ("Q", 7.0, 1L, 0.0, 1.0)))
   }
+
+  // ------------------------------------------------ FK join audit
+
+  test("fkAudit: orphans, unreferenced dims and fan-out from a planted mismatch") {
+    import spark.implicits._
+    // facts: keys 1(×3), 2(×1), 9(×2 — orphan); dims: 1, 2, 3 (3 unreferenced... only key 3)
+    val fact = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L), (5L, 9L), (6L, 9L))
+      .toDF("row_id", "fk")
+    val dim = Seq(1L, 2L, 3L).toDF("pk")
+    val r = graft.operators.Relational6.fkAuditOf(fact, "fk", dim, "pk").collect().head
+    assert(r.getLong(r.fieldIndex("n_facts")) == 6L)
+    assert(r.getLong(r.fieldIndex("n_dims")) == 3L)
+    assert(r.getLong(r.fieldIndex("n_matched_keys")) == 2L)
+    assert(r.getLong(r.fieldIndex("n_orphan_facts")) == 2L)
+    assert(r.getLong(r.fieldIndex("n_unreferenced_dims")) == 1L)
+    assert(r.getDouble(r.fieldIndex("match_rate")) == 4.0 / 6.0)
+    assert(r.getDouble(r.fieldIndex("mean_fanout")) == 2.0) // (3+1)/2
+    assert(r.getLong(r.fieldIndex("max_fanout")) == 3L)
+  }
+
+  test("fkAudit: a clean FK reads match_rate 1 and zero orphans") {
+    import spark.implicits._
+    val fact = Seq((1L, 1L), (2L, 2L), (3L, 2L)).toDF("row_id", "fk")
+    val dim = Seq(1L, 2L).toDF("pk")
+    val r = graft.operators.Relational6.fkAuditOf(fact, "fk", dim, "pk").collect().head
+    assert(r.getDouble(r.fieldIndex("match_rate")) == 1.0)
+    assert(r.getLong(r.fieldIndex("n_orphan_facts")) == 0L)
+    assert(r.getLong(r.fieldIndex("n_unreferenced_dims")) == 0L)
+  }
 }
