@@ -1081,4 +1081,52 @@ object Dedup {
        |    CAST(n_hit AS DOUBLE)
        |      / CAST((SELECT count(*) FROM cand) AS DOUBLE) END AS candidate_precision
        |FROM hits""".stripMargin
+
+  // ------------------------------------------- estimator calibration
+
+  /** MinHash estimator calibration — how far the k-permutation
+    * estimate strays from exact Jaccard on the pairs the banded join
+    * actually surfaces: abs-error quantiles (exact interpolating
+    * percentiles) + max over all banded candidates, est and exact
+    * both taken from the two gated queries' own 6dp-rounded outputs
+    * so every error value is engine-identical. This is the number
+    * that justifies k=16 signatures (expected |err| ~ 1/√k ≈ 0.25
+    * WORST-case band, much tighter in the high-similarity region the
+    * bands select for); if p90 here widens, raise k before trusting
+    * `est_jaccard` as a dedup threshold. Exact Jaccard is computed
+    * once by the same co-occurrence aggregate the threshold query
+    * already runs — the candidate join then SHRINKS that table.
+    */
+  def estCalibrationOf(docs: DataFrame, n: Int = 3, k: Int = 16,
+      rowsPerBand: Int = 2): DataFrame = {
+    val exact = ngramJaccardPairsOf(docs, n, 0.0)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val cand = minhashLshPairsFromSig(
+        minhashWideOf(docs, k, n).cache(), k, rowsPerBand, 0.0)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+    cand.join(exact, Seq("doc_a", "doc_b"))
+      .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(abs_err, 0.5)").as("p50_abs_err"),
+        expr("percentile(abs_err, 0.9)").as("p90_abs_err"),
+        max(col("abs_err")).as("max_abs_err"))
+  }
+
+  def estCalibration(t: Tables): DataFrame = estCalibrationOf(t.documents)
+
+  def estCalibrationSql(n: Int = 3, k: Int = 16, rowsPerBand: Int = 2): String =
+    s"""WITH exact_pairs AS (
+       |  SELECT doc_a, doc_b, jaccard FROM (${ngramJaccardPairsSql(n, 0.0)})
+       |), cand AS (
+       |  SELECT doc_a, doc_b, est_jaccard
+       |  FROM (${minhashLshPairsSql(k, n, rowsPerBand, 0.0)})
+       |), errs AS (
+       |  SELECT abs(c.est_jaccard - e.jaccard) AS abs_err
+       |  FROM cand c JOIN exact_pairs e USING (doc_a, doc_b)
+       |)
+       |SELECT count(*) AS n_pairs,
+       |  quantile_cont(abs_err, 0.5) AS p50_abs_err,
+       |  quantile_cont(abs_err, 0.9) AS p90_abs_err,
+       |  max(abs_err) AS max_abs_err
+       |FROM errs""".stripMargin
 }

@@ -526,4 +526,18 @@ class SinksSpec extends AnyFunSuite {
     assert(r.getLong(r.fieldIndex("n_true")) == 0L)
     assert(r.isNullAt(r.fieldIndex("recall")))
   }
+
+  test("estCalibration: identical docs read exact zero error; near-dups stay within the 1/sqrt(k) band") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base), (2L, base),                             // jaccard 1, est must be 1
+      (3L, base + " lambda mu"), (4L, "different words entirely nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val r = graft.operators.Dedup.estCalibrationOf(docs).collect().head
+    assert(r.getLong(0) >= 1L)
+    assert(r.getDouble(r.fieldIndex("max_abs_err")) <= 1.0 / math.sqrt(16) + 0.35)
+    // the identical pair contributes error exactly 0 → p50 over few pairs small
+    assert(r.getDouble(r.fieldIndex("p50_abs_err")) <= r.getDouble(r.fieldIndex("max_abs_err")))
+  }
 }
