@@ -162,4 +162,57 @@ object QualityRules {
        |  CASE WHEN n_kept >= $minSentences AND has_brace = 0 AND has_lorem = 0
        |    AND has_js = 0 THEN 1 ELSE 0 END AS c4_keep
        |FROM g ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------- per-source pass rates
+
+  /** Quality-rule pass rates per source — the monitoring rollup that
+    * says WHICH feed needs cleaning (the per-doc queries say which
+    * docs): Gopher and C4 decisions joined per doc, exact pass counts
+    * per source, rates single unrounded divisions of LONGs. A source
+    * whose gopher rate drops release-over-release is the drift alarm
+    * `q_psi_drift` then localizes.
+    */
+  def passRatesBySourceOf(documents: DataFrame): DataFrame = {
+    val g = gopherRulesOf(documents).select(col("doc_id"), col("gopher_pass"))
+    val c = c4RulesOf(documents).select(col("doc_id"), col("c4_keep"))
+    documents.select(col("doc_id"), col("source"))
+      .join(g, "doc_id").join(c, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        // the per-doc flags are 0/1 INTs (the gated queries' own
+        // schema) — sum them directly, both = product
+        sum(col("gopher_pass").cast("long")).as("n_gopher_pass"),
+        sum(col("c4_keep").cast("long")).as("n_c4_keep"),
+        sum((col("gopher_pass") * col("c4_keep")).cast("long")).as("n_both"))
+      .select(col("source"), col("n_docs"), col("n_gopher_pass"), col("n_c4_keep"),
+        col("n_both"),
+        (col("n_gopher_pass").cast("double") / col("n_docs").cast("double"))
+          .as("gopher_rate"),
+        (col("n_c4_keep").cast("double") / col("n_docs").cast("double"))
+          .as("c4_rate"),
+        (col("n_both").cast("double") / col("n_docs").cast("double"))
+          .as("both_rate"))
+      .orderBy("source")
+  }
+
+  def passRatesBySource(t: Tables): DataFrame = passRatesBySourceOf(t.documents)
+
+  def passRatesBySourceSql(): String =
+    s"""WITH g AS (
+       |  SELECT doc_id, gopher_pass FROM (${gopherRulesSql()})
+       |), c AS (
+       |  SELECT doc_id, c4_keep FROM (${c4RulesSql()})
+       |)
+       |SELECT d.source, count(*) AS n_docs,
+       |  CAST(sum(g.gopher_pass) AS BIGINT) AS n_gopher_pass,
+       |  CAST(sum(c.c4_keep) AS BIGINT) AS n_c4_keep,
+       |  CAST(sum(g.gopher_pass * c.c4_keep) AS BIGINT) AS n_both,
+       |  CAST(sum(g.gopher_pass) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS gopher_rate,
+       |  CAST(sum(c.c4_keep) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS c4_rate,
+       |  CAST(sum(g.gopher_pass * c.c4_keep) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS both_rate
+       |FROM documents d JOIN g USING (doc_id) JOIN c USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
 }

@@ -520,4 +520,19 @@ class VocabGapfillProfileSpec extends AnyFunSuite {
     assert(got(("fr", "fr")) == ((1L, 0.5)))
     assert(got(("fr", "en")) == ((1L, 0.5))) // the abstention-to-en error cell
   }
+
+  test("passRatesBySource: rates divide exact per-source counts and both <= each") {
+    val t = graft.sources.Tables(spark, "/root/testdata/sf0.001")
+    val rows = graft.operators.QualityRules.passRatesBySourceOf(t.documents).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(r.fieldIndex("n_docs"))
+      val g = r.getLong(r.fieldIndex("n_gopher_pass"))
+      val c = r.getLong(r.fieldIndex("n_c4_keep"))
+      val b = r.getLong(r.fieldIndex("n_both"))
+      assert(b <= math.min(g, c))
+      assert(r.getDouble(r.fieldIndex("gopher_rate")) == g.toDouble / n)
+      assert(r.getDouble(r.fieldIndex("both_rate")) == b.toDouble / n)
+    }
+  }
 }
