@@ -2,11 +2,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Benchmark main. Prints ONE JSON line:
+/** Benchmark main. Prints a JSON summary line after the graded suite
+  * phase and again (complete) at the end of the run:
   * {"metric":"total","value":<sum of per-query p50>,"unit":"sec",
   *  "queries":{name:p50,...},                    // p50 of warm runs
   *  "stats":{name:{"cold":c,"p50":m,"p95":p,"n":N},...},
-  *  "failed":[...], "reps":N,
+  *  "failed":[...], "reps":N, "skipped":[...],
   *  "ladder":{sfDir:{headline:sec,...},...},     // scaling behavior
   *  "sf":dir}
   *
@@ -14,8 +15,18 @@ import org.apache.spark.sql.functions._
   * session made per-query numbers warmup-ordering noise — code that
   * didn't change appeared to regress 10×. Each query now runs once
   * cold (recorded separately: it carries codegen+AQE warmup) and then
-  * N-1 warm reps; the headline per-query number is the warm p50, so
+  * warm reps; the headline per-query number is the warm p50, so
   * deltas between rounds reflect the plan, not scheduling accidents.
+  *
+  * Round-12 redesign (VERDICT r11 item 1): the official r11 bench hit
+  * the driver's wall-clock timeout (rc 124) and the single end-of-run
+  * artifact lost EVERYTHING, including the finished suite phase. The
+  * run is now governed by a hard time budget with remaining-time gates
+  * between sections and between ladder queries; the artifact is written
+  * after the suite phase and re-written after every section; whatever
+  * does not fit is recorded in "skipped" instead of silently missing.
+  * The full-depth ladder lives in committed local artifacts
+  * (target/bench_full_r{N}*.json), not in the driver's budget.
   */
 object Bench {
   private def pct(sorted: Array[Double], q: Double): Double =
@@ -64,13 +75,35 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // r11 post-mortem: the official BENCH_r11 was rc 124 / parsed null —
+    // the WORKLOAD outgrew the driver's wall-clock budget and the
+    // single end-of-run artifact meant a timeout erased even the
+    // already-finished suite phase. Three rules now govern the run:
+    // (1) a hard time budget (SPARK_GRAFT_TIME_BUDGET_S, default 20 min
+    //     — conservative vs any plausible driver timeout) with remaining-
+    //     time gates between sections AND between ladder queries;
+    // (2) the artifact (file + stdout summary line) is emitted the
+    //     moment the graded SUITE phase completes, then re-written after
+    //     every section and re-printed at the end — a kill at any point
+    //     leaves a complete, parseable artifact for everything that ran;
+    // (3) everything that does not fit is recorded in "skipped", never
+    //     silently absent: the full ladder is committed as a local
+    //     artifact (target/bench_full_r{N}.json) instead.
+    val benchT0 = System.nanoTime()
+    def elapsed(): Double = (System.nanoTime() - benchT0) / 1e9
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET_S", "1200").toDouble
+    def remaining(): Double = budgetS - elapsed()
+    val skipped = scala.collection.mutable.ListBuffer.empty[String]
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt.max(1)
     val spark = GraftSession.builder(master = s"local[$cpus]", appName = "graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the r11 driver tail was 100% CacheManager WARN
+    // spam — if the driver greps its captured tail for the JSON line,
+    // log noise printed after our line can scroll it out of the window.
+    spark.sparkContext.setLogLevel("ERROR")
     // Warm the session (parquet reader, codegen, shuffle machinery)
     // so the first timed query isn't charged JVM startup.
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
@@ -109,32 +142,48 @@ object Bench {
     // strictly AFTER this loop; env samples bracket it so external
     // contamination shows up in the artifact rather than masquerading
     // as a plan regression.
-    val drainWaitSec = drainLoad()
+    val drainWaitSec = drainLoad(maxWaitSec = 120.0)
     val envSuiteStart = envSample()
+    // Adaptive warm reps (r11 budget fix): the suite's warm-rep cost is
+    // dominated by its slowest ~20 queries, whose p50s have been stable
+    // for rounds — full `reps` precision goes to the cheap majority,
+    // heavies get 2 warm reps (>1 s cold) or 1 (>5 s cold). Past 55% of
+    // the budget the remainder runs cold-only (recorded in "skipped")
+    // so the suite always COMPLETES: a -1 for a never-run query is
+    // indistinguishable from breakage, which r11 proved is the worst
+    // outcome an artifact can have.
+    val suiteSoftDeadline = budgetS * 0.55
+    var coldOnlyFrom: Option[String] = None
     val stats = suite.map { case (name, fn) =>
       // A failed query is reported as -1 (never a normal-looking fast
       // time) and listed in "failed" so the metric line can't mask
       // breakage; remaining reps are skipped.
       val cold = runOnce(name, fn, sfDir)
+      val intendedWarm =
+        if (cold < 0) 0
+        else if (elapsed() > suiteSoftDeadline) {
+          if (coldOnlyFrom.isEmpty) { coldOnlyFrom = Some(name); skipped += s"suite_warm_reps_from:$name" }
+          0
+        }
+        else if (cold <= 1.0) reps - 1
+        else if (cold <= 5.0) math.min(reps - 1, 2)
+        else math.min(reps - 1, 1)
       val warm = if (cold < 0) Array.empty[Double]
-        else Array.fill(reps - 1)(runOnce(name, fn, sfDir)).takeWhile(_ >= 0)
-      val ok = cold >= 0 && warm.length == reps - 1
-      // With reps=1 there are no warm runs; fall back to the cold time
-      // so the headline number is still real.
+        else Array.fill(intendedWarm)(runOnce(name, fn, sfDir)).takeWhile(_ >= 0)
+      val ok = cold >= 0 && warm.length == intendedWarm
+      // With no warm runs, fall back to the cold time so the headline
+      // number is still real.
       val sortedWarm = warm.sorted
       val p50 = if (!ok) -1.0 else if (sortedWarm.isEmpty) cold else pct(sortedWarm, 0.50)
       val p95 = if (!ok) -1.0 else if (sortedWarm.isEmpty) cold else pct(sortedWarm, 0.95)
       name -> Stat(if (ok) cold else -1.0, p50, p95, 1 + warm.length, !ok)
     }
     val envSuiteEnd = envSample()
-    // ---- PHASE 2: ladder / skew / recall (shape evidence, 1 rep) ----
 
-    // Scale ladder: the headline queries at every sf the test tree
-    // provides (one rep each — this records scaling SHAPE, the p50s
-    // above carry the precise per-query signal). sf0.01 is ~10× less
-    // data than sf0.1: near-linear times mean scan-bound plans,
-    // flat times mean fixed overhead dominates, super-linear flags a
-    // pair-join blowup.
+    // ---- PHASE 2: skew / recall / flagship / ladder — shape evidence.
+    // Sections run graded-and-cheap first; each is behind a remaining-
+    // time gate and the artifact is re-written after every one.
+
     val headline = Seq("q1_pricing_summary", "q3_shipping_priority", "word_stats",
       "dedup_minhash_lsh", "dedup_ngram_jaccard", "embed_cosine_topk", "token_count",
       "decontaminate", "dedup_containment", "phrase_search", "embed_pq_codes")
@@ -146,21 +195,241 @@ object Bench {
     // r8 verdict #3: single-rep cold rungs under end-of-run memory
     // pressure produced non-monotone ladders (pack_shards ×10 24.4 s vs
     // ×100 12.1 s) that couldn't support scaling claims either way. Each
-    // rung time is now the LOWER MEDIAN of `n` reps (true median at n=3,
+    // rung time is the LOWER MEDIAN of `n` reps (true median at n=3,
     // min at n=2 — a deliberate noise rejector, never an inflator) and
     // every rung carries its own env sample so a residual outlier is
     // attributable to machine state instead of reading as a plan change.
     val ladderReps = sys.env.getOrElse("SPARK_GRAFT_LADDER_REPS", "3").toInt.max(1)
-    val ladderRepsX100 = sys.env.getOrElse("SPARK_GRAFT_LADDER_REPS_X100", "2").toInt.max(1)
+    val ladderRepsX100 = sys.env.getOrElse("SPARK_GRAFT_LADDER_REPS_X100", "1").toInt.max(1)
+    // Budget-aware median: the first rep always runs (a rung entry must
+    // be a real measurement, never a placeholder); further reps only
+    // while the budget allows.
     def runMedian(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String, n: Int): Double = {
-      val ts = (1 to n).map(_ => runOnce(name, fn, dir)).filter(_ >= 0).sorted
+      val b = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var i = 0
+      while (i < n && (i == 0 || remaining() > 45)) { b += runOnce(name, fn, dir); i += 1 }
+      val ts = b.filter(_ >= 0).sorted.toIndexedSeq
       if (ts.isEmpty) -1.0 else ts((ts.length - 1) / 2)
     }
     case class Rung(dir: String, env: String, reps: Int, times: Seq[(String, Double)])
-    var ladder = ladderDirs.map { dir =>
-      Rung(dir, envSample(), ladderReps,
-        headline.map { n => n -> runMedian(n, SparkEntry.queries(n), dir, ladderReps) })
+    var ladder = Vector.empty[Rung]
+    var skew: Option[(Double, Double, Long)] = None
+    var recall: Seq[(String, Double)] = Seq.empty
+    var recallClustered: Seq[(String, Double)] = Seq.empty
+    case class FlagRung(factor: Int, sec: Double, mb: Double)
+    var flagship: Seq[FlagRung] = Seq.empty
+
+    // ---- artifact emission (file after every section; stdout after the
+    // suite and at the end — last printed line wins for a tail-parser,
+    // and a kill at any point leaves the previous line intact) ----
+    def jd(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json")
+    def emit(phase: String, toStdout: Boolean): Unit = {
+      val qs = stats.map { case (k, s) => "\"" + k + "\":" + jd(s.p50) }.mkString("{", ",", "}")
+      val st = stats.map { case (k, s) =>
+        "\"" + k + s"""\":{"cold":${jd(s.cold)},"p50":${jd(s.p50)},"p95":${jd(s.p95)},"n":${s.n}}"""
+      }.mkString("{", ",", "}")
+      val failed = stats.collect { case (k, s) if s.failed => "\"" + k + "\"" }.mkString("[", ",", "]")
+      val lad = ladder.map { r =>
+        "\"" + r.dir + s"""\":{"env":${r.env},"reps":${r.reps},"times":""" +
+          r.times.map { case (n, v) => "\"" + n + "\":" + jd(v) }.mkString("{", ",", "}") + "}"
+      }.mkString("{", ",", "}")
+      val total = jd(stats.map(_._2.p50).filter(_ >= 0).sum)
+      val skewJson = skew.map { case (w, r, n) =>
+        s""","skew":{"rows":$n,"window_s":${jd(w)},"rewrite_s":${jd(r)}}"""
+      }.getOrElse("")
+      val recallJson = if (recall.isEmpty) "" else
+        recall.map { case (n, v) => "\"" + n + "\":" + jd(v) }
+          .mkString(""","recall":{""", ",", "}") +
+          recallClustered.map { case (n, v) => "\"" + n + "\":" + jd(v) }
+            .mkString(""","recall_clustered":{""", ",", "}")
+      val flagshipJson = if (flagship.isEmpty) "" else
+        flagship.map { r =>
+          s""""x${r.factor}":{"s":${jd(r.sec)},"mb":${jd(r.mb)},"mb_s":${jd(r.mb / r.sec)}}"""
+        }.mkString(""","flagship":{""", ",", "}")
+      val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val budgetJson =
+        s""","budget_s":${jd(budgetS)},"elapsed_s":${jd(elapsed())},"phase":"$phase","skipped":$skippedJson"""
+      val envJson =
+        s""","env":{"drain_wait_s":${jd(drainWaitSec)},"suite_start":$envSuiteStart,"suite_end":$envSuiteEnd,"end":${envSample()}}"""
+      // The harness that runs this captures only a short stdout TAIL, so
+      // the per-query document (~8 KB at 102 queries, more now) must not
+      // ride on stdout: rounds 3-5 lost their bench detail to truncation
+      // ("parsed": null). Split the output: the FULL document goes to a
+      // file, and the printed line is a compact summary (total, failures,
+      // the 10 slowest p50s, the ladder's top rung) guaranteed to fit in
+      // a 2,000-char tail.
+      val fullDoc = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$st,"failed":$failed,"reps":$reps$budgetJson,"ladder":$lad$skewJson$recallJson$flagshipJson$envJson,"sf":"$sfDir"}"""
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outFile).toAbsolutePath.getParent)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullDoc + "\n")
+      if (toStdout) {
+        val slow = stats.filter(_._2.p50 >= 0).sortBy(-_._2.p50).take(10)
+          .map { case (k, s) => "\"" + k + "\":" + jd(s.p50) }.mkString("{", ",", "}")
+        val topRung = ladder.lastOption.filter(_.times.nonEmpty).map { r =>
+          s""","ladder_top":{"dir":"${r.dir}",${r.times.map { case (n, v) => "\"" + n + "\":" + jd(v) }.mkString(",")}}"""
+        }.getOrElse("")
+        val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${stats.size},"reps":$reps,"sf":"$sfDir","failed":$failed$budgetJson,"slowest_p50":$slow$topRung$skewJson$recallJson$flagshipJson$envJson,"full_report":"$outFile"}"""
+        if (line.length > 1900)
+          System.err.println(s"[bench] WARNING summary line is ${line.length} chars (>1900); trim slowest/ladder fields")
+        println(line)
+      }
+    }
+    // The graded number exists from this point on, whatever happens later.
+    emit("suite", toStdout = true)
+
+    def gate(label: String, needSec: Double)(body: => Unit): Unit =
+      if (remaining() < needSec) skipped += label else body
+
+    // ---- skew demonstration: hot-key shard, window form vs rewrite ----
+    // sum-over-key attached per row is the skew class AQE can't touch
+    // (no partial agg for windows, no splitting a sort partition): the
+    // window form serializes the hot key on one task, the salted
+    // window-to-join rewrite (q_skew_share_rewrite) stays parallel.
+    // Same rows out of both — the gap is pure plan.
+    if (sectionOn("skew_pair")) gate("skew_pair", 120) {
+      // hot key replicated 300×: ~6M-row shard, ~99% one key — small
+      // enough to generate once, big enough that the window form's
+      // single hot task dominates its wall-clock
+      val hotCopies = 300
+      val skewPath =
+        s"target/bench_skew_${new java.io.File(sfDir).getName}_x$hotCopies/events_skewed.parquet"
+      // reuse is keyed on a sentinel written AFTER the parquet write (the
+      // ladder-rung pattern): a crash mid-write must not leave a partial
+      // shard that later runs silently reuse
+      val skewBuilt = new java.io.File(s"$skewPath/../_built").getCanonicalFile
+      if (!skewBuilt.exists) {
+        val ev = spark.read.parquet(s"$sfDir/events.parquet")
+          .select("event_id", "event_type", "value")
+        val hot = ev.groupBy("event_type").count()
+          .orderBy(col("count").desc, col("event_type")).head.getString(0)
+        ev.withColumn("rep", explode(sequence(lit(1),
+            when(col("event_type") === hot, hotCopies).otherwise(1))))
+          .withColumn("event_id", col("event_id") * lit(1000L) + col("rep"))
+          .drop("rep")
+          // spread across real file splits: a 1-task write would leave
+          // BOTH timed plans serialized at the scan, hiding the skew
+          .repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(skewPath)
+        java.nio.file.Files.createFile(skewBuilt.toPath): Unit
+      }
+      val skewed = spark.read.parquet(skewPath)
+      def time1(df: => org.apache.spark.sql.DataFrame): Double = {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      import graft.operators.Skew
+      // unordered forms: the oracle's determinism sort is shared by both
+      // plans and would dilute the delta being demonstrated; min of 2
+      // reps per form rejects cold-cache noise
+      val win = (1 to 2).map(_ => time1(Skew.shareWindowForm(skewed, ordered = false))).min
+      val rw  = (1 to 2).map(_ => time1(Skew.shareOfKeyTotal(skewed, ordered = false))).min
+      skew = Some((win, rw, skewed.count()))
+      emit("skew", toStdout = false)
+    }
+
+    // ---- ANN recall vs the exact brute-force top-k, on TWO corpora ----
+    // The testdata embeddings are near-random (same-label cosine ≈
+    // cross-label ≈ 0), so recall there mostly measures probed fraction
+    // — a trend line, not a gate. The CLUSTERED corpus (planted
+    // Gaussian-ish clusters, graft.sources.Synthetic, deterministic)
+    // makes the numbers mean retrieval quality: floors are spec-pinned
+    // in ClusteredRecallSpec (multiprobe ≥0.9, ivf_kmeans ≥0.8, lsh
+    // ≥0.5, ivf_pq ≥0.3) and this emission is what caught the r8
+    // raw-vector-PQ collapse (recall 0.08 → residual fix → 0.40).
+    def recallFor(dir: String): Seq[(String, Double)] = {
+      val exact = SparkEntry.queries("embed_cosine_topk")(spark, dir)
+        .select("query_id", "vec_id").persist()
+      val nExact = exact.count().toDouble
+      val r = Seq("embed_ann_lsh", "embed_ann_multiprobe", "embed_ivf_kmeans",
+        "embed_ivf_pq", "embed_pca_topk").map { nm =>
+        val hits = SparkEntry.queries(nm)(spark, dir).select("query_id", "vec_id")
+          .join(exact, Seq("query_id", "vec_id")).count()
+        nm -> (if (nExact > 0) hits / nExact else -1.0)
+      }
+      exact.unpersist()
+      r
+    }
+    if (sectionOn("ann_recall")) gate("ann_recall", 150) {
+      recall = recallFor(sfDir)
+      val dir = s"target/bench_clustered_${new java.io.File(sfDir).getName}_v1"
+      val built = new java.io.File(s"$dir/_built")
+      if (!built.exists) {
+        val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+        graft.sources.Synthetic.writeClusteredCorpus(spark, dir, n)
+        java.nio.file.Files.createFile(built.toPath): Unit
+      }
+      recallClustered = recallFor(dir)
+      emit("ann_recall", toStdout = false)
+    }
+
+    // ---- flagship throughput ladder (the README's headline number) ----
+    // The 30 MB/s flagship claim was a single corpus point (15 MB, one
+    // measurement dominated by fixed overhead); give it the same ladder
+    // discipline as the suite: ×10/×100 file-copied corpora (the
+    // pipeline is a word-frequency aggregate, so replicated files just
+    // multiply counts — honest scan/tokenize throughput, no synthetic
+    // dedup structure to preserve), lower-median-of-N rungs, MB sizes
+    // in the artifact so the rate is computable per rung.
+    if (sectionOn("flagship_ladder")) gate("flagship_ladder", 180) {
+      def txts(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(txts)
+        else if (f.getName.endsWith(".txt")) Seq(f) else Seq.empty
+      val srcFiles = txts(new java.io.File(graft.operators.ArabicCorpus.SampleDir))
+      def corpusDir(factor: Int): String =
+        if (factor == 1) graft.operators.ArabicCorpus.SampleDir
+        else {
+          val dir = new java.io.File(s"target/bench_flagship_x${factor}_v1")
+          val built = new java.io.File(dir, "_built")
+          if (!built.exists) {
+            dir.mkdirs()
+            // flat copy; the SOURCE INDEX in the name guarantees
+            // uniqueness (a parent-dir prefix alone can collide at
+            // deeper nesting and silently shrink the corpus while
+            // mb still reports baseMb×factor)
+            for ((f, i) <- srcFiles.zipWithIndex; r <- 0 until factor)
+              java.nio.file.Files.copy(f.toPath,
+                new java.io.File(dir, s"r${r}_f${i}_${f.getName}").toPath,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            java.nio.file.Files.createFile(built.toPath): Unit
+          }
+          dir.getPath
+        }
+      val baseMb = srcFiles.map(_.length).sum / 1e6
+      flagship = Seq((1, 3), (10, 3), (100, 2)).flatMap { case (factor, n) =>
+        if (remaining() < 60) { skipped += s"flagship_x$factor"; None }
+        else {
+          val dir = corpusDir(factor)
+          val ts = (1 to n).map { _ =>
+            val t0 = System.nanoTime()
+            graft.operators.ArabicCorpus.tokenCounts(spark, dir)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }.sorted
+          Some(FlagRung(factor, ts((ts.length - 1) / 2), baseMb * factor))
+        }
+      }
+      emit("flagship", toStdout = false)
+    }
+
+    // ---- scale ladder over the test tree's sf dirs ----
+    // The headline queries at every sf the test tree provides — this
+    // records scaling SHAPE (the p50s above carry the precise per-query
+    // signal). sf0.01 is ~10× less data than sf0.1: near-linear times
+    // mean scan-bound plans, flat times mean fixed overhead dominates,
+    // super-linear flags a pair-join blowup.
+    def rungTimes(tag: String, names: Seq[String], dir: String, n: Int): Seq[(String, Double)] =
+      names.flatMap { nm =>
+        if (remaining() < 60) { skipped += s"$tag:$nm"; None }
+        else Some(nm -> runMedian(nm, SparkEntry.queries(nm), dir, n))
+      }
+    gate("ladder_sf", 120) {
+      ladder = ladder ++ ladderDirs.map { dir =>
+        Rung(dir, envSample(), ladderReps,
+          rungTimes(s"ladder_sf:${new java.io.File(dir).getName}", headline, dir, ladderReps))
+      }
+      emit("ladder_sf", toStdout = false)
     }
 
     // ---- ×10 / ×100 rungs past sf0.1 (skipped under SPARK_GRAFT_ONLY) ----
@@ -268,255 +537,59 @@ object Bench {
     // leave a stale rung for the driver's sf0.1 run; _v4: suffix-token +
     // orthogonal-embedding construction (was alphabet-rotation + additive
     // perturbation, whose embedding replicas were near-identical copies)
-    val synthQueries = Seq("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_containment",
-      "embed_cosine_topk", "embed_pq_codes", "token_count",
-      // r7 verdict #5: the curation/IR headliners need scaling evidence
-      // too — corpus_curate is the composed pipeline (and slowest real
-      // query), bm25 the IR scorer, pack_shards the two-phase prefix sum
-      "corpus_curate", "bm25_search", "pack_shards",
-      // global-rank scaling: replica token suffixes grow the VOCABULARY
-      // ~linearly with the corpus, so this rung stresses the range-sort
-      // + zipWithIndex rank at 100× vocab, not just 100× tokens
-      "vocab_build",
-      // r11: KN statistics re-aggregate the c12 bigram-type table,
-      // which grows ~linearly under the suffix scheme — both decades
-      "quality_kn_bigram",
-      // r11 fifth pass: Dunning G² rides the same bigram-type table as
-      // the KN statistics (plus two positional marginal re-aggs) —
-      // both decades prove the marginal joins stay count-table-sized
-      "q_dunning_llr")
-    // r7 verdict #6: one ×10 rung bounds the iterative connected-
-    // components loop (O(diameter) driver rounds × data-proportional
-    // per-round cost) and the edit-distance blocking — ×10 only, their
-    // ×100 single-rep cost would dominate the whole bench.
-    // r8 verdict #9: dedup_substring (corpus-token-sized window table —
-    // within-replica repeated k-word windows survive the token-suffix
-    // scheme, so the repeated-set workload scales with the corpus) and
-    // q_pagerank (disjoint replica components — see replicate()) join
-    // the ×10 rung for their first scaling evidence.
-    // r9: q_skipgrams joins the ×10 rung — its w× corpus-token pair
-    // intermediate is the one new-op cost where linearity is worth
-    // proving (the other r9 additions aggregate to enum/grid-sized
-    // tables before any join).
-    // r10: bpe_train joins the ladder (both decades) — the per-round
-    // vocab pair aggregate grows with the replica-suffixed vocabulary,
-    // the iterative-op scaling the batched trainer exists to serve.
-    // r11: quality_kn_bigram joins both decades (its c12 bigram-type
-    // table rides the suffix-grown vocabulary — the same class as
-    // vocab_build/bpe_train, plus the bigram-stream join back);
-    // q_kcore joins ×10 (iterative peel at 10× nodes/edges over the
-    // replica graph tables — disjoint components keep the core
-    // structure per replica); embed_pca_topk joins ×10 (the d² moment
-    // pass is the corpus-linear stage worth evidencing; the shortlist
-    // re-rank is per-query fixed).
-    // r11 fifth pass: q_rake joins ×10 (phrase islands + word-stat join
-    // grow with the suffix-grown vocabulary; the per-doc windows are the
-    // corpus-linear stage worth evidencing), q_rocchio ×10 (two postings
-    // passes + a feedback-doc-bounded expansion agg — corpus-linear by
-    // construction), embed_trunc_eval ×10 (per-dim brute-force passes
-    // are queries×corpus linear; the dims list is the knob).
+    //
+    // ×10 order is CHEAP-FIRST so a deadline cut drops the expensive
+    // tail, not the broad evidence. The list accumulates the per-round
+    // additions documented in the git history (r7 verdict #5/#6, r8 #9,
+    // r9, r10, r11 — curation/IR headliners, iterative ops, vocab-rank,
+    // KN/Dunning bigram tables, RAKE/Rocchio/trunc-eval).
+    // r12: dedup_containment_capped rides next to the uncapped form —
+    // the ×100 pair is the stop-shingle lever's evidence.
+    val synthQueries = Seq("dedup_minhash_lsh", "embed_cosine_topk", "embed_pq_codes",
+      "bm25_search", "pack_shards", "vocab_build", "token_count",
+      "dedup_ngram_jaccard", "dedup_containment", "dedup_containment_capped",
+      "q_dunning_llr", "quality_kn_bigram", "corpus_curate")
     val x10Only = Seq("dedup_fuzzy", "dedup_clusters", "dedup_substring", "q_pagerank",
       "q_skipgrams", "bpe_train", "q_kcore", "embed_pca_topk",
       "q_rake", "q_rocchio", "embed_trunc_eval")
-    def rung(tag: String, factor: Int, extra: Seq[String], reps: Int): Unit = {
-      // _v6: ×10 replicas now include the graph tables (q_pagerank input)
+    // ×100 priority order: cheap-and-scale-critical first (the banded/
+    // bucketed candidate paths whose sublinearity IS the 100 TB claim),
+    // then the corpus-linear heavies, established-stable rungs last —
+    // a deadline cut drops what three rounds of artifacts already pin.
+    val x100Queries = Seq("dedup_minhash_lsh", "embed_cosine_topk", "embed_pq_codes",
+      "bm25_search", "pack_shards", "vocab_build", "bpe_train",
+      "dedup_ngram_jaccard", "dedup_containment_capped", "q_dunning_llr",
+      "dedup_clusters", "token_count", "dedup_containment",
+      "quality_kn_bigram", "corpus_curate")
+    def rung(tag: String, factor: Int, names: Seq[String], nReps: Int,
+        buildNeedSec: Double): Unit = {
+      // _v6: ×10 replicas include the graph tables (q_pagerank input)
       val dir = s"target/bench_sfx${factor}_${new java.io.File(sfDir).getName}_v6"
       if (sectionOn(tag)) {
         val built = new java.io.File(s"$dir/_built")
         if (!built.exists) {
+          // replica construction is itself minutes at ×100 — gate it
+          // separately so a tight budget skips the whole rung up front
+          // instead of timing out inside the build
+          if (remaining() < buildNeedSec) { skipped += s"${tag}_build"; return }
           replicate(factor, dir, graphTables = factor <= 10)
           java.nio.file.Files.createFile(built.toPath): Unit
         }
-        ladder :+= Rung(dir, envSample(), reps,
-          (synthQueries ++ extra).map { n => n -> runMedian(n, SparkEntry.queries(n), dir, reps) })
+        gate(tag, 90) {
+          ladder = ladder :+ Rung(dir, envSample(), nReps, rungTimes(tag, names, dir, nReps))
+          emit(tag, toStdout = false)
+        }
       }
     }
-    rung("ladder_x10", 10, x10Only, ladderReps)
+    rung("ladder_x10", 10, synthQueries ++ x10Only, ladderReps, buildNeedSec = 360)
     // ×100 (~50 GB-scale shape at 100× sf0.1 rows): the second decade —
     // linear ×10→×100 growth is the evidence the 100 TB claim rides on.
-    // 2 reps by default: min-of-2 rejects the cold outlier at half the
-    // cost of a third rep on the most expensive rung.
-    // r9 verdict #8: the two iterative ops get their second decade —
-    // ×100 replica components keep dedup_clusters' oracle structure
-    // valid (disjoint replicas ⇒ component count scales with corpus),
-    // and bpe_train's per-round aggregate rides the ×100 vocabulary.
-    rung("ladder_x100", 100, Seq("dedup_clusters", "bpe_train"), ladderRepsX100)
+    // 1 rep by default (r11 verdict: established rungs don't need the
+    // noise rejector every round; the committed local artifacts carry
+    // the multi-rep form).
+    rung("ladder_x100", 100, x100Queries, ladderRepsX100, buildNeedSec = 900)
 
-    // ---- skew demonstration: hot-key shard, window form vs rewrite ----
-    // sum-over-key attached per row is the skew class AQE can't touch
-    // (no partial agg for windows, no splitting a sort partition): the
-    // window form serializes the hot key on one task, the salted
-    // window-to-join rewrite (q_skew_share_rewrite) stays parallel.
-    // Same rows out of both — the gap is pure plan.
-    val skew: Option[(Double, Double, Long)] = if (!sectionOn("skew_pair")) None else {
-      // hot key replicated 300×: ~6M-row shard, ~99% one key — small
-      // enough to generate once, big enough that the window form's
-      // single hot task dominates its wall-clock
-      val hotCopies = 300
-      val skewPath =
-        s"target/bench_skew_${new java.io.File(sfDir).getName}_x$hotCopies/events_skewed.parquet"
-      // reuse is keyed on a sentinel written AFTER the parquet write (the
-      // ladder-rung pattern): a crash mid-write must not leave a partial
-      // shard that later runs silently reuse
-      val skewBuilt = new java.io.File(s"$skewPath/../_built").getCanonicalFile
-      if (!skewBuilt.exists) {
-        val ev = spark.read.parquet(s"$sfDir/events.parquet")
-          .select("event_id", "event_type", "value")
-        val hot = ev.groupBy("event_type").count()
-          .orderBy(col("count").desc, col("event_type")).head.getString(0)
-        ev.withColumn("rep", explode(sequence(lit(1),
-            when(col("event_type") === hot, hotCopies).otherwise(1))))
-          .withColumn("event_id", col("event_id") * lit(1000L) + col("rep"))
-          .drop("rep")
-          // spread across real file splits: a 1-task write would leave
-          // BOTH timed plans serialized at the scan, hiding the skew
-          .repartition(cpus.toInt)
-          .write.mode("overwrite").parquet(skewPath)
-        java.nio.file.Files.createFile(skewBuilt.toPath): Unit
-      }
-      val skewed = spark.read.parquet(skewPath)
-      def time1(df: => org.apache.spark.sql.DataFrame): Double = {
-        val t0 = System.nanoTime()
-        df.write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      import graft.operators.Skew
-      // unordered forms: the oracle's determinism sort is shared by both
-      // plans and would dilute the delta being demonstrated; min of 2
-      // reps per form rejects cold-cache noise
-      val win = (1 to 2).map(_ => time1(Skew.shareWindowForm(skewed, ordered = false))).min
-      val rw  = (1 to 2).map(_ => time1(Skew.shareOfKeyTotal(skewed, ordered = false))).min
-      Some((win, rw, skewed.count()))
-    }
-
-    // ---- ANN recall vs the exact brute-force top-k, on TWO corpora ----
-    // The testdata embeddings are near-random (same-label cosine ≈
-    // cross-label ≈ 0), so recall there mostly measures probed fraction
-    // — a trend line, not a gate. The CLUSTERED corpus (planted
-    // Gaussian-ish clusters, graft.sources.Synthetic, deterministic)
-    // makes the numbers mean retrieval quality: floors are spec-pinned
-    // in ClusteredRecallSpec (multiprobe ≥0.9, ivf_kmeans ≥0.8, lsh
-    // ≥0.5, ivf_pq ≥0.3) and this emission is what caught the r8
-    // raw-vector-PQ collapse (recall 0.08 → residual fix → 0.40).
-    def recallFor(dir: String): Seq[(String, Double)] = {
-      val exact = SparkEntry.queries("embed_cosine_topk")(spark, dir)
-        .select("query_id", "vec_id").persist()
-      val nExact = exact.count().toDouble
-      val r = Seq("embed_ann_lsh", "embed_ann_multiprobe", "embed_ivf_kmeans",
-        "embed_ivf_pq", "embed_pca_topk").map { nm =>
-        val hits = SparkEntry.queries(nm)(spark, dir).select("query_id", "vec_id")
-          .join(exact, Seq("query_id", "vec_id")).count()
-        nm -> (if (nExact > 0) hits / nExact else -1.0)
-      }
-      exact.unpersist()
-      r
-    }
-    val recall: Seq[(String, Double)] =
-      if (!sectionOn("ann_recall")) Seq.empty else recallFor(sfDir)
-    val recallClustered: Seq[(String, Double)] =
-      if (!sectionOn("ann_recall")) Seq.empty else {
-        val dir = s"target/bench_clustered_${new java.io.File(sfDir).getName}_v1"
-        val built = new java.io.File(s"$dir/_built")
-        if (!built.exists) {
-          val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
-          graft.sources.Synthetic.writeClusteredCorpus(spark, dir, n)
-          java.nio.file.Files.createFile(built.toPath): Unit
-        }
-        recallFor(dir)
-      }
-
-    // ---- flagship throughput ladder (the README's headline number) ----
-    // The 30 MB/s flagship claim was a single corpus point (15 MB, one
-    // measurement dominated by fixed overhead); give it the same ladder
-    // discipline as the suite: ×10/×100 file-copied corpora (the
-    // pipeline is a word-frequency aggregate, so replicated files just
-    // multiply counts — honest scan/tokenize throughput, no synthetic
-    // dedup structure to preserve), lower-median-of-N rungs, MB sizes
-    // in the artifact so the rate is computable per rung.
-    case class FlagRung(factor: Int, sec: Double, mb: Double)
-    val flagship: Seq[FlagRung] =
-      if (!sectionOn("flagship_ladder")) Seq.empty else {
-        def txts(f: java.io.File): Seq[java.io.File] =
-          if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(txts)
-          else if (f.getName.endsWith(".txt")) Seq(f) else Seq.empty
-        val srcFiles = txts(new java.io.File(graft.operators.ArabicCorpus.SampleDir))
-        def corpusDir(factor: Int): String =
-          if (factor == 1) graft.operators.ArabicCorpus.SampleDir
-          else {
-            val dir = new java.io.File(s"target/bench_flagship_x${factor}_v1")
-            val built = new java.io.File(dir, "_built")
-            if (!built.exists) {
-              dir.mkdirs()
-              // flat copy; the SOURCE INDEX in the name guarantees
-              // uniqueness (a parent-dir prefix alone can collide at
-              // deeper nesting and silently shrink the corpus while
-              // mb still reports baseMb×factor)
-              for ((f, i) <- srcFiles.zipWithIndex; r <- 0 until factor)
-                java.nio.file.Files.copy(f.toPath,
-                  new java.io.File(dir, s"r${r}_f${i}_${f.getName}").toPath,
-                  java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-              java.nio.file.Files.createFile(built.toPath): Unit
-            }
-            dir.getPath
-          }
-        val baseMb = srcFiles.map(_.length).sum / 1e6
-        Seq((1, 3), (10, 3), (100, 2)).map { case (factor, n) =>
-          val dir = corpusDir(factor)
-          val ts = (1 to n).map { _ =>
-            val t0 = System.nanoTime()
-            graft.operators.ArabicCorpus.tokenCounts(spark, dir)
-              .write.format("noop").mode("overwrite").save()
-            (System.nanoTime() - t0) / 1e9
-          }.sorted
-          FlagRung(factor, ts((ts.length - 1) / 2), baseMb * factor)
-        }
-      }
-
-    def jd(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    val qs = stats.map { case (k, s) => "\"" + k + "\":" + jd(s.p50) }.mkString("{", ",", "}")
-    val st = stats.map { case (k, s) =>
-      "\"" + k + s"""\":{"cold":${jd(s.cold)},"p50":${jd(s.p50)},"p95":${jd(s.p95)},"n":${s.n}}"""
-    }.mkString("{", ",", "}")
-    val failed = stats.collect { case (k, s) if s.failed => "\"" + k + "\"" }.mkString("[", ",", "]")
-    val lad = ladder.map { r =>
-      "\"" + r.dir + s"""\":{"env":${r.env},"reps":${r.reps},"times":""" +
-        r.times.map { case (n, v) => "\"" + n + "\":" + jd(v) }.mkString("{", ",", "}") + "}"
-    }.mkString("{", ",", "}")
-    val total = jd(stats.map(_._2.p50).filter(_ >= 0).sum)
-    val skewJson = skew.map { case (w, r, n) =>
-      s""","skew":{"rows":$n,"window_s":${jd(w)},"rewrite_s":${jd(r)}}"""
-    }.getOrElse("")
-    val recallJson = if (recall.isEmpty) "" else
-      recall.map { case (n, v) => "\"" + n + "\":" + jd(v) }
-        .mkString(""","recall":{""", ",", "}") +
-        recallClustered.map { case (n, v) => "\"" + n + "\":" + jd(v) }
-          .mkString(""","recall_clustered":{""", ",", "}")
-    val flagshipJson = if (flagship.isEmpty) "" else
-      flagship.map { r =>
-        s""""x${r.factor}":{"s":${jd(r.sec)},"mb":${jd(r.mb)},"mb_s":${jd(r.mb / r.sec)}}"""
-      }.mkString(""","flagship":{""", ",", "}")
-    val envJson =
-      s""","env":{"drain_wait_s":${jd(drainWaitSec)},"suite_start":$envSuiteStart,"suite_end":$envSuiteEnd,"end":${envSample()}}"""
-    // The harness that runs this captures only a short stdout TAIL, so
-    // the per-query document (was ~8 KB for 102 queries) must not ride
-    // on stdout: rounds 3-5 lost their bench detail to truncation
-    // ("parsed": null). Split the output: the FULL document goes to a
-    // file, and the printed line is a compact summary (total, failures,
-    // the 10 slowest p50s, the ladder's top rung) guaranteed to fit in
-    // a 2,000-char tail.
-    val fullDoc = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$st,"failed":$failed,"reps":$reps,"ladder":$lad$skewJson$recallJson$flagshipJson$envJson,"sf":"$sfDir"}"""
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outFile).toAbsolutePath.getParent)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullDoc + "\n")
-    val slow = stats.filter(_._2.p50 >= 0).sortBy(-_._2.p50).take(10)
-      .map { case (k, s) => "\"" + k + "\":" + jd(s.p50) }.mkString("{", ",", "}")
-    val topRung = ladder.lastOption.filter(_.times.nonEmpty).map { r =>
-      s""","ladder_top":{"dir":"${r.dir}",${r.times.map { case (n, v) => "\"" + n + "\":" + jd(v) }.mkString(",")}}"""
-    }.getOrElse("")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${stats.size},"reps":$reps,"sf":"$sfDir","failed":$failed,"slowest_p50":$slow$topRung$skewJson$recallJson$flagshipJson$envJson,"full_report":"$outFile"}"""
-    if (line.length > 1500)
-      System.err.println(s"[bench] WARNING summary line is ${line.length} chars (>1500); trim slowest/ladder fields")
-    println(line)
+    emit("final", toStdout = true)
     spark.stop()
   }
 }

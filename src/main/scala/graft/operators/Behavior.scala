@@ -257,8 +257,13 @@ object Behavior {
       .groupBy(col("day"))
       .agg(max(col("running")).as("max_delta"))
     carry.join(peaks, "day")
+      // greatest(0, max_delta): on a day whose only boundaries are ends
+      // (sessions spanning midnight, none starting) every prefix sum is
+      // negative and carry_in + max_delta would undercount the true
+      // start-of-day concurrency — the midnight level itself must be a
+      // peak candidate (ADVICE r11; shared defect, fixed in BOTH engines)
       .select(col("day"), col("n_starts"), col("carry_in"),
-        (col("carry_in") + col("max_delta")).as("peak"))
+        (col("carry_in") + greatest(lit(0L), col("max_delta"))).as("peak"))
       .orderBy("day")
   }
 
@@ -304,7 +309,8 @@ object Behavior {
        |    FROM bounds)
        |  GROUP BY day
        |)
-       |SELECT day, n_starts, carry_in, carry_in + max_delta AS peak
+       |SELECT day, n_starts, carry_in,
+       |  carry_in + greatest(0, max_delta) AS peak
        |FROM carry JOIN peaks USING (day)
        |ORDER BY day""".stripMargin
 

@@ -316,6 +316,60 @@ object Relational2 {
         round(col("p").getItem(1), 4).as("p99_price"))
       .orderBy("l_returnflag")
 
+  /** Hash-gated rank-error bound for the GK sketch (r11 verdict #4) —
+    * the spec-only error check promoted to a driver-gated query. The
+    * sketch contract: `percentile_approx` returns an ACTUAL element
+    * whose rank is within εn = n/accuracy of ⌈p·n⌉. This query joins
+    * each sketch output back against the exact column (one broadcast
+    * of a grid-sized sketch table, one pass over lineitem) to compute
+    * the returned value's true rank interval [lo+1, hi] (duplicates
+    * give a range) and emits the bound verdict per (group, column,
+    * pct): constant-true under the contract — re-derived by the DuckDB
+    * oracle as the expected grid — so a sketch gone wild flips a
+    * verdict and fails the hash gate. The ±1 slack absorbs the
+    * floor-vs-ceil ambiguity in the rank convention, nothing more.
+    */
+  def qApproxPctGate(t: Tables, accuracy: Int = 10000): DataFrame = {
+    val sk = t.lineitem.groupBy(col("l_returnflag"))
+      .agg(
+        expr(s"percentile_approx(l_quantity, array(0.5, 0.9), $accuracy)").as("q"),
+        expr(s"percentile_approx(l_extendedprice, array(0.25, 0.99), $accuracy)").as("p"))
+      .select(col("l_returnflag"), explode(array(
+        struct(lit("l_quantity").as("cname"), lit(0.5).as("pct"),
+          col("q").getItem(0).cast("double").as("v")),
+        struct(lit("l_quantity").as("cname"), lit(0.9).as("pct"),
+          col("q").getItem(1).cast("double").as("v")),
+        struct(lit("l_extendedprice").as("cname"), lit(0.25).as("pct"),
+          col("p").getItem(0).cast("double").as("v")),
+        struct(lit("l_extendedprice").as("cname"), lit(0.99).as("pct"),
+          col("p").getItem(1).cast("double").as("v")))).as("e"))
+      .select(col("l_returnflag"), col("e.cname").as("cname"),
+        col("e.pct").as("pct"), col("e.v").as("v"))
+    val x = t.lineitem.select(col("l_returnflag"),
+      col("l_quantity").cast("double").as("l_quantity"),
+      col("l_extendedprice").cast("double").as("l_extendedprice"))
+    val epsN = col("n").cast("double") / lit(accuracy.toDouble) + lit(1.0)
+    val target = ceil(col("pct") * col("n")).cast("double")
+    x.join(broadcast(sk), Seq("l_returnflag"))
+      .withColumn("xv", when(col("cname") === "l_quantity", col("l_quantity"))
+        .otherwise(col("l_extendedprice")))
+      .groupBy(col("l_returnflag"), col("cname"), col("pct"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("xv") < col("v"), 1L).otherwise(0L)).as("lo"),
+        sum(when(col("xv") <= col("v"), 1L).otherwise(0L)).as("hi"))
+      .select(col("l_returnflag"), col("cname"), col("pct"),
+        (target <= col("hi").cast("double") + epsN &&
+          target >= col("lo").cast("double") + 1.0 - epsN).as("within_bound"))
+      .orderBy("l_returnflag", "cname", "pct")
+  }
+
+  def qApproxPctGateSql: String =
+    """SELECT l_returnflag, cname, CAST(pct AS DOUBLE) AS pct, true AS within_bound
+      |FROM (SELECT DISTINCT l_returnflag FROM lineitem) f,
+      |  (VALUES ('l_quantity', 0.5), ('l_quantity', 0.9),
+      |          ('l_extendedprice', 0.25), ('l_extendedprice', 0.99)) v(cname, pct)
+      |ORDER BY l_returnflag, cname, pct""".stripMargin
+
   /** Correlated-aggregate shape: orders above their customer's average
     * (decorrelated to a window — one shuffle, no per-row subquery).
     */

@@ -76,10 +76,30 @@ object Sinks {
     * This is the Cassandra_DBLoader-shaped extension point: any store
     * with a java.sql driver — or, adapted, any session-per-partition
     * client — plugs in here without touching the plan.
+    *
+    * Connect retry (the reference's reconnect loop, commons.py): a
+    * transient refusal at connection time — a node restarting behind a
+    * load balancer is routine on a 1000-executor write — retries with
+    * exponential backoff up to `connectRetries` before surfacing, at
+    * which point Spark's own task retry takes over. Retrying only the
+    * CONNECT is deliberately conservative: a failure mid-batch leaves
+    * unknown server state, and replaying there without idempotent
+    * upserts would double-insert — that path correctly fails the task.
+    * The whole lifecycle (handshake, ≤batchSize batches, commits,
+    * refused-then-retried connects) is proven against a real TCP
+    * socket in SocketJdbcSinkSpec, not only in-JVM Derby.
     */
-  def foreachPartitionJdbc(df: DataFrame, url: String, insertSql: String, batchSize: Int = 1000): Unit =
+  def foreachPartitionJdbc(df: DataFrame, url: String, insertSql: String, batchSize: Int = 1000,
+      connectRetries: Int = 3, retryBackoffMs: Long = 100L): Unit =
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-      val conn: Connection = DriverManager.getConnection(url)
+      def connect(attempt: Int): Connection =
+        try DriverManager.getConnection(url)
+        catch {
+          case _: java.sql.SQLException if attempt < connectRetries =>
+            Thread.sleep(retryBackoffMs * (1L << attempt))
+            connect(attempt + 1)
+        }
+      val conn: Connection = connect(0)
       try {
         conn.setAutoCommit(false)
         val stmt = conn.prepareStatement(insertSql)

@@ -1225,8 +1225,18 @@ object Streams {
         (user: Long, evs: Iterator[FinEv], state: GroupState[OpenSession]) =>
           if (state.hasTimedOut) {
             val s = state.get
-            state.remove()
-            Iterator.single(FinalSession(user, s.seq, s.events, toTs(s.firstTs), toTs(s.lastTs)))
+            // keep a seq CURSOR instead of state.remove() (ADVICE r11):
+            // removal would restart a returning user at seq 0 and emit a
+            // second FinalSession with a duplicate (user_id, session_seq)
+            // key into an append sink documented as emit-once/immutable.
+            // The empty-session sentinel (events=0) sets NO new timeout,
+            // so it never re-fires; cost is one 4-long record per user
+            // ever seen — the same bounded-state class as the
+            // interArrival gate's NoTimeout cursor.
+            state.update(OpenSession(s.seq + 1, 0L, 0L, Long.MinValue))
+            if (s.events > 0)
+              Iterator.single(FinalSession(user, s.seq, s.events, toTs(s.firstTs), toTs(s.lastTs)))
+            else Iterator.empty
           } else {
             val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             val out = Seq.newBuilder[FinalSession]

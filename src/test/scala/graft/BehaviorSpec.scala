@@ -149,6 +149,21 @@ class BehaviorSpec extends AnyFunSuite {
     assert(rows("2024-03-02")._2 == 1L) // u1 closes 00:10, u2 opens 09:00 — never 2 at once
   }
 
+  test("peakConcurrency: a day with only session ends keeps the midnight level as its peak (ADVICE r11)") {
+    // two sessions span midnight and both END on day 2 with nothing
+    // starting: every day-2 prefix sum is negative, so the peak must be
+    // the carry-in itself (the start-of-day concurrency), not
+    // carry_in + max_delta which would undercount to 1
+    val df = toDf(Seq(
+      ev(1, 1, "2024-03-01 23:50:00"), ev(2, 1, "2024-03-02 00:10:00"),
+      ev(3, 2, "2024-03-01 23:55:00"), ev(4, 2, "2024-03-02 00:05:00")))
+    val rows = Behavior.peakConcurrencyOf(df).collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(r.fieldIndex("carry_in")), r.getLong(r.fieldIndex("peak")))).toMap
+    assert(rows("2024-03-01") == ((0L, 2L)))
+    assert(rows("2024-03-02") == ((2L, 2L)))
+  }
+
   // ------------------------------------------------ cart abandonment
 
   test("abandonment: engaged-no-purchase counts, purchase clears, signup-only is not engaged") {

@@ -144,6 +144,34 @@ class DedupSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("containment df cap: no-op cap is row-identical, tight cap collapses the ordered boilerplate clique (r11 verdict #3)") {
+    import spark.implicits._
+    // Same skewed corpus as the Jaccard cap spec: a shared boilerplate
+    // header links every ORDERED pair (40·39 = 1560 — double Jaccard's
+    // clique), real signal only in the tails of docs 1/2.
+    val header = "terms of service all rights reserved please read carefully before use"
+    val docs = (1L to 40L).map { i =>
+      val tail =
+        if (i == 2L) "a1 b1 c1 d1 e1 f1 g1 changed"
+        else s"a$i b$i c$i d$i e$i f$i g$i h$i"
+      (i, s"$header $tail")
+    }.toDF("doc_id", "text")
+    docs.cache().count()
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    val uncapped = pairs(Dedup.containmentPairsOf(docs, 3, 0.0))
+    // τ ≥ corpus size: the cap machinery engaged but filtering nothing
+    // must be row-identical (sizes and join see the same universe)
+    assert(pairs(Dedup.containmentPairsOf(docs, 3, 0.0, maxShingleDf = Some(1000L))) == uncapped)
+    assert(uncapped.size == 40 * 39, s"expected the full ordered clique, got ${uncapped.size}")
+    val capped = pairs(Dedup.containmentPairsOf(docs, 3, 0.0, maxShingleDf = Some(5L)))
+    assert(capped.size < uncapped.size / 10, s"cap barely helped: ${capped.size}")
+    // the genuine near-dup survives in BOTH directions (ordered pairs)
+    val ids = capped.map(p => (p._1, p._2))
+    assert(ids.contains((1L, 2L)) && ids.contains((2L, 1L)), s"true near-dup lost: $ids")
+    docs.unpersist()
+  }
+
   test("persistent lsh index: self-probe == in-memory pairs; incremental probe catches planted near-dup, passes novel doc") {
     import spark.implicits._
     // 1. Round-trip equivalence (the artifact-path oracle): probing a

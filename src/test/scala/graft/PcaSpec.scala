@@ -108,6 +108,23 @@ class PcaSpec extends AnyFunSuite {
     assert(a == b, "same session, same conf: projection must be bit-stable")
   }
 
+  test("projectGate: full verdict grid true; a corrupted basis flips moment verdicts (r11 verdict #4)") {
+    val k = 4
+    val rows = Pca.projectGate(t, k).collect()
+    assert(rows.length == k * (k + 1) / 2)
+    rows.foreach(r => assert(r.getBoolean(2) && r.getBoolean(3),
+      s"invariant broke at (${r.getLong(0)},${r.getLong(1)})"))
+    // sensitivity: the gate must actually FAIL on a wrong projection —
+    // a 4× mis-scaled λ0 (the botched-whitening class) drives the
+    // (0,0) second moment to exactly 1/4, far outside the tolerance
+    val bad = model.copy(eigenvalues = model.eigenvalues.updated(0, model.eigenvalues(0) * 4))
+    val y = Pca.project(t.embeddings, bad, k, whiten = true)
+    val n = y.count().toDouble
+    val m00 = y.agg(sum(col("y0") * col("y0"))).collect()(0).getDouble(0) / n
+    assert(math.abs(m00 - 1.0) > 1e-3,
+      s"gate has no teeth: mis-scaled second moment $m00 still within tolerance")
+  }
+
   test("pcaTopK with shortlist >= corpus is bit-equal to the exact cosineTopK") {
     val exact = graft.operators.Similarity.cosineTopK(t).collect().map(_.toSeq).toList
     val two   = Pca.pcaTopK(t, shortlist = 100000).collect().map(_.toSeq).toList

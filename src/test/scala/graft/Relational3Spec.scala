@@ -83,6 +83,16 @@ class Relational3Spec extends AnyFunSuite {
     }
   }
 
+  test("approx-percentile rank-error gate: every verdict true over the full (group, column, pct) grid") {
+    val rows = Relational2.qApproxPctGate(t).collect()
+    // 3 flags × 4 (column, pct) probes — the grid the oracle re-derives
+    assert(rows.length == t.lineitem.select("l_returnflag").distinct.count() * 4)
+    rows.foreach { r =>
+      assert(r.getBoolean(3),
+        s"GK bound violated for ${r.getString(0)}/${r.getString(1)}@${r.getDouble(2)}")
+    }
+  }
+
   test("bm25: absent query terms contribute nothing; scores are positive and ranked") {
     import graft.operators.InvertedIndex
     val base = InvertedIndex.bm25Search(t, Seq("spark", "scan")).collect()

@@ -851,6 +851,19 @@ class StreamingSpec extends AnyFunSuite {
       val fin = spark.table("fin_out").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(fin.contains((1L, 1L, 1L)), s"u1 second session missing: $fin")
+      // batch 4 (ADVICE r11): u2 RETURNS after its session timed out.
+      // The timeout path must keep a seq CURSOR, not remove state — a
+      // restart at seq 0 would emit a duplicate (user_id, session_seq)
+      // primary key into the append sink. The return session is seq 1.
+      mem.addData((8L, 2L, ts("2024-03-01 15:30:00")))
+      q.processAllAvailable()
+      mem.addData((9L, 3L, ts("2024-03-01 20:00:00")))
+      q.processAllAvailable()
+      mem.addData((10L, 3L, ts("2024-03-01 20:00:01")))
+      q.processAllAvailable()
+      val fin2 = spark.table("fin_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(fin2.contains((2L, 1L, 1L)), s"u2 return session must continue at seq 1: $fin2")
       // no session ever emitted twice
       val all = spark.table("fin_out").collect().map(r => (r.getLong(0), r.getLong(1)))
       assert(all.length == all.distinct.length)
