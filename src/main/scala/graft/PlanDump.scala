@@ -182,9 +182,21 @@ object PlanDump {
       "q_welch_ttest (r11b: one exact-cents moment aggregate; arms pair up on the tiny moment table)" ->
         Analytics4.welchTTest(t),
       "q_nb_score (r11b: factored smoothing — broadcast model LEFT join, no dense class-x-vocab product; per-doc argmax window)" ->
-        Classify.nbScore(t))
+        Classify.nbScore(t),
+      "dedup_containment_capped (r12: df keep-set as a pre-join filter on the shingle table; sizes AND self-join both capped)" ->
+        Dedup.containmentPairsCapped(t),
+      "q_approx_pct_gate (r12: grid-sized sketch table broadcast; ONE lineitem pass computes every rank interval)" ->
+        Relational2.qApproxPctGate(t),
+      "embed_pca_gate (r12: map-only whitened projection; one k(k+1)/2-cell scalar aggregate; verdict rows driver-side grid)" ->
+        Pca.projectGate(t),
+      "q_cms_gate (r12: sketch build + candidate-filtered exact agg; both broadcast into the 10-row verdict grid)" ->
+        TextAnalysis.cmsGate(t),
+      "q_hll_gate (r12: daily sketches + first-seen histogram; both prefix passes are day-grid triangular joins)" ->
+        Analytics2.hllGate(t),
+      "q_bloom_gate (r12: exact contaminated set LEFT-joined to the subquery-fed bloom pass; ids only past the shingle scans)" ->
+        Decontaminate.bloomGate(t))
     val sb = new StringBuilder
-    sb.append("# Plan snapshots (round 11)\n\nGenerated by `graft.PlanDump` at sf0.001; ")
+    sb.append("# Plan snapshots (round 12)\n\nGenerated by `graft.PlanDump` at sf0.001; ")
     sb.append("`PlanAuditSpec` asserts these shapes stay true.\n")
     qs.foreach { case (title, df) =>
       sb.append(s"\n## $title\n\n```\n")
@@ -193,8 +205,8 @@ object PlanDump {
       sb.append("\n```\n")
     }
     Files.createDirectories(Paths.get("docs"))
-    Files.writeString(Paths.get("docs/PLANS_r11.md"), sb.toString)
-    println("wrote docs/PLANS_r11.md")
+    Files.writeString(Paths.get("docs/PLANS_r12.md"), sb.toString)
+    println("wrote docs/PLANS_r12.md")
     spark.stop()
   }
 }

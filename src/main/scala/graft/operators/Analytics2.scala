@@ -400,6 +400,36 @@ object Analytics2 {
 
   def hllCumulative(t: Tables): DataFrame = hllCumulativeOf(t.events)
 
+  /** The Datasketches-HLL cumulative estimate as a HASH-GATED verdict
+    * grid (r12 sketch-family gate): per day, |est − exact| ≤ 5%·exact,
+    * where the estimate is [[hllCumulativeOf]]'s own union-merged
+    * sketch chain and the exact cumulative distinct comes from the
+    * FIRST-SEEN histogram — per-user min day (one user-keyed
+    * aggregate), day-grid histogram of first appearances, grid-sized
+    * triangular prefix join — never a day×events blowup. lgK=12 reads
+    * ~1.6% relative error, so the 5% gate has 3× headroom while still
+    * catching a broken union (which reads ~n_days× high) or a
+    * mis-merged sketch. Oracle re-derives the expected day grid.
+    */
+  def hllGate(t: Tables, lgK: Int = 12, tol: Double = 0.05): DataFrame = {
+    val est = hllCumulativeOf(t.events, lgK)
+    val daily = t.events.select(to_date(col("ts")).as("day"), col("user_id"))
+    val firstSeen = daily.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+      .groupBy(col("first_day")).agg(count(lit(1)).as("n_new"))
+    val exact = daily.select(col("day")).distinct()
+      .join(firstSeen, col("first_day") <= col("day"))
+      .groupBy(col("day")).agg(sum(col("n_new")).as("exact_cum"))
+    est.join(exact, "day")
+      .select(col("day"),
+        (abs(col("est_cum_users") - col("exact_cum")).cast("double") <=
+          lit(tol) * col("exact_cum").cast("double")).as("within_tol"))
+      .orderBy("day")
+  }
+
+  val hllGateSql: String =
+    """SELECT DISTINCT CAST(ts AS DATE) AS day, true AS within_tol
+      |FROM events ORDER BY day""".stripMargin
+
   // ------------------------------------------------------- Zipf fit
 
   /** Zipf-law fit over the corpus vocabulary: OLS slope of ln(freq) on

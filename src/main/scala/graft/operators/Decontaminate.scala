@@ -115,4 +115,31 @@ object Decontaminate {
        |  round(CAST(n_overlap AS DOUBLE) / eval_size, 6) AS contamination
        |FROM ov JOIN sizes USING (eval_id)
        |ORDER BY train_id, eval_id""".stripMargin
+
+  /** The Bloom path's no-false-negative contract as a HASH-GATED
+    * verdict set (r12 sketch-family gate): for every EXACTLY
+    * contaminated training doc, `flagged` must read true from the
+    * probabilistic pass. This is the strongest gate in the family —
+    * the oracle RE-DERIVES the exact contaminated set itself (the
+    * gated exact query's own SQL as a CTE) rather than a static grid,
+    * so the hash compares real ids, and a Bloom path that dropped even
+    * one contaminated doc (a broken hash seed, a mis-merged filter, a
+    * wrong minHits) flips that row to false. False POSITIVES are
+    * legal by design and invisible here: the bloom set only ever adds
+    * candidates, which the documented second exact pass confirms.
+    */
+  def bloomGate(t: Tables, n: Int = 3, minOverlap: Long = 3): DataFrame = {
+    val exact = contaminationQuery(t, n, minOverlap)
+      .select(col("train_id").as("doc_id")).distinct()
+    val bloom = bloomContaminatedDocs(t, n, minHits = minOverlap)
+      .select(col("doc_id"), lit(true).as("flagged"))
+    exact.join(bloom, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("flagged"), lit(false)).as("flagged"))
+      .orderBy("doc_id")
+  }
+
+  def bloomGateSql(n: Int = 3, minOverlap: Long = 3): String =
+    s"""SELECT DISTINCT train_id AS doc_id, true AS flagged
+       |FROM (${contaminationSql(n, minOverlap)})
+       |ORDER BY doc_id""".stripMargin
 }

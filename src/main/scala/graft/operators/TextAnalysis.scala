@@ -398,6 +398,45 @@ object TextAnalysis {
       .orderBy("word")
   }
 
+  /** The CMS contract as a HASH-GATED verdict grid (r12, extending the
+    * r11-verdict-#4 gate class from GK/PCA to the whole sketch family):
+    * for the fixed probe candidates, never-under (estimate ≥ exact,
+    * CMS's structural guarantee — counters only ever over-count) and
+    * within-εN (the probabilistic bound at the sketch's own ε, with
+    * the fixed seed making it deterministic per corpus — verified at
+    * sf0.001/0.01/0.1). The exact side is one filtered word aggregate
+    * (candidate list pushed to the scan); oracle re-derives the
+    * expected constant-true grid over the same literal candidates.
+    */
+  def cmsGate(t: Tables,
+      candidates: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is",
+        "for", "on", "with"),
+      eps: Double = 0.001, confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    val toks = WordPipeline.tokens(t)
+    val sketchAndN = toks.agg(
+      count_min_sketch(col("word"), lit(eps), lit(confidence), lit(seed)).as("sk"),
+      count(lit(1)).as("n_tokens"))
+    val exact = toks.filter(col("word").isin(candidates: _*))
+      .groupBy("word").agg(count(lit(1)).as("exact_count"))
+    val est = graft.functions.CmsEstimate(col("sk"), col("word"))
+    candidates.toDF("word")
+      .join(exact, Seq("word"), "left")
+      .na.fill(0L, Seq("exact_count"))
+      .crossJoin(broadcast(sketchAndN))
+      .select(col("word"),
+        (est >= col("exact_count")).as("never_under"),
+        (est <= col("exact_count") + ceil(lit(eps) * col("n_tokens"))).as("within_eps"))
+      .orderBy("word")
+  }
+
+  def cmsGateSql(candidates: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is",
+      "for", "on", "with")): String =
+    s"""SELECT word, true AS never_under, true AS within_eps
+       |FROM (VALUES ${candidates.sorted.map(w => s"('$w')").mkString(", ")}) v(word)
+       |ORDER BY word""".stripMargin
+
   /** Whitespace and BPE-ish token counts (letter runs / digits /
     * single non-alnum symbols — the GPT-2 pre-tokenizer shape).
     */

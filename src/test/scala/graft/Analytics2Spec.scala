@@ -253,6 +253,14 @@ class Analytics2Spec extends AnyFunSuite {
     assert(got.last._2 == oneShot)
   }
 
+  test("hll verdict gate: full day grid, every within_tol true (r12)") {
+    val t = Tables(spark, TestSpark.sf)
+    val rows = graft.operators.Analytics2.hllGate(t).collect()
+    val nDays = t.events.select(to_date(col("ts"))).distinct().count()
+    assert(rows.length == nDays)
+    rows.foreach(r => assert(r.getBoolean(1), s"hll gate broke on ${r.getDate(0)}"))
+  }
+
   test("vocab coverage: hand-built freqs cover exactly their share") {
     // freqs: a=50, b=30, c=15, d=5 (total 100)
     val toks = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(15)("c") ++

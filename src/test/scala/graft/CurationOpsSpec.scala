@@ -49,6 +49,19 @@ class CurationOpsSpec extends AnyFunSuite {
       s"bloom flagged ${bloom.size} of $nTrain training docs — not selective")
   }
 
+  test("sketch-family verdict gates: bloom/cms grids all-true and shaped like their oracles (r12)") {
+    // q_bloom_gate: one row per EXACT contaminated doc, every one flagged
+    val bg = Decontaminate.bloomGate(t).collect()
+    val nExact = Decontaminate.contaminationQuery(t).select("train_id").distinct().count()
+    assert(bg.length == nExact && bg.forall(_.getBoolean(1)),
+      s"bloom gate: ${bg.count(!_.getBoolean(1))} of ${bg.length} exact docs unflagged")
+    // q_cms_gate: the full candidate grid, never-under AND within-εN
+    val cg = TextAnalysis.cmsGate(t).collect()
+    assert(cg.length == 10)
+    cg.foreach(r => assert(r.getBoolean(1) && r.getBoolean(2),
+      s"cms gate broke for '${r.getString(0)}'"))
+  }
+
   test("cms heavy hitters: estimates never undercount and overcount by at most ~εN") {
     val rows = TextAnalysis.cmsHeavyHitters(t).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
