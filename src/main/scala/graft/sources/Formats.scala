@@ -49,6 +49,46 @@ object Formats {
       .orderBy("doc_id")
   }
 
+  /** documents → CSV (quoted, gzip) → read back (r12). CSV is the
+    * REFERENCE's native interchange format (CSV_FileLoader,
+    * v2/core/loaders/files.py:11 — its primary sink), so the corpus
+    * tables must survive it too. The gate proves the full quote/
+    * escape/multiline path: embedded newlines, quotes and unicode in
+    * `text` round-trip because the writer quotes every field and the
+    * reader runs multiLine with the matching escape char. The 100 TB
+    * caveat lives in the plan: multiLine CSV is NOT splittable (a
+    * record may span block boundaries), so read parallelism is
+    * file-count-bound — the writer's one-file-per-task partitioned
+    * output is what keeps the round trip parallel.
+    */
+  def documentsViaCsv(t: Tables): DataFrame =
+    csvRoundTrip(t.documents, scratch("documents_csv")).orderBy("doc_id")
+
+  /** The reusable CSV seam (exposed for the adversarial spec): write
+    * with every field quoted + `"` as the escape char, read back with
+    * the matching multiLine/escape config and the EXPLICIT schema.
+    */
+  def csvRoundTrip(docs: DataFrame, out: String): DataFrame = {
+    docs.write.mode("overwrite")
+      .option("header", "true").option("compression", "gzip")
+      .option("quoteAll", "true").option("escape", "\"")
+      // the WRITER's ignore*WhiteSpace options default to TRUE and trim
+      // whitespace at value boundaries — a text corpus must round-trip
+      // a trailing newline byte-exactly (adversarial spec)
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(out)
+    docs.sparkSession.read.schema(docs.schema)
+      .option("header", "true").option("multiLine", "true").option("escape", "\"")
+      // the reader's nullValue DEFAULTS to the empty string, which
+      // silently turns a quoted "" back into null — a sentinel that can
+      // never occur in text keeps empty strings empty (adversarial spec)
+      .option("nullValue", "\u0000")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(out)
+  }
+
   /** The shared oracle: the round trip must reproduce the parquet
     * table exactly.
     */
