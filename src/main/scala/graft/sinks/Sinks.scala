@@ -95,7 +95,14 @@ object Sinks {
       def connect(attempt: Int): Connection =
         try DriverManager.getConnection(url)
         catch {
-          case _: java.sql.SQLException if attempt < connectRetries =>
+          // NonFatal, not just SQLException (ADVICE r12): a driver that
+          // surfaces connection refusal as an unwrapped IOException/
+          // RuntimeException (non-compliant but seen in the wild) must
+          // hit the same backoff. Connect-only retry stays safe under
+          // the broader guard — no server state exists before the
+          // handshake completes, so a retried connect can't double-apply
+          // anything.
+          case scala.util.control.NonFatal(_) if attempt < connectRetries =>
             Thread.sleep(retryBackoffMs * (1L << attempt))
             connect(attempt + 1)
         }

@@ -77,6 +77,11 @@ object Formats {
       // a trailing newline byte-exactly (adversarial spec)
       .option("ignoreLeadingWhiteSpace", "false")
       .option("ignoreTrailingWhiteSpace", "false")
+      // the WRITER must emit the same null sentinel the reader maps
+      // back (ADVICE r12): its default writes null as the empty string,
+      // so a null text/lang field would silently round-trip to "" —
+      // a value change, not an error (adversarial spec has a null row)
+      .option("nullValue", "\u0000")
       .csv(out)
     docs.sparkSession.read.schema(docs.schema)
       .option("header", "true").option("multiLine", "true").option("escape", "\"")

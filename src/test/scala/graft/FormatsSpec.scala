@@ -22,7 +22,12 @@ class FormatsSpec extends AnyFunSuite {
       (4L, "tab\there, comma, and \"both\"\nnew line", "en", "web", 36L),
       (5L, "unicode: 中文 العربية émojis ok", "ar", "wiki", 24L),
       (6L, "", "en", "web", 0L),
-      (7L, "trailing newline\n", "en", "web", 17L)
+      (7L, "trailing newline\n", "en", "web", 17L),
+      // null text AND null lang (ADVICE r12): the writer's default
+      // emits null as "", so without a writer-side nullValue sentinel
+      // this row silently came back as the empty string — a value
+      // change the empty-string row above can't catch
+      (8L, null, null, "web", 0L)
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
   }
 
