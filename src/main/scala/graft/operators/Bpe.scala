@@ -335,6 +335,43 @@ object Bpe {
       acc.result()
     }
 
+  /** HASH-GATED verdict for the greedy-batched trainer (r13: the fast
+    * merge table can locally reorder relative to the sequential one —
+    * a documented approximation, so the raw table stays a library
+    * artifact, sequential-identity + round-sublinearity pinned in
+    * IncrementalSpec). What the approximation PROMISES is encode
+    * quality: a tokenizer trained by [[bpeTrainFast]] must compress
+    * the corpus within `tol` of one trained by the sequential-exact
+    * [[bpeTrain]] at the same merge count. The gate trains both,
+    * encodes the corpus under both tables ([[bpeEncodeOf]] — the
+    * map-only fold, no shuffle beyond the (doc, word) count), and
+    * gates corpus-level tokens-per-word: fast ≤ seq × (1 + tol).
+    * `>=` too — batching can only LOSE compression vs the greedy-
+    * optimal sequential order, so a fast ratio materially below seq
+    * would mean the comparison itself is broken; the floor gets the
+    * same tolerance.
+    */
+  def bpeTrainFastGate(t: Tables, merges: Int = 16, maxBatch: Int = 8,
+      tol: Double = 0.05): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    def mergeSeq(table: DataFrame): Seq[(String, String)] =
+      table.orderBy("rank").select("lhs", "rhs").as[(String, String)].collect().toSeq
+    def tokensPerWord(merges: Seq[(String, String)]): Double = {
+      val r = bpeEncodeOf(t.documents, merges)
+        .agg(sum(col("n_bpe_tokens")).as("nt"), sum(col("n_words")).as("nw")).head()
+      r.getLong(0).toDouble / r.getLong(1).toDouble
+    }
+    val seqTpw = tokensPerWord(mergeSeq(bpeTrain(t, merges)))
+    val fastTpw = tokensPerWord(mergeSeq(bpeTrainFast(t, merges, maxBatch)))
+    val ok = fastTpw <= seqTpw * (1 + tol) && fastTpw >= seqTpw * (1 - tol)
+    spark.createDataset(Seq((merges.toLong, ok)))
+      .toDF("n_merges", "quality_within_tol")
+  }
+
+  def bpeTrainFastGateSql(merges: Int = 16): String =
+    s"SELECT CAST($merges AS BIGINT) AS n_merges, true AS quality_within_tol"
+
   /** SEQUENTIAL-EXACT training at production merge counts (~32k): the
     * architecture every real tokenizer trainer uses, split along the
     * right distributed/local boundary. The corpus-sized work — the

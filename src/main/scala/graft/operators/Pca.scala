@@ -356,6 +356,60 @@ object Pca {
   def identityRotation(d: Int): Array[Array[Double]] =
     Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
 
+  /** HASH-GATED verdict grid for the OPQ rotation (r13: the codes
+    * themselves derive from the eigensolve, so they stay a library
+    * artifact — [[opqCodes]], dominance-spec'd in PcaSpec). The grid
+    * gates the two properties that DEFINE a correct OPQ-P rotation,
+    * per subspace s:
+    *   - `ortho_ok`: subspace s's rows of R are orthonormal against
+    *     ALL rows of R within `tol` (RᵀR = I at 1e-6 — a non-eigen
+    *     basis, duplicated row, or unnormalized eigenvector lands O(1)
+    *     away; the Jacobi solver's residual is ~1e-12).
+    *   - `balance_ok`: the eigenvalue-allocation's log-variance spread
+    *     max_b Σlogλ − min_b Σlogλ under the greedy balanced
+    *     allocation is ≤ the naive contiguous split's spread (the
+    *     DOMINANCE that is OPQ-P's entire point: contiguous slicing of
+    *     a descending spectrum concentrates all variance in subspace
+    *     0). Global property, asserted on every row of the grid.
+    * The rotation is driver-sized (d ≤ 256 rows from the distributed
+    * moment fit — the projectGate shape); the oracle re-derives the
+    * subspace grid.
+    */
+  def opqGate(t: Tables, m: Int = 4, tol: Double = 1e-6): DataFrame = {
+    val spark = t.embeddings.sparkSession
+    import spark.implicits._
+    val model = fit(t.embeddings)
+    val rot = opqRotation(model, m)
+    val d = rot.length
+    val subDim = d / m
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def spread(buckets: Seq[Seq[Int]]): Double = {
+      val lps = buckets.map(_.map(i => math.log(math.max(model.eigenvalues(i), 1e-300))).sum)
+      lps.max - lps.min
+    }
+    val balanced = opqAllocate(model.eigenvalues, m).toSeq.map(_.toSeq)
+    val naive = (0 until m).map(s => (s * subDim) until ((s + 1) * subDim): Seq[Int])
+    val balanceOk = spread(balanced) <= spread(naive) + 1e-9
+    val rows = (0 until m).map { s =>
+      val orthoOk = (s * subDim until (s + 1) * subDim).forall { i =>
+        (0 until d).forall { j =>
+          val target = if (i == j) 1.0 else 0.0
+          math.abs(dot(rot(i), rot(j)) - target) <= tol
+        }
+      }
+      (s.toLong, orthoOk, balanceOk)
+    }
+    spark.createDataset(rows).toDF("s", "ortho_ok", "balance_ok").orderBy("s")
+  }
+
+  def opqGateSql(m: Int = 4): String =
+    s"""SELECT s, true AS ortho_ok, true AS balance_ok
+       |FROM range(0, $m) t(s) ORDER BY s""".stripMargin
+
   /** Gated rows-only projection sample: first 4 whitened components of
     * every vector, 6dp — deterministic end-to-end (deterministic
     * moments: pairwise-exact? no — see note) — determinism here rides

@@ -411,19 +411,29 @@ object Relational3 {
       |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
-  /** HyperLogLog++ approximate distinct users per event type, next to
-    * the exact count. At 100 TB approx_count_distinct is THE distinct-
-    * count tool — fixed-size sketches merge map-side instead of
-    * shuffling every distinct key. Sketch estimates are engine-specific
-    * by construction, so the gate is a rows-only driver check plus a
-    * relative-error spec against the exact count (Relational3Spec).
+  /** HyperLogLog++ approximate distinct users per event type, HASH-
+    * GATED against the exact count (r13: was rows-only — the raw
+    * estimate is engine-specific by construction, so the driver row
+    * now carries the exact count plus the |approx − exact| ≤ 10%
+    * verdict instead; `tol` is 2× the default 5% rsd, the q_hll_gate
+    * recipe). At 100 TB approx_count_distinct is THE distinct-count
+    * tool — fixed-size sketches merge map-side instead of shuffling
+    * every distinct key. The raw estimate stays reachable via this
+    * aggregation (Relational3Spec pins its relative error directly).
     */
-  def qApproxDistinct(t: Tables): DataFrame =
+  def qApproxDistinct(t: Tables, tol: Double = 0.10): DataFrame =
     t.events
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") <=
+          lit(tol) * col("exact_users").cast("double")).as("within_tol"))
       .orderBy(col("event_type"))
+
+  val qApproxDistinctSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users, true AS within_tol
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val q22Sql: String =
     """SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal

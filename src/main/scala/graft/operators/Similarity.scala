@@ -671,6 +671,50 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** HASH-GATED verdict grid for the trained-quantizer IVF (r13: the
+    * search results themselves depend on the learned centroids, so
+    * they stay a library artifact — [[ivfKmeansTopK]], recall-floor-
+    * pinned on the clustered corpus in ClusteredRecallSpec). What IS
+    * checkable end-to-end is the property that makes an IVF index
+    * correct: every vector's assigned cell is the argmin of squared
+    * distance over the trained centroids. The model's own assignment
+    * (`transform`, which uses norm-shortcut distance bounds) is
+    * re-checked against a from-scratch Σ(aᵢ−bᵢ)² fold per cell —
+    * `eps` absorbs the two formulas' last-ulp disagreement on exact
+    * ties without admitting any real misassignment (cell distances on
+    * this data differ at O(1)). One broadcast of k centroid literals,
+    * one map-only pass, one k-row aggregate; the grid covers all
+    * `cells` ids (an empty cell gates true) so the oracle re-derives
+    * it independently of the clustering.
+    */
+  def ivfKmeansGate(t: Tables, cells: Int = 8, eps: Double = 1e-9): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = t.embeddings.sparkSession
+    val emb = t.embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("features", array_to_vector(col("v")))
+    val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(10).fit(emb)
+    val cents = model.clusterCenters.map(_.toArray)
+    def d2(c: Array[Double]) = aggregate(
+      zip_with(col("v"), array(c.map(lit(_)).toIndexedSeq: _*), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val dists = array(cents.map(d2).toIndexedSeq: _*)
+    val perCell = model.transform(emb)
+      .select(col("prediction").cast("long").as("cell"),
+        (element_at(dists, col("prediction") + 1) <=
+          array_min(dists) + lit(eps)).as("ok"))
+      .groupBy(col("cell")).agg(min(col("ok")).as("assign_ok"))
+    spark.range(cells).toDF("cell")
+      .join(perCell, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("assign_ok"), lit(true)).as("assign_ok"))
+      .orderBy("cell")
+  }
+
+  def ivfKmeansGateSql(cells: Int = 8): String =
+    s"""SELECT ci AS cell, true AS assign_ok
+       |FROM range(0, $cells) t(ci) ORDER BY cell""".stripMargin
+
   def ivfTopKSql(nQueries: Int = 10, k: Int = 5): String =
     s"""WITH q AS (
        |  SELECT vec_id AS query_id, label AS qlabel, embedding::DOUBLE[] AS qv

@@ -180,4 +180,92 @@ object UnigramLm {
       .toDF("word", "pos", "piece")
       .orderBy("word", "pos")
   }
+
+  /** HASH-GATED verdict grid for the trainer (r13: the EM-derived
+    * piece counts stay a library artifact — [[trainOf]], determinism
+    * and pruning pinned in UnigramLmSpec). The grid gates the
+    * invariants that DEFINE a usable inventory:
+    *   - `charset_coverage`: every distinct corpus symbol is present
+    *     as a single-symbol piece (the coverage floor — without it
+    *     Viterbi has unsegmentable words).
+    *   - `counts_consistent`: every count is positive and each row's
+    *     log_prob is exactly rint(ln(count/total)·1e6)/1e6 under the
+    *     final counts (recomputed from the table itself).
+    *   - `logprob_normalized`: Σ exp(log_prob) = 1 within 1e-3 (the
+    *     per-piece 1e-6 rounding compounds well under that).
+    *   - `vocab_bounded`: |inventory| ≤ |charset| + seedSize (the
+    *     construction bound that makes the broadcast safe at 100 TB).
+    * The inventory collect is bounded by that same seed+charset bound;
+    * the corpus-symbol set is one distributed distinct over symbols.
+    * Oracle re-derives the fixed check grid.
+    */
+  def trainGate(t: Tables, seedSize: Int = 600): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val words = WordPipeline.tokens(t).groupBy("word").agg(count(lit(1)).as("freq"))
+    val inv = trainOf(words, seedSize = seedSize)
+      .select(col("piece"), col("count").cast("long"), col("log_prob"))
+      .as[(String, Long, Double)].collect()
+    val corpusChars = words.select(col("word")).as[String]
+      .flatMap(w => symbols(w).iterator).distinct().collect().toSet
+    val invSet = inv.map(_._1).toSet
+    val charsetOk = corpusChars.forall(invSet.contains)
+    val total = inv.map(_._2).sum.toDouble
+    val countsOk = inv.forall { case (_, c, lp) =>
+      c > 0 && lp == math.rint(math.log(c / total) * 1e6) / 1e6
+    }
+    val normOk = math.abs(inv.map(r => math.exp(r._3)).sum - 1.0) <= 1e-3
+    val boundOk = inv.length <= corpusChars.size + seedSize
+    spark.createDataset(Seq(
+      ("charset_coverage", charsetOk),
+      ("counts_consistent", countsOk),
+      ("logprob_normalized", normOk),
+      ("vocab_bounded", boundOk)
+    )).toDF("check_name", "ok").orderBy("check_name")
+  }
+
+  val trainGateSql: String =
+    """SELECT * FROM (VALUES ('charset_coverage', true), ('counts_consistent', true),
+      |  ('logprob_normalized', true), ('vocab_bounded', true)) t(check_name, ok)
+      |ORDER BY check_name""".stripMargin
+
+  /** HASH-GATED verdict grid for the encoder (r13: the Viterbi pieces
+    * themselves depend on the trained inventory — library artifact).
+    * Per word-length bucket (codepoints, capped at 5 — both engines
+    * count codepoints), over every distinct corpus word encoded under
+    * the freshly trained inventory:
+    *   - `reconstruct_ok`: the pieces, concatenated in `pos` order,
+    *     rebuild the word EXACTLY (full-corpus reconstruction — a
+    *     wrong slice, dropped piece, or inventory/charset hole all
+    *     break it).
+    *   - `compress_ok`: piece count ≤ symbol count per word (Viterbi
+    *     can never do worse than the char split; a violation means
+    *     the segmentation emitted phantom pieces).
+    * The rebuild is one groupBy over (word, pos, piece) rows with an
+    * array_sort — no window, no driver loop; the oracle re-derives the
+    * bucket grid from the same tokenizer CTE the tok_words gate uses.
+    */
+  def encodeGate(t: Tables): DataFrame = {
+    val words = WordPipeline.tokens(t).groupBy("word").agg(count(lit(1)).as("freq"))
+    val enc = encodeOf(words, trainOf(words))
+    enc.groupBy(col("word"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("piece")))),
+          x => x.getField("piece")), "").as("rebuilt"),
+        count(lit(1)).as("n_pieces"))
+      .select(
+        least(length(col("word")), lit(5)).cast("long").as("len_bucket"),
+        (col("rebuilt") === col("word")).as("rok"),
+        (col("n_pieces") <= length(col("word")).cast("long")).as("cok"))
+      .groupBy(col("len_bucket"))
+      .agg(min(col("rok")).as("reconstruct_ok"), min(col("cok")).as("compress_ok"))
+      .orderBy("len_bucket")
+  }
+
+  val encodeGateSql: String =
+    s"""${WordPipeline.tokensCte}
+       |SELECT LEAST(length(word), 5) AS len_bucket, true AS reconstruct_ok,
+       |  true AS compress_ok
+       |FROM (SELECT DISTINCT word FROM toks)
+       |GROUP BY 1 ORDER BY len_bucket""".stripMargin
 }
