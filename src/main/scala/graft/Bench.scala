@@ -74,6 +74,27 @@ object Bench {
     waited
   }
 
+  /** EXTERNAL cpu pressure, sampled while this JVM idles (r13, VERDICT
+    * r12 #1). 1-min loadavg can't arbitrate a mid-suite spike — our own
+    * local[32] tasks dominate it for a minute after every heavy query.
+    * This instead diffs /proc/stat over a `ms` sleep taken BETWEEN
+    * timed reps, when our executor pool is quiescent: any busy fraction
+    * seen belongs to other processes (± this JVM's background threads,
+    * small). Returns busy fraction in [0,1], or -1 outside procfs.
+    */
+  private def cpuBusyFraction(ms: Long = 200): Double = {
+    def snap(): Option[(Long, Long)] =
+      rd("/proc/stat").linesIterator.find(_.startsWith("cpu ")).map { l =>
+        val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+        val idle = f(3) + (if (f.length > 4) f(4) else 0L)
+        (idle, f.sum)
+      }
+    (for { (i0, t0) <- snap(); _ = Thread.sleep(ms); (i1, t1) <- snap() } yield {
+      val dt = (t1 - t0).toDouble
+      if (dt <= 0) -1.0 else 1.0 - (i1 - i0) / dt
+    }).getOrElse(-1.0)
+  }
+
   def main(args: Array[String]): Unit = {
     // r11 post-mortem: the official BENCH_r11 was rc 124 / parsed null —
     // the WORKLOAD outgrew the driver's wall-clock budget and the
@@ -114,7 +135,7 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // section sentinels: not queries, but runnable alone for iteration
     val sentinels = Set("skew_pair", "ladder_x10", "ladder_x100", "ann_recall",
-      "flagship_ladder")
+      "flagship_ladder", "ladder_x100_sentinel")
     only.foreach { names =>
       val unknown = names -- SparkEntry.queries.keySet -- sentinels
       if (unknown.nonEmpty) {
@@ -163,6 +184,23 @@ object Bench {
     val suiteHardDeadline = budgetS * 0.80
     var coldOnlyFrom: Option[String] = None
     var oneWarmFrom: Option[String] = None
+    // r13 (VERDICT r12 #1): the official r12 artifact accepted a 34×
+    // contention spike as a graded p50 (q_dunning_llr 19.786 s official
+    // vs 0.587 s drained — the machine was loaded, min-of-reps had
+    // nothing clean to keep). Per-rep guard: a warm rep reading above
+    // max(3× the running min, min + 1 s) is SUSPECT; if an EXTERNAL
+    // cpu-busy sample (taken while this JVM idles, see cpuBusyFraction)
+    // confirms outside load > 15%, the rep is REJECTED and re-run
+    // (≤2 extra reps per query, ≤30 suite-wide, budget-gated) instead
+    // of entering the p50. A suspect rep WITHOUT confirmed outside load
+    // is kept — it may be real variance, and silently dropping slow
+    // reps with no evidence would bias the suite fast. Every rejection
+    // (and any query whose final p50 still reads suspect) lands in the
+    // artifact's "contention" map, so a residual spike is attributable
+    // instead of masquerading as a plan regression.
+    case class Contention(rejected: Int, extBusy: Double, unresolved: Boolean)
+    val contention = scala.collection.mutable.LinkedHashMap.empty[String, Contention]
+    var extraRepsLeft = 30
     val stats = suite.map { case (name, fn) =>
       // A failed query is reported as -1 (never a normal-looking fast
       // time) and listed in "failed" so the metric line can't mask
@@ -180,15 +218,41 @@ object Bench {
         }
         else if (cold <= 1.0) reps - 1
         else math.min(reps - 1, 2)
-      val warm = if (cold < 0) Array.empty[Double]
-        else Array.fill(intendedWarm)(runOnce(name, fn, sfDir)).takeWhile(_ >= 0)
-      val ok = cold >= 0 && warm.length == intendedWarm
+      def suspectAbove(min: Double, t: Double): Boolean =
+        t > math.max(3 * min, min + 1.0)
+      var runningMin = if (cold >= 0) cold else Double.MaxValue
+      val accepted = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var rejected = 0
+      var lastBusy = -1.0
+      var extras = 0
+      var failed = cold < 0
+      var i = 0
+      while (!failed && i < intendedWarm) {
+        val tRep = runOnce(name, fn, sfDir)
+        if (tRep < 0) failed = true
+        else {
+          val suspect = suspectAbove(runningMin, tRep)
+          runningMin = math.min(runningMin, tRep)
+          if (suspect) {
+            lastBusy = cpuBusyFraction()
+            if (lastBusy > 0.15 && extras < 2 && extraRepsLeft > 0 && remaining() > 60) {
+              rejected += 1; extras += 1; extraRepsLeft -= 1 // slot stays open: re-run it
+            } else { accepted += tRep; i += 1 }
+          } else { accepted += tRep; i += 1 }
+        }
+      }
+      val ok = !failed
       // With no warm runs, fall back to the cold time so the headline
       // number is still real.
-      val sortedWarm = warm.sorted
+      val sortedWarm = accepted.toArray.sorted
       val p50 = if (!ok) -1.0 else if (sortedWarm.isEmpty) cold else pct(sortedWarm, 0.50)
       val p95 = if (!ok) -1.0 else if (sortedWarm.isEmpty) cold else pct(sortedWarm, 0.95)
-      name -> Stat(if (ok) cold else -1.0, p50, p95, 1 + warm.length, !ok)
+      // p50 still >3× the cleanest observation → contention outlasted
+      // the bounded retries (or hit the caps): flag, don't fabricate.
+      val unresolved = ok && p50 >= 0 && suspectAbove(runningMin, p50)
+      if (rejected > 0 || unresolved)
+        contention(name) = Contention(rejected, lastBusy, unresolved)
+      name -> Stat(if (ok) cold else -1.0, p50, p95, 1 + accepted.length, !ok)
     }
     val envSuiteEnd = envSample()
 
@@ -222,17 +286,23 @@ object Bench {
     val ladderRepsX100 = sys.env.getOrElse("SPARK_GRAFT_LADDER_REPS_X100", "2").toInt.max(1)
     // Budget-aware median: the first rep always runs (a rung entry must
     // be a real measurement, never a placeholder); further reps only
-    // while the budget allows.
-    def runMedian(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+    // while the budget allows. A budget-truncated rep count is recorded
+    // in "skipped" (ADVICE r12): a 1-of-2 ×100 rung reports the
+    // cache-build-inflated cold rep as the rung time, which without the
+    // marker is indistinguishable from a plan regression.
+    def runMedian(tag: String, name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String, n: Int): Double = {
       val b = scala.collection.mutable.ArrayBuffer.empty[Double]
       var i = 0
       while (i < n && (i == 0 || remaining() > 45)) { b += runOnce(name, fn, dir); i += 1 }
+      if (i < n) skipped += s"rung_rep_cut:$tag:$name:${i}of$n"
       val ts = b.filter(_ >= 0).sorted.toIndexedSeq
       if (ts.isEmpty) -1.0 else ts((ts.length - 1) / 2)
     }
     case class Rung(dir: String, env: String, reps: Int, times: Seq[(String, Double)])
     var ladder = Vector.empty[Rung]
+    var sentinel: Seq[(String, Double)] = Seq.empty
     var skew: Option[(Double, Double, Long)] = None
     var recall: Seq[(String, Double)] = Seq.empty
     var recallClustered: Seq[(String, Double)] = Seq.empty
@@ -268,6 +338,17 @@ object Bench {
           s""""x${r.factor}":{"s":${jd(r.sec)},"mb":${jd(r.mb)},"mb_s":${jd(r.mb / r.sec)}}"""
         }.mkString(""","flagship":{""", ",", "}")
       val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+      // usually empty; non-empty means reps were rejected under
+      // confirmed external load (rejected/ext_busy) or a spike outlasted
+      // the bounded retries (unresolved:true) — either way the spike is
+      // attributable in the artifact instead of reading as a regression
+      val contentionJson = if (contention.isEmpty) "" else
+        contention.map { case (k, c) =>
+          "\"" + k + s"""\":{"rejected":${c.rejected},"ext_busy":${jd(c.extBusy)},"unresolved":${c.unresolved}}"""
+        }.mkString(""","contention":{""", ",", "}")
+      val sentinelJson = if (sentinel.isEmpty) "" else
+        sentinel.map { case (n, v) => "\"" + n + "\":" + jd(v) }
+          .mkString(""","ladder_x100_sentinel":{""", ",", "}")
       val budgetJson =
         s""","budget_s":${jd(budgetS)},"elapsed_s":${jd(elapsed())},"phase":"$phase","skipped":$skippedJson"""
       val envJson =
@@ -279,7 +360,7 @@ object Bench {
       // file, and the printed line is a compact summary (total, failures,
       // the 10 slowest p50s, the ladder's top rung) guaranteed to fit in
       // a 2,000-char tail.
-      val fullDoc = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$st,"failed":$failed,"reps":$reps$budgetJson,"ladder":$lad$skewJson$recallJson$flagshipJson$envJson,"sf":"$sfDir"}"""
+      val fullDoc = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$st,"failed":$failed,"reps":$reps$budgetJson$contentionJson$sentinelJson,"ladder":$lad$skewJson$recallJson$flagshipJson$envJson,"sf":"$sfDir"}"""
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outFile).toAbsolutePath.getParent)
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullDoc + "\n")
       if (toStdout) {
@@ -288,7 +369,7 @@ object Bench {
         val topRung = ladder.lastOption.filter(_.times.nonEmpty).map { r =>
           s""","ladder_top":{"dir":"${r.dir}",${r.times.map { case (n, v) => "\"" + n + "\":" + jd(v) }.mkString(",")}}"""
         }.getOrElse("")
-        val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${stats.size},"reps":$reps,"sf":"$sfDir","failed":$failed$budgetJson,"slowest_p50":$slow$topRung$skewJson$recallJson$flagshipJson$envJson,"full_report":"$outFile"}"""
+        val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${stats.size},"reps":$reps,"sf":"$sfDir","failed":$failed$budgetJson$contentionJson$sentinelJson,"slowest_p50":$slow$topRung$skewJson$recallJson$flagshipJson$envJson,"full_report":"$outFile"}"""
         if (line.length > 1900)
           System.err.println(s"[bench] WARNING summary line is ${line.length} chars (>1900); trim slowest/ladder fields")
         println(line)
@@ -299,6 +380,165 @@ object Bench {
 
     def gate(label: String, needSec: Double)(body: => Unit): Unit =
       if (remaining() < needSec) skipped += label else body
+
+    def rungTimes(tag: String, names: Seq[String], dir: String, n: Int): Seq[(String, Double)] =
+      names.flatMap { nm =>
+        if (remaining() < 60) { skipped += s"$tag:$nm"; None }
+        else Some(nm -> runMedian(tag, nm, SparkEntry.queries(nm), dir, n))
+      }
+    // Untimed cache warm before a rung's first timed rep: at ×100 a
+    // single-rep rung otherwise charges ~40 s of page-cache/parquet-
+    // footer warmup to whichever query runs first (r12 measured
+    // dedup_minhash_lsh at 43.3 s as a cold single rep vs 2.8 s as
+    // r11's min-of-2 — the operator didn't change, the first rep was
+    // paying the 5 GB scan warmup). The warm must MATERIALIZE every
+    // column through the noop sink: a count() only touches footers and
+    // row-group metadata (column pages stay cold — measured: the 44 s
+    // first-query charge survived a count()-based warm), so the data
+    // bytes themselves have to flow once outside the timers.
+    def warmDir(dir: String): Unit =
+      Option(new java.io.File(dir).listFiles).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.endsWith(".parquet"))
+        .foreach(f => spark.read.parquet(f.getPath)
+          .write.format("noop").mode("overwrite").save())
+
+    // ---- ×10 / ×100 rungs past sf0.1 (skipped under SPARK_GRAFT_ONLY) ----
+    // The test tree stops at sf0.1, so the dedup/similarity sublinearity
+    // claim rested on a single 10× range. Extend it two decades by
+    // replicating documents/embeddings — but each replica must be
+    // DISJOINT from the others: naive copies would make every doc an
+    // N-way near-dup and quadratically inflate the pair workload,
+    // measuring the data construction instead of the operator.
+    //   documents — replica r > 0 suffixes every whitespace token with a
+    //   letters-only base-26 code of r: within-replica shingle-equality
+    //   structure and WHITESPACE token counts are preserved EXACTLY.
+    //   BPE-ish counts are preserved only for letter-ending tokens (a
+    //   token ending in a digit/symbol gains one extra [a-z] run), so
+    //   the token_count rung scales near- not perfectly-linearly.
+    //   Cross-replica token spaces are disjoint up to the rare base
+    //   token that itself ends in a replica code ("…qab") — harmless at
+    //   shingle granularity, where one shared token never makes a pair
+    //   of documents near-duplicates. (An alphabet ROTATION instead
+    //   would cap out at 26 distinct images; the suffix scheme works
+    //   for any replica count.)
+    //   embeddings — replica r > 0 applies an ORTHOGONAL transform:
+    //   rotate components by r mod dim, then flip odd-index signs for
+    //   r >= dim. Orthogonality preserves every within-replica dot
+    //   product/norm (near-dup structure identical to the base corpus);
+    //   cross-replica cosines drop to random-pair level — replicas are
+    //   genuinely dissimilar, so bucket/candidate-based queries measure
+    //   a real N× corpus, not synthetic near-dup structure.
+    def replicate(factor: Int, outDir: String, graphTables: Boolean): Unit = {
+      val rep = explode(sequence(lit(0), lit(factor - 1)))
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val prt  = spark.read.parquet(s"$sfDir/part.parquet")
+      // id-offset safety: replica ids live at r*1e7 — a base id past 1e7
+      // would collide with replica 1 and corrupt the dedup ground truth
+      val maxDoc = docs.agg(max("doc_id")).head.getLong(0)
+      val maxVec = embs.agg(max("vec_id")).head.getLong(0)
+      val maxPrt = prt.agg(max("p_partkey")).head.getLong(0)
+      require(maxDoc < 10000000L && maxVec < 10000000L && maxPrt < 10000000L,
+        s"replica id offset collision: max doc_id=$maxDoc vec_id=$maxVec p_partkey=$maxPrt >= 1e7")
+      // graph tables (the q_pagerank input): key-offset replicas give a
+      // purchase graph with factor× nodes and factor× edges as DISJOINT
+      // components — rank mass never flows between replicas, so the rung
+      // measures sweep cost at factor× node count, which is exactly the
+      // claim (≈node-count growth) the ladder exists to evidence. Only
+      // built for the ×10 rung: no ×100 query reads them, and a ×100
+      // lineitem replica would dominate rung construction for nothing.
+      if (graphTables) {
+        def offset(table: String, keys: Seq[String]): Unit = {
+          val df = spark.read.parquet(s"$sfDir/$table.parquet")
+          keys.foreach { k =>
+            val mx = df.agg(max(k)).head.getLong(0)
+            require(mx < 10000000L, s"replica id offset collision: max $table.$k=$mx >= 1e7")
+          }
+          keys.foldLeft(df.withColumn("replica", rep)) { (d, k) =>
+            d.withColumn(k, col(k) + col("replica") * lit(10000000L))
+          }.drop("replica").write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+        }
+        offset("customer", Seq("c_custkey"))
+        offset("supplier", Seq("s_suppkey"))
+        offset("orders",   Seq("o_orderkey", "o_custkey"))
+        offset("lineitem", Seq("l_orderkey", "l_suppkey"))
+      }
+      // letters-only base-26 replica code ("qab" for r=1): a pure [a-z]
+      // run keeps ws token counts identical to the base corpus (BPE
+      // counts identical for letter-ending tokens — see above)
+      val code = concat(lit("q"),
+        chr(pmod(floor(col("replica") / 26), lit(26)) + lit(97)),
+        chr(pmod(col("replica"), lit(26)) + lit(97)))
+      docs
+        .withColumn("replica", rep)
+        .withColumn("text", when(col("replica") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"), concat(lit("$1"), code))))
+        .withColumn("doc_id", col("doc_id") + col("replica") * lit(10000000L))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+      val dim = 64
+      val rot = transform(sequence(lit(0), lit(dim - 1)),
+        i => element_at(col("embedding"), (pmod(i + col("replica"), lit(dim)) + 1).cast("int")))
+      val flipped = transform(rot, (x, i) =>
+        when(col("replica") >= dim && pmod(i, lit(2)) === 1, -x).otherwise(x).cast("float"))
+      embs
+        .withColumn("replica", rep)
+        .withColumn("embedding",
+          when(col("replica") === 0, col("embedding")).otherwise(flipped))
+        .withColumn("vec_id", col("vec_id") + col("replica") * lit(10000000L))
+        .select("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+      // part (the dedup_fuzzy input): replica names get FOUR copies of a
+      // replica-distinct letter, so any two replicas of a name sit at
+      // edit distance >= 4 — beyond fuzzyNamePairs' maxDist=3, keeping
+      // replicas disjoint for the edit-distance ladder (26-replica cap;
+      // fuzzy is only laddered at ×10)
+      val nameCode = repeat(chr(pmod(col("replica"), lit(26)) + lit(97)), 4)
+      prt
+        .withColumn("replica", rep)
+        .withColumn("p_partkey", col("p_partkey") + col("replica") * lit(10000000L))
+        .withColumn("p_name", when(col("replica") === 0, col("p_name"))
+          .otherwise(concat(col("p_name"), nameCode)))
+        .drop("replica")
+        .write.mode("overwrite").parquet(s"$outDir/part.parquet")
+    }
+
+    // ---- ×100 sentinel (r13, VERDICT r12 #2): the default budget cut
+    // the whole ×100 ladder from the official r12 artifact, leaving the
+    // driver-graded run without a scale datapoint. This fixed three-query
+    // rung runs FIRST among the shape sections — dedup_containment_capped
+    // and dedup_minhash_lsh (the banded sublinearity the 100 TB claim
+    // rides on) plus bpe_train_local (the production trainer) — against
+    // the same ×100 replica tree the full ladder uses: reused if already
+    // built, built here when the budget allows (a build paid here is
+    // construction the later ladder_x100 section no longer pays).
+    val sentinelQueries = Seq("dedup_containment_capped", "dedup_minhash_lsh",
+      "bpe_train_local")
+    if (sectionOn("ladder_x100_sentinel")) {
+      val dir = s"target/bench_sfx100_${new java.io.File(sfDir).getName}_v6"
+      val built = new java.io.File(s"$dir/_built")
+      // measured at HEAD on this machine: fresh build + warm + the
+      // three-query min-of-2 rung = 222 s total; the 300 s build
+      // allowance is ~2.5× the observed build so a moderately loaded
+      // machine still fits, and an overrun only squeezes later
+      // sections (the artifact is already emitted)
+      val runNeed = 240.0
+      if (!built.exists && remaining() >= runNeed + 300.0) {
+        replicate(100, dir, graphTables = false)
+        java.nio.file.Files.createFile(built.toPath): Unit
+      }
+      if (!built.exists) skipped += "ladder_x100_sentinel_build"
+      else if (remaining() < runNeed) skipped += "ladder_x100_sentinel"
+      else {
+        // warm only the table the sentinel reads — a full warmDir would
+        // charge the budget for embeddings/part the sentinel never touches
+        spark.read.parquet(s"$dir/documents.parquet")
+          .write.format("noop").mode("overwrite").save()
+        sentinel = rungTimes("ladder_x100_sentinel", sentinelQueries, dir, ladderRepsX100)
+        emit("ladder_x100_sentinel", toStdout = false)
+      }
+    }
 
     // ---- skew demonstration: hot-key shard, window form vs rewrite ----
     // sum-over-key attached per row is the skew class AQE can't touch
@@ -446,26 +686,6 @@ object Bench {
     // signal). sf0.01 is ~10× less data than sf0.1: near-linear times
     // mean scan-bound plans, flat times mean fixed overhead dominates,
     // super-linear flags a pair-join blowup.
-    def rungTimes(tag: String, names: Seq[String], dir: String, n: Int): Seq[(String, Double)] =
-      names.flatMap { nm =>
-        if (remaining() < 60) { skipped += s"$tag:$nm"; None }
-        else Some(nm -> runMedian(nm, SparkEntry.queries(nm), dir, n))
-      }
-    // Untimed cache warm before a rung's first timed rep: at ×100 a
-    // single-rep rung otherwise charges ~40 s of page-cache/parquet-
-    // footer warmup to whichever query runs first (r12 measured
-    // dedup_minhash_lsh at 43.3 s as a cold single rep vs 2.8 s as
-    // r11's min-of-2 — the operator didn't change, the first rep was
-    // paying the 5 GB scan warmup). The warm must MATERIALIZE every
-    // column through the noop sink: a count() only touches footers and
-    // row-group metadata (column pages stay cold — measured: the 44 s
-    // first-query charge survived a count()-based warm), so the data
-    // bytes themselves have to flow once outside the timers.
-    def warmDir(dir: String): Unit =
-      Option(new java.io.File(dir).listFiles).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.endsWith(".parquet"))
-        .foreach(f => spark.read.parquet(f.getPath)
-          .write.format("noop").mode("overwrite").save())
     gate("ladder_sf", 120) {
       ladder = ladder ++ ladderDirs.map { dir =>
         warmDir(dir)
@@ -475,107 +695,6 @@ object Bench {
       emit("ladder_sf", toStdout = false)
     }
 
-    // ---- ×10 / ×100 rungs past sf0.1 (skipped under SPARK_GRAFT_ONLY) ----
-    // The test tree stops at sf0.1, so the dedup/similarity sublinearity
-    // claim rested on a single 10× range. Extend it two decades by
-    // replicating documents/embeddings — but each replica must be
-    // DISJOINT from the others: naive copies would make every doc an
-    // N-way near-dup and quadratically inflate the pair workload,
-    // measuring the data construction instead of the operator.
-    //   documents — replica r > 0 suffixes every whitespace token with a
-    //   letters-only base-26 code of r: within-replica shingle-equality
-    //   structure and WHITESPACE token counts are preserved EXACTLY.
-    //   BPE-ish counts are preserved only for letter-ending tokens (a
-    //   token ending in a digit/symbol gains one extra [a-z] run), so
-    //   the token_count rung scales near- not perfectly-linearly.
-    //   Cross-replica token spaces are disjoint up to the rare base
-    //   token that itself ends in a replica code ("…qab") — harmless at
-    //   shingle granularity, where one shared token never makes a pair
-    //   of documents near-duplicates. (An alphabet ROTATION instead
-    //   would cap out at 26 distinct images; the suffix scheme works
-    //   for any replica count.)
-    //   embeddings — replica r > 0 applies an ORTHOGONAL transform:
-    //   rotate components by r mod dim, then flip odd-index signs for
-    //   r >= dim. Orthogonality preserves every within-replica dot
-    //   product/norm (near-dup structure identical to the base corpus);
-    //   cross-replica cosines drop to random-pair level — replicas are
-    //   genuinely dissimilar, so bucket/candidate-based queries measure
-    //   a real N× corpus, not synthetic near-dup structure.
-    def replicate(factor: Int, outDir: String, graphTables: Boolean): Unit = {
-      val rep = explode(sequence(lit(0), lit(factor - 1)))
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      val prt  = spark.read.parquet(s"$sfDir/part.parquet")
-      // id-offset safety: replica ids live at r*1e7 — a base id past 1e7
-      // would collide with replica 1 and corrupt the dedup ground truth
-      val maxDoc = docs.agg(max("doc_id")).head.getLong(0)
-      val maxVec = embs.agg(max("vec_id")).head.getLong(0)
-      val maxPrt = prt.agg(max("p_partkey")).head.getLong(0)
-      require(maxDoc < 10000000L && maxVec < 10000000L && maxPrt < 10000000L,
-        s"replica id offset collision: max doc_id=$maxDoc vec_id=$maxVec p_partkey=$maxPrt >= 1e7")
-      // graph tables (the q_pagerank input): key-offset replicas give a
-      // purchase graph with factor× nodes and factor× edges as DISJOINT
-      // components — rank mass never flows between replicas, so the rung
-      // measures sweep cost at factor× node count, which is exactly the
-      // claim (≈node-count growth) the ladder exists to evidence. Only
-      // built for the ×10 rung: no ×100 query reads them, and a ×100
-      // lineitem replica would dominate rung construction for nothing.
-      if (graphTables) {
-        def offset(table: String, keys: Seq[String]): Unit = {
-          val df = spark.read.parquet(s"$sfDir/$table.parquet")
-          keys.foreach { k =>
-            val mx = df.agg(max(k)).head.getLong(0)
-            require(mx < 10000000L, s"replica id offset collision: max $table.$k=$mx >= 1e7")
-          }
-          keys.foldLeft(df.withColumn("replica", rep)) { (d, k) =>
-            d.withColumn(k, col(k) + col("replica") * lit(10000000L))
-          }.drop("replica").write.mode("overwrite").parquet(s"$outDir/$table.parquet")
-        }
-        offset("customer", Seq("c_custkey"))
-        offset("supplier", Seq("s_suppkey"))
-        offset("orders",   Seq("o_orderkey", "o_custkey"))
-        offset("lineitem", Seq("l_orderkey", "l_suppkey"))
-      }
-      // letters-only base-26 replica code ("qab" for r=1): a pure [a-z]
-      // run keeps ws token counts identical to the base corpus (BPE
-      // counts identical for letter-ending tokens — see above)
-      val code = concat(lit("q"),
-        chr(pmod(floor(col("replica") / 26), lit(26)) + lit(97)),
-        chr(pmod(col("replica"), lit(26)) + lit(97)))
-      docs
-        .withColumn("replica", rep)
-        .withColumn("text", when(col("replica") === 0, col("text"))
-          .otherwise(regexp_replace(col("text"), lit("(\\S+)"), concat(lit("$1"), code))))
-        .withColumn("doc_id", col("doc_id") + col("replica") * lit(10000000L))
-        .withColumn("n_chars", length(col("text")).cast("long"))
-        .select("doc_id", "text", "lang", "source", "n_chars")
-        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-      val dim = 64
-      val rot = transform(sequence(lit(0), lit(dim - 1)),
-        i => element_at(col("embedding"), (pmod(i + col("replica"), lit(dim)) + 1).cast("int")))
-      val flipped = transform(rot, (x, i) =>
-        when(col("replica") >= dim && pmod(i, lit(2)) === 1, -x).otherwise(x).cast("float"))
-      embs
-        .withColumn("replica", rep)
-        .withColumn("embedding",
-          when(col("replica") === 0, col("embedding")).otherwise(flipped))
-        .withColumn("vec_id", col("vec_id") + col("replica") * lit(10000000L))
-        .select("vec_id", "embedding", "label")
-        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-      // part (the dedup_fuzzy input): replica names get FOUR copies of a
-      // replica-distinct letter, so any two replicas of a name sit at
-      // edit distance >= 4 — beyond fuzzyNamePairs' maxDist=3, keeping
-      // replicas disjoint for the edit-distance ladder (26-replica cap;
-      // fuzzy is only laddered at ×10)
-      val nameCode = repeat(chr(pmod(col("replica"), lit(26)) + lit(97)), 4)
-      prt
-        .withColumn("replica", rep)
-        .withColumn("p_partkey", col("p_partkey") + col("replica") * lit(10000000L))
-        .withColumn("p_name", when(col("replica") === 0, col("p_name"))
-          .otherwise(concat(col("p_name"), nameCode)))
-        .drop("replica")
-        .write.mode("overwrite").parquet(s"$outDir/part.parquet")
-    }
     // cache keyed by source sf dir — a local run at another sf must not
     // leave a stale rung for the driver's sf0.1 run; _v4: suffix-token +
     // orthogonal-embedding construction (was alphabet-rotation + additive

@@ -7,8 +7,19 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.builder(master = s"local[$cpus]", appName = "graft-verify")
+    // Multi-JVM evidence hook (VERDICT r12 #4): SPARK_GRAFT_MASTER=
+    // local-cluster[2,16,8192] (+ SPARK_HOME and SPARK_GRAFT_EXECUTOR_CP
+    // pointing at target/scala-2.13/classes) runs the SAME gated dump
+    // against real separate executor JVMs — serialized closures and
+    // broadcasts, cross-JVM shuffle, the reliable-checkpoint branch —
+    // instead of local mode's same-JVM shortcuts. The driver's own runs
+    // never set it; docs/verify_cluster_r13.md records the off-single-
+    // JVM gate result.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = GraftSession.builder(master = master, appName = "graft-verify")
       .config("spark.sql.shuffle.partitions", cpus)
+    val spark = sys.env.get("SPARK_GRAFT_EXECUTOR_CP")
+      .fold(builder)(cp => builder.config("spark.executor.extraClassPath", cp))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

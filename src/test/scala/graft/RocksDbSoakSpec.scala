@@ -69,7 +69,7 @@ class RocksDbSoakSpec extends AnyFunSuite {
         assert(lateState.nonEmpty && lateState.max <= keys * 8L,
           s"state not bounded under RocksDB soak: $lateState")
         assert(progresses.last.eventTime.get("watermark") != null)
-      } finally q.stop()
+      } finally TestSpark.stopAfterBatch(q) // 250 ms trigger: stop off the commit path
     }
     spark.sql("DROP TABLE IF EXISTS rocks_soak_out")
   }

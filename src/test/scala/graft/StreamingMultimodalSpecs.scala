@@ -76,7 +76,7 @@ class StreamingSpec extends AnyFunSuite {
         s"state not bounded under soak: $lateState")
       // and the watermark actually advanced past epoch
       assert(progresses.last.eventTime.get("watermark") != null)
-    } finally q.stop()
+    } finally TestSpark.stopAfterBatch(q) // 250 ms trigger: stop off the commit path
     spark.sql("DROP TABLE IF EXISTS soak_out")
   }
 
