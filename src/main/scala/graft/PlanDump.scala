@@ -194,9 +194,11 @@ object PlanDump {
       "q_hll_gate (r12: daily sketches + first-seen histogram; both prefix passes are day-grid triangular joins)" ->
         Analytics2.hllGate(t),
       "q_bloom_gate (r12: exact contaminated set LEFT-joined to the subquery-fed bloom pass; ids only past the shingle scans)" ->
-        Decontaminate.bloomGate(t))
+        Decontaminate.bloomGate(t),
+      "embed_ivf_kmeans gate (r13: broadcast centroid literals, map-only argmin re-check, k-row aggregate)" ->
+        Similarity.ivfKmeansGate(t))
     val sb = new StringBuilder
-    sb.append("# Plan snapshots (round 12)\n\nGenerated by `graft.PlanDump` at sf0.001; ")
+    sb.append("# Plan snapshots (round 13)\n\nGenerated by `graft.PlanDump` at sf0.001; ")
     sb.append("`PlanAuditSpec` asserts these shapes stay true.\n")
     qs.foreach { case (title, df) =>
       sb.append(s"\n## $title\n\n```\n")
@@ -205,8 +207,8 @@ object PlanDump {
       sb.append("\n```\n")
     }
     Files.createDirectories(Paths.get("docs"))
-    Files.writeString(Paths.get("docs/PLANS_r12.md"), sb.toString)
-    println("wrote docs/PLANS_r12.md")
+    Files.writeString(Paths.get("docs/PLANS_r13.md"), sb.toString)
+    println("wrote docs/PLANS_r13.md")
     spark.stop()
   }
 }
