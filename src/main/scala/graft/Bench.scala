@@ -218,8 +218,6 @@ object Bench {
         }
         else if (cold <= 1.0) reps - 1
         else math.min(reps - 1, 2)
-      def suspectAbove(min: Double, t: Double): Boolean =
-        t > math.max(3 * min, min + 1.0)
       var runningMin = if (cold >= 0) cold else Double.MaxValue
       val accepted = scala.collection.mutable.ArrayBuffer.empty[Double]
       var rejected = 0
@@ -231,13 +229,13 @@ object Bench {
         val tRep = runOnce(name, fn, sfDir)
         if (tRep < 0) failed = true
         else {
-          val suspect = suspectAbove(runningMin, tRep)
+          val isSuspect = BenchPolicy.suspect(runningMin, tRep)
+          if (isSuspect) lastBusy = cpuBusyFraction()
+          val drop = isSuspect && BenchPolicy.reject(runningMin, tRep, lastBusy,
+            extras, extraRepsLeft, budgetOk = remaining() > 60)
           runningMin = math.min(runningMin, tRep)
-          if (suspect) {
-            lastBusy = cpuBusyFraction()
-            if (lastBusy > 0.15 && extras < 2 && extraRepsLeft > 0 && remaining() > 60) {
-              rejected += 1; extras += 1; extraRepsLeft -= 1 // slot stays open: re-run it
-            } else { accepted += tRep; i += 1 }
+          if (drop) {
+            rejected += 1; extras += 1; extraRepsLeft -= 1 // slot stays open: re-run it
           } else { accepted += tRep; i += 1 }
         }
       }
@@ -249,7 +247,7 @@ object Bench {
       val p95 = if (!ok) -1.0 else if (sortedWarm.isEmpty) cold else pct(sortedWarm, 0.95)
       // p50 still >3× the cleanest observation → contention outlasted
       // the bounded retries (or hit the caps): flag, don't fabricate.
-      val unresolved = ok && p50 >= 0 && suspectAbove(runningMin, p50)
+      val unresolved = ok && p50 >= 0 && BenchPolicy.suspect(runningMin, p50)
       if (rejected > 0 || unresolved)
         contention(name) = Contention(rejected, lastBusy, unresolved)
       name -> Stat(if (ok) cold else -1.0, p50, p95, 1 + accepted.length, !ok)

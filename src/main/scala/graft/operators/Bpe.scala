@@ -357,13 +357,32 @@ object Bpe {
     import spark.implicits._
     def mergeSeq(table: DataFrame): Seq[(String, String)] =
       table.orderBy("rank").select("lhs", "rhs").as[(String, String)].collect().toSeq
-    def tokensPerWord(merges: Seq[(String, String)]): Double = {
-      val r = bpeEncodeOf(t.documents, merges)
-        .agg(sum(col("n_bpe_tokens")).as("nt"), sum(col("n_words")).as("nw")).head()
-      r.getLong(0).toDouble / r.getLong(1).toDouble
-    }
-    val seqTpw = tokensPerWord(mergeSeq(bpeTrain(t, merges)))
-    val fastTpw = tokensPerWord(mergeSeq(bpeTrainFast(t, merges, maxBatch)))
+    // The sequential side comes from bpeTrainLocal — BIT-IDENTICAL to
+    // bpeTrain at any merge count (spec-pinned, same unrolled-CTE
+    // oracle) at a fraction of the cost (one distributed vocab count +
+    // driver merge loop vs `merges` driver rounds); the gate's job is
+    // the fast-vs-sequential COMPARISON, not re-proving the sequential
+    // trainer the bpe_train/bpe_train_local rows already gate.
+    val seqMerges = mergeSeq(bpeTrainLocal(t, merges))
+    val fastMerges = mergeSeq(bpeTrainFast(t, merges, maxBatch))
+    // Both encodes in ONE corpus pass: per distinct word, the symbol
+    // fold under each table side by side — the scan, tokenize, and
+    // (word, count) shuffle are shared instead of paid twice.
+    val toks = t.documents
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+    val wc = toks.groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val sym0 = concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "))
+    def folded(ms: Seq[(String, String)]) =
+      size(split(trim(ms.foldLeft(sym0) { case (s, (a, b)) =>
+        replace(s, lit(s" $a $b "), lit(s" ${a + b} "))
+      }), " ")).cast("long")
+    val r = wc
+      .select(col("c"), folded(seqMerges).as("ns"), folded(fastMerges).as("nf"))
+      .agg(sum(col("c") * col("ns")).as("ts"),
+        sum(col("c") * col("nf")).as("tf"), sum(col("c")).as("nw")).head()
+    val seqTpw = r.getLong(0).toDouble / r.getLong(2).toDouble
+    val fastTpw = r.getLong(1).toDouble / r.getLong(2).toDouble
     val ok = fastTpw <= seqTpw * (1 + tol) && fastTpw >= seqTpw * (1 - tol)
     spark.createDataset(Seq((merges.toLong, ok)))
       .toDF("n_merges", "quality_within_tol")
