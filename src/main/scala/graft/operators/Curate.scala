@@ -395,16 +395,19 @@ object Curate {
     * canonical string — at 100 TB only (url-hash, doc_id) pairs
     * shuffle.
     */
-  def urlCanonicalize(t: Tables): DataFrame = {
+  private def plantedUrl: Column = {
     val base = concat(lit("example"), (col("doc_id") % 97).cast("string"),
       lit(".com/path/p"), (col("doc_id") % 97).cast("string"))
-    val url =
-      when(col("doc_id") % 5 === 0, concat(lit("https://"), base))
-        .when(col("doc_id") % 5 === 1, upper(concat(lit("http://"), base, lit("/"))))
-        .when(col("doc_id") % 5 === 2, concat(lit("https://www."), base, lit("?utm_source=feed")))
-        .when(col("doc_id") % 5 === 3, concat(lit("http://"),
-          regexp_replace(base, "\\.com/", ".com:80/"), lit("#frag")))
-        .otherwise(concat(lit("https://"), base, lit("?id=1&utm_campaign=x")))
+    when(col("doc_id") % 5 === 0, concat(lit("https://"), base))
+      .when(col("doc_id") % 5 === 1, upper(concat(lit("http://"), base, lit("/"))))
+      .when(col("doc_id") % 5 === 2, concat(lit("https://www."), base, lit("?utm_source=feed")))
+      .when(col("doc_id") % 5 === 3, concat(lit("http://"),
+        regexp_replace(base, "\\.com/", ".com:80/"), lit("#frag")))
+      .otherwise(concat(lit("https://"), base, lit("?id=1&utm_campaign=x")))
+  }
+
+  def urlCanonicalize(t: Tables): DataFrame = {
+    val url = plantedUrl
     t.documents
       .select(col("doc_id"), canonicalUrl(url).as("canonical_url"))
       .groupBy("canonical_url")
@@ -447,6 +450,141 @@ object Curate {
       |)
       |SELECT canonical_url, count(*) AS n_variants, min(doc_id) AS first_doc
       |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** URL-level dedup with a CONTENT-AWARE keeper — the step after
+    * [[urlCanonicalize]]'s identity manifest: when several captures
+    * share a fetch identity (re-crawls, mirror variants), keep the
+    * best one. The crawl-pipeline keeper rule is "longest capture wins"
+    * (a truncated or botched fetch loses to a complete one), tie-broken
+    * by doc_id for determinism. One url-keyed shuffle serves both the
+    * rank and the variant count (same partition key, one exchange);
+    * only (canonical_url, doc_id, text_len) triples shuffle — never
+    * text — so at 100 TB this is a url-hash-keyed window over 3-column
+    * rows, the same shape `q_topk_per_group` scales with.
+    */
+  def dedupUrl(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val canon = t.documents.select(col("doc_id"),
+      length(col("text")).cast("long").as("text_len"),
+      canonicalUrl(plantedUrl).as("canonical_url"))
+    val byUrl = Window.partitionBy("canonical_url")
+    canon
+      .withColumn("rn", row_number().over(byUrl.orderBy(col("text_len").desc, col("doc_id"))))
+      .withColumn("n_variants", count(lit(1)).over(byUrl))
+      .filter(col("rn") === 1)
+      .select(col("canonical_url"), col("doc_id").as("kept_doc"),
+        col("text_len").as("kept_len"), col("n_variants"))
+      .orderBy("canonical_url")
+  }
+
+  def dedupUrlSql: String =
+    """WITH planted AS (
+      |  SELECT doc_id, length(text) AS text_len,
+      |    CASE CAST(doc_id % 5 AS INT)
+      |      WHEN 0 THEN 'https://' || base
+      |      WHEN 1 THEN upper('http://' || base || '/')
+      |      WHEN 2 THEN 'https://www.' || base || '?utm_source=feed'
+      |      WHEN 3 THEN 'http://' || replace(base, '.com/', '.com:80/') || '#frag'
+      |      ELSE 'https://' || base || '?id=1&utm_campaign=x'
+      |    END AS url
+      |  FROM (
+      |    SELECT doc_id, text,
+      |      'example' || CAST(doc_id % 97 AS VARCHAR) || '.com/path/p' || CAST(doc_id % 97 AS VARCHAR) AS base
+      |    FROM documents)
+      |), canon AS (
+      |  SELECT doc_id, text_len,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(
+      |            regexp_replace(
+      |              regexp_replace(
+      |                regexp_replace(
+      |                  regexp_replace(lower(trim(url)), '#.*$', ''),
+      |                  '^https?://', ''),
+      |                '^www\.', ''),
+      |              '^([^/:]+):(80|443)([/?]|$)', '\1\3'),
+      |            '[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&]*', '', 'g'),
+      |          '^([^?&]+)&', '\1?'),
+      |        '[?&]+$', ''),
+      |      '/+$', '') AS canonical_url
+      |  FROM planted
+      |), ranked AS (
+      |  SELECT canonical_url, doc_id, text_len,
+      |    row_number() OVER (PARTITION BY canonical_url ORDER BY text_len DESC, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY canonical_url) AS n_variants
+      |  FROM canon
+      |)
+      |SELECT canonical_url, doc_id AS kept_doc, text_len AS kept_len, n_variants
+      |FROM ranked WHERE rn = 1 ORDER BY canonical_url""".stripMargin
+
+  /** Epoch-capped mixture planning — the OTHER half of [[domainMix]]:
+    * domainMix SAMPLES docs under temperature weights; this computes
+    * the per-source repetition plan a token-budgeted training run
+    * actually executes (the data-constrained regime: a small
+    * high-weight source is repeated, but repetition caps at
+    * `maxEpochs` — past ~4 epochs repeated text stops helping — and
+    * the capped tokens are what the run really sees). Per source:
+    *   - target_share ∝ n_tokens^alpha (the [[domainMix]] temperature
+    *     move, rounded 9dp so pow's last-ulp noise can't leak),
+    *   - epochs = min(maxEpochs, budget·target_share / n_tokens) with
+    *     budget = budgetEpochs·N_total tokens (rounded 6dp),
+    *   - achieved_tokens = round(epochs·n_tokens) — an exact LONG so
+    *     the achieved-share division is deterministic cross-engine,
+    *   - achieved_share = achieved / Σachieved (what the cap did to
+    *     the target mix — the number a data-mix review reads first).
+    * Shape: one map-side token count per source, then arithmetic on
+    * the ≤|sources| grid with two 1-row broadcasts. Nothing
+    * corpus-sized survives the first aggregate.
+    */
+  def mixEpochs(t: Tables, alpha: Double = 0.5, budgetEpochs: Double = 2.0,
+      maxEpochs: Double = 4.0): DataFrame = {
+    val toks = t.documents
+      .select(col("source"), explode(split(col("text"), "\\s+")).as("w"))
+      .select(col("source"), lower(trim(col("w"))).as("word"))
+      .filter(col("word") =!= "")
+    val counts = toks.groupBy("source").agg(count(lit(1)).as("n_tokens"))
+      .withColumn("w_g", pow(col("n_tokens").cast("double"), alpha))
+    val z = counts.agg(sum(col("w_g")).as("z"), sum(col("n_tokens")).as("n_total"))
+    val planned = counts.crossJoin(broadcast(z))
+      .withColumn("target_share", round(col("w_g") / col("z"), 9))
+      .withColumn("epochs",
+        round(least(lit(maxEpochs),
+          lit(budgetEpochs) * col("n_total") * col("target_share") / col("n_tokens")), 6))
+      .withColumn("achieved_tokens",
+        round(col("epochs") * col("n_tokens"), 0).cast("long"))
+    val total = planned.agg(sum(col("achieved_tokens")).as("a_total"))
+    planned.crossJoin(broadcast(total))
+      .select(col("source"), col("n_tokens"), col("target_share"), col("epochs"),
+        col("achieved_tokens"),
+        round(col("achieved_tokens").cast("double") / col("a_total"), 6).as("achieved_share"))
+      .orderBy("source")
+  }
+
+  def mixEpochsSql(alpha: Double = 0.5, budgetEpochs: Double = 2.0,
+      maxEpochs: Double = 4.0): String =
+    s"""WITH toks AS (
+       |  SELECT source, lower(trim(w)) AS word
+       |  FROM (SELECT source, unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents)
+       |  WHERE lower(trim(w)) <> ''
+       |), counts AS (
+       |  SELECT source, count(*) AS n_tokens,
+       |    pow(CAST(count(*) AS DOUBLE), $alpha) AS w_g
+       |  FROM toks GROUP BY source
+       |), z AS (SELECT sum(w_g) AS z, sum(n_tokens) AS n_total FROM counts),
+       |planned AS (
+       |  SELECT source, n_tokens,
+       |    round(w_g / z, 9) AS target_share,
+       |    round(least($maxEpochs, $budgetEpochs * n_total * round(w_g / z, 9) / n_tokens), 6) AS epochs
+       |  FROM counts CROSS JOIN z
+       |), achieved AS (
+       |  SELECT source, n_tokens, target_share, epochs,
+       |    CAST(round(epochs * n_tokens, 0) AS BIGINT) AS achieved_tokens
+       |  FROM planned
+       |), total AS (SELECT sum(achieved_tokens) AS a_total FROM achieved)
+       |SELECT source, n_tokens, target_share, epochs, achieved_tokens,
+       |  round(CAST(achieved_tokens AS DOUBLE) / a_total, 6) AS achieved_share
+       |FROM achieved CROSS JOIN total ORDER BY source""".stripMargin
 
   def curateSql(minQuality: Double = 0.5, spanK: Int = 10): String = {
     val stops = TextAnalysis.stopListSql("en")
