@@ -586,6 +586,116 @@ object Curate {
        |  round(CAST(achieved_tokens AS DOUBLE) / a_total, 6) AS achieved_share
        |FROM achieved CROSS JOIN total ORDER BY source""".stripMargin
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling") — the
+    * pick-what-looks-like-the-target selection every curated
+    * pretraining mix runs: score each document by the log-likelihood
+    * ratio of its text under a TARGET bag-of-hashed-ngrams model vs
+    * the SOURCE model. Target here is the English sub-corpus (the
+    * in-domain seed a real run would point at a quality reference);
+    * source is everything else. Both models are Laplace-smoothed
+    * hashed-unigram histograms over `buckets` cells — hashing is what
+    * makes the method 100 TB-cheap: the model is a FIXED-size table
+    * however large the vocabulary, so it broadcasts by construction
+    * (the hint is safe — ≤`buckets` rows is a constant bound, the same
+    * policy as the nation/region dims), and scoring is one map-side
+    * join + one doc-keyed aggregate. Per-doc score = mean over tokens
+    * of ln p_t(bucket) − ln p_s(bucket), rounded 6dp (the
+    * `quality_unigram_lp` float-sum precedent). The md5-derived bucket
+    * is engine-portable; counts are exact LONGs, so both engines log
+    * identical doubles.
+    */
+  def dsirWeights(t: Tables, buckets: Int = 256): DataFrame = {
+    val toks = t.documents
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), "\\s+")).as("w"))
+      .select(col("doc_id"), col("lang"), lower(trim(col("w"))).as("word"))
+      .filter(col("word") =!= "")
+      .withColumn("b", conv(substring(md5(col("word")), 1, 8), 16, 10)
+        .cast("long") % buckets)
+    val counts = toks.groupBy("b").agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"),
+      sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("c_s"))
+    val totals = counts.agg(sum(col("c_t")).as("n_t"), sum(col("c_s")).as("n_s"))
+    val lm = counts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        ((col("c_t") + 1).cast("double") / (col("n_t") + lit(buckets))).as("p_t"),
+        ((col("c_s") + 1).cast("double") / (col("n_s") + lit(buckets))).as("p_s"))
+    toks.join(broadcast(lm), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("p_t")) - log(col("p_s"))), 6).as("dsir_logratio"))
+      .orderBy("doc_id")
+  }
+
+  private def dsirCte(buckets: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, lower(trim(w)) AS word
+       |  FROM (SELECT doc_id, lang, unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents)
+       |  WHERE lower(trim(w)) <> ''
+       |), tb AS (
+       |  SELECT doc_id, lang, ('0x' || substr(md5(word), 1, 8))::BIGINT % $buckets AS b
+       |  FROM toks
+       |), counts AS (
+       |  SELECT b, sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_t,
+       |    sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS c_s
+       |  FROM tb GROUP BY b
+       |), tot AS (SELECT sum(c_t) AS n_t, sum(c_s) AS n_s FROM counts),
+       |lm AS (
+       |  SELECT b, CAST(c_t + 1 AS DOUBLE) / (n_t + $buckets) AS p_t,
+       |    CAST(c_s + 1 AS DOUBLE) / (n_s + $buckets) AS p_s
+       |  FROM counts CROSS JOIN tot
+       |), scored AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |    round(avg(ln(p_t) - ln(p_s)), 6) AS dsir_logratio
+       |  FROM tb JOIN lm USING (b)
+       |  GROUP BY doc_id
+       |)""".stripMargin
+
+  def dsirWeightsSql(buckets: Int = 256): String =
+    s"""${dsirCte(buckets)}
+       |SELECT doc_id, n_tokens, dsir_logratio FROM scored ORDER BY doc_id""".stripMargin
+
+  /** The RESAMPLING half of DSIR: a deterministic weight-proportional
+    * sample with weight exp(dsir_logratio) — documents that look like
+    * the target are proportionally likelier to be kept, but the
+    * source's diversity still enters (the paper's argument for
+    * sampling over top-k truncation). Selection is the
+    * `q_weighted_sample` sequential-Poisson machinery verbatim: key =
+    * md5-uniform / weight, k smallest via TakeOrdered — no RNG state,
+    * reproducible across engines and cluster sizes. The weight is the
+    * paper's UNNORMALIZED sequence likelihood ratio p_t(x)/p_s(x) =
+    * exp(mean · n_tokens) — the per-token mean is the length-robust
+    * REPORTING score, but resampling must weight whole documents or a
+    * 500-token on-target doc ties a 5-token one. The exponent is
+    * clamped at ±50 (identically in both engines) so an extreme doc
+    * saturates instead of overflowing to Inf; it is built from the
+    * 6dp-ROUNDED mean, so both engines exponentiate the identical
+    * double.
+    */
+  def dsirSample(t: Tables, k: Int = 100, buckets: Int = 256): DataFrame = {
+    val scored = dsirWeights(t, buckets)
+    val u = conv(substring(md5(concat(lit("dsir:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+    scored
+      .withColumn("key", u / exp(least(lit(50.0), greatest(lit(-50.0),
+        col("dsir_logratio") * col("n_tokens")))))
+      .orderBy(col("key"), col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("n_tokens"), col("dsir_logratio"))
+      .orderBy("doc_id")
+  }
+
+  def dsirSampleSql(k: Int = 100, buckets: Int = 256): String =
+    s"""${dsirCte(buckets)}
+       |SELECT doc_id, n_tokens, dsir_logratio
+       |FROM (
+       |  SELECT *, ('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |      / 1152921504606846976.0
+       |      / exp(least(50.0, greatest(-50.0, dsir_logratio * n_tokens))) AS key
+       |  FROM scored
+       |  ORDER BY key, doc_id LIMIT $k
+       |) ORDER BY doc_id""".stripMargin
+
   def curateSql(minQuality: Double = 0.5, spanK: Int = 10): String = {
     val stops = TextAnalysis.stopListSql("en")
     s"""WITH keeps AS (

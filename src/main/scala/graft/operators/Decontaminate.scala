@@ -91,6 +91,40 @@ object Decontaminate {
       .orderBy("doc_id")
   }
 
+  /** Per-source contamination rollup — the model-card table a release
+    * review reads (share of each training source that overlaps the
+    * eval suite), composed from [[contaminationQuery]]'s exact pair
+    * set: distinct contaminated train docs → left join back to the
+    * training manifest → per-source rate. The pair set is the
+    * expensive part and it is the already-gated query; the rollup adds
+    * one broadcast-sized join (contaminated ids ≪ corpus) and one
+    * source-keyed aggregate of exact LONGs.
+    */
+  def contaminationRates(t: Tables, n: Int = 3, minOverlap: Long = 3): DataFrame = {
+    val contaminated = contaminationQuery(t, n, minOverlap)
+      .select(col("train_id")).distinct()
+    t.documents.filter(col("doc_id") % 19 =!= 0)
+      .join(broadcast(contaminated), col("doc_id") === col("train_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_train_docs"),
+        sum(when(col("train_id").isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
+      .select(col("source"), col("n_train_docs"), col("n_contaminated"),
+        round(col("n_contaminated").cast("double") / col("n_train_docs"), 6)
+          .as("contamination_rate"))
+      .orderBy("source")
+  }
+
+  def contaminationRatesSql(n: Int = 3, minOverlap: Long = 3): String =
+    s"""WITH pairs AS (${contaminationSql(n, minOverlap)}),
+       |bad AS (SELECT DISTINCT train_id FROM pairs)
+       |SELECT source, count(*) AS n_train_docs,
+       |  CAST(sum(CASE WHEN train_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       |  round(CAST(sum(CASE WHEN train_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+       |    AS contamination_rate
+       |FROM documents d LEFT JOIN bad ON d.doc_id = bad.train_id
+       |WHERE d.doc_id % 19 <> 0
+       |GROUP BY source ORDER BY source""".stripMargin
+
   def contaminationSql(n: Int = 3, minOverlap: Long = 3): String =
     s"""WITH sh AS (
        |  SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle_hash
