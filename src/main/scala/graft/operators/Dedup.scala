@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -1176,4 +1177,102 @@ object Dedup {
        |  quantile_cont(abs_err, 0.9) AS p90_abs_err,
        |  max(abs_err) AS max_abs_err
        |FROM errs""".stripMargin
+
+  /** WITHIN-document repeated-span removal — the intra-doc REWRITE
+    * companion to [[substringSpansOf]]'s cross-doc reporter and
+    * `quality_repetition`'s scorer (Gopher/RefinedWeb pipelines run
+    * exactly this cut: a crawl page repeating its own boilerplate
+    * paragraph keeps ONE copy). Semantics are position-exact: every
+    * overlapping `k`-token window is hashed; a window whose hash
+    * already occurred EARLIER in the same document marks its token
+    * range; marked ranges coalesce into maximal spans; the rewrite
+    * keeps every unmarked token in original order. Position 0 can
+    * never be marked (the first window is by definition a first
+    * occurrence), so the kept text is never empty.
+    *
+    * The gate pins the rewrite itself, not just counts: `kept_fp` is
+    * the md5 of the kept tokens in order — any off-by-one in span
+    * arithmetic or ordering moves it.
+    *
+    * Scale shape: windows are (doc_id, start, hash) rows — one per
+    * corpus token, text never in the exploded stream; both windows
+    * (first-occurrence min and islands) are PARTITIONED BY doc_id, so
+    * state is per-doc, never global; the only doc-sized rows are the
+    * final kept-text assembly, which any rewrite must materialize
+    * anyway (and which stays one map-side array op per doc).
+    */
+  def withinDocDedup(t: Tables, k: Int = 3): DataFrame =
+    withinDocDedupOf(t.documents, k)
+
+  def withinDocDedupOf(docs: DataFrame, k: Int = 3): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ").as("w"))
+      .filter(size(col("w")) >= k)
+    val wins = toks
+      .select(col("doc_id"), col("w"),
+        explode(expr(s"sequence(0, size(w) - $k)")).as("j"))
+      .select(col("doc_id"), col("j"),
+        md5(array_join(slice(col("w"), col("j") + 1, lit(k)), " ")).as("h"))
+    val wFirst = Window.partitionBy(col("doc_id"), col("h"))
+    val marked = wins
+      .withColumn("first_j", min(col("j")).over(wFirst))
+      .filter(col("j") > col("first_j"))
+      .select(col("doc_id"), explode(expr(s"sequence(j, j + ${k - 1})")).as("pos"))
+      .distinct()
+    val wPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = marked
+      .withColumn("grp", col("pos") - row_number().over(wPos))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("cut_tokens"),
+        countDistinct(col("grp")).as("n_spans"))
+    val cuts = marked.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("cuts"))
+    val kept = toks.join(cuts, Seq("doc_id"))
+      .withColumn("keptArr", expr("filter(w, (x, i) -> NOT array_contains(cuts, i))"))
+      .select(col("doc_id"),
+        size(col("keptArr")).cast("long").as("kept_tokens"),
+        md5(array_join(col("keptArr"), " ")).as("kept_fp"))
+    spans.join(kept, Seq("doc_id"))
+      .select("doc_id", "cut_tokens", "n_spans", "kept_tokens", "kept_fp")
+      .orderBy("doc_id")
+  }
+
+  def withinDocDedupSql(k: Int = 3): String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+       |  FROM documents
+       |), t AS (
+       |  SELECT doc_id, w, len(w) AS n FROM d WHERE len(w) >= $k
+       |), wins AS (
+       |  SELECT doc_id, i AS j, md5(array_to_string(w[i + 1 : i + $k], ' ')) AS h
+       |  FROM t, unnest(range(0, n - $k + 1)) r(i)
+       |), dup AS (
+       |  SELECT doc_id, j FROM (
+       |    SELECT doc_id, j, min(j) OVER (PARTITION BY doc_id, h) AS fj FROM wins)
+       |  WHERE j > fj
+       |), marked AS (
+       |  SELECT DISTINCT doc_id, j + o AS pos FROM dup, unnest(range(0, $k)) r(o)
+       |), spans AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS cut_tokens,
+       |    CAST(count(DISTINCT grp) AS BIGINT) AS n_spans
+       |  FROM (SELECT doc_id, pos,
+       |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |        FROM marked)
+       |  GROUP BY doc_id
+       |), posx AS (
+       |  SELECT doc_id, i AS p, w[i + 1] AS tok FROM t, unnest(range(0, n)) r(i)
+       |), kept AS (
+       |  SELECT posx.doc_id, p, tok
+       |  FROM posx LEFT JOIN marked m ON m.doc_id = posx.doc_id AND m.pos = posx.p
+       |  WHERE m.pos IS NULL
+       |), keptagg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+       |    md5(string_agg(tok, ' ' ORDER BY p)) AS kept_fp
+       |  FROM kept GROUP BY doc_id
+       |)
+       |SELECT s.doc_id, s.cut_tokens, s.n_spans, ka.kept_tokens, ka.kept_fp
+       |FROM spans s JOIN keptagg ka ON ka.doc_id = s.doc_id
+       |ORDER BY s.doc_id""".stripMargin
 }

@@ -139,6 +139,126 @@ object Layout {
        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Reproducible global shuffle into training shards — the write-order
+    * step between curation and tokenization. Training wants the corpus
+    * in a random but REPRODUCIBLE order (restarts, audits, and data
+    * ablations must see byte-identical shards); the textbook
+    * `ORDER BY random()` is neither reproducible nor scalable (a global
+    * sort barrier over 100 TB). This is the hash-shuffle form instead:
+    *
+    *   - shard  = md5(seed:doc_id) first 8 hex chars, mod `nShards` —
+    *     pure map-side math, no coordination;
+    *   - within-shard order = the full 32-char hash (lowercase
+    *     fixed-width hex, so STRING order == numeric order in any
+    *     engine), tie-broken by doc_id;
+    *   - the only exchange is the shard partitioning itself — exactly
+    *     the shuffle the shard WRITE already requires, so the "global
+    *     sort" costs nothing beyond the write's own movement. No
+    *     unpartitioned window or global sort exists in the plan.
+    *
+    * The gated output is the per-shard manifest with an ORDER-SENSITIVE
+    * checksum: Σ pos·h32 mod p over the shard (h32 = an independent
+    * 32-bit slice of the hash). Any permutation of the within-shard
+    * order moves the checksum, so the gate pins the exact byte order a
+    * writer would emit, not just shard membership. Bound: pos ≤ 2^21
+    * docs/shard and h32 < 2^32 keep each term < 2^53 (exact in BIGINT
+    * and DOUBLE); terms are reduced mod 1e9+7 before summing, so the
+    * sum stays exact below 2^23 docs/shard — far past any real shard.
+    */
+  def globalShuffle(t: Tables, seed: Long = 42L, nShards: Int = 8): DataFrame =
+    globalShuffleOf(t.documents, seed, nShards)
+
+  def globalShuffleOf(docs: DataFrame, seed: Long, nShards: Int): DataFrame = {
+    val h = md5(concat(lit(s"shuf$seed:"), col("doc_id").cast("string")))
+    val keyed = docs.select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+      h.as("h"),
+      (conv(substring(h, 1, 8), 16, 10).cast("long") % nShards).as("shard_id"),
+      conv(substring(h, 9, 8), 16, 10).cast("long").as("h32"))
+    val w = Window.partitionBy(col("shard_id")).orderBy(col("h"), col("doc_id"))
+    keyed
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(pmod(col("pos") * col("h32"), lit(1000000007L))).as("order_fp"))
+      .orderBy("shard_id")
+  }
+
+  def globalShuffleSql(seed: Long = 42L, nShards: Int = 8): String =
+    s"""WITH k AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |    md5('shuf$seed:' || CAST(doc_id AS VARCHAR)) AS h
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id, n_tokens, h,
+       |    ('0x' || substr(h, 1, 8))::BIGINT % $nShards AS shard_id,
+       |    ('0x' || substr(h, 9, 8))::BIGINT AS h32
+       |  FROM k
+       |), p AS (
+       |  SELECT shard_id, n_tokens, h32,
+       |    CAST(row_number() OVER (PARTITION BY shard_id ORDER BY h, doc_id) AS BIGINT) AS pos
+       |  FROM s
+       |)
+       |SELECT shard_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum((pos * h32) % 1000000007) AS BIGINT) AS order_fp
+       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Sequence-length bucketing — the batch-shape planner that decides
+    * the padding budget before a training run. Documents are binned to
+    * the smallest power-of-two context that holds them (floor 16, cap
+    * `cap`); per bucket the manifest reports the docs, the real tokens,
+    * the PADDING a fixed-shape batch of that length would waste, and
+    * the tokens TRUNCATED off docs that overflow the cap — the two
+    * numbers that trade against each other when picking bucket
+    * boundaries. Pure map-side CASE math + one tiny aggregate; the
+    * bucket boundary chain is integer CASE, not log2 (exact and
+    * engine-portable where float log at exact powers of two is not).
+    */
+  def lengthBuckets(t: Tables, cap: Int = 512): DataFrame =
+    lengthBucketsOf(t.documents, cap)
+
+  def lengthBucketsOf(docs: DataFrame, cap: Int): DataFrame = {
+    val n = size(split(trim(col("text")), "\\s+")).cast("long")
+    val boundaries = Iterator.iterate(16)(_ * 2).takeWhile(_ <= cap).toSeq
+    val bucket = boundaries.init.foldRight(lit(boundaries.last.toLong)) {
+      (b, rest) => when(n <= b, lit(b.toLong)).otherwise(rest)
+    }
+    docs
+      .select(n.as("n_tokens"), bucket.as("bucket_len"))
+      .withColumn("kept", least(col("n_tokens"), col("bucket_len")))
+      .groupBy(col("bucket_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("bucket_len") - col("kept")).as("pad_tokens"),
+        sum(col("n_tokens") - col("kept")).as("trunc_tokens"))
+      .withColumn("pad_frac",
+        round(col("pad_tokens").cast("double") /
+          (col("n_docs") * col("bucket_len")).cast("double"), 6))
+      .orderBy("bucket_len")
+  }
+
+  def lengthBucketsSql(cap: Int = 512): String = {
+    val boundaries = Iterator.iterate(16)(_ * 2).takeWhile(_ <= cap).toSeq
+    val cases = boundaries.init.map(b => s"WHEN n_tokens <= $b THEN $b").mkString(" ")
+    s"""WITH tok AS (
+       |  SELECT CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), b AS (
+       |  SELECT n_tokens,
+       |    CAST(CASE $cases ELSE ${boundaries.last} END AS BIGINT) AS bucket_len,
+       |    CAST(least(n_tokens, CASE $cases ELSE ${boundaries.last} END) AS BIGINT) AS kept
+       |  FROM tok
+       |)
+       |SELECT bucket_len, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(bucket_len - kept) AS BIGINT) AS pad_tokens,
+       |  CAST(sum(n_tokens - kept) AS BIGINT) AS trunc_tokens,
+       |  round(CAST(sum(bucket_len - kept) AS DOUBLE) / (count(*) * bucket_len), 6) AS pad_frac
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def qZorderSql(bits: Int = 10): String =
     s"""WITH d AS (
        |  SELECT event_id,

@@ -143,6 +143,45 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(n == 3)
   }
 
+  test("withinDocDedupOf cuts exactly the repeat spans and fingerprints the rewrite") {
+    val corpus = Seq(
+      // one repeat of the opening 3-gram: windows j=3 ("a b c") dups
+      // j=0 -> marked {3,4,5}, one span, kept "a b c d"
+      (0L, "a b c a b c d"),
+      // overlapping dup windows j=2,j=3 -> marked {2,3,4,5}, ONE span,
+      // kept "x y"
+      (1L, "x y x y x y"),
+      // two separated repeats of "p q r" -> TWO spans {4..6} {8..10},
+      // kept "p q r s t"
+      (2L, "p q r s p q r t p q r"),
+      // no within-doc repeat -> absent from output
+      (3L, "m n o m n p"),
+      // case/whitespace-normalized before hashing: same as doc 0
+      (4L, "A b  C a B c D"),
+      (5L, "xs")).toDF("doc_id", "text")
+    val md5of = (s: String) =>
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val out = Dedup.withinDocDedupOf(corpus, k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 4L))
+    assert(out(0L) == ((3L, 1L, 4L, md5of("a b c d"))))
+    assert(out(1L) == ((4L, 1L, 2L, md5of("x y"))))
+    assert(out(2L) == ((6L, 2L, 5L, md5of("p q r s t"))))
+    assert(out(4L) == out(0L))
+  }
+
+  test("withinDocDedupOf rewrite conserves tokens: kept + cut == doc length") {
+    val t = graft.sources.Tables(spark, TestSpark.sf)
+    val n = Dedup.withinDocDedup(t, k = 3)
+      .withColumn("total", col("kept_tokens") + col("cut_tokens"))
+      .join(t.documents.select(col("doc_id"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n_tok")), Seq("doc_id"))
+      .filter(col("total") =!= col("n_tok")).count()
+    assert(n == 0, "kept + cut must equal the tokenized doc length for every rewritten doc")
+  }
+
   test("vocabBuildOf: floor above every freq yields empty, not a crash; ties break word-asc") {
     assert(graft.operators.TextAnalysis.vocabBuildOf(docs, minCount = 100L).count() == 0)
     // hello/world and a/b/c tie within their freq classes → word order

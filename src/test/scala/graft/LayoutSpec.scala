@@ -139,3 +139,85 @@ class PackShardsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }
+
+/** q_global_shuffle: the hash-shuffle write order must be reproducible
+  * (same seed → bit-identical manifest), seed-sensitive, conserving
+  * (every doc and token lands in exactly one shard), and ORDER-
+  * sensitive (the checksum moves when the within-shard order does).
+  */
+class GlobalShuffleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def t = Tables(spark, TestSpark.sf)
+
+  test("same seed is bit-identical; different seed moves every checksum") {
+    val a = Layout.globalShuffle(t, seed = 42L).collect().map(_.toSeq).toSeq
+    val b = Layout.globalShuffle(t, seed = 42L).collect().map(_.toSeq).toSeq
+    assert(a == b, "same-seed shuffle must be reproducible")
+    val c = Layout.globalShuffle(t, seed = 43L).collect().map(_.toSeq).toSeq
+    assert(a.map(_.last).toSet.intersect(c.map(_.last).toSet).isEmpty,
+      "a different seed must move every shard's order checksum")
+  }
+
+  test("manifest conserves docs and tokens across shards") {
+    val rows = Layout.globalShuffle(t, nShards = 8).collect()
+    assert(rows.map(_.getLong(0)).toSet.subsetOf((0L until 8L).toSet))
+    assert(rows.map(_.getLong(1)).sum == t.documents.count())
+    val direct = t.documents
+      .agg(sum(size(split(trim(col("text")), "\\s+")).cast("long"))).head.getLong(0)
+    assert(rows.map(_.getLong(2)).sum == direct)
+  }
+
+  test("checksum is order-sensitive: permuting within-shard order moves it") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // tiny corpus, one shard: recompute the checksum with the order
+    // REVERSED — same membership, same h32 values, different positions
+    val docs = (0L until 40L).map(i => (i, s"w$i x y")).toDF("doc_id", "text")
+    val fwd = Layout.globalShuffleOf(docs, seed = 7L, nShards = 1)
+      .collect()(0).getLong(3)
+    val h = md5(concat(lit("shuf7:"), col("doc_id").cast("string")))
+    val keyed = docs.select(col("doc_id"), h.as("h"),
+      conv(substring(h, 9, 8), 16, 10).cast("long").as("h32"))
+    val wRev = Window.partitionBy(lit(0)).orderBy(col("h").desc, col("doc_id").desc)
+    val rev = keyed.withColumn("pos", row_number().over(wRev).cast("long"))
+      .agg(sum(pmod(col("pos") * col("h32"), lit(1000000007L)))).head.getLong(0)
+    assert(fwd != rev, "reversed order must change the order checksum")
+  }
+}
+
+/** q_length_buckets: bucket assignment is the smallest power-of-two
+  * holding the doc (floor 16, cap 512); padding and truncation are
+  * accounted exactly.
+  */
+class LengthBucketsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def t = Tables(spark, TestSpark.sf)
+
+  test("hand-walked buckets, padding and truncation") {
+    import spark.implicits._
+    val mk = (n: Int) => (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (0L, mk(1)),    // bucket 16, pad 15
+      (1L, mk(16)),   // bucket 16, pad 0
+      (2L, mk(17)),   // bucket 32, pad 15
+      (3L, mk(100)),  // bucket 128, pad 28
+      (4L, mk(600))   // bucket 512 (cap), pad 0, trunc 88
+    ).toDF("doc_id", "text")
+    val out = Layout.lengthBucketsOf(docs, cap = 512).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out(16L) == ((2L, 17L, 15L, 0L)))
+    assert(out(32L) == ((1L, 17L, 15L, 0L)))
+    assert(out(128L) == ((1L, 100L, 28L, 0L)))
+    assert(out(512L) == ((1L, 600L, 0L, 88L)))
+  }
+
+  test("every doc lands in exactly one bucket; pad_frac bounded") {
+    val rows = Layout.lengthBuckets(t).collect()
+    assert(rows.map(_.getLong(1)).sum == t.documents.count())
+    rows.foreach { r =>
+      val frac = r.getDouble(5)
+      assert(frac >= 0.0 && frac < 1.0, s"pad_frac out of range: $frac")
+    }
+  }
+}
