@@ -134,8 +134,8 @@ object Bench {
     // a typo must not silently print a clean-looking empty run.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // section sentinels: not queries, but runnable alone for iteration
-    val sentinels = Set("skew_pair", "ladder_x10", "ladder_x100", "ann_recall",
-      "flagship_ladder", "ladder_x100_sentinel")
+    val sentinels = Set("skew_pair", "ladder_x10", "ladder_x100", "ladder_x1000",
+      "ann_recall", "flagship_ladder", "ladder_x100_sentinel")
     only.foreach { names =>
       val unknown = names -- SparkEntry.queries.keySet -- sentinels
       if (unknown.nonEmpty) {
@@ -426,7 +426,8 @@ object Bench {
     //   cross-replica cosines drop to random-pair level — replicas are
     //   genuinely dissimilar, so bucket/candidate-based queries measure
     //   a real N× corpus, not synthetic near-dup structure.
-    def replicate(factor: Int, outDir: String, graphTables: Boolean): Unit = {
+    def replicate(factor: Int, outDir: String, graphTables: Boolean,
+        docsOnly: Boolean = false): Unit = {
       val rep = explode(sequence(lit(0), lit(factor - 1)))
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -463,10 +464,18 @@ object Bench {
       }
       // letters-only base-26 replica code ("qab" for r=1): a pure [a-z]
       // run keeps ws token counts identical to the base corpus (BPE
-      // counts identical for letter-ending tokens — see above)
-      val code = concat(lit("q"),
-        chr(pmod(floor(col("replica") / 26), lit(26)) + lit(97)),
-        chr(pmod(col("replica"), lit(26)) + lit(97)))
+      // counts identical for letter-ending tokens — see above). Two
+      // letters address 676 replicas; factors beyond that (the ×1000
+      // rung) take a third letter — same scheme, one digit wider, and
+      // the ≤676 dirs keep their committed-artifact contents bit-stable.
+      val code =
+        if (factor <= 676) concat(lit("q"),
+          chr(pmod(floor(col("replica") / 26), lit(26)) + lit(97)),
+          chr(pmod(col("replica"), lit(26)) + lit(97)))
+        else concat(lit("q"),
+          chr(pmod(floor(col("replica") / 676), lit(26)) + lit(97)),
+          chr(pmod(floor(col("replica") / 26), lit(26)) + lit(97)),
+          chr(pmod(col("replica"), lit(26)) + lit(97)))
       docs
         .withColumn("replica", rep)
         .withColumn("text", when(col("replica") === 0, col("text"))
@@ -475,31 +484,38 @@ object Bench {
         .withColumn("n_chars", length(col("text")).cast("long"))
         .select("doc_id", "text", "lang", "source", "n_chars")
         .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-      val dim = 64
-      val rot = transform(sequence(lit(0), lit(dim - 1)),
-        i => element_at(col("embedding"), (pmod(i + col("replica"), lit(dim)) + 1).cast("int")))
-      val flipped = transform(rot, (x, i) =>
-        when(col("replica") >= dim && pmod(i, lit(2)) === 1, -x).otherwise(x).cast("float"))
-      embs
-        .withColumn("replica", rep)
-        .withColumn("embedding",
-          when(col("replica") === 0, col("embedding")).otherwise(flipped))
-        .withColumn("vec_id", col("vec_id") + col("replica") * lit(10000000L))
-        .select("vec_id", "embedding", "label")
-        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-      // part (the dedup_fuzzy input): replica names get FOUR copies of a
-      // replica-distinct letter, so any two replicas of a name sit at
-      // edit distance >= 4 — beyond fuzzyNamePairs' maxDist=3, keeping
-      // replicas disjoint for the edit-distance ladder (26-replica cap;
-      // fuzzy is only laddered at ×10)
-      val nameCode = repeat(chr(pmod(col("replica"), lit(26)) + lit(97)), 4)
-      prt
-        .withColumn("replica", rep)
-        .withColumn("p_partkey", col("p_partkey") + col("replica") * lit(10000000L))
-        .withColumn("p_name", when(col("replica") === 0, col("p_name"))
-          .otherwise(concat(col("p_name"), nameCode)))
-        .drop("replica")
-        .write.mode("overwrite").parquet(s"$outDir/part.parquet")
+      // docsOnly (the ×1000 rung): only text-banded queries ride the
+      // rung, and a 1000× embeddings tree is GBs of floats the rung
+      // never reads (the orthogonal-transform family also exhausts at
+      // 2·dim distinct images — past 128 replicas the embedding corpus
+      // would carry synthetic cross-replica duplicates)
+      if (!docsOnly) {
+        val dim = 64
+        val rot = transform(sequence(lit(0), lit(dim - 1)),
+          i => element_at(col("embedding"), (pmod(i + col("replica"), lit(dim)) + 1).cast("int")))
+        val flipped = transform(rot, (x, i) =>
+          when(col("replica") >= dim && pmod(i, lit(2)) === 1, -x).otherwise(x).cast("float"))
+        embs
+          .withColumn("replica", rep)
+          .withColumn("embedding",
+            when(col("replica") === 0, col("embedding")).otherwise(flipped))
+          .withColumn("vec_id", col("vec_id") + col("replica") * lit(10000000L))
+          .select("vec_id", "embedding", "label")
+          .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+        // part (the dedup_fuzzy input): replica names get FOUR copies of a
+        // replica-distinct letter, so any two replicas of a name sit at
+        // edit distance >= 4 — beyond fuzzyNamePairs' maxDist=3, keeping
+        // replicas disjoint for the edit-distance ladder (26-replica cap;
+        // fuzzy is only laddered at ×10)
+        val nameCode = repeat(chr(pmod(col("replica"), lit(26)) + lit(97)), 4)
+        prt
+          .withColumn("replica", rep)
+          .withColumn("p_partkey", col("p_partkey") + col("replica") * lit(10000000L))
+          .withColumn("p_name", when(col("replica") === 0, col("p_name"))
+            .otherwise(concat(col("p_name"), nameCode)))
+          .drop("replica")
+          .write.mode("overwrite").parquet(s"$outDir/part.parquet")
+      }
     }
 
     // ---- ×100 sentinel (r13, VERDICT r12 #2): the default budget cut
@@ -732,7 +748,7 @@ object Bench {
           // separately so a tight budget skips the whole rung up front
           // instead of timing out inside the build
           if (remaining() < buildNeedSec) { skipped += s"${tag}_build"; return }
-          replicate(factor, dir, graphTables = factor <= 10)
+          replicate(factor, dir, graphTables = factor <= 10, docsOnly = factor > 100)
           java.nio.file.Files.createFile(built.toPath): Unit
         }
         gate(tag, 90) {
@@ -748,6 +764,19 @@ object Bench {
     // min-of-2 (see ladderRepsX100 above: rep 1 pays the .cache()
     // builds, rep 2 is the steady-state number the ladder reports).
     rung("ladder_x100", 100, x100Queries, ladderRepsX100, buildNeedSec = 900)
+    // ×1000 (r13): a THIRD decade for exactly the two banded-candidate
+    // carriers of the 100 TB claim — 5M documents, docs-only replica
+    // tree (no query here reads embeddings/part; see docsOnly above).
+    // Everything corpus-linear is already pinned at ×100; what a new
+    // decade can still falsify is the banded pair path silently going
+    // quadratic, so only that class pays for the rung. Sized to fit the
+    // tail of a 3600 s full-depth run and to be cleanly skipped (with
+    // the marker) under the default driver budget. bpe_train_local is
+    // deliberately absent: its vocabulary at ×1000 (~12M entries)
+    // exceeds the maxVocab=5M driver guard — the guard working as
+    // designed, documented here instead of tripped in a bench.
+    rung("ladder_x1000", 1000, Seq("dedup_minhash_lsh", "dedup_containment_capped"),
+      ladderRepsX100, buildNeedSec = 1200)
 
     emit("final", toStdout = true)
     spark.stop()
