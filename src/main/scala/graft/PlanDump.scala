@@ -55,6 +55,10 @@ object PlanDump {
         Skew.shareWindowForm(t.events),
       "pack_shards (distributed two-phase prefix sum; only the <=32-row offsets window is unpartitioned)" ->
         Layout.packShards(t),
+      "q_global_shuffle (map-side hash shard key; the ONLY exchange is the shard partitioning the write pays anyway)" ->
+        Layout.globalShuffle(t),
+      "dedup_within_doc (doc-partitioned windows only; text absent from the exploded hash stream)" ->
+        Dedup.withinDocDedup(t),
       "url_canonicalize (planted variants, one scan, one groupBy on the canonical string)" ->
         Curate.urlCanonicalize(t),
       "neardup_gate batch twin (per-row inline band keys, stateless band join — the streaming shape)" ->
