@@ -198,7 +198,8 @@ object Bench {
     // (and any query whose final p50 still reads suspect) lands in the
     // artifact's "contention" map, so a residual spike is attributable
     // instead of masquerading as a plan regression.
-    case class Contention(rejected: Int, extBusy: Double, unresolved: Boolean)
+    case class Contention(rejected: Int, extBusy: Double, unresolved: Boolean,
+      coldSuspect: Boolean = false, coldExtBusy: Double = -1.0)
     val contention = scala.collection.mutable.LinkedHashMap.empty[String, Contention]
     var extraRepsLeft = 30
     val stats = suite.map { case (name, fn) =>
@@ -216,6 +217,14 @@ object Bench {
           if (oneWarmFrom.isEmpty) { oneWarmFrom = Some(name); skipped += s"suite_one_warm_from:$name" }
           math.min(reps - 1, 1)
         }
+        // r14 (VERDICT r13 #2, funding option): sub-300 ms queries — the
+        // cheap majority whose p50s have been rotation-stable for five
+        // rounds — drop from 4 warm reps to 2. Saves ~2 reps × ~200
+        // queries × ~0.15 s ≈ 60 s of suite time, which funds the ×10
+        // ladder rotation below. Lower-median-of-2 still rejects a
+        // single-rep spike (the q_modularity lesson), and the per-rep
+        // contention guard is unchanged.
+        else if (cold <= 0.3) math.min(reps - 1, 2)
         else if (cold <= 1.0) reps - 1
         else math.min(reps - 1, 2)
       var runningMin = if (cold >= 0) cold else Double.MaxValue
@@ -248,8 +257,18 @@ object Bench {
       // p50 still >3× the cleanest observation → contention outlasted
       // the bounded retries (or hit the caps): flag, don't fabricate.
       val unresolved = ok && p50 >= 0 && BenchPolicy.suspect(runningMin, p50)
-      if (rejected > 0 || unresolved)
-        contention(name) = Contention(rejected, lastBusy, unresolved)
+      // r14 (VERDICT r13 #6): a spiked COLD rep previously landed
+      // unattributed in stats.*.cold. Flag (never reject — see
+      // BenchPolicy.coldSuspect) with an external busy sample; the
+      // sample is taken NOW, after the warm reps, so it attributes
+      // load that persisted through the query's window — a transient
+      // spike that already drained still shows as cold_suspect with a
+      // low busy reading, which is itself the honest record.
+      val warmMin = if (accepted.nonEmpty) accepted.min else -1.0
+      val coldSus = ok && BenchPolicy.coldSuspect(warmMin, cold)
+      val coldBusy = if (coldSus) cpuBusyFraction() else -1.0
+      if (rejected > 0 || unresolved || coldSus)
+        contention(name) = Contention(rejected, lastBusy, unresolved, coldSus, coldBusy)
       name -> Stat(if (ok) cold else -1.0, p50, p95, 1 + accepted.length, !ok)
     }
     val envSuiteEnd = envSample()
@@ -300,6 +319,9 @@ object Bench {
     }
     case class Rung(dir: String, env: String, reps: Int, times: Seq[(String, Double)])
     var ladder = Vector.empty[Rung]
+    // ×10 rotation index for this run (r14, VERDICT r13 #2); -1 until
+    // the ladder section resolves it from the persisted counter.
+    var x10Rot = -1
     var sentinel: Seq[(String, Double)] = Seq.empty
     var skew: Option[(Double, Double, Long)] = None
     var recall: Seq[(String, Double)] = Seq.empty
@@ -342,13 +364,15 @@ object Bench {
       // attributable in the artifact instead of reading as a regression
       val contentionJson = if (contention.isEmpty) "" else
         contention.map { case (k, c) =>
-          "\"" + k + s"""\":{"rejected":${c.rejected},"ext_busy":${jd(c.extBusy)},"unresolved":${c.unresolved}}"""
+          val coldF = if (c.coldSuspect)
+            s""","cold_suspect":true,"cold_ext_busy":${jd(c.coldExtBusy)}""" else ""
+          "\"" + k + s"""\":{"rejected":${c.rejected},"ext_busy":${jd(c.extBusy)},"unresolved":${c.unresolved}$coldF}"""
         }.mkString(""","contention":{""", ",", "}")
       val sentinelJson = if (sentinel.isEmpty) "" else
         sentinel.map { case (n, v) => "\"" + n + "\":" + jd(v) }
           .mkString(""","ladder_x100_sentinel":{""", ",", "}")
       val budgetJson =
-        s""","budget_s":${jd(budgetS)},"elapsed_s":${jd(elapsed())},"phase":"$phase","skipped":$skippedJson"""
+        s""","budget_s":${jd(budgetS)},"elapsed_s":${jd(elapsed())},"phase":"$phase","x10_rot":$x10Rot,"skipped":$skippedJson"""
       val envJson =
         s""","env":{"drain_wait_s":${jd(drainWaitSec)},"suite_start":$envSuiteStart,"suite_end":$envSuiteEnd,"end":${envSample()}}"""
       // The harness that runs this captures only a short stdout TAIL, so
@@ -362,15 +386,24 @@ object Bench {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outFile).toAbsolutePath.getParent)
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullDoc + "\n")
       if (toStdout) {
-        val slow = stats.filter(_._2.p50 >= 0).sortBy(-_._2.p50).take(10)
-          .map { case (k, s) => "\"" + k + "\":" + jd(s.p50) }.mkString("{", ",", "}")
-        val topRung = ladder.lastOption.filter(_.times.nonEmpty).map { r =>
-          s""","ladder_top":{"dir":"${r.dir}",${r.times.map { case (n, v) => "\"" + n + "\":" + jd(v) }.mkString(",")}}"""
-        }.getOrElse("")
-        val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${stats.size},"reps":$reps,"sf":"$sfDir","failed":$failed$budgetJson$contentionJson$sentinelJson,"slowest_p50":$slow$topRung$skewJson$recallJson$flagshipJson$envJson,"full_report":"$outFile"}"""
-        if (line.length > 1900)
-          System.err.println(s"[bench] WARNING summary line is ${line.length} chars (>1900); trim slowest/ladder fields")
-        println(line)
+        // r14 (VERDICT r13 #1): the line is BOUNDED by construction in
+        // BenchSummary — r13's 1,928-char line (10 slowest + full
+        // ladder_top + the 15-label skipped list) overflowed the
+        // driver's capture window and the official artifact came back
+        // parsed:null. Caps: slowest 5, ladder times 8, skips as
+        // per-section counts; optional fragments append greedily under
+        // the 1,880-char budget. Full detail is in the file artifact.
+        println(BenchSummary.render(
+          total = total, nQueries = stats.size, reps = reps, sfDir = sfDir,
+          failed = stats.collect { case (k, s) if s.failed => k },
+          budgetS = budgetS, elapsedS = elapsed(), phase = phase,
+          skipped = skipped.toList,
+          slowest = stats.filter(_._2.p50 >= 0).sortBy(-_._2.p50)
+            .map { case (k, s) => (k, s.p50) },
+          ladderTop = ladder.lastOption.map(r => (r.dir, r.times)),
+          optionalFragments = Seq(s""","x10_rot":$x10Rot""", contentionJson,
+            sentinelJson, skewJson, recallJson, flagshipJson, envJson),
+          fullReport = outFile))
       }
     }
     // The graded number exists from this point on, whatever happens later.
@@ -678,8 +711,18 @@ object Bench {
           dir.getPath
         }
       val baseMb = srcFiles.map(_.length).sum / 1e6
-      flagship = Seq((1, 3), (10, 3), (100, 2)).flatMap { case (factor, n) =>
-        if (remaining() < 60) { skipped += s"flagship_x$factor"; None }
+      // ×1000 (r14, VERDICT r13 #5): ~15 GB — the flagship throughput
+      // story's third decade (it stopped at 1.5 GB / 261 MB/s). One rep:
+      // at this size the corpus exceeds any plausible page-cache reuse
+      // between reps, so a median of reps would measure cache state, not
+      // the pipeline; the single-rep rate is the honest cold-scan
+      // number (page-cache sensitivity documented in PERF_r14). The
+      // 700 s gate covers the one-time 15 GB file-copy build plus the
+      // run, so the rung rides only full-depth budgets and is cleanly
+      // skipped (with the marker) under the default driver budget.
+      flagship = Seq((1, 3), (10, 3), (100, 2), (1000, 1)).flatMap { case (factor, n) =>
+        val needSec = if (factor >= 1000) 700.0 else 60.0
+        if (remaining() < needSec) { skipped += s"flagship_x$factor"; None }
         else {
           val dir = corpusDir(factor)
           val ts = (1 to n).map { _ =>
@@ -758,7 +801,41 @@ object Bench {
         }
       }
     }
-    rung("ladder_x10", 10, synthQueries ++ x10Only, ladderReps, buildNeedSec = 360)
+    // r14 (VERDICT r13 #2): the official-artifact ×10 coverage was
+    // thinning round over round (r12 skipped 8 items, r13 skipped 13 of
+    // 24 — the suite grew inside the same 1500 s budget and the ladder's
+    // fixed cheap-first order meant the SAME expensive tail fell off
+    // every run). Deterministic per-run ROTATION: a counter persisted in
+    // target/ (not a clock — runs must be reproducible given the
+    // counter) splits the list into its even- and odd-indexed halves and
+    // alternates which half runs first. Each half preserves the
+    // cheap-first relative order, a run that covers one half (~12
+    // queries — r13 covered 11 under the same budget BEFORE the suite
+    // warm-rep trim above) covers its entire first half, and any two
+    // consecutive driver-shaped runs together cover every carrier.
+    // Cut queries are still recorded in "skipped"; the rotation index
+    // rides the artifact (x10_rot) so any artifact's coverage is
+    // reconstructible.
+    val x10All = synthQueries ++ x10Only
+    // counter only advances when the ×10 section actually runs, so a
+    // local SPARK_GRAFT_ONLY iteration can't skew the parity the
+    // driver's consecutive runs rely on
+    val x10Ordered = if (!sectionOn("ladder_x10")) x10All else {
+      val rotFile = java.nio.file.Paths.get(
+        s"target/bench_x10_rotation_${new java.io.File(sfDir).getName}")
+      val rotIdx =
+        try new String(java.nio.file.Files.readAllBytes(rotFile)).trim.toInt
+        catch { case _: Throwable => 0 }
+      try {
+        java.nio.file.Files.createDirectories(rotFile.toAbsolutePath.getParent)
+        java.nio.file.Files.writeString(rotFile, (rotIdx + 1).toString): Unit
+      } catch { case _: Throwable => () }
+      x10Rot = rotIdx
+      val (x10Even, x10Odd) = x10All.zipWithIndex.partition(_._2 % 2 == 0)
+      if (rotIdx % 2 == 0) x10Even.map(_._1) ++ x10Odd.map(_._1)
+      else x10Odd.map(_._1) ++ x10Even.map(_._1)
+    }
+    rung("ladder_x10", 10, x10Ordered, ladderReps, buildNeedSec = 360)
     // ×100 (~50 GB-scale shape at 100× sf0.1 rows): the second decade —
     // linear ×10→×100 growth is the evidence the 100 TB claim rides on.
     // min-of-2 (see ladderRepsX100 above: rep 1 pays the .cache()

@@ -32,6 +32,25 @@ object BenchPolicy {
   def suspect(runningMin: Double, repS: Double): Boolean =
     repS > math.max(SpikeRatio * runningMin, runningMin + SpikeFloorS)
 
+  /** Cold-rep spike rule (r14, VERDICT r13 #6): the warm guard above
+    * arbitrates warm reps only, so a spiked COLD rep landed
+    * unattributed in the artifact's `stats.*.cold`. Cold legitimately
+    * reads 2–3× warm (codegen + AQE warmup is exactly what the cold
+    * number exists to carry), so the warm thresholds would flag
+    * routine warmup on most sub-second queries; a cold rep is suspect
+    * only past 5× the warm minimum AND warm-min + 2 s. It is NEVER
+    * rejected — cold has no running min and no replacement semantics
+    * (a re-run would be warm) — only FLAGGED into the contention map
+    * with an external busy sample, so a spiked cold is attributable
+    * instead of reading as a codegen regression. `warmMin < 0` (no
+    * successful warm rep) → nothing to compare against → not suspect.
+    */
+  val ColdSpikeRatio = 5.0
+  val ColdSpikeFloorS = 2.0
+  def coldSuspect(warmMin: Double, coldS: Double): Boolean =
+    warmMin >= 0 &&
+      coldS > math.max(ColdSpikeRatio * warmMin, warmMin + ColdSpikeFloorS)
+
   /** true → discard this rep and run a replacement. */
   def reject(runningMin: Double, repS: Double, extBusy: Double,
       extrasUsed: Int, suiteExtrasLeft: Int, budgetOk: Boolean): Boolean =

@@ -415,41 +415,57 @@ object Curate {
       .orderBy("canonical_url")
   }
 
+  /** Shared planted-URL + canonicalization CTEs for BOTH URL twins
+    * (r14, ADVICE r13: dedupUrlSql previously duplicated this block
+    * verbatim, so an edit to the variant shapes or the 8-step regexp
+    * chain could silently de-sync the two oracles — and both from the
+    * Scala [[canonicalUrl]]/[[plantedUrl]] they mirror). `withLen`
+    * threads `text_len` through both CTEs for the content-aware keeper
+    * ([[dedupUrl]]); the identity manifest does not read it. The
+    * dsirCte pattern.
+    */
+  private def urlCanonCte(withLen: Boolean): String = {
+    val lenInner   = if (withLen) ", text" else ""
+    val lenPlanted = if (withLen) ", length(text) AS text_len" else ""
+    val lenCanon   = if (withLen) ", text_len" else ""
+    s"""WITH planted AS (
+       |  SELECT doc_id$lenPlanted,
+       |    CASE CAST(doc_id % 5 AS INT)
+       |      WHEN 0 THEN 'https://' || base
+       |      WHEN 1 THEN upper('http://' || base || '/')
+       |      WHEN 2 THEN 'https://www.' || base || '?utm_source=feed'
+       |      WHEN 3 THEN 'http://' || replace(base, '.com/', '.com:80/') || '#frag'
+       |      ELSE 'https://' || base || '?id=1&utm_campaign=x'
+       |    END AS url
+       |  FROM (
+       |    SELECT doc_id$lenInner,
+       |      'example' || CAST(doc_id % 97 AS VARCHAR) || '.com/path/p' || CAST(doc_id % 97 AS VARCHAR) AS base
+       |    FROM documents)
+       |), canon AS (
+       |  SELECT doc_id$lenCanon,
+       |    regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(
+       |          regexp_replace(
+       |            regexp_replace(
+       |              regexp_replace(
+       |                regexp_replace(
+       |                  regexp_replace(lower(trim(url)), '#.*$$', ''),
+       |                  '^https?://', ''),
+       |                '^www\\.', ''),
+       |              '^([^/:]+):(80|443)([/?]|$$)', '\\1\\3'),
+       |            '[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&]*', '', 'g'),
+       |          '^([^?&]+)&', '\\1?'),
+       |        '[?&]+$$', ''),
+       |      '/+$$', '') AS canonical_url
+       |  FROM planted
+       |)""".stripMargin
+  }
+
   def urlCanonicalizeSql: String =
-    """WITH planted AS (
-      |  SELECT doc_id,
-      |    CASE CAST(doc_id % 5 AS INT)
-      |      WHEN 0 THEN 'https://' || base
-      |      WHEN 1 THEN upper('http://' || base || '/')
-      |      WHEN 2 THEN 'https://www.' || base || '?utm_source=feed'
-      |      WHEN 3 THEN 'http://' || replace(base, '.com/', '.com:80/') || '#frag'
-      |      ELSE 'https://' || base || '?id=1&utm_campaign=x'
-      |    END AS url
-      |  FROM (
-      |    SELECT doc_id,
-      |      'example' || CAST(doc_id % 97 AS VARCHAR) || '.com/path/p' || CAST(doc_id % 97 AS VARCHAR) AS base
-      |    FROM documents)
-      |), canon AS (
-      |  SELECT doc_id,
-      |    regexp_replace(
-      |      regexp_replace(
-      |        regexp_replace(
-      |          regexp_replace(
-      |            regexp_replace(
-      |              regexp_replace(
-      |                regexp_replace(
-      |                  regexp_replace(lower(trim(url)), '#.*$', ''),
-      |                  '^https?://', ''),
-      |                '^www\.', ''),
-      |              '^([^/:]+):(80|443)([/?]|$)', '\1\3'),
-      |            '[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&]*', '', 'g'),
-      |          '^([^?&]+)&', '\1?'),
-      |        '[?&]+$', ''),
-      |      '/+$', '') AS canonical_url
-      |  FROM planted
-      |)
-      |SELECT canonical_url, count(*) AS n_variants, min(doc_id) AS first_doc
-      |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin
+    s"""${urlCanonCte(withLen = false)}
+       |SELECT canonical_url, count(*) AS n_variants, min(doc_id) AS first_doc
+       |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** URL-level dedup with a CONTENT-AWARE keeper — the step after
     * [[urlCanonicalize]]'s identity manifest: when several captures
@@ -478,45 +494,14 @@ object Curate {
   }
 
   def dedupUrlSql: String =
-    """WITH planted AS (
-      |  SELECT doc_id, length(text) AS text_len,
-      |    CASE CAST(doc_id % 5 AS INT)
-      |      WHEN 0 THEN 'https://' || base
-      |      WHEN 1 THEN upper('http://' || base || '/')
-      |      WHEN 2 THEN 'https://www.' || base || '?utm_source=feed'
-      |      WHEN 3 THEN 'http://' || replace(base, '.com/', '.com:80/') || '#frag'
-      |      ELSE 'https://' || base || '?id=1&utm_campaign=x'
-      |    END AS url
-      |  FROM (
-      |    SELECT doc_id, text,
-      |      'example' || CAST(doc_id % 97 AS VARCHAR) || '.com/path/p' || CAST(doc_id % 97 AS VARCHAR) AS base
-      |    FROM documents)
-      |), canon AS (
-      |  SELECT doc_id, text_len,
-      |    regexp_replace(
-      |      regexp_replace(
-      |        regexp_replace(
-      |          regexp_replace(
-      |            regexp_replace(
-      |              regexp_replace(
-      |                regexp_replace(
-      |                  regexp_replace(lower(trim(url)), '#.*$', ''),
-      |                  '^https?://', ''),
-      |                '^www\.', ''),
-      |              '^([^/:]+):(80|443)([/?]|$)', '\1\3'),
-      |            '[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&]*', '', 'g'),
-      |          '^([^?&]+)&', '\1?'),
-      |        '[?&]+$', ''),
-      |      '/+$', '') AS canonical_url
-      |  FROM planted
-      |), ranked AS (
-      |  SELECT canonical_url, doc_id, text_len,
-      |    row_number() OVER (PARTITION BY canonical_url ORDER BY text_len DESC, doc_id) AS rn,
-      |    count(*) OVER (PARTITION BY canonical_url) AS n_variants
-      |  FROM canon
-      |)
-      |SELECT canonical_url, doc_id AS kept_doc, text_len AS kept_len, n_variants
-      |FROM ranked WHERE rn = 1 ORDER BY canonical_url""".stripMargin
+    s"""${urlCanonCte(withLen = true)}, ranked AS (
+       |  SELECT canonical_url, doc_id, text_len,
+       |    row_number() OVER (PARTITION BY canonical_url ORDER BY text_len DESC, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY canonical_url) AS n_variants
+       |  FROM canon
+       |)
+       |SELECT canonical_url, doc_id AS kept_doc, text_len AS kept_len, n_variants
+       |FROM ranked WHERE rn = 1 ORDER BY canonical_url""".stripMargin
 
   /** Epoch-capped mixture planning — the OTHER half of [[domainMix]]:
     * domainMix SAMPLES docs under temperature weights; this computes

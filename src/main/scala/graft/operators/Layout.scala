@@ -157,16 +157,33 @@ object Layout {
     *     unpartitioned window or global sort exists in the plan.
     *
     * The gated output is the per-shard manifest with an ORDER-SENSITIVE
-    * checksum: Σ pos·h32 mod p over the shard (h32 = an independent
-    * 32-bit slice of the hash). Any permutation of the within-shard
-    * order moves the checksum, so the gate pins the exact byte order a
-    * writer would emit, not just shard membership. Bound: pos ≤ 2^21
-    * docs/shard and h32 < 2^32 keep each term < 2^53 (exact in BIGINT
-    * and DOUBLE); terms are reduced mod 1e9+7 before summing, so the
-    * sum stays exact below 2^23 docs/shard — far past any real shard.
+    * checksum: Σ (pos mod p)·(h32 mod p) mod p over the shard (p =
+    * 1e9+7, h32 = an independent 32-bit slice of the hash). Any
+    * permutation of the within-shard order moves the checksum, so the
+    * gate pins the exact byte order a writer would emit, not just
+    * shard membership. Both factors are mod-reduced BEFORE the product
+    * (r14, VERDICT r13 #4): the earlier pos·h32 form wrapped BIGINT
+    * silently once a shard passed ~2^31 docs; (pos mod p)·(h32 mod p)
+    * < p² ≈ 8.6e17 < 2^63 is exact for ANY pos, and by modular
+    * arithmetic the term values are identical, so existing
+    * fingerprints are unchanged. Terms < 2^30 keep the BIGINT sum
+    * exact below ~2^33 docs/shard; the SQL twin mirrors the same
+    * reduced form so both engines stay in BIGINT range (DuckDB would
+    * otherwise HUGEINT-promote and diverge exactly when Spark
+    * wrapped). [[orderFpTerm]] is the shared per-row term, unit-
+    * exercised at pos > 2^31 in LayoutSpec.
     */
   def globalShuffle(t: Tables, seed: Long = 42L, nShards: Int = 8): DataFrame =
     globalShuffleOf(t.documents, seed, nShards)
+
+  /** Order-fingerprint modulus and per-row term. Factors mod-reduce
+    * before the product so the term never leaves BIGINT range at any
+    * shard size (see the overflow note on [[globalShuffle]]); both
+    * inputs are non-negative, so `pmod`/`%` agree across engines.
+    */
+  val OrderFpP = 1000000007L
+  def orderFpTerm(pos: Column, h32: Column): Column =
+    pmod(pmod(pos, lit(OrderFpP)) * pmod(h32, lit(OrderFpP)), lit(OrderFpP))
 
   def globalShuffleOf(docs: DataFrame, seed: Long, nShards: Int): DataFrame = {
     val h = md5(concat(lit(s"shuf$seed:"), col("doc_id").cast("string")))
@@ -182,7 +199,7 @@ object Layout {
       .groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
-        sum(pmod(col("pos") * col("h32"), lit(1000000007L))).as("order_fp"))
+        sum(orderFpTerm(col("pos"), col("h32"))).as("order_fp"))
       .orderBy("shard_id")
   }
 
@@ -203,7 +220,7 @@ object Layout {
        |  FROM s
        |)
        |SELECT shard_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-       |  CAST(sum((pos * h32) % 1000000007) AS BIGINT) AS order_fp
+       |  CAST(sum(((pos % 1000000007) * (h32 % 1000000007)) % 1000000007) AS BIGINT) AS order_fp
        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Sequence-length bucketing — the batch-shape planner that decides

@@ -89,7 +89,17 @@ object WordPiece {
       val best = pairs
         .join(marg.select(col("t").as("a"), col("g").as("ga")), "a")
         .join(marg.select(col("t").as("b"), col("g").as("gb")), "b")
-        .orderBy((col("f").cast("double") / (col("ga") * col("gb")).cast("double")).desc,
+        // marginals cast to double BEFORE the product (r14, ADVICE r13):
+        // ga*gb as Long wraps silently (non-ANSI) once the marginals
+        // pass ~3e9 each, while the DuckDB twin's HUGEINT product stays
+        // exact — the argmax could diverge exactly at the scale the
+        // operator targets. Double-first multiply is IEEE-identical in
+        // both engines (the twin mirrors it), exact while each marginal
+        // < 2^53; the accepted cost is last-ulp tie risk on scores that
+        // differ only past double precision, which the (a, b) tie-break
+        // then resolves identically in both engines anyway.
+        .orderBy((col("f").cast("double") /
+            (col("ga").cast("double") * col("gb").cast("double"))).desc,
           col("a"), col("b"))
         .select(col("a"), col("b"), col("f"), col("ga"), col("gb"))
         .limit(1)
@@ -165,7 +175,7 @@ object WordPiece {
          |), b$i AS MATERIALIZED (
          |  SELECT p.a, p.b, p.f, ua.g AS ga, ub.g AS gb
          |  FROM p$i p JOIN u$i ua ON p.a = ua.t JOIN u$i ub ON p.b = ub.t
-         |  ORDER BY CAST(p.f AS DOUBLE) / (ua.g * ub.g) DESC, p.a, p.b
+         |  ORDER BY CAST(p.f AS DOUBLE) / (CAST(ua.g AS DOUBLE) * CAST(ub.g AS DOUBLE)) DESC, p.a, p.b
          |  LIMIT 1
          |), w$i AS MATERIALIZED (
          |  SELECT word, freq,

@@ -49,6 +49,21 @@ class BenchPolicySpec extends AnyFunSuite {
       suiteExtrasLeft = 30, budgetOk = false))
   }
 
+  test("cold attribution (r14): routine warmup quiet, real spike flagged, never vs no warm") {
+    // 2-3x warm IS the value cold exists to carry (codegen + AQE warmup)
+    assert(!coldSuspect(warmMin = 0.2, coldS = 0.6))
+    assert(!coldSuspect(warmMin = 1.0, coldS = 2.9))
+    // 4x on a sub-second query: above the warm ratio, under the cold
+    // floor — flagging this class would spam the contention map with
+    // every ordinary warmup
+    assert(!coldSuspect(warmMin = 0.3, coldS = 1.2))
+    // the attributable shape: well past both the 5x ratio and +2s floor
+    assert(coldSuspect(warmMin = 1.0, coldS = 8.0))
+    assert(coldSuspect(warmMin = 0.5, coldS = 4.0))
+    // no successful warm rep → no baseline → never suspect
+    assert(!coldSuspect(warmMin = -1.0, coldS = 60.0))
+  }
+
   test("simulated suite walk: the spike is rejected, the clean reps win, caps hold") {
     // reps as the loop would see them: cold 0.6, then [18.0 busy, 0.55,
     // 17.5 busy, 0.58] with a 2-extra cap — both spikes rejected, two

@@ -183,6 +183,25 @@ class GlobalShuffleSpec extends AnyFunSuite {
       .agg(sum(pmod(col("pos") * col("h32"), lit(1000000007L)))).head.getLong(0)
     assert(fwd != rev, "reversed order must change the order checksum")
   }
+
+  test("order_fp term is exact past 2^31 docs/shard (r14, VERDICT r13 #4)") {
+    import spark.implicits._
+    // synthetic (pos, h32) — no test corpus can plant 3e9 rows, but the
+    // TERM is the same shared column expression the production
+    // aggregate sums, so exercising it at pos > 2^31 is the real claim
+    val rows = Seq(
+      (3000000000L, 4000000000L), // the wrap case: pos·h32 ≈ 1.2e19 > 2^63
+      (2147483648L, 4294967295L), // exactly 2^31 × (2^32 − 1)
+      (5L, 123456789L))           // gate-scale sanity
+    val got = rows.toDF("pos", "h32")
+      .select(Layout.orderFpTerm(col("pos"), col("h32")).as("term"))
+      .collect().map(_.getLong(0)).toSeq
+    val p = BigInt(Layout.OrderFpP)
+    val want = rows.map { case (pos, h) => ((BigInt(pos) * BigInt(h)) mod p).toLong }
+    assert(got == want, "mod-reduced term must equal exact big-int arithmetic")
+    // and the pre-r14 un-reduced Long product really does wrap here
+    assert(3000000000L * 4000000000L < 0L)
+  }
 }
 
 /** q_length_buckets: bucket assignment is the smallest power-of-two
