@@ -200,9 +200,13 @@ object PlanDump {
       "q_bloom_gate (r12: exact contaminated set LEFT-joined to the subquery-fed bloom pass; ids only past the shingle scans)" ->
         Decontaminate.bloomGate(t),
       "embed_ivf_kmeans gate (r13: broadcast centroid literals, map-only argmin re-check, k-row aggregate)" ->
-        Similarity.ivfKmeansGate(t))
+        Similarity.ivfKmeansGate(t),
+      "pack_sequences (r14: prefix-sum offsets, bounded per-doc explode, one seq_id aggregate — integer div cut points)" ->
+        Layout.packSequences(t),
+      "stop_shingles (r14: map-side-combined df aggregate, 1-row total broadcast, k-row TakeOrdered)" ->
+        Dedup.stopShingles(t))
     val sb = new StringBuilder
-    sb.append("# Plan snapshots (round 13)\n\nGenerated by `graft.PlanDump` at sf0.001; ")
+    sb.append("# Plan snapshots (round 14)\n\nGenerated by `graft.PlanDump` at sf0.001; ")
     sb.append("`PlanAuditSpec` asserts these shapes stay true.\n")
     qs.foreach { case (title, df) =>
       sb.append(s"\n## $title\n\n```\n")
@@ -211,8 +215,8 @@ object PlanDump {
       sb.append("\n```\n")
     }
     Files.createDirectories(Paths.get("docs"))
-    Files.writeString(Paths.get("docs/PLANS_r13.md"), sb.toString)
-    println("wrote docs/PLANS_r13.md")
+    Files.writeString(Paths.get("docs/PLANS_r14.md"), sb.toString)
+    println("wrote docs/PLANS_r14.md")
     spark.stop()
   }
 }

@@ -466,6 +466,65 @@ object Dedup {
 
   def shingles(t: Tables, n: Int = 3): DataFrame = shinglesOf(t.documents, n)
 
+  /** Stop-shingle manifest (r14) — the data-derived input to the
+    * `maxShingleDf` cap on [[containmentPairsOf]] /
+    * [[ngramJaccardPairsOf]] (whose scaladocs say "tune τ to the
+    * corpus df tail" — this is the table that tail is read from): the
+    * top-`k` shingles by document frequency, each with the ORDERED
+    * self-join fan-out it would contribute (df·(df−1) — exactly the
+    * quantity the cap exists to bound) and its share of the corpus's
+    * total fan-out. A curation run reads the head of this table to
+    * pick the cap where the share curve flattens, instead of a
+    * folklore constant.
+    *
+    * Plan: one scan (shingles exploded row-locally, as everywhere
+    * else) + one shingle-keyed aggregate (map-side combine collapses
+    * per-partition repeats, so distinct-shingle rows shuffle, not
+    * occurrences) + a 1-row total broadcast + a k-row TakeOrdered.
+    * The shingle TEXT survives only as the aggregate key and the
+    * top-k exemplar column humans read; ties at the cut break on the
+    * text, so the manifest is deterministic in both engines.
+    */
+  def stopShingles(t: Tables, n: Int = 3, k: Int = 20): DataFrame =
+    stopShinglesOf(t.documents, n, k)
+
+  def stopShinglesOf(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"),
+        explode(graft.functions.ShinglesExpr.distinctShingles(col("text"), n)).as("shingle"))
+      .filter(col("shingle") =!= "")
+    val byDf = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .withColumn("fanout_rows", col("df") * (col("df") - 1))
+    val tot = byDf.agg(sum(col("fanout_rows")).as("_tot"))
+    byDf.crossJoin(broadcast(tot))
+      .withColumn("share", round(when(col("_tot") > 0,
+        col("fanout_rows").cast("double") / col("_tot")).otherwise(lit(0.0)), 6))
+      .select(col("shingle"), col("df"), col("fanout_rows"), col("share"))
+      .orderBy(col("df").desc, col("shingle"))
+      .limit(k)
+  }
+
+  def stopShinglesSql(n: Int = 3, k: Int = 20): String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, shingle
+       |  FROM (
+       |    SELECT doc_id,
+       |      array_to_string(toks[i + 1 : i + $n], ' ') AS shingle
+       |    FROM (
+       |      SELECT doc_id,
+       |        regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |      FROM documents),
+       |      unnest(range(0, len(toks) - $n + 1)) AS r(i)
+       |  ) WHERE shingle <> ''
+       |), bydf AS (
+       |  SELECT shingle, count(*) AS df, count(*) * (count(*) - 1) AS fanout_rows
+       |  FROM sh GROUP BY shingle
+       |), tot AS (SELECT sum(fanout_rows) AS t FROM bydf)
+       |SELECT shingle, CAST(df AS BIGINT) AS df, CAST(fanout_rows AS BIGINT) AS fanout_rows,
+       |  round(CASE WHEN t > 0 THEN CAST(fanout_rows AS DOUBLE) / t ELSE 0.0 END, 6) AS share
+       |FROM bydf CROSS JOIN tot
+       |ORDER BY df DESC, shingle LIMIT $k""".stripMargin
+
   /** Word-shingle Jaccard near-duplicate pairs: explode distinct
     * shingles → self-join on shingle hash → |A∩B| per pair → Jaccard
     * with per-doc totals. Pairs emitted once (a < b). The shared-

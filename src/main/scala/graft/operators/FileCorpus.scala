@@ -26,7 +26,11 @@ object FileCorpus {
         sum(length(col("line"))).as("sum_chars"))
       .orderBy("fname")
 
-  val fileLineStatsSql: String =
+  /** Shared non-empty-trimmed-lines CTE (BOM + CR stripped to match
+    * Spark's text source) — composed by both line twins so the line
+    * unit can never de-sync between them (the urlCanonCte pattern).
+    */
+  private val linesCte: String =
     s"""WITH lines AS (
        |  SELECT string_split(filename, '/')[-1] AS fname, trim(l) AS line
        |  FROM (
@@ -34,9 +38,61 @@ object FileCorpus {
        |      unnest(string_split(replace(replace(content, chr(65279), ''), chr(13), ''), chr(10))) AS l
        |    FROM read_text('$BooksDir/*.txt'))
        |  WHERE trim(l) <> ''
-       |)
+       |)""".stripMargin
+
+  val fileLineStatsSql: String =
+    s"""$linesCte
        |SELECT fname, count(*) AS n_lines, CAST(sum(length(line)) AS BIGINT) AS sum_chars
        |FROM lines GROUP BY fname ORDER BY fname""".stripMargin
+
+  /** Cross-file boilerplate LINE dedup (r14) — the RefinedWeb/CCNet
+    * curation step the word-level dedups can't express: a line whose
+    * exact (trimmed) text occurs in ≥ `minFiles` DISTINCT files is
+    * boilerplate (here the Project Gutenberg license apparatus is the
+    * natural positive class — the same real-world navigation/license
+    * furniture the technique exists to remove), and dropping it is
+    * line- not document-level surgery. The gated output is the
+    * per-file removal manifest: lines seen, boilerplate lines dropped,
+    * characters kept.
+    *
+    * Scale shape: lines reduce to (md5(line), fname, len) right after
+    * the scan — no line TEXT ever shuffles. The df aggregate and the
+    * boilerplate-membership join both key on the 32-hex digest; the
+    * per-(file,line) distinct inside the df count is map-side
+    * collapsible, and the final aggregate keys on fname. At 100 TB the
+    * boilerplate side is the df-tail (tiny by Zipf) but nothing
+    * REQUIRES it broadcast-sized, so the join is planner-decided.
+    */
+  def dedupLines(spark: SparkSession, minFiles: Int = 3): DataFrame =
+    dedupLinesIn(spark, BooksDir, minFiles)
+
+  def dedupLinesIn(spark: SparkSession, dir: String, minFiles: Int): DataFrame = {
+    val lines = TextFiles.lines(spark, "*.txt", dir)
+      .select(fname(col("file_path")).as("fname"),
+        length(col("line")).cast("long").as("n_chars"), md5(col("line")).as("h"))
+    val boiler = lines.select("fname", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minFiles)
+      .select(col("h"), lit(1L).as("_boiler"))
+    lines.join(boiler, Seq("h"), "left")
+      .groupBy("fname")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("_boiler").isNotNull, 1L).otherwise(0L)).as("n_boilerplate"),
+        sum(when(col("_boiler").isNotNull, 0L).otherwise(col("n_chars"))).as("chars_kept"))
+      .orderBy("fname")
+  }
+
+  def dedupLinesSql(minFiles: Int = 3): String =
+    s"""$linesCte, hl AS (
+       |  SELECT fname, CAST(length(line) AS BIGINT) AS n_chars, md5(line) AS h FROM lines
+       |), boiler AS (
+       |  SELECT h FROM (SELECT DISTINCT fname, h FROM hl) GROUP BY h HAVING count(*) >= $minFiles
+       |)
+       |SELECT fname, count(*) AS n_lines,
+       |  CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+       |  CAST(sum(CASE WHEN b.h IS NULL THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+       |FROM hl LEFT JOIN boiler b ON hl.h = b.h
+       |GROUP BY fname ORDER BY fname""".stripMargin
 
   /** Whole-file word counts — the reference's ReduceItemTransformer
     * (count) over FileTextReaderTransformer, per file, oracle-checked.

@@ -83,28 +83,35 @@ object Layout {
   def packShards(t: Tables, tokensPerShard: Long = 2000L, buckets: Int = 32): DataFrame =
     packShardsOf(t.documents, tokensPerShard, buckets)
 
-  def packShardsOf(docs: DataFrame, tokensPerShard: Long, buckets: Int): DataFrame = {
+  /** (doc_id, n_tokens, _prev): each document's EXACT exclusive global
+    * prefix token sum in doc_id order — the distributed two-phase
+    * prefix sum described on [[packShards]], shared with
+    * [[packSequencesOf]] (r14). No unpartitioned window exists
+    * anywhere in the plan:
+    *   - contiguous value-range bucketing: deterministic (no
+    *     sampling) and order-preserving, so per-bucket prefix +
+    *     bucket offset = exact global prefix;
+    *   - exclusive running offsets over the ≤`buckets` totals via a
+    *     TRIANGULAR SELF-JOIN (off(b) = Σ totals below b): ≤buckets²
+    *     = 1024 joined rows, fully partitioned, broadcast-sized. The
+    *     obvious global-window form would be the repo's only
+    *     unpartitioned WindowExec — harmless at ≤32 rows but
+    *     indistinguishable in plans and logs from a corpus-sized one
+    *     (Spark's "No Partition Defined" warning, the r7 tail noise),
+    *     and an optimizer-folded constant partition key lands right
+    *     back on an empty spec. No window means PlanAuditSpec bans
+    *     empty partition specs across the WHOLE gated surface with
+    *     zero exemptions.
+    */
+  private def withGlobalPrefix(docs: DataFrame, buckets: Int): DataFrame = {
     val toks = docs.select(col("doc_id"),
       size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
-    // contiguous value-range bucketing: deterministic (no sampling) and
-    // order-preserving, so per-bucket prefix + bucket offset = exact
-    // global prefix
     val bounds = toks.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
     val bucketed = toks.crossJoin(broadcast(bounds))
       .withColumn("_b", least(lit(buckets - 1),
         floor((col("doc_id") - col("lo")) * buckets /
           (col("hi") - col("lo") + 1)).cast("int")))
       .drop("lo", "hi")
-    // Exclusive running offsets over the ≤`buckets` totals via a
-    // TRIANGULAR SELF-JOIN (off(b) = Σ totals below b): ≤buckets² =
-    // 1024 joined rows, fully partitioned, broadcast-sized. The obvious
-    // global-window form would be the repo's only unpartitioned
-    // WindowExec — harmless at ≤32 rows but indistinguishable in plans
-    // and logs from a corpus-sized one (Spark's "No Partition Defined"
-    // warning, the r7 tail noise), and an optimizer-folded constant
-    // partition key lands right back on an empty spec. No window means
-    // PlanAuditSpec bans empty partition specs across the WHOLE gated
-    // surface with zero exemptions.
     val totals = bucketed.groupBy(col("_b")).agg(sum(col("n_tokens")).as("_bsum"))
     val offsets = totals
       .join(totals.select(col("_b").as("_b2"), col("_bsum").as("_bsum2")),
@@ -116,13 +123,17 @@ object Layout {
       .withColumn("_prev",
         col("_off") + coalesce(sum(col("n_tokens")).over(
           wLocal.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("_prev"))
+  }
+
+  def packShardsOf(docs: DataFrame, tokensPerShard: Long, buckets: Int): DataFrame =
+    withGlobalPrefix(docs, buckets)
       .withColumn("shard_id",
         floor(col("_prev").cast("double") / lit(tokensPerShard.toDouble)).cast("long"))
       .groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
       .orderBy("shard_id")
-  }
 
   def packShardsSql(tokensPerShard: Long = 2000L): String =
     s"""WITH tok AS (
@@ -138,6 +149,77 @@ object Layout {
        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** GPT-style fixed-length sequence packing (r14) — the batch-shape
+    * step AFTER [[lengthBuckets]]' padding-vs-packing tradeoff is
+    * decided for packing: documents are concatenated in doc_id order
+    * and cut into back-to-back `seqLen`-token training sequences, a
+    * document spilling across a cut continuing in the next sequence
+    * (the standard causal-LM pretraining layout — zero padding, every
+    * slot a real token). The gated output is the per-sequence manifest
+    * a batch auditor reads:
+    *   - `n_docs` documents contributing tokens, `n_started` beginning
+    *     here (`n_docs − n_started` = carry-ins from earlier cuts),
+    *   - `n_splits` documents cut at this sequence's right edge — the
+    *     cross-document-attention contamination count a masking
+    *     strategy must handle,
+    *   - `n_tokens` (== seqLen everywhere but the final partial
+    *     sequence — the conservation check).
+    *
+    * Plan shape: the [[withGlobalPrefix]] distributed prefix sum gives
+    * each doc its exact global token offset with no global sort or
+    * unpartitioned window; each doc then EXPLODES into the sequences
+    * its span [prev, prev+n) overlaps (⌈n/seqLen⌉+1 rows — bounded by
+    * the doc's own length) and one seq_id-keyed aggregate builds the
+    * manifest. Sequence ids are exact integer division (`div`, not
+    * float floor): token offsets pass 2^53 long before a 100 TB corpus
+    * runs out, where a double floor would misplace cuts. The oracle
+    * re-derives the same manifest from a naive global-window cumsum —
+    * an independent plan for the same semantics.
+    */
+  def packSequences(t: Tables, seqLen: Long = 512L, buckets: Int = 32): DataFrame =
+    packSequencesOf(t.documents, seqLen, buckets)
+
+  def packSequencesOf(docs: DataFrame, seqLen: Long, buckets: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val L = lit(seqLen)
+    val spans = withGlobalPrefix(docs, buckets)
+      .filter(col("n_tokens") > 0)
+      .withColumn("_end", col("_prev") + col("n_tokens"))
+      .withColumn("_s0", expr(s"_prev div ${seqLen}"))
+      .withColumn("_s1", expr(s"(_prev + n_tokens - 1) div ${seqLen}"))
+    spans
+      .withColumn("seq_id", explode(sequence(col("_s0"), col("_s1"))))
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("seq_id") === col("_s0"), 1L).otherwise(0L)).as("n_started"),
+        sum(when(col("seq_id") < col("_s1"), 1L).otherwise(0L)).as("n_splits"),
+        sum(least(col("_end"), (col("seq_id") + 1) * L) -
+          greatest(col("_prev"), col("seq_id") * L)).as("n_tokens"))
+      .orderBy("seq_id")
+  }
+
+  def packSequencesSql(seqLen: Long = 512L): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), cum AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+       |  FROM tok WHERE n_tokens > 0
+       |), spans AS (
+       |  SELECT prev, prev + n_tokens AS fin,
+       |    prev // $seqLen AS s0, (prev + n_tokens - 1) // $seqLen AS s1
+       |  FROM cum
+       |), x AS (
+       |  SELECT prev, fin, s0, s1, unnest(range(s0, s1 + 1)) AS seq_id FROM spans
+       |)
+       |SELECT CAST(seq_id AS BIGINT) AS seq_id, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN seq_id = s0 THEN 1 ELSE 0 END) AS BIGINT) AS n_started,
+       |  CAST(sum(CASE WHEN seq_id < s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_splits,
+       |  CAST(sum(least(fin, (seq_id + 1) * $seqLen) - greatest(prev, seq_id * $seqLen)) AS BIGINT) AS n_tokens
+       |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Reproducible global shuffle into training shards — the write-order
     * step between curation and tokenization. Training wants the corpus
