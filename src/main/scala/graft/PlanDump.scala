@@ -204,7 +204,17 @@ object PlanDump {
       "pack_sequences (r14: prefix-sum offsets, bounded per-doc explode, one seq_id aggregate — integer div cut points)" ->
         Layout.packSequences(t),
       "stop_shingles (r14: map-side-combined df aggregate, 1-row total broadcast, k-row TakeOrdered)" ->
-        Dedup.stopShingles(t))
+        Dedup.stopShingles(t),
+      "quality_blocklist (r14: inline-literal term list, row-local array funcs, no shuffle before the output sort)" ->
+        QualityRules.blocklist(t),
+      "q_filter_funnel (r14: one fp-window keeper shuffle, row-local gates, 1-row conjunction aggregate inlined to 4 stage rows)" ->
+        Curate.filterFunnel(t),
+      "q_dp_counts (r14: one map-side-combined source aggregate; Laplace draw per GROUP in the projection)" ->
+        Curate.dpCounts(t),
+      "multimodal_cdc (r14: O(n) CdcCutsExpr per row, ONE explode pass — payload never shuffles; n_blobs = pruned-scan count broadcast)" ->
+        graft.multimodal.Multimodal.cdcChunksQuery(spark, "/root/testdata/sf0.001"),
+      "multimodal_cdc_dedup (r14: digest-keyed self-join on per-blob chunk multiplicities; byte containment in the projection)" ->
+        graft.multimodal.Multimodal.cdcDedupQuery(spark, "/root/testdata/sf0.001"))
     val sb = new StringBuilder
     sb.append("# Plan snapshots (round 14)\n\nGenerated by `graft.PlanDump` at sf0.001; ")
     sb.append("`PlanAuditSpec` asserts these shapes stay true.\n")

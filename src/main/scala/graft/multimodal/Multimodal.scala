@@ -415,4 +415,223 @@ object Multimodal {
        |WHERE media_id <> 0
        |ORDER BY hamming, media_id
        |LIMIT $k""".stripMargin
+
+  // --------------------------------------- content-defined chunking
+
+  /** Content-defined chunk dedup over binary payloads — the storage-
+    * layer dedup a multimodal lake runs BEFORE any decode: boundaries
+    * from [[graft.functions.CdcCutsExpr]] (rolling-hash cuts that
+    * survive insertions, unlike fixed blocks), chunk spans and md5
+    * digests via builtin binary substring/md5, then a per-kind rollup
+    * of cross-blob chunk reuse (distinct digests, duplicated bytes,
+    * the dedup ratio a chunk store would realize).
+    *
+    * Scale shape: cuts + digests are computed row-locally in ONE scan
+    * (payload never leaves its partition, and is exploded/hashed
+    * exactly once — everything but n_blobs derives from the digest-
+    * level aggregate); only (kind, digest, len) triples —
+    * ~n_bytes/div rows of ~50 bytes — shuffle, n_blobs is a payload-
+    * pruned row count broadcast into the 3-row join. At 100 TB of
+    * media this is scan-bound, which is the floor.
+    */
+  def cdcChunksQuery(spark: SparkSession, dir: String,
+      window: Int = 8, base: Long = 31L, div: Long = 64L): DataFrame = {
+    val media = mediaFromDocuments(spark, dir).toDF()
+    val chunks = media
+      .select(col("media_id"), col("kind"), col("payload"),
+        graft.functions.CdcCutsExpr.cuts(col("payload"), window, base, div).as("ends"))
+      .select(col("media_id"), col("kind"), col("payload"), col("ends"),
+        posexplode(col("ends")).as(Seq("idx", "fin")))
+      .select(col("media_id"), col("kind"), col("fin"),
+        when(col("idx") === 0, lit(0))
+          .otherwise(element_at(col("ends"), col("idx")) + 1).as("st"),
+        col("payload"))
+      .select(col("media_id"), col("kind"),
+        (col("fin") - col("st") + 1).cast("long").as("clen"),
+        md5(col("payload").substr(col("st") + 1, col("fin") - col("st") + 1)).as("digest"))
+    // every rollup stat except n_blobs is derivable from the digest-
+    // level table, so the payload is exploded and hashed exactly ONCE;
+    // n_blobs is a payload-pruned row count (empty payloads — zero
+    // chunks — still count as blobs in both engines)
+    val rollup = chunks.groupBy(col("kind"), col("digest"))
+      .agg(count(lit(1)).as("cnt"), first(col("clen")).as("clen"))
+      .groupBy("kind").agg(
+        sum(col("cnt").cast("decimal(18,0)")).cast("long").as("n_chunks"),
+        count(lit(1)).as("n_distinct_chunks"),
+        sum((col("cnt") * col("clen")).cast("decimal(18,0)")).cast("long").as("total_bytes"),
+        sum(((col("cnt") - 1) * col("clen")).cast("decimal(18,0)")).cast("long")
+          .as("dup_bytes"))
+    val blobs = media.groupBy("kind").agg(count(lit(1)).as("n_blobs"))
+    rollup.join(broadcast(blobs), "kind")
+      .select(col("kind"), col("n_blobs"), col("n_chunks"), col("n_distinct_chunks"),
+        col("total_bytes"), col("dup_bytes"),
+        round(col("total_bytes").cast("double") / col("n_chunks"), 6).as("mean_chunk_len"),
+        round(col("dup_bytes").cast("double") / col("total_bytes"), 6).as("dedup_ratio"))
+      .orderBy("kind")
+  }
+
+  /** Blob-level near-dup detection over CDC chunks — the reason the
+    * chunking is content-defined: a mutated copy (here a planted
+    * prefix insertion on every 7th blob, the re-upload/re-encode case
+    * a crawl contains) keeps every chunk after the first realigned
+    * boundary, so the pair surfaces through shared chunk digests where
+    * fixed-size blocks would all shift. Pairs with byte containment
+    * `shared_bytes / min(bytes_a, bytes_b) ≥ minContainment` are
+    * emitted; within-blob repeated digests count min(cnt_a, cnt_b)
+    * occurrences, so the accounting is exact, not set-approximate.
+    *
+    * Scale shape: the self-join keys on chunk digest — the
+    * `dedup_containment` shape, with the same escape valve at corpus
+    * scale (cap ubiquitous digests by df the way
+    * `dedup_containment_capped` does; boilerplate chunks are exactly
+    * stop-shingles at the byte layer). Payload bytes never join;
+    * only (digest, media_id, cnt·len) rows shuffle.
+    */
+  def cdcDedupQuery(spark: SparkSession, dir: String,
+      window: Int = 8, base: Long = 31L, div: Long = 64L,
+      minContainment: Double = 0.5): DataFrame = {
+    val media = mediaFromDocuments(spark, dir).toDF()
+      .select(col("media_id"), col("payload"))
+    val planted = media.filter(col("media_id") % 7 === 0)
+      .select((col("media_id") + 10000000L).as("media_id"),
+        concat(encode(concat(lit("inserted prefix "), col("media_id"), lit(" ")), "UTF-8"),
+          col("payload")).as("payload"))
+    val all = media.unionByName(planted)
+    val chunks = all
+      .select(col("media_id"), col("payload"),
+        graft.functions.CdcCutsExpr.cuts(col("payload"), window, base, div).as("ends"))
+      .select(col("media_id"), col("payload"), col("ends"),
+        posexplode(col("ends")).as(Seq("idx", "fin")))
+      .select(col("media_id"),
+        when(col("idx") === 0, lit(0))
+          .otherwise(element_at(col("ends"), col("idx")) + 1).as("st"),
+        col("fin"), col("payload"))
+      .select(col("media_id"), (col("fin") - col("st") + 1).cast("long").as("clen"),
+        md5(col("payload").substr(col("st") + 1, col("fin") - col("st") + 1)).as("digest"))
+    val perBlobDigest = chunks.groupBy(col("media_id"), col("digest"))
+      .agg(count(lit(1)).as("cnt"), first(col("clen")).as("clen"))
+    val blobBytes = perBlobDigest.groupBy("media_id")
+      .agg(sum((col("cnt") * col("clen")).cast("decimal(18,0)")).cast("long").as("n_bytes"))
+    val l = perBlobDigest.select(col("media_id").as("media_a"), col("digest"),
+      col("cnt").as("cnt_a"), col("clen"))
+    val r = perBlobDigest.select(col("media_id").as("media_b"), col("digest"),
+      col("cnt").as("cnt_b"))
+    val shared = l.join(r, "digest")
+      .filter(col("media_a") < col("media_b"))
+      .groupBy(col("media_a"), col("media_b"))
+      .agg(sum((least(col("cnt_a"), col("cnt_b")) * col("clen")).cast("decimal(18,0)"))
+        .cast("long").as("shared_bytes"))
+    shared
+      .join(blobBytes.withColumnRenamed("media_id", "media_a")
+        .withColumnRenamed("n_bytes", "bytes_a"), "media_a")
+      .join(blobBytes.withColumnRenamed("media_id", "media_b")
+        .withColumnRenamed("n_bytes", "bytes_b"), "media_b")
+      .withColumn("containment",
+        round(col("shared_bytes").cast("double") / least(col("bytes_a"), col("bytes_b")), 6))
+      .filter(col("containment") >= minContainment)
+      .select(col("media_a"), col("media_b"), col("shared_bytes"), col("containment"))
+      .orderBy("media_a", "media_b")
+  }
+
+  def cdcDedupSql(window: Int = 8, base: Long = 31L, div: Long = 64L,
+      minContainment: Double = 0.5): String = {
+    val pows = (0 until window).map(j => (0 until j).foldLeft(1L)((p, _) => p * base))
+    val powList = pows.mkString("[", ", ", "]")
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000000,
+       |    'inserted prefix ' || CAST(doc_id AS VARCHAR) || ' ' || text
+       |  FROM documents WHERE doc_id % 7 = 0
+       |), codes AS (
+       |  SELECT media_id, text, length(text) AS n,
+       |    list_transform(range(1, length(text) + 1),
+       |      i -> ord(substr(text, CAST(i AS INT), 1))) AS c
+       |  FROM m
+       |), ends AS (
+       |  SELECT media_id, text,
+       |    [CAST(i AS INT) FOR i IN range($window - 1, n - 1) IF
+       |      list_sum(list_transform(range(0, $window),
+       |        j -> c[CAST(i + 1 - j AS INT)] * ($powList)[CAST(j + 1 AS INT)])) % $div = ${div - 1}]
+       |      || [CAST(n - 1 AS INT)] AS e
+       |  FROM codes
+       |), digests AS (
+       |  SELECT media_id,
+       |    CAST(e[CAST(idx AS INT)] - (CASE WHEN idx = 1 THEN 0
+       |      ELSE e[CAST(idx AS INT) - 1] + 1 END) + 1 AS BIGINT) AS clen,
+       |    md5(substr(text, (CASE WHEN idx = 1 THEN 0 ELSE e[CAST(idx AS INT) - 1] + 1 END) + 1,
+       |      e[CAST(idx AS INT)] - (CASE WHEN idx = 1 THEN 0
+       |        ELSE e[CAST(idx AS INT) - 1] + 1 END) + 1)) AS digest
+       |  FROM ends, unnest(range(1, len(e) + 1)) r(idx)
+       |), pbd AS (
+       |  SELECT media_id, digest, count(*) AS cnt, any_value(clen) AS clen
+       |  FROM digests GROUP BY media_id, digest
+       |), bytes AS (
+       |  SELECT media_id, CAST(sum(CAST(cnt * clen AS HUGEINT)) AS BIGINT) AS n_bytes
+       |  FROM pbd GROUP BY media_id
+       |), shared AS (
+       |  SELECT l.media_id AS media_a, r.media_id AS media_b,
+       |    CAST(sum(CAST(least(l.cnt, r.cnt) * l.clen AS HUGEINT)) AS BIGINT) AS shared_bytes
+       |  FROM pbd l JOIN pbd r ON l.digest = r.digest AND l.media_id < r.media_id
+       |  GROUP BY l.media_id, r.media_id
+       |)
+       |SELECT media_a, media_b, shared_bytes,
+       |  round(CAST(shared_bytes AS DOUBLE) / least(ba.n_bytes, bb.n_bytes), 6) AS containment
+       |FROM shared
+       |JOIN bytes ba ON ba.media_id = media_a
+       |JOIN bytes bb ON bb.media_id = media_b
+       |WHERE CAST(shared_bytes AS DOUBLE) / least(ba.n_bytes, bb.n_bytes) >= $minContainment
+       |ORDER BY media_a, media_b""".stripMargin
+  }
+
+  /** Oracle twin: the payload is the UTF-8 bytes of `text` and the
+    * corpus is pure ASCII (asserted by the spec), so DuckDB reproduces
+    * the byte-level rolling hash with `ord` over characters; the
+    * polynomial coefficients ride as an exact-integer literal list so
+    * every hash is BIGINT-exact in both engines.
+    */
+  def cdcChunksSql(window: Int = 8, base: Long = 31L, div: Long = 64L): String = {
+    val pows = (0 until window).map(j => (0 until j).foldLeft(1L)((p, _) => p * base))
+    val powList = pows.mkString("[", ", ", "]")
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id,
+       |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+       |    text, length(text) AS n
+       |  FROM documents
+       |), codes AS (
+       |  SELECT media_id, kind, text, n,
+       |    list_transform(range(1, n + 1), i -> ord(substr(text, CAST(i AS INT), 1))) AS c
+       |  FROM m
+       |), ends AS (
+       |  SELECT media_id, kind, text,
+       |    [CAST(i AS INT) FOR i IN range($window - 1, n - 1) IF
+       |      list_sum(list_transform(range(0, $window),
+       |        j -> c[CAST(i + 1 - j AS INT)] * ($powList)[CAST(j + 1 AS INT)])) % $div = ${div - 1}]
+       |      || [CAST(n - 1 AS INT)] AS e
+       |  FROM codes
+       |), chunks AS (
+       |  SELECT media_id, kind,
+       |    CASE WHEN idx = 1 THEN 0 ELSE e[CAST(idx AS INT) - 1] + 1 END AS st,
+       |    e[CAST(idx AS INT)] AS fin, text
+       |  FROM ends, unnest(range(1, len(e) + 1)) r(idx)
+       |), digests AS (
+       |  SELECT media_id, kind, CAST(fin - st + 1 AS BIGINT) AS clen,
+       |    md5(substr(text, st + 1, fin - st + 1)) AS digest
+       |  FROM chunks
+       |), rollup AS (
+       |  SELECT kind,
+       |    CAST(sum(CAST(cnt AS HUGEINT)) AS BIGINT) AS n_chunks,
+       |    count(*) AS n_distinct_chunks,
+       |    CAST(sum(CAST(cnt * clen AS HUGEINT)) AS BIGINT) AS total_bytes,
+       |    CAST(sum(CAST((cnt - 1) * clen AS HUGEINT)) AS BIGINT) AS dup_bytes
+       |  FROM (SELECT kind, digest, count(*) AS cnt, any_value(clen) AS clen
+       |        FROM digests GROUP BY kind, digest)
+       |  GROUP BY kind
+       |), blobs AS (SELECT kind, count(*) AS n_blobs FROM m GROUP BY kind)
+       |SELECT kind, n_blobs, n_chunks, n_distinct_chunks, total_bytes, dup_bytes,
+       |  round(CAST(total_bytes AS DOUBLE) / n_chunks, 6) AS mean_chunk_len,
+       |  round(CAST(dup_bytes AS DOUBLE) / total_bytes, 6) AS dedup_ratio
+       |FROM rollup JOIN blobs USING (kind)
+       |ORDER BY kind""".stripMargin
+  }
 }

@@ -846,6 +846,157 @@ object Curate {
       |GROUP BY p.split
       |ORDER BY probe_split""".stripMargin
 
+  // --------------------------------------------------- filter funnel
+
+  /** Staged-gate attrition report — the funnel chart a curation run
+    * publishes: gates applied in pipeline order (exact dedup → LID →
+    * Gopher quality → blocklist), one row per stage with exact in/out
+    * counts, the stage's removal rate, and cumulative survival. The
+    * ORDER is load-bearing and the report is what justifies it: a
+    * gate's removal count here is its MARGINAL effect after everything
+    * upstream, not its solo pass rate (`quality_pass_rates` reports
+    * those), which is how pipeline papers present ablations (e.g. the
+    * RefinedWeb / FineWeb attrition tables).
+    *
+    * Plan: ONE per-doc projection computes all four keep flags (the
+    * dedup keeper needs a fingerprint-keyed window — the only shuffle,
+    * same shape as `dedup_exact`; LID/Gopher/blocklist are row-local
+    * codegen), one 1-row aggregate folds the running conjunctions, and
+    * the 4 stage rows inline from it — no collect, nothing driver-side.
+    */
+  def filterFunnelOf(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val flags = docs
+      .select(col("doc_id"), col("lang"), col("text"),
+        md5(TextAnalysis.normalizedText(col("text"))).as("fp"))
+      .withColumn("k1", when(col("doc_id") === min(col("doc_id")).over(w), 1).otherwise(0))
+      .select(col("k1"),
+        // the LID gate of a monolingual run: drop the script the
+        // downstream tokenizer isn't trained for
+        when(col("lang") =!= "zh", 1).otherwise(0).as("k2"),
+        QualityRules.gopherPassCol(col("text")).as("k3"),
+        QualityRules.blocklistKeepCol(col("text")).as("k4"))
+    val agg = flags.agg(
+      count(lit(1)).as("n"),
+      sum(col("k1").cast("long")).as("a1"),
+      sum((col("k1") * col("k2")).cast("long")).as("a2"),
+      sum((col("k1") * col("k2") * col("k3")).cast("long")).as("a3"),
+      sum((col("k1") * col("k2") * col("k3") * col("k4")).cast("long")).as("a4"))
+    def stage(idx: Int, name: String, nIn: Column, nOut: Column) =
+      struct(lit(idx).as("stage_idx"), lit(name).as("stage"),
+        nIn.as("n_in"), (nIn - nOut).as("n_removed"), nOut.as("n_out"),
+        round((nIn - nOut).cast("double") / greatest(nIn, lit(1L)), 6).as("removal_rate"),
+        round(nOut.cast("double") / greatest(col("n"), lit(1L)), 6).as("survival"))
+    agg.select(explode(array(
+        stage(1, "exact_dedup", col("n"), col("a1")),
+        stage(2, "lang_filter", col("a1"), col("a2")),
+        stage(3, "gopher_quality", col("a2"), col("a3")),
+        stage(4, "blocklist", col("a3"), col("a4")))).as("s"))
+      .select(col("s.*"))
+      .orderBy("stage_idx")
+  }
+
+  def filterFunnel(t: Tables): DataFrame = filterFunnelOf(t.documents)
+
+  def filterFunnelSql(): String =
+    s"""WITH gp AS (
+       |  SELECT doc_id, gopher_pass FROM (${QualityRules.gopherRulesSql()})
+       |), bl AS (
+       |  SELECT doc_id, ratio_keep FROM (${QualityRules.blocklistSql()})
+       |), base AS (
+       |  SELECT doc_id, lang,
+       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM documents
+       |), flags AS (
+       |  SELECT
+       |    CASE WHEN b.doc_id = min(b.doc_id) OVER (PARTITION BY fp) THEN 1 ELSE 0 END AS k1,
+       |    CASE WHEN b.lang <> 'zh' THEN 1 ELSE 0 END AS k2,
+       |    gp.gopher_pass AS k3, bl.ratio_keep AS k4
+       |  FROM base b JOIN gp USING (doc_id) JOIN bl USING (doc_id)
+       |), agg AS (
+       |  SELECT count(*) AS n, sum(k1) AS a1, sum(k1*k2) AS a2,
+       |    sum(k1*k2*k3) AS a3, sum(k1*k2*k3*k4) AS a4
+       |  FROM flags
+       |), stages AS (
+       |  SELECT 1 AS stage_idx, 'exact_dedup' AS stage, n AS n_in, a1 AS n_out, n FROM agg
+       |  UNION ALL SELECT 2, 'lang_filter', a1, a2, n FROM agg
+       |  UNION ALL SELECT 3, 'gopher_quality', a2, a3, n FROM agg
+       |  UNION ALL SELECT 4, 'blocklist', a3, a4, n FROM agg
+       |)
+       |SELECT stage_idx, stage,
+       |  CAST(n_in AS BIGINT) AS n_in,
+       |  CAST(n_in - n_out AS BIGINT) AS n_removed,
+       |  CAST(n_out AS BIGINT) AS n_out,
+       |  round(CAST(n_in - n_out AS DOUBLE) / greatest(n_in, 1), 6) AS removal_rate,
+       |  round(CAST(n_out AS DOUBLE) / greatest(n, 1), 6) AS survival
+       |FROM stages ORDER BY stage_idx""".stripMargin
+
+  // --------------------------------------------- DP-noised release
+
+  /** Differentially-private per-source release — the Laplace mechanism
+    * (Dwork et al. 2006) over the two counts a public data card
+    * publishes: documents and tokens per source. Doc counts have
+    * add/remove-one sensitivity 1; token sums are first clamped to a
+    * per-doc contribution bound `clamp` (the standard bounded-
+    * contribution trick), making their sensitivity exactly `clamp`.
+    * Noise is Laplace(sensitivity/ε) drawn via inverse-CDF from a
+    * deterministic md5 fraction of the group key — reproducible across
+    * runs, engines and cluster layouts (the `domain_mix` seeding
+    * pattern; a production release swaps in a real RNG, nothing else
+    * changes). Exact columns ride along so the gate (and a calibration
+    * review) can see the noise; a real release drops them.
+    *
+    * Scale shape: one map-side-combined aggregate over source (20
+    * groups here, ~10³ in production — driver-bounded either way);
+    * the noise math is per-GROUP, not per-row, so its cost is nil.
+    */
+  def dpCountsOf(docs: DataFrame, eps: Double = 1.0, clamp: Long = 1000L): DataFrame = {
+    val ws = size(split(trim(col("text")), "\\s+")).cast("long")
+    val g = docs.select(col("source"), least(ws, lit(clamp)).as("ws_c"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_c").cast("decimal(18,0)")).cast("long").as("tokens_clamped"))
+    def lap(tag: String, b: Column): Column = {
+      // u ∈ [0,1) from 15 md5 hex digits; centered u' ∈ [-0.5, 0.5);
+      // inverse CDF: -b·sign(u')·ln(1-2|u'|)
+      val u  = conv(substring(md5(concat(lit(s"dp:$tag:"), col("source"))), 1, 15), 16, 10)
+        .cast("double") / lit(Math.pow(16.0, 15))
+      val uc = u - lit(0.5)
+      -b * signum(uc) * log(lit(1.0) - lit(2.0) * abs(uc))
+    }
+    g.select(col("source"), col("n_docs"), col("tokens_clamped"),
+        round(col("n_docs") + lap("docs", lit(1.0 / eps)), 6).as("dp_docs"),
+        round(col("tokens_clamped") + lap("tokens", lit(clamp.toDouble / eps)), 6)
+          .as("dp_tokens"),
+        lit(eps).as("eps"), lit(clamp).as("clamp"))
+      .orderBy("source")
+  }
+
+  def dpCounts(t: Tables): DataFrame = dpCountsOf(t.documents)
+
+  def dpCountsSql(eps: Double = 1.0, clamp: Long = 1000L): String = {
+    def lap(tag: String, b: String) =
+      s"""-($b) * sign(u_$tag - 0.5) * ln(1.0 - 2.0 * abs(u_$tag - 0.5))"""
+    s"""WITH g AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(least(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS HUGEINT),
+       |      $clamp)) AS BIGINT) AS tokens_clamped
+       |  FROM documents GROUP BY source
+       |), u AS (
+       |  SELECT *,
+       |    CAST(('0x' || substr(md5('dp:docs:' || source), 1, 15))::BIGINT AS DOUBLE)
+       |      / power(16, 15) AS u_docs,
+       |    CAST(('0x' || substr(md5('dp:tokens:' || source), 1, 15))::BIGINT AS DOUBLE)
+       |      / power(16, 15) AS u_tokens
+       |  FROM g
+       |)
+       |SELECT source, n_docs, tokens_clamped,
+       |  round(n_docs + ${lap("docs", s"1.0 / $eps")}, 6) AS dp_docs,
+       |  round(tokens_clamped + ${lap("tokens", s"CAST($clamp AS DOUBLE) / $eps")}, 6) AS dp_tokens,
+       |  CAST($eps AS DOUBLE) AS eps, CAST($clamp AS BIGINT) AS clamp
+       |FROM u ORDER BY source""".stripMargin
+  }
+
   // --------------------------------------------------- dataset card
 
   /** One-row dataset card — the summary block at the top of every

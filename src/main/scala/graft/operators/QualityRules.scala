@@ -163,6 +163,90 @@ object QualityRules {
        |    AND has_js = 0 THEN 1 ELSE 0 END AS c4_keep
        |FROM g ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------- blocklist gate
+
+  /** Default blocked terms — a deterministic stand-in for the badword
+    * list C4 filters against (Raffel et al. 2020 §2.2 drop any page
+    * containing a term from the "List of Dirty, Naughty, Obscene..."
+    * list). Two terms that occur in the corpus (so both branches of
+    * the gate are exercised) plus one that never does (so a zero-hit
+    * term costs nothing and proves absence is handled).
+    */
+  val DefaultBlocklist: Seq[String] = Seq("slow", "big", "deprecated")
+
+  /** Blocklist filter: per-doc occurrence count of blocked terms,
+    * distinct blocked terms present, hit ratio, and the keep decision.
+    * Two policies are emitted side by side: C4's any-hit drop
+    * (`strict_keep`) and a thresholded variant (`ratio_keep`, keep
+    * while hits/words ≤ `maxRatio`) — real pipelines run the threshold
+    * on technical corpora where strict C4 would empty the corpus.
+    *
+    * Scale shape: the list rides inline in the expression (array
+    * literal → whole-stage codegen, zero shuffle, zero extra scan) —
+    * right for the 10²-term lists in published pipelines. A 10⁵-term
+    * production list instead broadcast-semi-joins the exploded tokens
+    * (the [[Decontaminate]] shape); the per-doc output contract is
+    * identical, so the swap is local to this function.
+    */
+  def blocklistOf(documents: DataFrame,
+                  terms: Seq[String] = DefaultBlocklist,
+                  maxRatio: Double = 0.05): DataFrame = {
+    val w       = words(col("text"))
+    val blocked = array(terms.map(lit): _*)
+    val nWords  = size(w).cast("long")
+    val hits    = size(filter(w, x => array_contains(blocked, x))).cast("long")
+    val nTerms  = size(array_intersect(array_distinct(w), blocked)).cast("long")
+    val ratio   = hits.cast("double") / greatest(nWords, lit(1L))
+    documents.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      hits.as("blocked_hits"),
+      nTerms.as("blocked_terms"),
+      round(ratio, 6).as("blocked_ratio"),
+      when(hits === 0, 1).otherwise(0).as("strict_keep"),
+      when(ratio <= maxRatio, 1).otherwise(0).as("ratio_keep"))
+      .orderBy("doc_id")
+  }
+
+  def blocklist(t: Tables): DataFrame = blocklistOf(t.documents)
+
+  /** The thresholded blocklist keep decision as a reusable column —
+    * the form [[Curate.filterFunnelOf]] composes (same expressions as
+    * `ratio_keep` in [[blocklistOf]]).
+    */
+  def blocklistKeepCol(text: Column,
+                       terms: Seq[String] = DefaultBlocklist,
+                       maxRatio: Double = 0.05): Column = {
+    val w       = words(text)
+    val blocked = array(terms.map(lit): _*)
+    val hits    = size(filter(w, x => array_contains(blocked, x))).cast("long")
+    when(hits.cast("double") / greatest(size(w).cast("long"), lit(1L)) <= maxRatio, 1)
+      .otherwise(0)
+  }
+
+  def blocklistSql(terms: Seq[String] = DefaultBlocklist,
+                   maxRatio: Double = 0.05): String = {
+    val list = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), w -> w <> '') AS w
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n_words,
+       |    CAST(len(list_filter(w, x -> list_contains([$list], x))) AS BIGINT) AS hits,
+       |    CAST(len(list_intersect(list_distinct(w), [$list])) AS BIGINT) AS blocked_terms,
+       |    CAST(len(list_filter(w, x -> list_contains([$list], x))) AS DOUBLE)
+       |      / greatest(len(w), 1) AS ratio
+       |  FROM f
+       |)
+       |SELECT doc_id, n_words, hits AS blocked_hits, blocked_terms,
+       |  round(ratio, 6) AS blocked_ratio,
+       |  CASE WHEN hits = 0 THEN 1 ELSE 0 END AS strict_keep,
+       |  CASE WHEN ratio <= $maxRatio THEN 1 ELSE 0 END AS ratio_keep
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------------------- per-source pass rates
 
   /** Quality-rule pass rates per source — the monitoring rollup that

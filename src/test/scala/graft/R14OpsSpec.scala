@@ -132,3 +132,198 @@ class DedupLinesSpec extends AnyFunSuite {
       s"expected license boilerplate in most books, got $withBoiler/${rows.length}")
   }
 }
+
+/** quality_blocklist: the C4 badword gate — exact hit accounting on a
+  * hand-built corpus, both keep policies, and corpus-level sanity.
+  */
+class BlocklistSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def t = Tables(spark, TestSpark.sf)
+
+  test("hand-built docs: hits, distinct terms, both keep policies") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean text with nothing blocked here at all"),      // 8 words, 0 hits
+      (2L, "one slow word inside twenty tokens a b c d e f g h i j k l m n"), // 20, 1 hit
+      (3L, "slow big slow big"),                                  // 4 words, 4 hits
+      (4L, "")).toDF("doc_id", "text")
+    val rows = graft.operators.QualityRules.blocklistOf(docs, maxRatio = 0.05)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getInt(5), r.getInt(6))).toMap
+    assert(rows(1L) == ((8L, 0L, 0L, 0.0, 1, 1)))
+    assert(rows(2L) == ((20L, 1L, 1L, 0.05, 0, 1)))   // at the ratio boundary: kept
+    assert(rows(3L) == ((4L, 4L, 2L, 1.0, 0, 0)))
+    assert(rows(4L) == ((0L, 0L, 0L, 0.0, 1, 1)))      // empty doc: no /0, kept
+  }
+
+  test("corpus: both policies discriminate; ratio keeps a superset of strict") {
+    val rows = graft.operators.QualityRules.blocklist(t).collect()
+    val strict = rows.map(_.getInt(5)).sum
+    val ratio  = rows.map(_.getInt(6)).sum
+    assert(strict > 0 && strict < rows.length, s"strict_keep must discriminate: $strict/${rows.length}")
+    assert(ratio >= strict, "every strict keep is a ratio keep")
+    rows.foreach(r => assert(r.getLong(2) >= r.getLong(3), "hits >= distinct terms"))
+  }
+}
+
+/** q_dp_counts: the Laplace mechanism over the per-source card —
+  * deterministic seeded noise, exact 1/ε scaling, contribution clamp.
+  */
+class DpCountsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def t = Tables(spark, TestSpark.sf)
+
+  test("noise scales exactly 1/eps (same seed), exact columns untouched") {
+    val e1  = graft.operators.Curate.dpCountsOf(t.documents, eps = 1.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val e10 = graft.operators.Curate.dpCountsOf(t.documents, eps = 10.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(e1.keySet == e10.keySet && e1.nonEmpty)
+    e1.foreach { case (src, r1) =>
+      val r10 = e10(src)
+      val (n, tok) = (r1.getLong(1), r1.getLong(2))
+      assert(r10.getLong(1) == n && r10.getLong(2) == tok, "exact columns must not vary with eps")
+      val noise1  = r1.getDouble(3) - n
+      val noise10 = r10.getDouble(3) - n
+      // same md5 fraction, b scaled by 10 → noise scaled by 10 (to the 6dp the gate rounds at)
+      assert(math.abs(noise1 - 10.0 * noise10) < 2e-5, s"$src: $noise1 vs ${10.0 * noise10}")
+      assert(noise1 != 0.0, s"$src: Laplace draw must not be exactly zero")
+      assert(math.abs(noise1) < 35.0, s"$src: |noise| beyond the 15-hex-digit inverse-CDF range")
+    }
+  }
+
+  test("contribution clamp bounds the token sum") {
+    import spark.implicits._
+    val docs = Seq((1L, "s", ("w " * 50).trim), (2L, "s", "a b")).toDF("doc_id", "source", "text")
+    val r = graft.operators.Curate.dpCountsOf(docs, eps = 1.0, clamp = 10L).collect()(0)
+    assert(r.getLong(2) == 12L, "50-token doc clamps to 10, 2-token doc rides whole")
+  }
+}
+
+/** multimodal_cdc: content-defined chunking — hand-walked cuts, byte
+  * conservation, and the shift-resilience property that motivates CDC
+  * over fixed-size blocks.
+  */
+class CdcChunksSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def cutsOf(s: String, w: Int = 8, b: Long = 31L, d: Long = 64L): Seq[Int] = {
+    import spark.implicits._
+    Seq(s).toDF("t")
+      .select(graft.functions.CdcCutsExpr.cuts(
+        org.apache.spark.sql.functions.encode($"t", "UTF-8"), w, b, d).as("e"))
+      .collect()(0).getSeq[Int](0)
+  }
+
+  test("cuts match a literal reference implementation of the window polynomial") {
+    val s = "the quick brown fox jumps over the lazy dog and then some more text to chunk"
+    val (w, b, d) = (8, 31L, 16L) // denser cuts than the query default so the test string has interior ones
+    val bytes = s.getBytes("UTF-8").map(_ & 0xff)
+    val expected = (w - 1 until bytes.length - 1).filter { i =>
+      val h = (0 until w).map(j => bytes(i - j).toLong * math.pow(b.toDouble, j).toLong).sum
+      h % d == d - 1
+    } :+ (bytes.length - 1)
+    assert(cutsOf(s, w, b, d) == expected)
+    assert(expected.length > 1, "reference string must actually produce an interior cut")
+  }
+
+  test("boundaries survive a prefix insertion (the CDC property)") {
+    val tail = "stable suffix content that should keep its chunk boundaries intact ok"
+    val a = "x " + tail
+    val b = "a freshly inserted prefix of different length here " + tail
+    val ca = cutsOf(a, d = 16L); val cb = cutsOf(b, d = 16L)
+    // cuts inside the shared tail sit at the same distance from the END
+    val tailCutsA = ca.map(a.length - 1 - _).filter(_ < tail.length - 8).toSet
+    val tailCutsB = cb.map(b.length - 1 - _).filter(_ < tail.length - 8).toSet
+    assert(tailCutsA == tailCutsB && tailCutsA.nonEmpty,
+      s"content-defined cuts must realign after the edit window: $tailCutsA vs $tailCutsB")
+  }
+
+  test("corpus rollup: conservation, ASCII precondition, chunk accounting") {
+    val sfDir = TestSpark.sf
+    val rows = graft.multimodal.Multimodal.cdcChunksQuery(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    import org.apache.spark.sql.functions._
+    // the oracle twin reads chars where Spark reads payload bytes — only
+    // valid while the corpus is single-byte; fail loudly if that drifts
+    val nonAscii = docs.filter(length(encode(col("text"), "UTF-8")) =!= length(col("text"))).count()
+    assert(nonAscii == 0L, "testdata documents must be pure ASCII for the CDC oracle twin")
+    val totalBytes = docs.agg(sum(length(col("text")).cast("long"))).head.getLong(0)
+    assert(rows.map(_.getLong(4)).sum == totalBytes, "chunking must conserve bytes")
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "distinct <= chunks")
+      assert(r.getLong(5) < r.getLong(4), "dup bytes < total bytes")
+      val mean = r.getDouble(6)
+      assert(mean > 8.0 && mean < 256.0, s"mean chunk len off the D=64 target: $mean")
+    }
+  }
+}
+
+/** q_filter_funnel: staged-gate attrition — funnel invariants plus a
+  * hand-built corpus where every stage's marginal removal is known.
+  */
+class FilterFunnelSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def t = Tables(spark, TestSpark.sf)
+
+  test("hand-built corpus: marginal removals per stage, in order") {
+    import spark.implicits._
+    val good = (1 to 60).map(i => s"tok$i").mkString(" ") // passes gopher (60 words, stopless... )
+    // gopher needs >=2 stop hits; weave in stopwords
+    val goodDoc = ("the and " + good).trim
+    val docs = Seq(
+      (1L, "en", goodDoc),                    // survives everything
+      (2L, "en", goodDoc),                    // exact dup of 1 → stage-1 removal
+      (3L, "zh", goodDoc + " zh1"),           // stage-2 removal (lang)
+      (4L, "en", "too short"),                // stage-3 removal (gopher word bound)
+      (5L, "en", ("the and slow slow slow slow " + good).trim)) // stage-4 removal (blocklist ratio 4/66 > 0.05)
+      .toDF("doc_id", "lang", "text")
+    val rows = graft.operators.Curate.filterFunnelOf(docs)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      (1, "exact_dedup", 5L, 1L, 4L),
+      (2, "lang_filter", 4L, 1L, 3L),
+      (3, "gopher_quality", 3L, 1L, 2L),
+      (4, "blocklist", 2L, 1L, 1L)))
+  }
+
+  test("corpus invariants: conservation, monotone survival") {
+    val rows = graft.operators.Curate.filterFunnel(t).collect()
+    assert(rows.length == 4)
+    val n = rows(0).getLong(2)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(4) == b.getLong(2), "stage k's out is stage k+1's in")
+    }
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(3) + r.getLong(4), "in = removed + out")
+      assert(r.getDouble(6) <= 1.0 && r.getDouble(6) >= 0.0)
+    }
+    assert(rows.last.getLong(4) > 0, "the funnel must not empty the corpus")
+    assert(rows.map(_.getLong(3)).sum < n, "something must survive overall")
+  }
+}
+
+/** multimodal_cdc_dedup: planted prefix-mutated twins must surface
+  * through shared content-defined chunks.
+  */
+class CdcDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("planted twins recovered; exact-dup documents read containment 1") {
+    val rows = graft.multimodal.Multimodal.cdcDedupQuery(spark, TestSpark.sf).collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // planted: (id, id + 10M) for id % 7 == 0 — most must surface (short
+    // single-chunk blobs legitimately share nothing after a prefix edit)
+    val planted = pairs.filter { case (a, b, _) => b == a + 10000000L }
+    val nPlantable = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 7 === 0).count()
+    assert(planted.length * 10 >= nPlantable * 7,
+      s"expected >=70% of $nPlantable planted twins, got ${planted.length}")
+    planted.foreach { case (_, _, c) => assert(c >= 0.5 && c <= 1.0) }
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs once, a < b")
+      assert(r.getLong(2) > 0, "shared bytes positive")
+    }
+  }
+}
