@@ -533,37 +533,57 @@ object Multimodal {
       .orderBy("media_a", "media_b")
   }
 
-  def cdcDedupSql(window: Int = 8, base: Long = 31L, div: Long = 64L,
-      minContainment: Double = 0.5): String = {
+  /** Shared oracle CTE chain m → codes → ends → chunks → digests (the
+    * `urlCanonCte` pattern): ONE definition of the byte/rolling-hash/
+    * cut/digest mirror so the two CDC twins cannot drift apart.
+    * `mBody` must select `media_id` and `text`; `carry` columns pass
+    * through every stage (the rollup twin threads `kind`).
+    */
+  // NOTE: this helper returns ALREADY-stripped text that callers embed
+  // inside their own stripMargin literals — so no line of its output
+  // (or of an mBody) may BEGIN with '|' after stripping, or the outer
+  // stripMargin eats it (a leading list-concat '||' once became a
+  // bitwise '|' this way; the trailing-|| line layout below is why).
+  private def cdcDigestsCte(mBody: String, carry: Seq[String],
+      window: Int, base: Long, div: Long): String = {
     val pows = (0 until window).map(j => (0 until j).foldLeft(1L)((p, _) => p * base))
     val powList = pows.mkString("[", ", ", "]")
+    val cy = carry.map(c => s", $c").mkString
     s"""WITH m AS (
-       |  SELECT doc_id AS media_id, text FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 10000000,
-       |    'inserted prefix ' || CAST(doc_id AS VARCHAR) || ' ' || text
-       |  FROM documents WHERE doc_id % 7 = 0
+       |$mBody
        |), codes AS (
-       |  SELECT media_id, text, length(text) AS n,
+       |  SELECT media_id$cy, text, length(text) AS n,
        |    list_transform(range(1, length(text) + 1),
        |      i -> ord(substr(text, CAST(i AS INT), 1))) AS c
        |  FROM m
        |), ends AS (
-       |  SELECT media_id, text,
+       |  SELECT media_id$cy, text,
        |    [CAST(i AS INT) FOR i IN range($window - 1, n - 1) IF
        |      list_sum(list_transform(range(0, $window),
-       |        j -> c[CAST(i + 1 - j AS INT)] * ($powList)[CAST(j + 1 AS INT)])) % $div = ${div - 1}]
-       |      || [CAST(n - 1 AS INT)] AS e
+       |        j -> c[CAST(i + 1 - j AS INT)] * ($powList)[CAST(j + 1 AS INT)])) % $div = ${div - 1}] ||
+       |      [CAST(n - 1 AS INT)] AS e
        |  FROM codes
-       |), digests AS (
-       |  SELECT media_id,
-       |    CAST(e[CAST(idx AS INT)] - (CASE WHEN idx = 1 THEN 0
-       |      ELSE e[CAST(idx AS INT) - 1] + 1 END) + 1 AS BIGINT) AS clen,
-       |    md5(substr(text, (CASE WHEN idx = 1 THEN 0 ELSE e[CAST(idx AS INT) - 1] + 1 END) + 1,
-       |      e[CAST(idx AS INT)] - (CASE WHEN idx = 1 THEN 0
-       |        ELSE e[CAST(idx AS INT) - 1] + 1 END) + 1)) AS digest
+       |), chunks AS (
+       |  SELECT media_id$cy,
+       |    CASE WHEN idx = 1 THEN 0 ELSE e[CAST(idx AS INT) - 1] + 1 END AS st,
+       |    e[CAST(idx AS INT)] AS fin, text
        |  FROM ends, unnest(range(1, len(e) + 1)) r(idx)
-       |), pbd AS (
+       |), digests AS (
+       |  SELECT media_id$cy, CAST(fin - st + 1 AS BIGINT) AS clen,
+       |    md5(substr(text, st + 1, fin - st + 1)) AS digest
+       |  FROM chunks
+       |)""".stripMargin
+  }
+
+  def cdcDedupSql(window: Int = 8, base: Long = 31L, div: Long = 64L,
+      minContainment: Double = 0.5): String = {
+    val m =
+      """  SELECT doc_id AS media_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000,
+        |    'inserted prefix ' || CAST(doc_id AS VARCHAR) || ' ' || text
+        |  FROM documents WHERE doc_id % 7 = 0""".stripMargin
+    s"""${cdcDigestsCte(m, Seq.empty, window, base, div)}, pbd AS (
        |  SELECT media_id, digest, count(*) AS cnt, any_value(clen) AS clen
        |  FROM digests GROUP BY media_id, digest
        |), bytes AS (
@@ -591,34 +611,12 @@ object Multimodal {
     * every hash is BIGINT-exact in both engines.
     */
   def cdcChunksSql(window: Int = 8, base: Long = 31L, div: Long = 64L): String = {
-    val pows = (0 until window).map(j => (0 until j).foldLeft(1L)((p, _) => p * base))
-    val powList = pows.mkString("[", ", ", "]")
-    s"""WITH m AS (
-       |  SELECT doc_id AS media_id,
-       |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
-       |    text, length(text) AS n
-       |  FROM documents
-       |), codes AS (
-       |  SELECT media_id, kind, text, n,
-       |    list_transform(range(1, n + 1), i -> ord(substr(text, CAST(i AS INT), 1))) AS c
-       |  FROM m
-       |), ends AS (
-       |  SELECT media_id, kind, text,
-       |    [CAST(i AS INT) FOR i IN range($window - 1, n - 1) IF
-       |      list_sum(list_transform(range(0, $window),
-       |        j -> c[CAST(i + 1 - j AS INT)] * ($powList)[CAST(j + 1 AS INT)])) % $div = ${div - 1}]
-       |      || [CAST(n - 1 AS INT)] AS e
-       |  FROM codes
-       |), chunks AS (
-       |  SELECT media_id, kind,
-       |    CASE WHEN idx = 1 THEN 0 ELSE e[CAST(idx AS INT) - 1] + 1 END AS st,
-       |    e[CAST(idx AS INT)] AS fin, text
-       |  FROM ends, unnest(range(1, len(e) + 1)) r(idx)
-       |), digests AS (
-       |  SELECT media_id, kind, CAST(fin - st + 1 AS BIGINT) AS clen,
-       |    md5(substr(text, st + 1, fin - st + 1)) AS digest
-       |  FROM chunks
-       |), rollup AS (
+    val m =
+      """  SELECT doc_id AS media_id,
+        |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        |    text
+        |  FROM documents""".stripMargin
+    s"""${cdcDigestsCte(m, Seq("kind"), window, base, div)}, rollup AS (
        |  SELECT kind,
        |    CAST(sum(CAST(cnt AS HUGEINT)) AS BIGINT) AS n_chunks,
        |    count(*) AS n_distinct_chunks,

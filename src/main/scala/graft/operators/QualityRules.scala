@@ -247,6 +247,85 @@ object QualityRules {
        |FROM g ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------- information-theoretic
+
+  /** Information-theoretic quality signals (the CCNet/RedPajama family
+    * of gibberish detectors): per-doc character entropy (low = runs/
+    * spam, high = random noise), word entropy, and type-token ratio.
+    * All three are row-local higher-order folds over one split — no
+    * shuffle before the output sort, the first-gate shape. Both
+    * engines fold the distinct-symbol distribution in SORTED symbol
+    * order (the RAKE sorted-fold discipline): float addition isn't
+    * associative, so a nondeterministic fold order would flap the 6dp
+    * gate.
+    *
+    * The keep band rejects BOTH tails of char entropy (repetitive spam
+    * below, random noise above) plus a TTR floor — bounds loose enough
+    * that natural text passes (ASCII English sits near 2.8–3.1 nats).
+    */
+  def entropyOf(documents: DataFrame,
+                minH: Double = 1.5, maxH: Double = 4.5,
+                minTtr: Double = 0.05): DataFrame = {
+    def entropy(syms: Column): Column = {
+      val n = size(syms)
+      val h = aggregate(
+        array_sort(array_distinct(syms)),
+        lit(0.0),
+        (acc, s) => {
+          val p = size(filter(syms, x => x === s)).cast("double") / n
+          acc - p * log(p)
+        })
+      when(n > 0, h).otherwise(lit(0.0))
+    }
+    val chars = filter(split(lower(trim(col("text"))), ""), c => c =!= "" && c =!= " ")
+    val w     = words(col("text"))
+    val hc    = entropy(chars)
+    val hw    = entropy(w)
+    val ttr   = size(array_distinct(w)).cast("double") / greatest(size(w), lit(1)).cast("double")
+    documents.select(
+      col("doc_id"),
+      size(chars).cast("long").as("n_sym_chars"),
+      round(hc, 6).as("char_entropy"),
+      size(w).cast("long").as("n_words"),
+      round(hw, 6).as("word_entropy"),
+      round(ttr, 6).as("ttr"),
+      when(hc.between(minH, maxH) && ttr >= minTtr, 1).otherwise(0).as("entropy_keep"))
+      .orderBy("doc_id")
+  }
+
+  def entropyRules(t: Tables): DataFrame = entropyOf(t.documents)
+
+  def entropySql(minH: Double = 1.5, maxH: Double = 4.5,
+                 minTtr: Double = 0.05): String = {
+    def entropy(syms: String) =
+      s"""CASE WHEN len($syms) > 0 THEN list_reduce(
+         |      list_prepend(0.0, list_transform(list_sort(list_distinct($syms)),
+         |        s -> CAST(len(list_filter($syms, x -> x = s)) AS DOUBLE) / len($syms))),
+         |      (acc, p) -> acc - p * ln(p)) ELSE 0.0 END""".stripMargin
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(trim(text)), ''), c -> c <> '' AND c <> ' ') AS chars,
+       |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), w -> w <> '') AS w
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id,
+       |    CAST(len(chars) AS BIGINT) AS n_sym_chars,
+       |    ${entropy("chars")} AS hc,
+       |    CAST(len(w) AS BIGINT) AS n_words,
+       |    ${entropy("w")} AS hw,
+       |    CAST(len(list_distinct(w)) AS DOUBLE) / greatest(len(w), 1) AS ttr
+       |  FROM f
+       |)
+       |SELECT doc_id, n_sym_chars,
+       |  round(hc, 6) AS char_entropy,
+       |  n_words,
+       |  round(hw, 6) AS word_entropy,
+       |  round(ttr, 6) AS ttr,
+       |  CASE WHEN hc BETWEEN $minH AND $maxH AND ttr >= $minTtr
+       |    THEN 1 ELSE 0 END AS entropy_keep
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------------------- per-source pass rates
 
   /** Quality-rule pass rates per source — the monitoring rollup that

@@ -327,3 +327,41 @@ class CdcDedupSpec extends AnyFunSuite {
     }
   }
 }
+
+/** quality_entropy: information-theoretic gibberish signals — exact
+  * hand-computed entropies, degenerate docs, and the keep band.
+  */
+class EntropyRulesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def t = Tables(spark, TestSpark.sf)
+
+  test("hand-computed entropies: uniform, degenerate, empty") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "ab ab"),        // chars a,b,a,b → H = ln 2; words: ab ×2 → H 0, ttr 0.5
+      (2L, "aaaa"),         // one symbol → H 0 (repetitive spam tail)
+      (3L, "abcd"),         // 4 uniform chars → H = ln 4
+      (4L, "")).toDF("doc_id", "text")
+    val rows = graft.operators.QualityRules.entropyOf(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getInt(6))).toMap
+    val ln2 = math.rint(math.log(2) * 1e6) / 1e6
+    val ln4 = math.rint(math.log(4) * 1e6) / 1e6
+    assert(rows(1L) == ((4L, ln2, 2L, 0.0, 0.5, 0)))   // word entropy 0 but keep fails on char band
+    assert(rows(2L) == ((4L, 0.0, 1L, 0.0, 1.0, 0)))   // spam tail rejected
+    assert(rows(3L) == ((4L, ln4, 1L, 0.0, 1.0, 0)))   // ln4 ≈ 1.386 < 1.5: short-doc reject
+    assert(rows(4L) == ((0L, 0.0, 0L, 0.0, 0.0, 0)))
+  }
+
+  test("corpus: natural text lands in the keep band; bounds ordered") {
+    val rows = graft.operators.QualityRules.entropyRules(t).collect()
+    val kept = rows.count(_.getInt(6) == 1)
+    assert(kept * 10 > rows.length * 9, s"natural corpus must mostly pass: $kept/${rows.length}")
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(4) >= 0.0)
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+      // char entropy can't exceed ln(distinct ASCII symbols in play)
+      assert(r.getDouble(2) < math.log(128.0))
+    }
+  }
+}
