@@ -209,6 +209,8 @@ object PlanDump {
         QualityRules.blocklist(t),
       "quality_entropy (r14: sorted-fold entropy + TTR, all row-local; no shuffle before the output sort)" ->
         QualityRules.entropyRules(t),
+      "src_partitioned_prune (r14: partition-key predicate consumed by PLANNING-time directory pruning — PartitionFilters, empty data pushdown)" ->
+        graft.sources.Formats.documentsPartitionedPrune(t),
       "q_filter_funnel (r14: one fp-window keeper shuffle, row-local gates, 1-row conjunction aggregate inlined to 4 stage rows)" ->
         Curate.filterFunnel(t),
       "q_dp_counts (r14: one map-side-combined source aggregate; Laplace draw per GROUP in the projection)" ->

@@ -99,4 +99,32 @@ object Formats {
     */
   val documentsSql: String =
     "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"
+
+  /** documents → parquet partitioned by (lang, source) → read back one
+    * partition slice (r14). THE scale pillar the other round trips
+    * don't exercise: a partition-key predicate prunes DIRECTORIES at
+    * planning time, so a 100 TB lake laid out this way scans only the
+    * matched partitions — the scan shows the predicate under
+    * `PartitionFilters` with an empty data-filter pushdown, and the
+    * partition columns come back from directory names, not file bytes
+    * (PartitionPruneSpec pins both, plus the files-read count).
+    * Hive-style lang=/source= layout is also what makes per-language
+    * mixture jobs (`domain_mix`, `q_mix_epochs`) pay only for the
+    * slices they touch.
+    */
+  def documentsPartitionedPrune(t: Tables, lang: String = "en",
+      source: String = "src0"): DataFrame = {
+    val docs = t.documents
+    val out = scratch("documents_partitioned")
+    docs.write.mode("overwrite").partitionBy("lang", "source").parquet(out)
+    docs.sparkSession.read.parquet(out)
+      .filter(col("lang") === lang && col("source") === source)
+      // partition columns read back LAST; restore the contract order
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+      .orderBy("doc_id")
+  }
+
+  def partitionedPruneSql(lang: String = "en", source: String = "src0"): String =
+    s"""SELECT doc_id, text, lang, source, n_chars FROM documents
+       |WHERE lang = '$lang' AND source = '$source' ORDER BY doc_id""".stripMargin
 }

@@ -365,3 +365,35 @@ class EntropyRulesSpec extends AnyFunSuite {
     }
   }
 }
+
+/** src_partitioned_prune: the partition-pruning pillar — the predicate
+  * must prune at PLANNING time (PartitionFilters), not ride as a data
+  * filter over a full scan.
+  */
+class PartitionPruneSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def t = Tables(spark, TestSpark.sf)
+
+  test("slice matches, predicate lands in PartitionFilters, files pruned") {
+    val df = graft.sources.Formats.documentsPartitionedPrune(t)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan.take(800))
+    val pf = plan.split("PartitionFilters: ", 2)(1).split("]", 2)(0)
+    assert(pf.contains("lang") && pf.contains("source"),
+      s"partition predicate must prune at planning time: $pf")
+    // the lang/source predicates are fully consumed by pruning — the
+    // data-filter pushdown must NOT carry them
+    val pushed = plan.split("PushedFilters: ", 2).last.split("]", 2)(0)
+    assert(!pushed.contains("lang") && !pushed.contains("source"),
+      s"partition keys must not reappear as data filters: $pushed")
+    // content equality vs the unpartitioned table
+    import org.apache.spark.sql.functions._
+    val want = t.documents.filter(col("lang") === "en" && col("source") === "src0")
+      .orderBy("doc_id").collect()
+    val got = df.collect()
+    assert(got.length == want.length && got.length > 0)
+    assert(got.map(_.getLong(0)).toSeq == want.map(_.getLong(0)).toSeq)
+    // partition-column values come back from directory names
+    got.foreach(r => assert(r.getString(2) == "en" && r.getString(3) == "src0"))
+  }
+}
