@@ -266,17 +266,11 @@ object QualityRules {
   def entropyOf(documents: DataFrame,
                 minH: Double = 1.5, maxH: Double = 4.5,
                 minTtr: Double = 0.05): DataFrame = {
-    def entropy(syms: Column): Column = {
-      val n = size(syms)
-      val h = aggregate(
-        array_sort(array_distinct(syms)),
-        lit(0.0),
-        (acc, s) => {
-          val p = size(filter(syms, x => x === s)).cast("double") / n
-          acc - p * log(p)
-        })
-      when(n > 0, h).otherwise(lit(0.0))
-    }
+    // native one-pass expression — the composed aggregate/filter HOF
+    // form is O(n·distinct) through the interpreted lambda evaluator
+    // and read 98 s at sf0.1 (see EntropyExpr's scaladoc); identical
+    // sorted-fold semantics, so the oracle twin is unchanged
+    def entropy(syms: Column): Column = graft.functions.EntropyExpr.entropy(syms)
     val chars = filter(split(lower(trim(col("text"))), ""), c => c =!= "" && c =!= " ")
     val w     = words(col("text"))
     val hc    = entropy(chars)
