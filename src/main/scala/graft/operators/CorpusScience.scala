@@ -643,4 +643,126 @@ object CorpusScience {
       |  CASE WHEN sum(bpe) > 0 THEN
       |    CAST(sum(n_chars) AS DOUBLE) / CAST(sum(bpe) AS DOUBLE) END AS chars_per_token
       |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------- word burstiness
+
+  /** Per-word burstiness over the document corpus — the
+    * variance-to-mean ratio (VMR, index of dispersion) of a word's
+    * per-document count INCLUDING the zero cells, computed without
+    * materializing them: with D docs, Σx and Σx² over the containing
+    * docs, population VMR = σ²/μ = Σx²/Σx − Σx/D exactly. VMR ≈ 1 is
+    * Poisson scatter (function words); VMR ≫ 1 is bursty content
+    * vocabulary — the Church–Gale signal that separates topical terms
+    * from glue for vocab/keyword design. One (word, doc) aggregate
+    * then one word-keyed moment aggregate; all sums exact LONGs until
+    * the two final divisions (exact while Σx² < 2^63). The 1-row doc
+    * count joins by broadcast.
+    */
+  def wordBurstinessOf(docs: DataFrame, minDf: Long = 10L,
+                       topK: Int = 50): DataFrame = {
+    val cells = docs
+      .select(col("doc_id"),
+        explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+          .as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    val moments = cells.groupBy(col("word"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("c")).as("sx"),
+        sum(col("c") * col("c")).as("sx2"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    moments.filter(col("df") >= minDf)
+      .crossJoin(broadcast(total))
+      .select(col("word"), col("df"), col("sx").as("total_count"),
+        round(col("sx2").cast("double") / col("sx").cast("double")
+          - col("sx").cast("double") / col("n_docs").cast("double"), 6).as("vmr"),
+        round(col("sx").cast("double") / col("df").cast("double"), 6)
+          .as("rate_in_docs"))
+      .orderBy(col("total_count").desc, col("word"))
+      .limit(topK)
+  }
+
+  def wordBurstiness(t: Tables): DataFrame = wordBurstinessOf(t.documents)
+
+  def wordBurstinessSql(minDf: Long = 10L, topK: Int = 50): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS word
+       |  FROM documents
+       |), cells AS (
+       |  SELECT word, doc_id, count(*) AS c FROM toks WHERE word <> ''
+       |  GROUP BY word, doc_id
+       |), moments AS (
+       |  SELECT word, count(*) AS df,
+       |    CAST(sum(c) AS BIGINT) AS sx,
+       |    CAST(sum(c * c) AS BIGINT) AS sx2
+       |  FROM cells GROUP BY word
+       |), tot AS (SELECT count(*) AS n_docs FROM documents)
+       |SELECT word, df, sx AS total_count,
+       |  round(CAST(sx2 AS DOUBLE) / CAST(sx AS DOUBLE)
+       |    - CAST(sx AS DOUBLE) / (SELECT CAST(n_docs AS DOUBLE) FROM tot), 6) AS vmr,
+       |  round(CAST(sx AS DOUBLE) / CAST(df AS DOUBLE), 6) AS rate_in_docs
+       |FROM moments WHERE df >= $minDf
+       |ORDER BY total_count DESC, word LIMIT $topK""".stripMargin
+
+  // ----------------------------------------------------- n-gram novelty
+
+  /** Per-document n-gram novelty profile (Lee et al. 2022's "how much
+    * of each document is new" diagnostic): the share of a doc's
+    * DISTINCT word k-grams whose corpus-wide first occurrence (min
+    * doc_id over a stable ingest order) is this document. Low-novelty
+    * docs are assembled from already-seen text (templates, mirrors) —
+    * the doc-level ranking that complements [[Dedup.substringSpansOf]]'s
+    * span surgery. Reuses [[Dedup.windowHashesOf]]; everything past
+    * the scan shuffles 15-hex-digit window hashes only (first-seen
+    * attribution = one min aggregate + one digest-keyed join), so the
+    * profile costs the same two shuffles at any corpus size.
+    */
+  def ngramNoveltyOf(docs: DataFrame, k: Int = 8): DataFrame = {
+    val wins = Dedup.windowHashesOf(docs, k)
+      .select(col("doc_id"), col("win_hash")).distinct()
+    val first = wins.groupBy(col("win_hash"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = wins.join(first, Seq("win_hash"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("novel"))
+    docs.select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n"), lit(0L)).as("n_ngrams"),
+        coalesce(col("novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("novel"), lit(0L)).cast("double")
+          / greatest(coalesce(col("n"), lit(0L)), lit(1L)).cast("double"), 6)
+          .as("novel_share"))
+      .orderBy("doc_id")
+  }
+
+  def ngramNovelty(t: Tables): DataFrame = ngramNoveltyOf(t.documents)
+
+  def ngramNoveltySql(k: Int = 8): String =
+    s"""WITH toksv AS (
+       |  SELECT doc_id,
+       |    regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+       |  FROM documents
+       |), wins AS (
+       |  SELECT DISTINCT doc_id,
+       |    ('0x' || substr(md5(array_to_string(w[i+1 : i+$k], ' ')), 1, 15))::BIGINT AS win_hash
+       |  FROM toksv, unnest(range(0, len(w) - $k + 1)) r(i)
+       |  WHERE len(w) >= $k
+       |), firsts AS (
+       |  SELECT win_hash, min(doc_id) AS first_doc FROM wins GROUP BY win_hash
+       |), pd AS (
+       |  SELECT doc_id, count(*) AS n,
+       |    CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel
+       |  FROM wins JOIN firsts USING (win_hash) GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, d.source,
+       |  coalesce(pd.n, 0) AS n_ngrams,
+       |  coalesce(pd.novel, 0) AS n_novel,
+       |  round(CAST(coalesce(pd.novel, 0) AS DOUBLE)
+       |    / greatest(coalesce(pd.n, 0), 1), 6) AS novel_share
+       |FROM documents d LEFT JOIN pd USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 }

@@ -1334,4 +1334,97 @@ object Dedup {
        |SELECT s.doc_id, s.cut_tokens, s.n_spans, ka.kept_tokens, ka.kept_fp
        |FROM spans s JOIN keptagg ka ON ka.doc_id = s.doc_id
        |ORDER BY s.doc_id""".stripMargin
+
+  // ------------------------------------------- cross-doc sentence dedup
+
+  /** CCNet-style corpus-level SENTENCE dedup — the grain between
+    * doc-level fingerprints and k-word substring spans: a normalized
+    * sentence occurring in ≥ `minDocs` DISTINCT documents is shared
+    * boilerplate (cookie banners, license footers) and is dropped
+    * from every document that carries it. Only sentences of
+    * ≥ `minChars` chars participate — short interjections ("Yes.")
+    * would otherwise be spuriously corpus-frequent.
+    *
+    * Scale shape: sentences reduce to (md5, doc_id, len) AT THE SCAN
+    * — no sentence text ever shuffles; the df aggregate and the
+    * drop-set membership join both key on the 32-char digest, and
+    * the per-doc manifest is one doc-keyed aggregate. Identical at
+    * 100 TB: the df table is vocabulary-sized (distinct sentences),
+    * not corpus-sized. The companion of [[FileCorpus.dedupLines]]
+    * (file grain) and [[substringSpansOf]] (span grain).
+    */
+  def dedupSentencesOf(docs: DataFrame, minDocs: Long = 3L,
+                       minChars: Int = 20): DataFrame = {
+    val sents = docs
+      .select(col("doc_id"), explode(split(col("text"), "[.!?]+")).as("s0"))
+      .select(col("doc_id"), trim(regexp_replace(col("s0"), "\\s+", " ")).as("s"))
+      .filter(col("s") =!= "")
+      .select(col("doc_id"), md5(lower(col("s"))).as("h"),
+        length(col("s")).cast("long").as("len"))
+    val dropSet = sents.filter(col("len") >= minChars)
+      .select("h", "doc_id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("h"), lit(1).as("is_dup"))
+    val dropped = col("is_dup").isNotNull && col("len") >= minChars
+    val perDoc = sents
+      .join(dropSet, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sents"),
+        sum(when(col("len") >= minChars, 1L).otherwise(0L)).as("n_eligible"),
+        sum(when(dropped, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(dropped, col("len")).otherwise(0L)).as("chars_dropped"),
+        sum(when(!dropped, col("len")).otherwise(0L)).as("chars_kept"))
+    docs.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sents"), lit(0L)).as("n_sents"),
+        coalesce(col("n_eligible"), lit(0L)).as("n_eligible"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("chars_dropped"), lit(0L)).as("chars_dropped"),
+        coalesce(col("chars_kept"), lit(0L)).as("chars_kept"),
+        round(coalesce(col("n_dropped"), lit(0L)).cast("double")
+          / greatest(coalesce(col("n_eligible"), lit(0L)), lit(1L)).cast("double"), 6)
+          .as("drop_share"))
+      .orderBy("doc_id")
+  }
+
+  def dedupSentences(t: graft.sources.Tables): DataFrame =
+    dedupSentencesOf(t.documents)
+
+  def dedupSentencesSql(minDocs: Long = 3L, minChars: Int = 20): String =
+    s"""WITH s0 AS (
+       |  SELECT doc_id, trim(regexp_replace(s, '\\s+', ' ', 'g')) AS s
+       |  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '[.!?]+')) AS s
+       |        FROM documents)
+       |), sents AS (
+       |  SELECT doc_id, md5(lower(s)) AS h, CAST(length(s) AS BIGINT) AS len
+       |  FROM s0 WHERE s <> ''
+       |), dup AS (
+       |  SELECT h FROM (
+       |    SELECT h, count(DISTINCT doc_id) AS df FROM sents
+       |    WHERE len >= $minChars GROUP BY h)
+       |  WHERE df >= $minDocs
+       |), flagged AS (
+       |  SELECT s.doc_id, s.len,
+       |    CASE WHEN d.h IS NOT NULL AND s.len >= $minChars THEN 1 ELSE 0 END AS drp
+       |  FROM sents s LEFT JOIN dup d ON s.h = d.h
+       |), pd AS (
+       |  SELECT doc_id, count(*) AS n_sents,
+       |    CAST(sum(CASE WHEN len >= $minChars THEN 1 ELSE 0 END) AS BIGINT) AS n_eligible,
+       |    CAST(sum(drp) AS BIGINT) AS n_dropped,
+       |    CAST(sum(CASE WHEN drp = 1 THEN len ELSE 0 END) AS BIGINT) AS chars_dropped,
+       |    CAST(sum(CASE WHEN drp = 0 THEN len ELSE 0 END) AS BIGINT) AS chars_kept
+       |  FROM flagged GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |  coalesce(pd.n_sents, 0) AS n_sents,
+       |  coalesce(pd.n_eligible, 0) AS n_eligible,
+       |  coalesce(pd.n_dropped, 0) AS n_dropped,
+       |  coalesce(pd.chars_dropped, 0) AS chars_dropped,
+       |  coalesce(pd.chars_kept, 0) AS chars_kept,
+       |  round(CAST(coalesce(pd.n_dropped, 0) AS DOUBLE)
+       |    / greatest(coalesce(pd.n_eligible, 0), 1), 6) AS drop_share
+       |FROM documents d LEFT JOIN pd USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 }

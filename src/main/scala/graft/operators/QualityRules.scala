@@ -372,4 +372,70 @@ object QualityRules {
        |    / CAST(count(*) AS DOUBLE) AS both_rate
        |FROM documents d JOIN g USING (doc_id) JOIN c USING (doc_id)
        |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  // ------------------------------------------------------ readability
+
+  /** Flesch reading-ease per document — the classic readability
+    * signal (Flesch 1948; used as a curation feature alongside the
+    * Gopher/C4 gates):
+    *
+    *   206.835 − 1.015·(words/sentences) − 84.6·(syllables/word)
+    *
+    * Syllables are approximated as vowel-run count ([aeiouy]+ groups
+    * in the lowercased text — the standard cheap heuristic; both
+    * engines count via the same two-regex reduce: vowel runs → 'V',
+    * strip non-'V', length). Sentences = count of [.!?]+ separator
+    * runs (split-length − 1, identical keep-trailing-empty split
+    * semantics on both engines). Entirely row-local — one projection,
+    * no shuffle before the output sort, the first-gate shape like
+    * [[entropyOf]]. Denominators clamp at 1; raw counts are emitted
+    * unclamped so a 0-word doc is visible as such.
+    */
+  def readabilityOf(documents: DataFrame,
+                    easyMin: Double = 70.0, hardMax: Double = 30.0): DataFrame = {
+    val nWords = size(words(col("text"))).cast("long")
+    val nSents = (size(split(col("text"), "[.!?]+")) - 1).cast("long")
+    val nSyll = length(
+      regexp_replace(regexp_replace(lower(col("text")), "[aeiouy]+", "V"),
+        "[^V]", "")).cast("long")
+    val wD = greatest(nWords, lit(1L)).cast("double")
+    val sD = greatest(nSents, lit(1L)).cast("double")
+    val flesch = lit(206.835) - lit(1.015) * (nWords.cast("double") / sD) -
+      lit(84.6) * (nSyll.cast("double") / wD)
+    documents.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      nSents.as("n_sents"),
+      nSyll.as("n_syllables"),
+      round(flesch, 6).as("flesch"),
+      when(flesch < hardMax, "difficult")
+        .when(flesch < easyMin, "standard")
+        .otherwise("easy").as("band"))
+      .orderBy("doc_id")
+  }
+
+  def readability(t: Tables): DataFrame = readabilityOf(t.documents)
+
+  def readabilitySql(easyMin: Double = 70.0, hardMax: Double = 30.0): String =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |      w -> w <> '')) AS BIGINT) AS n_words,
+       |    CAST(len(regexp_split_to_array(text, '[.!?]+')) - 1 AS BIGINT) AS n_sents,
+       |    CAST(length(regexp_replace(
+       |      regexp_replace(lower(text), '[aeiouy]+', 'V', 'g'),
+       |      '[^V]', '', 'g')) AS BIGINT) AS n_syllables
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id, n_words, n_sents, n_syllables,
+       |    206.835 - 1.015 * (CAST(n_words AS DOUBLE) / greatest(n_sents, 1))
+       |      - 84.6 * (CAST(n_syllables AS DOUBLE) / greatest(n_words, 1)) AS fl
+       |  FROM f
+       |)
+       |SELECT doc_id, n_words, n_sents, n_syllables,
+       |  round(fl, 6) AS flesch,
+       |  CASE WHEN fl < $hardMax THEN 'difficult'
+       |       WHEN fl < $easyMin THEN 'standard'
+       |       ELSE 'easy' END AS band
+       |FROM g ORDER BY doc_id""".stripMargin
 }
