@@ -218,7 +218,17 @@ object PlanDump {
       "multimodal_cdc (r14: O(n) CdcCutsExpr per row, ONE explode pass — payload never shuffles; n_blobs = pruned-scan count broadcast)" ->
         graft.multimodal.Multimodal.cdcChunksQuery(spark, "/root/testdata/sf0.001"),
       "multimodal_cdc_dedup (r14: digest-keyed self-join on per-blob chunk multiplicities; byte containment in the projection)" ->
-        graft.multimodal.Multimodal.cdcDedupQuery(spark, "/root/testdata/sf0.001"))
+        graft.multimodal.Multimodal.cdcDedupQuery(spark, "/root/testdata/sf0.001"),
+      "dedup_sentences (r14: sentences reduce to (md5, doc_id, len) at the scan; df aggregate + membership join key on the digest)" ->
+        Dedup.dedupSentences(t),
+      "q_fuzzy_linkage (r14: blocked on clean (brand, size) keys — per-block quadratic only; argmin as two exact aggregates)" ->
+        Linkage.fuzzyLinkage(t),
+      "q_ngram_novelty (r14: shared windowHashesOf digests — one min aggregate + one digest-keyed join, 15-hex keys only past the scan)" ->
+        CorpusScience.ngramNovelty(t),
+      "q_k_anonymity (r14: one QI-keyed aggregate + enum-bounded band rollup; only the QI tuple shuffles)" ->
+        Privacy.kAnonymity(t),
+      "q_word_burstiness (r14: one (word, doc) aggregate + one word-keyed moment aggregate; exact LONG sums to the final divisions)" ->
+        CorpusScience.wordBurstiness(t))
     val sb = new StringBuilder
     sb.append("# Plan snapshots (round 14)\n\nGenerated by `graft.PlanDump` at sf0.001; ")
     sb.append("`PlanAuditSpec` asserts these shapes stay true.\n")
