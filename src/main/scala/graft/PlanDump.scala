@@ -228,7 +228,13 @@ object PlanDump {
       "q_k_anonymity (r14: one QI-keyed aggregate + enum-bounded band rollup; only the QI tuple shuffles)" ->
         Privacy.kAnonymity(t),
       "q_word_burstiness (r14: one (word, doc) aggregate + one word-keyed moment aggregate; exact LONG sums to the final divisions)" ->
-        CorpusScience.wordBurstiness(t))
+        CorpusScience.wordBurstiness(t),
+      "q_wilson_rank (r14: one partkey aggregate + TakeOrdered(k) — no join, no window, no full sort)" ->
+        Experiment.wilsonRank(t),
+      "q_cuped (r14: one user-keyed aggregate, then 2-row variant rollup ⋈ 1-row pooled-moment broadcast)" ->
+        Experiment.cuped(t),
+      "q_bh_fdr (r14: brand aggregate with planner-broadcast part join; rank = triangular broadcast self-count on the ≤|brands| rollup — no window)" ->
+        Experiment.bhFdr(t))
     val sb = new StringBuilder
     sb.append("# Plan snapshots (round 14)\n\nGenerated by `graft.PlanDump` at sf0.001; ")
     sb.append("`PlanAuditSpec` asserts these shapes stay true.\n")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -270,5 +270,130 @@ object Classify {
        |FROM preds p JOIN per_actual a ON a.actual = p.actual
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
+  }
+
+  // ------------------------------------------------- classifier report
+
+  /** Per-class precision / recall / F1 plus the chance-corrected
+    * overall row — accuracy and Cohen's kappa
+    * (κ = (p_o − p_e)/(1 − p_e), Cohen 1960) — the full evaluation
+    * card a model gate publishes, where [[nbConfusionOf]] stops at
+    * recall. Class rows carry (n_actual, n_predicted, tp, prec,
+    * recall, f1) with NULL accuracy/kappa; the trailing `~overall`
+    * row (`~` > `z` in the binary collation both engines sort with,
+    * so it lands last) carries accuracy/kappa with NULL per-class
+    * ratios. p_e's marginal products are exact DECIMAL/HUGEINT
+    * (n_actual·n_predicted squares the corpus row count — past Long
+    * at the 100 TB doc counts the card claims to survive), cast to
+    * double once. Shape: the held-out predictions collapse in one
+    * \|classes\|² aggregate; marginals, the F1 arithmetic, and the
+    * 1-row overall all ride tables bounded by \|classes\|.
+    */
+  def classifierReportOf(docs: DataFrame): DataFrame = {
+    val conf = nbScoreOf(docs)
+      .groupBy(col("actual"), col("predicted")).agg(count(lit(1)).as("n"))
+    val ma = conf.groupBy(col("actual")).agg(sum(col("n")).as("n_actual"))
+      .withColumnRenamed("actual", "cls")
+    val mp = conf.groupBy(col("predicted")).agg(sum(col("n")).as("n_predicted"))
+      .withColumnRenamed("predicted", "cls")
+    val diag = conf.filter(col("actual") === col("predicted"))
+      .select(col("actual").as("cls"), col("n").as("tp"))
+    val classes = ma.join(mp, Seq("cls"), "full_outer")
+      .join(diag, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+        coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+    def dec(c: Column) = c.cast("decimal(18,0)")
+    val tot = classes.agg(sum(col("n_actual")).as("nn"),
+      sum(col("tp")).as("diag"),
+      sum(dec(col("n_actual")) * dec(col("n_predicted"))).cast("double")
+        .as("sum_prod"))
+    val pr = col("tp").cast("double") / col("n_predicted").cast("double")
+    val rc = col("tp").cast("double") / col("n_actual").cast("double")
+    val classRows = classes.select(col("cls"), col("n_actual"),
+      col("n_predicted"), col("tp"),
+      when(col("n_predicted") > 0, round(pr, 6)).as("prec"),
+      when(col("n_actual") > 0, round(rc, 6)).as("recall"),
+      when(col("n_predicted") > 0 && col("n_actual") > 0 && pr + rc > 0.0,
+        round(lit(2.0) * pr * rc / (pr + rc), 6)).as("f1"),
+      lit(null).cast("double").as("accuracy"),
+      lit(null).cast("double").as("kappa"))
+    val nnD = col("nn").cast("double")
+    val po = col("diag").cast("double") / nnD
+    val pe = col("sum_prod") / (nnD * nnD)
+    val overall = tot.select(lit("~overall").as("cls"),
+      col("nn").as("n_actual"), col("nn").as("n_predicted"),
+      col("diag").as("tp"),
+      lit(null).cast("double").as("prec"),
+      lit(null).cast("double").as("recall"),
+      lit(null).cast("double").as("f1"),
+      round(po, 6).as("accuracy"),
+      when(pe =!= 1.0, round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+    classRows.unionAll(overall).orderBy("cls")
+  }
+
+  def classifierReport(t: Tables): DataFrame = classifierReportOf(t.documents)
+
+  val classifierReportSql: String = {
+    val scoredBody = nbScoreSql.stripSuffix(" ORDER BY doc_id")
+    s"""WITH preds AS (
+       |$scoredBody
+       |), conf AS (
+       |  SELECT actual, predicted, count(*) AS n FROM preds GROUP BY 1, 2
+       |), ma AS (
+       |  SELECT actual AS cls, CAST(sum(n) AS BIGINT) AS n_actual FROM conf GROUP BY 1
+       |), mp AS (
+       |  SELECT predicted AS cls, CAST(sum(n) AS BIGINT) AS n_predicted
+       |  FROM conf GROUP BY 1
+       |), diag AS (
+       |  SELECT actual AS cls, CAST(n AS BIGINT) AS tp FROM conf
+       |  WHERE actual = predicted
+       |), cls AS (
+       |  SELECT coalesce(ma.cls, mp.cls) AS cls,
+       |    coalesce(ma.n_actual, 0) AS n_actual,
+       |    coalesce(mp.n_predicted, 0) AS n_predicted
+       |  FROM ma FULL JOIN mp ON mp.cls = ma.cls
+       |), rows_ AS (
+       |  SELECT c.cls, c.n_actual, c.n_predicted, coalesce(d.tp, 0) AS tp
+       |  FROM cls c LEFT JOIN diag d ON d.cls = c.cls
+       |), tot AS (
+       |  SELECT CAST(sum(n_actual) AS BIGINT) AS nn,
+       |    CAST(sum(tp) AS BIGINT) AS diag,
+       |    CAST(sum(CAST(n_actual AS HUGEINT) * n_predicted) AS DOUBLE) AS sum_prod
+       |  FROM rows_
+       |)
+       |SELECT * FROM (
+       |  SELECT cls, n_actual, n_predicted, tp,
+       |    CASE WHEN n_predicted > 0
+       |      THEN round(CAST(tp AS DOUBLE) / CAST(n_predicted AS DOUBLE), 6)
+       |    END AS prec,
+       |    CASE WHEN n_actual > 0
+       |      THEN round(CAST(tp AS DOUBLE) / CAST(n_actual AS DOUBLE), 6)
+       |    END AS recall,
+       |    CASE WHEN n_predicted > 0 AND n_actual > 0
+       |        AND CAST(tp AS DOUBLE) / CAST(n_predicted AS DOUBLE)
+       |          + CAST(tp AS DOUBLE) / CAST(n_actual AS DOUBLE) > 0.0
+       |      THEN round(2.0 * (CAST(tp AS DOUBLE) / CAST(n_predicted AS DOUBLE))
+       |          * (CAST(tp AS DOUBLE) / CAST(n_actual AS DOUBLE))
+       |        / (CAST(tp AS DOUBLE) / CAST(n_predicted AS DOUBLE)
+       |          + CAST(tp AS DOUBLE) / CAST(n_actual AS DOUBLE)), 6)
+       |    END AS f1,
+       |    CAST(NULL AS DOUBLE) AS accuracy,
+       |    CAST(NULL AS DOUBLE) AS kappa
+       |  FROM rows_
+       |  UNION ALL
+       |  SELECT '~overall' AS cls, nn AS n_actual, nn AS n_predicted,
+       |    diag AS tp,
+       |    CAST(NULL AS DOUBLE) AS prec, CAST(NULL AS DOUBLE) AS recall,
+       |    CAST(NULL AS DOUBLE) AS f1,
+       |    round(CAST(diag AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS accuracy,
+       |    CASE WHEN sum_prod / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)) <> 1.0
+       |      THEN round((CAST(diag AS DOUBLE) / CAST(nn AS DOUBLE)
+       |          - sum_prod / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)))
+       |        / (1.0 - sum_prod / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))), 6)
+       |    END AS kappa
+       |  FROM tot
+       |) ORDER BY cls""".stripMargin
   }
 }

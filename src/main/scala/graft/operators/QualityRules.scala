@@ -438,4 +438,74 @@ object QualityRules {
        |       WHEN fl < $easyMin THEN 'standard'
        |       ELSE 'easy' END AS band
        |FROM g ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ code detect
+
+  /** Code-vs-prose detector — the curation signal that routes
+    * source-code text away from (or into) a natural-language training
+    * mix (the C4/Gopher pipelines drop brace-bearing pages for this
+    * reason; a code-targeted mix inverts the gate). Two surface cues,
+    * both countable without parsing: the density of code punctuation
+    * (`{}()[];=<>` per char) and reserved-word hits per 100 tokens
+    * (`def/class/return/...` under the same `\b` ASCII word-boundary
+    * semantics in Java regex and RE2). The composite
+    * score = 10·symbol_ratio + kw_per_100/10 is an explicit, fixed
+    * linear blend — a trained classifier would replace the weights,
+    * not the plumbing. All counts are exact LONGs and the blend is
+    * evaluated in identical operand order, so the `is_code` boundary
+    * decision cannot diverge between engines. Entirely row-local —
+    * one projection, no shuffle before the output sort, the same
+    * first-gate shape as [[readabilityOf]]: at 100 TB this runs at
+    * scan speed in one whole-stage-codegen'd pass.
+    */
+  def codeDetectOf(documents: DataFrame, tau: Double = 0.5): DataFrame = {
+    val nChars = length(col("text")).cast("long")
+    val nSym = size(regexp_extract_all(col("text"),
+      lit("[{}()\\[\\];=<>]"), lit(0))).cast("long")
+    val nKw = size(regexp_extract_all(lower(col("text")),
+      lit("\\b(def|class|return|import|function|var|const|void|if|else|for|while)\\b"),
+      lit(0))).cast("long")
+    val nTok = size(words(col("text"))).cast("long")
+    val symRatio = nSym.cast("double") / greatest(nChars, lit(1L)).cast("double")
+    val kwPer100 = lit(100.0) * nKw.cast("double") /
+      greatest(nTok, lit(1L)).cast("double")
+    val score = lit(10.0) * symRatio + kwPer100 / lit(10.0)
+    documents.select(col("doc_id"),
+        nChars.as("n_chars"), nSym.as("n_symbols"),
+        nKw.as("n_keywords"), nTok.as("n_tokens"),
+        round(symRatio, 6).as("symbol_ratio"),
+        round(kwPer100, 6).as("kw_per_100"),
+        round(score, 6).as("code_score"),
+        (score >= tau).as("is_code"))
+      .orderBy("doc_id")
+  }
+
+  def codeDetect(t: Tables): DataFrame = codeDetectOf(t.documents)
+
+  def codeDetectSql(tau: Double = 0.5): String =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(regexp_extract_all(text, '[{}()\\[\\];=<>]')) AS BIGINT)
+       |      AS n_symbols,
+       |    CAST(len(regexp_extract_all(lower(text),
+       |      '\\b(def|class|return|import|function|var|const|void|if|else|for|while)\\b'))
+       |      AS BIGINT) AS n_keywords,
+       |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |      w -> w <> '')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id, n_chars, n_symbols, n_keywords, n_tokens,
+       |    CAST(n_symbols AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE)
+       |      AS sym_ratio,
+       |    100.0 * CAST(n_keywords AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE)
+       |      AS kw_per_100
+       |  FROM f
+       |)
+       |SELECT doc_id, n_chars, n_symbols, n_keywords, n_tokens,
+       |  round(sym_ratio, 6) AS symbol_ratio,
+       |  round(kw_per_100, 6) AS kw_per_100,
+       |  round(10.0 * sym_ratio + kw_per_100 / 10.0, 6) AS code_score,
+       |  10.0 * sym_ratio + kw_per_100 / 10.0 >= $tau AS is_code
+       |FROM g ORDER BY doc_id""".stripMargin
 }
