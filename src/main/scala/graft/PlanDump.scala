@@ -234,7 +234,13 @@ object PlanDump {
       "q_cuped (r14: one user-keyed aggregate, then 2-row variant rollup ⋈ 1-row pooled-moment broadcast)" ->
         Experiment.cuped(t),
       "q_bh_fdr (r14: brand aggregate with planner-broadcast part join; rank = triangular broadcast self-count on the ≤|brands| rollup — no window)" ->
-        Experiment.bhFdr(t))
+        Experiment.bhFdr(t),
+      "q_srm_check (r14: one user-keyed aggregate → 1-row fold; the corpus collapses at the first exchange)" ->
+        Experiment.srmCheck(t),
+      "q_diff_in_diff (r14: one user-keyed signed-sum aggregate → 1-row conditional-sum fold, no second shuffle)" ->
+        Experiment.diffInDiff(t),
+      "q_power_mde (r14: brand aggregate with planner-broadcast part join; MDE arithmetic on the ≤|brands| rollup)" ->
+        Experiment.powerMde(t))
     val sb = new StringBuilder
     sb.append("# Plan snapshots (round 14)\n\nGenerated by `graft.PlanDump` at sf0.001; ")
     sb.append("`PlanAuditSpec` asserts these shapes stay true.\n")

@@ -359,4 +359,238 @@ object Experiment {
        |SELECT p_brand, n, n_returned, rate, z_score, p_value, p_rank, bh_crit,
        |  p_rank <= coalesce(i_star, 0) AS rejected
        |FROM ranked CROSS JOIN cutoff ORDER BY p_rank""".stripMargin
+  // ------------------------------------------------------ SRM check
+
+  /** Sample-ratio-mismatch gate (Fabijan et al. 2019's "most useful
+    * A/B diagnostic"): before reading ANY experiment metric, test the
+    * observed variant split of exposed users against the designed
+    * 50/50 with a 1-df chi-square. With two equal-expected cells the
+    * statistic collapses to chi2 = (n0 - n1)^2 / n (exact LONG
+    * difference squared in DECIMAL, one double division) and its
+    * p-value is the two-sided normal tail of z = sqrt(chi2) - the
+    * shared Abramowitz-Stegun 26.2.17 polynomial, identical Horner
+    * form both engines, rounded to 8dp BEFORE the p < alpha alarm
+    * decision (the [[bhFdrOf]] discipline - a last-ulp libm split
+    * cannot flip the flag). Exposure = any `view`, assignment =
+    * `user_id % 2`, both shared with [[Analytics2.abTestOf]] so the
+    * gate audits exactly the population the readout uses. Shape: one
+    * user-keyed aggregate collapses the corpus; everything after is a
+    * 1-row fold - size-invariant at 100 TB.
+    */
+  def srmCheckOf(events: DataFrame, alpha: Double = 0.001): DataFrame = {
+    val exposed = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(lit(1).as("one"))
+    val s = exposed.agg(
+      sum(when(pmod(col("user_id"), lit(2)) === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(pmod(col("user_id"), lit(2)) === 1, 1L).otherwise(0L)).as("n1"))
+    val n = col("n0") + col("n1")
+    val chi2 = (dec(col("n0") - col("n1")) * dec(col("n0") - col("n1")))
+      .cast("double") / n.cast("double")
+    val az = sqrt(chi2)
+    val k = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val pdf = exp(az * az * lit(-0.5)) / sqrt(lit(2.0 * math.Pi))
+    val poly = k * (lit(0.319381530) + k * (lit(-0.356563782) +
+      k * (lit(1.781477937) + k * (lit(-1.821255978) + k * lit(1.330274429)))))
+    val pval = round(lit(2.0) * pdf * poly, 8)
+    s.select(col("n0"), col("n1"), n.as("n"),
+      when(n > 0, round(chi2, 6)).as("chi2"),
+      when(n > 0, pval).as("p_value"),
+      when(n > 0, pval < alpha).as("srm_detected"))
+  }
+
+  def srmCheck(t: Tables): DataFrame = srmCheckOf(t.events)
+
+  def srmCheckSql(alpha: Double = 0.001): String =
+    s"""WITH eu AS (
+       |  SELECT user_id FROM events WHERE event_type = 'view' GROUP BY 1
+       |), s AS (
+       |  SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+       |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+       |  FROM eu
+       |), c AS (
+       |  SELECT n0, n1, n0 + n1 AS n,
+       |    CAST(CAST(n0 - n1 AS HUGEINT) * (n0 - n1) AS DOUBLE)
+       |      / CAST(n0 + n1 AS DOUBLE) AS chi2
+       |  FROM s
+       |), z AS (
+       |  SELECT n0, n1, n, chi2, sqrt(chi2) AS az FROM c
+       |), p AS (
+       |  SELECT n0, n1, n, chi2,
+       |    round(2.0 * (exp(az * az * -0.5) / sqrt(2.0 * pi()))
+       |      * ((1.0 / (1.0 + 0.2316419 * az))
+       |        * (0.319381530 + (1.0 / (1.0 + 0.2316419 * az))
+       |          * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * az))
+       |            * (1.781477937 + (1.0 / (1.0 + 0.2316419 * az))
+       |              * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * az))
+       |                * 1.330274429))))), 8) AS pval
+       |  FROM z
+       |)
+       |SELECT n0, n1, n,
+       |  CASE WHEN n > 0 THEN round(chi2, 6) END AS chi2,
+       |  CASE WHEN n > 0 THEN pval END AS p_value,
+       |  CASE WHEN n > 0 THEN pval < $alpha END AS srm_detected
+       |FROM p""".stripMargin
+
+  // --------------------------------------------- difference-in-differences
+
+  /** Difference-in-differences readout (Card & Krueger 1994's
+    * two-period panel form): each user is their own control - the
+    * per-user delta d = post-period cents - pre-period cents absorbs
+    * all time-invariant user heterogeneity, and the estimate is the
+    * two-sample contrast mean(d | treated) - mean(d | control) with
+    * its Welch standard error. Periods split at `preDays` after the
+    * corpus min day and variant is `user_id % 2`, both shared with
+    * [[cupedOf]] (DiD is the estimator you reach for when the
+    * parallel-trends assumption holds but the pre-period metric is
+    * the outcome itself, where CUPED needs a correlated covariate).
+    * d folds in ONE signed sum per user (post +, pre -); variances
+    * ride exact DECIMAL/HUGEINT n*sum(d^2) - (sum d)^2 numerators cast to
+    * double once ([[cupedOf]]'s moment discipline). Shape: one
+    * user-keyed aggregate, then a 1-row conditional-sum fold - no
+    * second shuffle, size-invariant at 100 TB.
+    */
+  def diffInDiffOf(events: DataFrame, preDays: Int = 15): DataFrame = {
+    val minDay = events.agg(min(to_date(col("ts"))).as("min_day"))
+    val cents = round(col("value") * 100).cast("long")
+    val perUser = events
+      .crossJoin(broadcast(minDay))
+      .select(col("user_id"),
+        when(datediff(to_date(col("ts")), col("min_day")) >= preDays, cents)
+          .otherwise(-cents).as("dc"))
+      .groupBy(col("user_id")).agg(sum(col("dc")).as("d"))
+      .select(pmod(col("user_id"), lit(2)).as("variant"), col("d"))
+    val s = perUser.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("variant") === 0, col("d")).otherwise(0L)).as("sd0"),
+      sum(when(col("variant") === 0, dec(col("d")) * dec(col("d")))
+        .otherwise(lit(0).cast("decimal(38,0)"))).as("sdd0"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("variant") === 1, col("d")).otherwise(0L)).as("sd1"),
+      sum(when(col("variant") === 1, dec(col("d")) * dec(col("d")))
+        .otherwise(lit(0).cast("decimal(38,0)"))).as("sdd1"))
+    def mean(sd: Column, nc: Column) = sd.cast("double") / nc.cast("double") / 100.0
+    def variance(nc: Column, sd: Column, sdd: Column) =
+      (d38(nc) * sdd - d38(sd) * d38(sd)).cast("double") /
+        (nc.cast("double") * (nc.cast("double") - 1.0)) / 10000.0
+    val m0 = mean(col("sd0"), col("n0"))
+    val m1 = mean(col("sd1"), col("n1"))
+    val v0 = variance(col("n0"), col("sd0"), col("sdd0"))
+    val v1 = variance(col("n1"), col("sd1"), col("sdd1"))
+    val seSq = v0 / col("n0").cast("double") + v1 / col("n1").cast("double")
+    s.select(col("n0"), col("n1"),
+      when(col("n0") > 0, round(m0, 6)).as("mean_delta0"),
+      when(col("n1") > 0, round(m1, 6)).as("mean_delta1"),
+      when(col("n0") > 0 && col("n1") > 0, round(m1 - m0, 6)).as("did"),
+      when(col("n0") >= 2 && col("n1") >= 2, round(sqrt(seSq), 6)).as("se"),
+      when(col("n0") >= 2 && col("n1") >= 2 && seSq > 0.0,
+        round((m1 - m0) / sqrt(seSq), 4)).as("t_stat"))
+  }
+
+  def diffInDiff(t: Tables): DataFrame = diffInDiffOf(t.events)
+
+  def diffInDiffSql(preDays: Int = 15): String =
+    s"""WITH md AS (
+       |  SELECT min(CAST(ts AS DATE)) AS min_day FROM events
+       |), pu AS (
+       |  SELECT user_id,
+       |    CAST(sum(CASE WHEN date_diff('day', md.min_day, CAST(ts AS DATE)) >= $preDays
+       |      THEN CAST(round(value * 100) AS BIGINT)
+       |      ELSE -CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS d
+       |  FROM events CROSS JOIN md GROUP BY 1
+       |), s AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN d ELSE 0 END) AS BIGINT) AS sd0,
+       |    sum(CASE WHEN user_id % 2 = 0 THEN CAST(d AS HUGEINT) * d ELSE 0 END) AS sdd0,
+       |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN d ELSE 0 END) AS BIGINT) AS sd1,
+       |    sum(CASE WHEN user_id % 2 = 1 THEN CAST(d AS HUGEINT) * d ELSE 0 END) AS sdd1
+       |  FROM pu
+       |), m AS (
+       |  SELECT n0, n1,
+       |    CAST(sd0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 100.0 AS m0,
+       |    CAST(sd1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0 AS m1,
+       |    CAST(CAST(n0 AS HUGEINT) * sdd0 - CAST(sd0 AS HUGEINT) * sd0 AS DOUBLE)
+       |      / (CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1.0)) / 10000.0 AS v0,
+       |    CAST(CAST(n1 AS HUGEINT) * sdd1 - CAST(sd1 AS HUGEINT) * sd1 AS DOUBLE)
+       |      / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)) / 10000.0 AS v1
+       |  FROM s
+       |)
+       |SELECT n0, n1,
+       |  CASE WHEN n0 > 0 THEN round(m0, 6) END AS mean_delta0,
+       |  CASE WHEN n1 > 0 THEN round(m1, 6) END AS mean_delta1,
+       |  CASE WHEN n0 > 0 AND n1 > 0 THEN round(m1 - m0, 6) END AS did,
+       |  CASE WHEN n0 >= 2 AND n1 >= 2
+       |    THEN round(sqrt(v0 / n0 + v1 / n1), 6) END AS se,
+       |  CASE WHEN n0 >= 2 AND n1 >= 2 AND v0 / n0 + v1 / n1 > 0.0
+       |    THEN round((m1 - m0) / sqrt(v0 / n0 + v1 / n1), 4) END AS t_stat
+       |FROM m""".stripMargin
+
+  // ------------------------------------------------------- power / MDE
+
+  /** Per-segment minimum-detectable-effect audit - the power table an
+    * experimentation platform publishes so a reader knows WHICH
+    * segment readouts are trustworthy: a 2,000-row brand can only
+    * detect a ~6pp rate move at the standard alpha = 0.05 two-sided /
+    * 80%-power design, so a "no effect in Brand#31" cell is
+    * uninformative for smaller effects. Per brand (the [[bhFdrOf]]
+    * family axis): baseline rate p from exact LONG counts, and the
+    * two-arm MDE
+    *
+    *   mde = (z_alpha/2 + z_beta) * sqrt(2 p (1-p) / (n/2))
+    *
+    * with z constants inlined to 9dp as shared literals
+    * (1.959963985 + 0.841621234 = the canonical 2.801585219
+    * multiplier) - the planning assumption is the segment's n split
+    * across two equal arms. `powered_5pp` decides on the 6dp-ROUNDED
+    * mde (the boundary-decision discipline). Degenerate segments
+    * (n < 2, rate 0 or 1) read NULL - no power statement exists.
+    * Shape: lineitem collapses in one brand-keyed aggregate with the
+    * planner-broadcast part join; the MDE arithmetic rides the
+    * <=|brands| rollup - size-invariant at 100 TB.
+    */
+  def powerMdeOf(lineitem: DataFrame, part: DataFrame,
+      threshold: Double = 0.05): DataFrame = {
+    val agg = lineitem
+      .join(part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"))
+    val nD = col("n").cast("double")
+    val p = col("r").cast("double") / nD
+    val mde = lit(2.801585219) * sqrt(lit(2.0) * p * (lit(1.0) - p) / (nD / 2.0))
+    val ok = col("n") >= 2 && col("r") > 0 && col("r") < col("n")
+    agg.select(col("p_brand"), col("n"), col("r").as("n_returned"),
+        round(p, 6).as("rate"),
+        when(ok, round(mde, 6)).as("mde_abs"),
+        when(ok && p > 0.0, round(mde / p, 6)).as("mde_rel"),
+        when(ok, round(mde, 6) <= threshold).as("powered_5pp"))
+      .orderBy("p_brand")
+  }
+
+  def powerMde(t: Tables): DataFrame = powerMdeOf(t.lineitem, t.part)
+
+  def powerMdeSql(threshold: Double = 0.05): String =
+    s"""WITH agg AS (
+       |  SELECT p.p_brand, count(*) AS n,
+       |    CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r
+       |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       |  GROUP BY 1
+       |), g AS (
+       |  SELECT p_brand, CAST(n AS BIGINT) AS n, r,
+       |    CAST(r AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+       |    CASE WHEN n >= 2 AND r > 0 AND r < n THEN
+       |      2.801585219 * sqrt(2.0 * (CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+       |        * (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+       |        / (CAST(n AS DOUBLE) / 2.0))
+       |    END AS mde
+       |  FROM agg
+       |)
+       |SELECT p_brand, n, r AS n_returned, round(rate, 6) AS rate,
+       |  round(mde, 6) AS mde_abs,
+       |  CASE WHEN mde IS NOT NULL AND rate > 0.0
+       |    THEN round(mde / rate, 6) END AS mde_rel,
+       |  CASE WHEN mde IS NOT NULL THEN round(mde, 6) <= $threshold END AS powered_5pp
+       |FROM g ORDER BY p_brand""".stripMargin
 }

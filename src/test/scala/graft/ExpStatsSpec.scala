@@ -149,3 +149,108 @@ class CodeDetectSpec extends AnyFunSuite {
     assert(r.getDouble(7) == 0.0 && !r.getBoolean(8))
   }
 }
+
+/** q_srm_check / q_diff_in_diff / q_power_mde: the experiment-health
+  * companions — planted imbalance, a planted treatment effect, and
+  * closed-form power arithmetic.
+  */
+class ExperimentHealthSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def asP(z: Double): Double = {
+    // the shared A&S 26.2.17 evaluation, Scala-side, for expected values
+    val k = 1.0 / (1.0 + 0.2316419 * z)
+    val pdf = math.exp(z * z * -0.5) / math.sqrt(2.0 * math.Pi)
+    val poly = k * (0.319381530 + k * (-0.356563782 +
+      k * (1.781477937 + k * (-1.821255978 + k * 1.330274429))))
+    BigDecimal(2.0 * pdf * poly).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+  }
+
+  test("srm: a planted 80/20 split alarms; a 50/50 split does not") {
+    import spark.implicits._
+    def ev(u: Long) = (u, "view", 1.0, java.sql.Timestamp.valueOf("2024-01-03 12:00:00"))
+    // 80 even-id exposed users vs 20 odd-id ones → chi2 = 60²/100 = 36
+    val skewed = ((1 to 80).map(i => ev(2L * i)) ++ (1 to 20).map(i => ev(2L * i + 1)))
+      .toDF("user_id", "event_type", "value", "ts")
+    val r = Experiment.srmCheckOf(skewed).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((80L, 20L, 100L)))
+    assert(r.getDouble(3) == 36.0)
+    assert(r.getDouble(4) == asP(6.0) && r.getBoolean(5))
+    val balanced = ((1 to 50).map(i => ev(2L * i)) ++ (1 to 50).map(i => ev(2L * i + 1)))
+      .toDF("user_id", "event_type", "value", "ts")
+    val b = Experiment.srmCheckOf(balanced).collect().head
+    assert(b.getDouble(3) == 0.0 && b.getDouble(4) == 1.0 && !b.getBoolean(5))
+  }
+
+  test("srm: non-view events do not count as exposure") {
+    import spark.implicits._
+    val events = Seq(
+      (2L, "view", 1.0, java.sql.Timestamp.valueOf("2024-01-03 12:00:00")),
+      (3L, "purchase", 9.0, java.sql.Timestamp.valueOf("2024-01-03 12:00:00")))
+      .toDF("user_id", "event_type", "value", "ts")
+    val r = Experiment.srmCheckOf(events).collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 0L))) // purchase-only user excluded
+  }
+
+  test("diff-in-diff: a planted uniform treatment effect is recovered exactly") {
+    import spark.implicits._
+    def ev(u: Long, day: Int, v: Double) =
+      (java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"), u, v)
+    // control (even ids): v pre, v post → delta 0
+    // treated (odd ids): v pre, v + 3 ± 1 post → deltas {2, 4}, mean 3
+    val rows = (1L to 4L).flatMap { i =>
+      val v = 10.0 + i
+      Seq(ev(2 * i, 3, v), ev(2 * i, 20, v)) ++
+        Seq(ev(2 * i + 1, 3, v), ev(2 * i + 1, 20, v + 3.0 + (if (i % 2 == 0) 1.0 else -1.0)))
+    }
+    val events = rows.toDF("ts", "user_id", "value")
+    val r = Experiment.diffInDiffOf(events).collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((4L, 4L)))
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 3.0 && r.getDouble(4) == 3.0)
+    // treated deltas {2,4,2,4} → var = (4·60000 − 240000... in cents:
+    // d ∈ {200,400}; n·Σd² − S² = 4·(2·200²+2·400²) − 1200² = 4·400000 − 1440000
+    // = 160000; /(4·3)/10000 = 4/3 dollars²; control var 0
+    val se = math.sqrt(4.0 / 3.0 / 4.0)
+    assert(r.getDouble(5) ==
+      BigDecimal(se).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getDouble(6) ==
+      BigDecimal(3.0 / se).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("diff-in-diff: zero-variance arms read se=0 and a NULL t") {
+    import spark.implicits._
+    def ev(u: Long, day: Int, v: Double) =
+      (java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"), u, v)
+    val rows = (1L to 4L).flatMap { i =>
+      Seq(ev(2 * i, 3, 10.0), ev(2 * i, 20, 10.0),
+        ev(2 * i + 1, 3, 10.0), ev(2 * i + 1, 20, 15.0))
+    }
+    val r = Experiment.diffInDiffOf(rows.toDF("ts", "user_id", "value")).collect().head
+    assert(r.getDouble(4) == 5.0 && r.getDouble(5) == 0.0 && r.isNullAt(6))
+  }
+
+  test("power-mde: closed form at n=200/r=50; degenerate brands read NULL") {
+    import spark.implicits._
+    // brand A: 200 items, 50 returned; brand B: all returned (rate 1 → NULL);
+    // brand C: 1 item (n < 2 → NULL)
+    val li = ((1 to 200).map(i => (i.toLong, if (i <= 50) "R" else "N")) ++
+      (201 to 210).map(i => (i.toLong, "R")) ++ Seq((211L, "N")))
+      .toDF("l_partkey", "l_returnflag")
+    val part = ((1 to 200).map(i => (i.toLong, "A")) ++
+      (201 to 210).map(i => (i.toLong, "B")) ++ Seq((211L, "C")))
+      .toDF("p_partkey", "p_brand")
+    val got = Experiment.powerMdeOf(li, part).collect()
+    val a = got(0)
+    val mde = 2.801585219 * math.sqrt(2.0 * 0.25 * 0.75 / 100.0)
+    assert(a.getDouble(4) ==
+      BigDecimal(mde).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(a.getDouble(5) ==
+      BigDecimal(mde / 0.25).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(!a.getBoolean(6)) // 17pp MDE is nowhere near powered for 5pp
+    assert(a.getDouble(4) > 0.05)
+    Seq(got(1), got(2)).foreach { r =>
+      assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6))
+    }
+  }
+}
