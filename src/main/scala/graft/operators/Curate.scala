@@ -51,7 +51,8 @@ object Curate {
     */
   def tokStatsOf(docs: DataFrame): DataFrame = {
     val stopArr = array(TextAnalysis.stopList("en").map(lit): _*)
-    docs
+    // per-token feature extraction is the scan stage's CPU; Par.spread
+    Par.spread(docs, "doc_id")
       .select(col("doc_id"),
         posexplode(split(TextAnalysis.normalizedText(col("text")), " ")).as(Seq("idx", "tok")))
       .select(col("doc_id"), col("idx"),

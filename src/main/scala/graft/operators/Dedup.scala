@@ -380,7 +380,8 @@ object Dedup {
     * on ids) BEFORE span derivation without re-deriving this shape.
     */
   def windowHashesOf(docs: DataFrame, k: Int = 10): DataFrame =
-    docs
+    // per-window md5 is the scan stage's CPU; see [[Par.spread]]
+    Par.spread(docs, "doc_id")
       .select(col("doc_id"),
         split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ").as("w"))
       .filter(size(col("w")) >= k)
@@ -456,7 +457,11 @@ object Dedup {
   def shinglesOf(docs: DataFrame, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     // distinct happens INSIDE the expression (row-local == global here,
-    // one row per doc) — no dedup shuffle before the hash
+    // one row per doc) — no dedup shuffle before the hash.
+    // NO Par.spread here (measured A/B at sf0.1: dedup_containment
+    // 1.31→1.84 s, dedup_ngram_jaccard 1.15→1.68 s with a spread —
+    // the shingle consumers immediately re-shuffle by shingle_hash, so
+    // the extra exchange only added a stage)
     docs
       .select(col(idCol).as("doc_id"),
         explode(graft.functions.ShinglesExpr.distinctShingles(col(textCol), n)).as("shingle"))

@@ -105,9 +105,17 @@ object FeaturePrep {
     */
   def featureScaleOf(rows: DataFrame, cols: Seq[String],
       keyCols: Seq[String]): DataFrame = {
+    // Σx² computes the square in LONG per row (ANSI-checked: loud at
+    // |x| > ~3e9, a per-ROW magnitude bound that does not grow with
+    // corpus size) and casts the product once for the exact DECIMAL
+    // sum — same values as the old dec(x)*dec(x), but the hot path is
+    // a long multiply instead of a per-row BigDecimal multiply
+    // (guide §1.2 step 2: per-task work; measured on q_feature_scale).
+    // Corpus-scaled headroom is unchanged: the SUMS stay DECIMAL(38).
     val moments = rows.agg(count(lit(1)).as("n"),
       cols.flatMap(c => Seq(
-        sum(dec(col(c))).as(s"s_$c"), sum(dec(col(c)) * dec(col(c))).as(s"ss_$c"),
+        sum(dec(col(c))).as(s"s_$c"),
+        sum((col(c) * col(c)).cast("decimal(38,0)")).as(s"ss_$c"),
         min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))): _*)
     val nD = col("n").cast("decimal(20,0)")
     // μ/σ finalize ON THE 1-ROW STATS TABLE — leaving them as column
@@ -135,9 +143,17 @@ object FeaturePrep {
             / (col(s"mx_$c") - col(s"mn_$c")).cast("double"))
           .as(s"mm_$c"))
     }
-    rows.crossJoin(broadcast(stats))
+    // Order via repartitionByRange + sortWithinPartitions (same total
+    // order as orderBy: unique keys, range partitions, local sort), so
+    // the range-sampling pass re-executes only the NARROW raw scan and
+    // the z/mm arithmetic runs once, AFTER the exchange, in parallel —
+    // orderBy-last re-ran the whole scaled projection for the sampler
+    // and serialized the math in the pre-exchange scan stage (guide
+    // §2.4: establish the partitioning first, then compute).
+    rows.repartitionByRange(keyCols.map(col): _*)
+      .crossJoin(broadcast(stats))
       .select(keyCols.map(col) ++ scaled: _*)
-      .orderBy(keyCols.map(col): _*)
+      .sortWithinPartitions(keyCols.map(col): _*)
   }
 
   /** Gated form: lineitem quantity / extendedprice / discount in exact
