@@ -84,8 +84,11 @@ object OptLab {
       println(out.toString)
     }
 
+    def steal(): Long = scala.io.Source.fromFile("/proc/stat").getLines()
+      .next().trim.split("\\s+").drop(1).map(_.toLong).lift(7).getOrElse(0L)
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
+      val st0 = steal()
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -98,7 +101,7 @@ object OptLab {
       collecting = false
       // listener bus is async; give it a beat before reading
       Thread.sleep(300)
-      println(f"%n[optlab] $n cold=$cold%.2f warm1=$w1%.2f warm2=$w2%.2f  (stage breakdown of warm2)")
+      println(f"%n[optlab] $n cold=$cold%.2f warm1=$w1%.2f warm2=$w2%.2f steal=${(steal() - st0) / 100.0}%.1fs  (stage breakdown of warm2)")
       val total = stages.map(_.ms).sum
       println(f"[optlab] stages=${stages.size} stage-wall-sum=${total / 1000.0}%.2f s (overlap possible)")
       stages.sortBy(-_.ms).take(14).foreach { s =>

@@ -80,10 +80,16 @@ object Analytics5 {
     val ranked = cols.foldLeft(rows) { (df, c) => df.join(avgRankMap(rows, c, buckets), c) }
     val pairs = for (i <- cols.indices; j <- cols.indices if i < j) yield (cols(i), cols(j))
     val r = (c: String) => dec(col(s"r_$c"))
+    // rank products multiply in LONG per row (r ≤ 2n+1, so the product
+    // is exact — and ANSI-loud — to n ≈ 1.5e9 rows) and cast once into
+    // the exact DECIMAL(38) sums: same values as the old dec×dec, no
+    // per-row BigDecimal multiply in the 14-moment aggregate
+    val rl = (a: String, b: String) =>
+      (col(s"r_$a") * col(s"r_$b")).cast("decimal(38,0)")
     val moments = ranked.agg(
       count(lit(1)).as("n"),
-      (cols.flatMap(c => Seq(sum(r(c)).as(s"s_$c"), sum(r(c) * r(c)).as(s"ss_$c"))) ++
-        pairs.map { case (a, b) => sum(r(a) * r(b)).as(s"sp_${a}_$b") }): _*)
+      (cols.flatMap(c => Seq(sum(r(c)).as(s"s_$c"), sum(rl(c, c)).as(s"ss_$c"))) ++
+        pairs.map { case (a, b) => sum(rl(a, b)).as(s"sp_${a}_$b") }): _*)
     val nD = col("n").cast("decimal(20,0)")
     def den(c: String): Column = nD * col(s"ss_$c") - col(s"s_$c") * col(s"s_$c")
     // one-row explode, NOT a 6-way union of selects over `moments` —

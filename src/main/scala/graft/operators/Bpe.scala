@@ -45,6 +45,14 @@ object Bpe {
       .cache()
     val out = Seq.newBuilder[(Long, String, String, Long)]
     var exhausted = false
+    // deferred-by-one unpersist (r14): the old per-round
+    // cache+count()+unpersist spent one whole job per round just
+    // materializing the rewrite. Instead the NEXT round's argmax job
+    // materializes the new cache while its parent is still cached
+    // (no recompute window), and the parent retires one round late —
+    // halving the driver loop's job count at the cost of one extra
+    // vocab-sized cache generation held briefly.
+    var retired: DataFrame = null
     for (i <- 1 to merges if !exhausted) {
       val best = syms
         .select(col("freq"), split(trim(col("sym")), " ").as("s"))
@@ -56,23 +64,24 @@ object Bpe {
         .orderBy(col("f").desc, col("a"), col("b"))
         .limit(1)
         .collect()
+      // the collect above materialized syms' cache — the previous
+      // generation is now safe to drop
+      if (retired != null) { retired.unpersist(blocking = false); retired = null }
       if (best.isEmpty) exhausted = true // vocab fully merged: emit the
       // rows learned so far — the oracle's empty b_i rounds do the same
       else {
         val (a, b, f) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         out += ((i.toLong, a, b, f))
-        val prev = syms
+        retired = syms
         syms = syms.withColumn("sym",
           replace(col("sym"),
             concat(lit(" "), lit(a), lit(" "), lit(b), lit(" ")),
             concat(lit(" "), lit(a + b), lit(" "))))
           .cache()
-        // materialize the new table before releasing its parent
-        syms.count()
-        prev.unpersist(blocking = false)
         syms = cutLineage(syms, i, merges)
       }
     }
+    if (retired != null) retired.unpersist(blocking = false)
     syms.unpersist(blocking = false)
     import spark.implicits._
     out.result().toDF("rank", "lhs", "rhs", "pair_freq").orderBy("rank")
@@ -257,6 +266,10 @@ object Bpe {
     var done = 0
     var rounds = 0
     val candC = math.max(64, maxBatch * 8)
+    // deferred-by-one unpersist — see bpeTrain: the next round's
+    // candidate collect materializes the new cache, so the per-round
+    // count() job is gone and the parent retires one round late
+    var retired: DataFrame = null
     while (done < merges) {
       val cands = syms
         .select(col("freq"), split(trim(col("sym")), " ").as("s"))
@@ -269,6 +282,7 @@ object Bpe {
         .limit(candC)
         .collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (retired != null) { retired.unpersist(blocking = false); retired = null }
       rounds += 1
       if (cands.isEmpty) { done = merges } // vocabulary fully merged
       else {
@@ -276,19 +290,18 @@ object Bpe {
         val picked = select(cands, truncFloor)
         val safe = (if (picked.isEmpty) cands.take(1).toSeq else picked)
           .take(merges - done)
-        val prev = syms
+        retired = syms
         syms = safe.foldLeft(syms) { case (df, (a, b, _)) =>
           df.withColumn("sym",
             replace(col("sym"),
               concat(lit(" "), lit(a), lit(" "), lit(b), lit(" ")),
               concat(lit(" "), lit(a + b), lit(" "))))
         }.cache()
-        syms.count()
-        prev.unpersist(blocking = false)
         syms = cutLineage(syms, rounds, Int.MaxValue)
         safe.foreach { case (a, b, f) => done += 1; out += ((done.toLong, a, b, f)) }
       }
     }
+    if (retired != null) retired.unpersist(blocking = false)
     syms.unpersist(blocking = false)
     import spark.implicits._
     (out.result().toDF("rank", "lhs", "rhs", "pair_freq").orderBy("rank"), rounds)

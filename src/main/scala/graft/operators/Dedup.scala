@@ -557,10 +557,16 @@ object Dedup {
       case None => raw
     }).cache()
     val sizes  = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    // pin the pair-expansion width (the jaccardPairsQuery finding,
+    // guide §2.5): per-shingle fanout is d·(d−1)/2 rows, so the join's
+    // ROW cost ≫ its byte size and AQE's bytes-based coalescing
+    // under-parallelizes it; both join sides share this one exchange
+    val shJ = sh.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col("shingle_hash"))
     // The self-join side is big by construction — force a shuffle hash
     // join (hash-partition on shingle_hash; no broadcast, no sort).
-    val inter  = sh.as("a").hint("SHUFFLE_HASH")
-      .join(sh.as("b").hint("SHUFFLE_HASH"),
+    val inter  = shJ.as("a").hint("SHUFFLE_HASH")
+      .join(shJ.as("b").hint("SHUFFLE_HASH"),
         col("a.shingle_hash") === col("b.shingle_hash") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -609,8 +615,12 @@ object Dedup {
       case None => raw
     }).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    sh.as("a").hint("SHUFFLE_HASH")
-      .join(sh.as("b").hint("SHUFFLE_HASH"),
+    // pin the pair-expansion width — see ngramJaccardPairsOf (ordered
+    // pairs: d·(d−1) fanout per shingle, rows ≫ bytes)
+    val shJ = sh.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col("shingle_hash"))
+    shJ.as("a").hint("SHUFFLE_HASH")
+      .join(shJ.as("b").hint("SHUFFLE_HASH"),
         col("a.shingle_hash") === col("b.shingle_hash") &&
         col("a.doc_id") =!= col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

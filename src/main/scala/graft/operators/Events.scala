@@ -585,14 +585,31 @@ object Events {
       .withColumn("h0", floor(col("t0s") / 3600L))
       .withColumn("h1", floor(col("t1s") / 3600L))
     val aCols = Seq("u1", "s1", "a0u", "a1u", "a0s", "a1s", "ah0")
+    // Salted bucket join (guide §2.5): the candidate stage's cost is
+    // ~quadratic in per-bucket occupancy while its BYTES are tiny, so
+    // AQE's bytes-based coalescing packs the whole join into one task
+    // (measured: two ~1.3 s single-task stages at sf0.1). Salt the a
+    // side by session hash, replicate the b side ×salts, and pin the
+    // exchange with an explicit partition count so the pair work
+    // spreads — output pairs are identical (each pair still meets in
+    // exactly one (bucket, salt)).
+    val salts = 16
+    val dp = events.sparkSession.sparkContext.defaultParallelism
     val a = s.withColumn("bucket", explode(sequence(col("h0"), col("h1"))))
       .select(col("bucket") +: Seq("user_id", "session_id", "t0u", "t1u", "t0s", "t1s", "h0")
         .zip(aCols).map { case (c, n) => col(c).as(n) }: _*)
+      .withColumn("salt", pmod(xxhash64(col("u1"), col("s1")), lit(salts)))
+      .repartition(dp, col("bucket"), col("salt"))
     val b = s.withColumn("bucket", explode(sequence(col("h0"), col("h1"))))
       .select(col("bucket"), col("user_id").as("u2"), col("session_id").as("s2"),
         col("t0u").as("b0u"), col("t1u").as("b1u"),
         col("t0s").as("b0s"), col("t1s").as("b1s"), col("h0").as("bh0"))
-    a.join(b, Seq("bucket"))
+      .withColumn("salt", explode(sequence(lit(0L), lit(salts - 1L))))
+    // merge-join hint: without it AQE broadcasts the ×salts-replicated
+    // b side (1.5 M-row hashed relation, ~1.7 s build per run at
+    // sf0.1); the salted shuffle join is the shape that scales — both
+    // sides spread by (bucket, salt), no replicated build
+    a.join(b.hint("shuffle_merge"), Seq("bucket", "salt"))
       .filter(col("u1") < col("u2")
         // emit each pair from EXACTLY ONE bucket — the one containing
         // the overlap's start hour, max(h0a, h0b), which both

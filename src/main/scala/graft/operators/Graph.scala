@@ -413,9 +413,16 @@ object Graph {
     * triangle enumeration never shuffles.
     */
   def trianglesOf(edges: DataFrame, maxEdges: Int): DataFrame = {
+    // localCheckpoint BEFORE the 3-way broadcast self-join: `e` is
+    // referenced three times (e1⋈e2⋈e3) plus the degree rollup, and
+    // without a cut each broadcast re-executed the whole upstream
+    // pair aggregate + top-E TakeOrdered (measured: the ~5 s ×8.7M-
+    // group aggregate ran 2-3× per query at sf0.1). The checkpoint
+    // pins the ≤maxEdges (600-row) edge list — the broadcasts then
+    // build from those rows for free.
     val e = broadcast(
       edges.orderBy(col("n_common").desc, col("s1"), col("s2")).limit(maxEdges)
-        .select("s1", "s2"))
+        .select("s1", "s2").localCheckpoint())
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.s2") === col("e2.s1"))
       .join(e.as("e3"),
@@ -441,6 +448,10 @@ object Graph {
       .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
       .distinct()
+      // pin the pair-expansion width — same rationale (and measured
+      // shape) as jaccardPairsQuery: C(basket,2) fanout per customer
+      // makes row cost ≫ byte size, which AQE's coalescing can't see
+      .repartition(t.spark.sparkContext.defaultParallelism, col("c"))
     cs.as("a").join(cs.as("b"),
         col("a.c") === col("b.c") && col("a.s") < col("b.s"))
       .groupBy(col("a.s").as("s1"), col("b.s").as("s2"))
@@ -511,7 +522,15 @@ object Graph {
     val cp = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_partkey").as("p"))
       .distinct()
-    val pairs = cp.as("a").join(cp.as("b"),
+    // pin the pair-expansion side's partition count: the C(buyers,2)
+    // fanout makes this stage's ROW cost ~15× its input BYTES, so
+    // AQE's bytes-based coalescing under-parallelizes it (measured 5
+    // map tasks carrying a 9M-row pair aggregate at sf0.1); an
+    // explicit hash repartition by the join key keeps the expansion
+    // and the partial aggregate at full width (guide §2.5)
+    val dp = t.spark.sparkContext.defaultParallelism
+    val cpSpread = cp.repartition(dp, col("p"))
+    val pairs = cpSpread.as("a").join(cpSpread.as("b"),
         col("a.p") === col("b.p") && col("a.cust") < col("b.cust"))
       .groupBy(col("a.cust").as("c1"), col("b.cust").as("c2"))
       .agg(count(lit(1)).as("inter"))

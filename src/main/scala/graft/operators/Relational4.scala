@@ -29,6 +29,11 @@ object Relational4 {
   def qMarketBasket(t: Tables, minCo: Long = 3, topK: Int = 25): DataFrame = {
     val items = t.lineitem.select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
       .distinct()
+      // pin the basket-pair expansion width — the C(basket,2) fanout's
+      // row cost ≫ its byte size, so AQE's bytes-based coalescing
+      // under-parallelizes the co-occurrence join (the
+      // Graph.jaccardPairsQuery finding, guide §2.5)
+      .repartition(t.spark.sparkContext.defaultParallelism, col("okey"))
     val nOrders = t.orders.agg(countDistinct(col("o_orderkey")).cast("double").as("n"))
     val freq = items.groupBy("part").agg(count(lit(1)).as("n_part"))
     val a = items.select(col("okey"), col("part").as("part_a"))

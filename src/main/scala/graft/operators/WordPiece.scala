@@ -74,6 +74,10 @@ object WordPiece {
       .cache()
     val out = Seq.newBuilder[(Long, String, String, Long, Long, Long)]
     var exhausted = false
+    // deferred-by-one unpersist — see Bpe.bpeTrain: the next round's
+    // argmax collect materializes the new cache, so the per-round
+    // count() job is gone and the parent retires one round late
+    var retired: DataFrame = null
     for (i <- 1 to merges if !exhausted) {
       val arr = syms.select(col("freq"), split(trim(col("sym")), " ").as("s"))
       val pairs = arr
@@ -104,23 +108,23 @@ object WordPiece {
         .select(col("a"), col("b"), col("f"), col("ga"), col("gb"))
         .limit(1)
         .collect()
+      if (retired != null) { retired.unpersist(blocking = false); retired = null }
       if (best.isEmpty) exhausted = true // vocab fully merged — emit what's learned
       else {
         val r = best(0)
         val (a, b) = (r.getString(0), r.getString(1))
         out += ((i.toLong, a, b, r.getLong(2), r.getLong(3), r.getLong(4)))
         val composed = a + b.stripPrefix("##")
-        val prev = syms
+        retired = syms
         syms = syms.withColumn("sym",
           replace(col("sym"),
             concat(lit(" "), lit(a), lit(" "), lit(b), lit(" ")),
             concat(lit(" "), lit(composed), lit(" "))))
           .cache()
-        syms.count() // materialize before releasing the parent
-        prev.unpersist(blocking = false)
         syms = cutLineage(syms, i, merges)
       }
     }
+    if (retired != null) retired.unpersist(blocking = false)
     syms.unpersist(blocking = false)
     import spark.implicits._
     out.result()
