@@ -20,6 +20,9 @@ object Classify {
     * normalization (whitespace split, lower(trim), drop empties) with
     * the label carried through.
     */
+  // NO Par.spread here (r14 A/B at sf0.1: every NB query read 0.3-0.5 s
+  // WORSE with it — the branches aggregate to vocab-sized tables right
+  // at the scan, so the spread exchange only added a stage)
   private def labeledTokens(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("lang"),

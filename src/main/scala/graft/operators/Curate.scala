@@ -592,7 +592,10 @@ object Curate {
     * identical doubles.
     */
   def dsirWeights(t: Tables, buckets: Int = 256): DataFrame = {
-    val toks = t.documents
+    // Par.spread: toks is consumed twice (model counts + scoring), so
+    // the md5-per-token scan stage runs twice — serialized on one core
+    // over the single-row-group local file; no-op at scale (guide §2.5)
+    val toks = Par.spread(t.documents, "doc_id")
       .select(col("doc_id"), col("lang"), explode(split(col("text"), "\\s+")).as("w"))
       .select(col("doc_id"), col("lang"), lower(trim(col("w"))).as("word"))
       .filter(col("word") =!= "")

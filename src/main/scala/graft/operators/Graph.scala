@@ -317,6 +317,13 @@ object Graph {
     // of the upstream join without a cut. One local checkpoint
     // materializes it once (node-pair rows, fixed width) — the same
     // trade pageRankConverged makes with its cache
+    // NOTE (r14 optimization round, negative result kept): pinning two
+    // hash-partitioned edge views (repartition by hub / by auth, shared
+    // across sweeps via ReusedExchange) + SHUFFLE_HASH-building the
+    // score side measured a clear LOSS in the driver-shaped bench
+    // (q_hits 3.47 → 6.29 s at sf0.1) — AQE's runtime SMJ→BHJ
+    // conversion on the tiny score tables already avoids the per-sweep
+    // edge shuffle, and the explicit exchanges only added stages.
     val edges = edges0.localCheckpoint()
     val hubs = edges.select(col("hub")).distinct()
     val auths = edges.select(col("auth")).distinct()

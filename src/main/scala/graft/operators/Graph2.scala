@@ -51,16 +51,12 @@ object Graph2 {
       hops: Int): DataFrame = {
     // every sweep references the edge table — one local checkpoint
     // materializes the upstream join/distinct once instead of `hops`
-    // times (the hitsOf lesson, same trade); partitioned by the sweep
-    // key first so frontier joins reuse it (see labelPropLabelsOf)
-    val edges = edges0
-      .repartition(edges0.sparkSession.sparkContext.defaultParallelism, col("src"))
-      .localCheckpoint()
+    // times (the hitsOf lesson, same trade)
+    val edges = edges0.localCheckpoint()
     var dist = seeds.select(col("node"), lit(0L).as("d"))
     var frontier = dist.select("node")
     for (i <- 1 to hops) {
-      val candidates = edges
-        .join(frontier.withColumnRenamed("node", "src").hint("SHUFFLE_HASH"), "src")
+      val candidates = edges.join(frontier.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), lit(i.toLong).as("d"))
       // dist_i is referenced TWICE downstream (next sweep's union AND
       // its frontier filter) — without a cut each level's subtree
@@ -156,21 +152,14 @@ object Graph2 {
     */
   def labelPropLabelsOf(edges0: DataFrame, nodes: DataFrame,
       sweeps: Int): DataFrame = {
-    // hash-partition by the sweep-join key, NO checkpoint: every
-    // sweep's edges⋈labels join needs hash(src), and one explicit
-    // repartition is an identical exchange subtree in every sweep —
-    // ReusedExchange materializes it ONCE and each sweep reads the
-    // shuffle files, with only the node-sized labels side moving per
-    // sweep (guide §2.4 "two operations keyed the same way share one
-    // exchange"). A localCheckpoint (the old cut) loses the
-    // partitioning at the planner, so every sweep re-exchanged the
-    // whole edge table (measured: 28 MB exchange per sweep at sf0.1).
-    // The SHUFFLE_HASH hint on the labels side skips the per-sweep
-    // sort a sort-merge join would add to the edge side; a
-    // per-partition hash of nodes/P labels is executor-sized at any
-    // scale.
-    val edges = edges0
-      .repartition(edges0.sparkSession.sparkContext.defaultParallelism, col("src"))
+    // NOTE (r14 optimization round, negative result kept): replacing
+    // this checkpoint with a pinned src-hash repartition shared across
+    // sweeps (ReusedExchange) + SHUFFLE_HASH on the labels side read
+    // slightly WORSE in the driver-shaped bench (q_label_prop 3.05 →
+    // 3.33, q_modularity 4.76 → 5.13 at sf0.1): AQE already converts
+    // the per-sweep join's label side to a runtime broadcast, and the
+    // explicit exchange only added a stage. Kept as the measured shape.
+    val edges = edges0.localCheckpoint()
     var labels = nodes.select(col("node"), col("node").as("label"))
     for (_ <- 1 to sweeps) {
       // the node's OWN label is one of the votes: pure neighbor-mode
@@ -180,7 +169,7 @@ object Graph2 {
       // self-vote is the standard damping, and it makes isolated
       // nodes keep their label with no special case
       val votes = edges
-        .join(labels.withColumnRenamed("node", "src").hint("SHUFFLE_HASH"), "src")
+        .join(labels.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("label"))
         .unionAll(labels)
       labels = votes

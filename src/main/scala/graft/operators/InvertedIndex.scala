@@ -21,6 +21,9 @@ import graft.sources.Tables
 object InvertedIndex {
 
   /** (doc_id, pos, word) positional postings over normalized text. */
+  // NO Par.spread here (r14 A/B at sf0.1: bm25/phrase won ~0.15 s but
+  // rrf_fusion lost 0.45 s — the IR branches reduce to postings
+  // aggregates immediately, so the spread exchange nets a loss)
   def postingsOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       posexplode(split(TextAnalysis.normalizedText(col("text")), " ")).as(Seq("pos", "word")))

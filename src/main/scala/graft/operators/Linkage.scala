@@ -64,16 +64,18 @@ object Linkage {
       .select(col("r_id"), col("dirty_name"), col("p_partkey"),
         levenshtein(col("dirty_name"), col("p_name")).as("dist"))
       .filter(col("dist") <= tau)
+    // ONE aggregate: min(struct(dist, p_partkey)) IS (best_dist,
+    // min partkey among best-dist candidates) — the struct orders by
+    // dist first, partkey second, exactly the old best+pick pair of
+    // passes. The previous form joined `cand` back to itself, so the
+    // levenshtein candidate scan (the query's CPU) executed twice.
     val best = cand.groupBy(col("r_id"))
-      .agg(min(col("dist")).as("best_dist"), count(lit(1)).as("n_cands"))
-    val pick = cand
-      .join(best, Seq("r_id"))
-      .filter(col("dist") === col("best_dist"))
-      .groupBy(col("r_id"))
-      .agg(min(col("p_partkey")).as("matched_partkey"))
+      .agg(min(struct(col("dist"), col("p_partkey"))).as("m"),
+        count(lit(1)).as("n_cands"))
+      .select(col("r_id"), col("m.dist").as("best_dist"),
+        col("m.p_partkey").as("matched_partkey"), col("n_cands"))
     dirty.select(col("r_id"), col("dirty_name"))
       .join(best, Seq("r_id"), "left")
-      .join(pick, Seq("r_id"), "left")
       .select(col("r_id"), col("dirty_name"),
         col("best_dist").cast("long").as("best_dist"),
         col("n_cands"), col("matched_partkey"),

@@ -806,7 +806,12 @@ object Similarity {
   def ivfPqTopK(t: Tables, nQueries: Int = 10, k: Int = 5, m: Int = 8,
       kCode: Int = 64, dim: Int = 64, shortlistFactor: Int = 6): DataFrame = {
     val subDim = dim / m
-    val emb = t.embeddings.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    // Par.spread: the PQ distance fold evaluates ~kCode·m candidates
+    // per vector, so the scan stage is compute-bound; the embeddings
+    // table is a single-row-group file locally (one scan task) and the
+    // spread is a no-op at production scale (guide §2.5)
+    val emb = Par.spread(t.embeddings, "vec_id")
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
     // per-cell mean vector (the coarse centroid): tiny (#cells rows),
     // aggregated map-side over (label, dim) pairs, then broadcast back
     val centers = emb.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
