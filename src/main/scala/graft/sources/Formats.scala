@@ -116,7 +116,17 @@ object Formats {
       source: String = "src0"): DataFrame = {
     val docs = t.documents
     val out = scratch("documents_partitioned")
-    docs.write.mode("overwrite").partitionBy("lang", "source").parquet(out)
+    // cluster by the partition columns before the partitioned write
+    // (guide §6): each write task then owns whole (lang, source) dirs —
+    // parallel, and one file per partition dir instead of one per
+    // (input task × dir)
+    // explicit partition count: with the default count AQE coalesced
+    // the 0.9 MB exchange to ONE write task, serializing the ~15
+    // partition-dir writes behind one committer (measured 1.4 s wall,
+    // 0.6 s cpu — the rest is per-dir file open/commit latency)
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("lang"), col("source"))
+      .write.mode("overwrite").partitionBy("lang", "source").parquet(out)
     docs.sparkSession.read.parquet(out)
       .filter(col("lang") === lang && col("source") === source)
       // partition columns read back LAST; restore the contract order
